@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.VectorOps._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute-force cosine top-k ([[SemanticJoin.knnJoinVec]]) is the exact baseline;
+  * [[ivfTopK]] is the scale path: a deterministic IVF-style coarse quantizer —
+  * corpus vectors are assigned to their nearest centroid once, queries probe only
+  * the `nProbe` nearest centroid lists, so the scored candidate set shrinks by
+  * ~nProbe/nCentroids while recall stays high for clustered data.
+  */
+object Ann {
+
+  /** Exact brute-force top-k (delegates to the kNN join primitive). */
+  def bruteForceTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, k: Int): DataFrame =
+    SemanticJoin.knnJoinVec(queries, qId, qVec, corpus, cId, cVec, k)
+
+  /** Deterministic centroid pick: the `nCentroids` corpus vectors with the
+    * smallest ids (seedless and reproducible; at scale swap in sampled ids or
+    * k-means|| — the probing plan is unchanged).
+    */
+  def centroids(corpus: DataFrame, cId: String, cVec: String, nCentroids: Int): DataFrame =
+    corpus.select(col(cId).cast("long").as("centroid_id"), asDouble(col(cVec)).as("centroid_vec"))
+      .orderBy(col("centroid_id")).limit(nCentroids)
+
+  /** IVF top-k: returns (left_id, right_id, score, rank) like the exact join.
+    *
+    * Both the corpus→centroid assignment and the query→probe-list expansion are
+    * broadcast nested-loop joins against the (small) centroid table followed by
+    * partial-agg top-k — no all-pairs shuffle; the candidate scoring join is an
+    * equi-join on centroid_id.
+    */
+  def ivfTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, cId, cVec, nCentroids)
+
+    // corpus → nearest centroid (exact 1-NN against the tiny centroid table)
+    val assign = SemanticJoin.knnJoinVec(
+      corpus, cId, cVec,
+      cents, "centroid_id", "centroid_vec", k = 1)
+      .select(col("left_id").as("corpus_id"), col("right_id").as("centroid_id"))
+    val corpusByList = corpus
+      .select(col(cId).cast("long").as("corpus_id"), asDouble(col(cVec)).as("cv"))
+      .join(assign, "corpus_id")
+
+    // query → nProbe nearest centroids
+    val probes = SemanticJoin.knnJoinVec(
+      queries, qId, qVec,
+      cents, "centroid_id", "centroid_vec", k = nProbe)
+      .select(col("left_id").as("query_id"), col("right_id").as("centroid_id"))
+    val queriesExp = queries
+      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+      .join(probes, "query_id")
+
+    // score only candidates sharing a probed list; then global top-k per query
+    val scored = queriesExp.join(corpusByList, Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("__score"))
+    val topk = TopK.topK(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("__score"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col("query_id").as("left_id"),
+        col("__s.id").as("right_id"),
+        col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+}

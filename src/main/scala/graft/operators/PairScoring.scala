@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.core.Serialize
+import graft.embed.Embedder
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise similarity scoring and retrieval-quality metrics.
+  *
+  * `evaluatePairs` scores already-paired columns rowwise (reference:
+  * src/linktransformer/infer.py:316-375); `allPairCombos` emits the full n×m
+  * long-form score table (reference: infer.py:490-560, which flattens a sklearn
+  * cosine matrix — the long form is the Spark-native shape, no matrix needed).
+  * Retrieval metrics mirror modified_sbert/evaluation.py:294-405.
+  */
+object PairScoring {
+
+  /** Rowwise cosine of two text columns — no join, no shuffle. */
+  def evaluatePairs(
+      df: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
+      embedder: Embedder, scoreCol: String = "score",
+      sep: String = Serialize.DefaultSep): DataFrame = {
+    val t1 = df.withColumn("__t1", Serialize.serializeColumns(leftOn.map(df(_)), sep))
+    val t2 = t1.withColumn("__t2", Serialize.serializeColumns(rightOn.map(t1(_)), sep))
+    val e1 = embedder.embed(t2, "__t1", "__v1")
+    val e2 = embedder.embed(e1, "__t2", "__v2")
+    e2.withColumn(scoreCol, cosineNormalized(col("__v1"), col("__v2")))
+      .drop("__t1", "__t2", "__v1", "__v2")
+  }
+
+  /** Full pairwise score table: returns (leftKey..., rightKey..., score) only,
+    * mirroring the reference's output shape (infer.py:558).
+    */
+  def allPairCombos(
+      df1: DataFrame, leftOn: Seq[String],
+      df2: DataFrame, rightOn: Seq[String],
+      embedder: Embedder,
+      sep: String = Serialize.DefaultSep): DataFrame = {
+    val l0 = df1.select(leftOn.map(df1(_)): _*).distinct()
+    val r0 = df2.select(rightOn.map(df2(_)): _*).distinct()
+    val l = embedder.embed(
+      l0.withColumn("__t", Serialize.serializeColumns(leftOn.map(l0(_)), sep)), "__t", "__v1")
+    val r = embedder.embed(
+      r0.withColumn("__t", Serialize.serializeColumns(rightOn.map(r0(_)), sep)), "__t", "__v2")
+      .withColumnsRenamed(rightOn.filter(leftOn.contains).map(c => c -> (c + "_y")).toMap)
+    l.drop("__t").crossJoin(broadcast(r.drop("__t")))
+      .withColumn("score", cosineNormalized(col("__v1"), col("__v2")))
+      .drop("__v1", "__v2")
+  }
+
+  /** Retrieval metrics at k over a ranked candidate table.
+    *
+    * Input: `(queryId, rank, isRelevant, nRelevant)` — one row per retrieved
+    * candidate, rank 1-based. Output: one row of
+    * accuracy@k / precision@k / recall@k / mrr@k / ndcg@k averaged over queries
+    * (reference: modified_sbert/evaluation.py:294-405).
+    */
+  def retrievalMetrics(
+      ranked: DataFrame, queryCol: String, rankCol: String,
+      relevantCol: String, nRelevantCol: String, k: Int): DataFrame = {
+    val q = col(queryCol)
+    val inK = ranked.filter(col(rankCol) <= k)
+    val rel = col(relevantCol).cast("double")
+    val perQuery = inK.groupBy(q.as("query"))
+      .agg(
+        max(rel).as("hit"),
+        (sum(rel) / k).as("p_at_k"),
+        (sum(rel) / first(col(nRelevantCol))).as("r_at_k"),
+        max(when(rel === 1.0, lit(1.0) / col(rankCol)).otherwise(lit(0.0))).as("rr"),
+        sum(when(rel === 1.0, lit(1.0) / log2(col(rankCol) + 1)).otherwise(lit(0.0))).as("dcg"),
+        first(col(nRelevantCol)).as("n_rel"))
+      // ideal DCG: relevant docs at ranks 1..min(nRel,k)
+      .withColumn("idcg", expr(s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0d, (a, i) -> a + 1.0d / log2(i + 1))"))
+      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+    perQuery.agg(
+      avg("hit").as(s"accuracy_at_$k"),
+      avg("p_at_k").as(s"precision_at_$k"),
+      avg("r_at_k").as(s"recall_at_$k"),
+      avg("rr").as(s"mrr_at_$k"),
+      avg("ndcg").as(s"ndcg_at_$k"))
+  }
+
+  /** Best-F1 threshold over (score, label) pairs — the reference tunes this with
+    * hyperopt over a random space (replicate_results_lt.py:210-257); a sorted
+    * scan over distinct scores is exact and deterministic instead.
+    * Returns one row: (threshold, f1, precision, recall).
+    */
+  def bestF1Threshold(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scored.select(
+      coalesce(col(scoreCol).cast("double"), lit(0.0)).as("score"),
+      col(labelCol).cast("double").as("label"))
+    val totalPos = s.agg(sum("label")).first().getDouble(0)
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = s.withColumn("tp", sum("label").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("score").agg(max("tp").as("tp"), max("n").as("n"))
+      .withColumn("precision", col("tp") / col("n"))
+      .withColumn("recall", col("tp") / lit(totalPos))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(lit(0.0)))
+    curve.orderBy(desc("f1"), desc("score")).limit(1)
+      .select(col("score").as("threshold"), col("f1"), col("precision"), col("recall"))
+  }
+}

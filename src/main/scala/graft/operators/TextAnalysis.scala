@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, n-gram language ID, and document fingerprinting.
+  * All built from codegen'd built-ins (no UDFs) so they stay inside
+  * whole-stage codegen and push down through the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank strings count 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-budget estimate: word tokens + extra for long words
+    * (a deterministic stand-in for a real tokenizer's token count).
+    */
+  def tokenEstimate(text: Column): Column =
+    tokenCount(text) +
+      aggregate(
+        split(trim(text), "\\s+"),
+        lit(0L),
+        (acc, w) => acc + (length(w).cast("long") / lit(8L)))
+
+  /** Quality-score components + composite in [0,1]:
+    * mean word length, punctuation ratio, uppercase ratio, stopword ratio.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val punct = (nChars - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double")
+    val upper = (nChars - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    val toks = tokenCount(t).cast("double")
+    df.withColumn("q_n_tokens", toks)
+      .withColumn("q_mean_word_len", when(toks > 0, nChars / toks).otherwise(lit(0.0)))
+      .withColumn("q_punct_ratio", when(nChars > 0, punct / nChars).otherwise(lit(0.0)))
+      .withColumn("q_upper_ratio", when(nChars > 0, upper / nChars).otherwise(lit(0.0)))
+      .withColumn("q_stopword_ratio", stopwordRatio(t, EnglishStopwords))
+      .withColumn("quality",
+        least(lit(1.0), col("q_stopword_ratio") * 2) * lit(0.5) +
+          when(col("q_mean_word_len").between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+          when(col("q_punct_ratio") <= 0.1, lit(0.2)).otherwise(lit(0.0)))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+  val SpanishStopwords: Seq[String] =
+    Seq("el", "la", "de", "que", "y", "a", "en", "un", "es", "se", "no", "por", "con", "para", "los")
+  val FrenchStopwords: Seq[String] =
+    Seq("le", "la", "de", "et", "un", "une", "que", "des", "est", "en", "du", "pour", "dans", "les", "au")
+
+  /** Fraction of whitespace tokens (lowercased) found in `words`. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val hits = size(filter(toks, w => w.isInCollection(words))).cast("double")
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(hits / size(toks).cast("double"))
+  }
+
+  /** Heuristic language ID by stopword-hit ratio across known languages; emits
+    * (lang_pred, lang_score). Ties break by language order (en, es, fr).
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = struct(
+      stopwordRatio(t, EnglishStopwords).as("en"),
+      stopwordRatio(t, SpanishStopwords).as("es"),
+      stopwordRatio(t, FrenchStopwords).as("fr"))
+    df.withColumn("__s", scores)
+      .withColumn("lang_score", greatest(col("__s.en"), col("__s.es"), col("__s.fr")))
+      .withColumn("lang_pred",
+        when(col("__s.en") >= col("lang_score"), lit("en"))
+          .when(col("__s.es") >= col("lang_score"), lit("es"))
+          .otherwise(lit("fr")))
+      .drop("__s")
+  }
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over the raw characters — a
+    * deterministic document fingerprint. The modulus keeps every intermediate
+    * below 2^35 so the SQL oracle can fold the identical recurrence without
+    * 64-bit overflow (DuckDB raises on BIGINT overflow rather than wrapping).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
+
+  /** Word n-gram shingles (lowercased, whitespace-tokenized) as array<string>. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** n-gram Jaccard similarity between two texts' shingle sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(wordShingles(a, n))
+    val sb = array_distinct(wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

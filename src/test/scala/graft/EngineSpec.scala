@@ -1,0 +1,290 @@
+package graft
+
+import graft.core.{Keys, Serialize}
+import graft.embed.HashEmbedder
+import graft.llm.Llm
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants ported from the reference test suite
+  * (reference: tests/infer_test.py, tests/merge_knn_llm_test.py) plus unit
+  * checks for the engine's own primitives.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val emb = new HashEmbedder(32)
+
+  def companies1 = {
+    import spark.implicits._
+    Seq(
+      (1, "Apple Inc", "Tech", "US"),
+      (2, "Microsoft Corporation", "Tech", "US"),
+      (3, "Tesla Motors", "Auto", "US"),
+      (4, "Carrefour", "Retail", "FR"))
+      .toDF("CompanyID", "CompanyName", "Industry", "Country")
+  }
+
+  def companies2 = {
+    import spark.implicits._
+    Seq(
+      (11, "Apple Inc", 100, "US"),
+      (12, "Microsoft Corporation", 200, "US"),
+      (13, "Tesla Motors", 300, "US"),
+      (14, "Zalando", 50, "DE"))
+      .toDF("CompanyID", "CompanyName", "Revenue", "Country")
+  }
+
+  // --- core -----------------------------------------------------------------
+
+  test("key resolution: default = column intersection in df1 order") {
+    val (lk, rk) = Keys.resolve(
+      Seq("a", "b", "c"), Seq("c", "b", "x"))
+    assert(lk == Seq("b", "c") && rk == Seq("b", "c"))
+  }
+
+  test("serializer: null cells keep their separator slot") {
+    import spark.implicits._
+    val df = Seq(("a", Option.empty[String], "c")).toDF("x", "y", "z")
+    val out = df.select(Serialize.serializeColumns(Seq(col("x"), col("y"), col("z"))).as("s"))
+      .head().getString(0)
+    assert(out == "a<SEP><SEP>c")
+  }
+
+  // --- TopK -----------------------------------------------------------------
+
+  test("TopKAgg keeps k best with (score desc, id asc) tie-break") {
+    val agg = new TopKAgg(2)
+    val items = Seq(Scored(0.5, 7), Scored(0.9, 3), Scored(0.9, 1), Scored(0.1, 2))
+    val out = items.foldLeft(agg.zero)(agg.reduce)
+    assert(out == Seq(Scored(0.9, 1), Scored(0.9, 3)))
+    // merge path agrees with reduce path
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == out)
+  }
+
+  // --- semantic joins -------------------------------------------------------
+
+  test("merge: row count equals left count, suffixed columns + score exist") {
+    val out = SemanticJoin.merge(companies1, companies2, on = Seq("CompanyName"), embedder = emb)
+    assert(out.count() == companies1.count())
+    val cols = out.columns.toSet
+    assert(cols.contains("CompanyName_x") && cols.contains("CompanyName_y"))
+    assert(cols.contains("Country_x") && cols.contains("Country_y"))
+    assert(cols.contains("Industry") && cols.contains("Revenue") && cols.contains("score"))
+  }
+
+  test("merge finds exact-text matches (self-similarity = 1)") {
+    val out = SemanticJoin.merge(companies1, companies2, on = Seq("CompanyName"), embedder = emb)
+      .select("CompanyName_x", "CompanyName_y", "score").collect()
+    val byName = out.map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byName("Apple Inc")._1 == "Apple Inc")
+    assert(math.abs(byName("Apple Inc")._2 - 1.0) < 1e-12)
+    assert(byName("Tesla Motors")._1 == "Tesla Motors")
+  }
+
+  test("merge_knn k=1 equals merge; k=2 returns 2x rows") {
+    val m1 = SemanticJoin.merge(companies1, companies2, on = Seq("CompanyName"), embedder = emb)
+    val k1 = SemanticJoin.mergeKnn(companies1, companies2, on = Seq("CompanyName"), embedder = emb, k = 1)
+    val k2 = SemanticJoin.mergeKnn(companies1, companies2, on = Seq("CompanyName"), embedder = emb, k = 2)
+    assert(k1.count() == m1.count())
+    assert(k2.count() == 2 * k1.count())
+    assert(k1.collect().toSet == m1.collect().toSet)
+  }
+
+  test("merge_range: all matched scores >= threshold, unmatched left retained") {
+    val out = SemanticJoin.mergeRange(
+      companies1, companies2, on = Seq("CompanyName"), embedder = emb, simThreshold = 0.9)
+    val rows = out.collect()
+    // every left row appears at least once
+    val leftNames = rows.map(_.getAs[String]("CompanyName_x")).toSet
+    assert(leftNames == Set("Apple Inc", "Microsoft Corporation", "Tesla Motors", "Carrefour"))
+    rows.foreach { r =>
+      val s = r.getAs[Any]("score")
+      if (s != null) assert(s.asInstanceOf[Double] >= 0.9)
+      else assert(r.getAs[Any]("CompanyName_y") == null)
+    }
+    // Carrefour has no >=0.9 neighbor: retained with null right side
+    val carrefour = rows.filter(_.getAs[String]("CompanyName_x") == "Carrefour")
+    assert(carrefour.length == 1 && carrefour.head.getAs[Any]("score") == null)
+  }
+
+  test("merge_blocking: matches stay within block; one-sided blocks pass through") {
+    val out = SemanticJoin.mergeBlocking(
+      companies1, companies2, blockingVars = Seq("Country"),
+      on = Seq("CompanyName"), embedder = emb)
+    val rows = out.collect()
+    // US rows matched within the US block
+    val apple = rows.filter(_.getAs[String]("CompanyName_x") == "Apple Inc")
+    assert(apple.length == 1 && apple.head.getAs[String]("CompanyName_y") == "Apple Inc")
+    // FR only in left -> passes through with original column, null right cols
+    val fr = rows.filter(r => r.getAs[String]("CompanyName") == "Carrefour")
+    assert(fr.length == 1 && fr.head.getAs[Any]("score") == null)
+    // DE only in right -> passes through
+    val de = rows.filter(r => r.getAs[String]("CompanyName") == "Zalando")
+    assert(de.length == 1)
+    assert(rows.length == 3 + 1 + 1)
+  }
+
+  test("knnJoinVec is exact: agrees with brute-force ranking") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val knn = SemanticJoin.knnJoinVec(e, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 2, excludeSelf = true).collect()
+    // brute force on driver
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((lid, lv) <- vecs.take(5)) {
+      val expect = vecs.toSeq.filter(_._1 != lid)
+        .map { case (rid, rv) => (rid, cos(lv, rv)) }
+        .sortBy { case (rid, s) => (-s, rid) }.take(2).map(_._1)
+      val got = knn.filter(_.getAs[Long]("left_id") == lid)
+        .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("right_id")).toSeq
+      assert(got == expect, s"left=$lid")
+    }
+  }
+
+  // --- clustering -----------------------------------------------------------
+
+  test("connected components labels by min reachable id") {
+    import spark.implicits._
+    val nodes = (0L to 6L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (5L, 5L)).toDF("src", "dst")
+    val cc = Clustering.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("dedup_rows removes exact and near duplicates, keeps distinct rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1
+      (3L, "totally different text about spark engines"),
+      (4L, "another unrelated document entirely distinct")
+    ).toDF("id", "text")
+    val out = Clustering.dedupRows(df, Seq("text"), emb, threshold = 0.99)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L))
+  }
+
+  test("dbscan: noise labeled -1, dense groups clustered") {
+    import spark.implicits._
+    // 3 identical vectors (dense) + 1 far-away point (noise at minSamples=2)
+    val vs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.001, 0.0)),
+      (2L, Array(1.0, -0.001, 0.0)),
+      (9L, Array(0.0, 0.0, 1.0))
+    ).toDF("id", "v")
+    val out = Clustering.dbscanCosine(vs, "id", "v", eps = 0.01, minSamples = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L)
+    assert(out(9L) == -1L)
+  }
+
+  // --- llm ------------------------------------------------------------------
+
+  test("judge parser: JSON fields, keyword fallback, last-number fallback, clamping") {
+    assert(Llm.parseJudgeResponse("""{"is_match": true, "confidence": 0.83}""") == (1, 0.83))
+    assert(Llm.parseJudgeResponse("""{"is_match": false, "confidence": 7}""") == (0, 1.0))
+    assert(Llm.parseJudgeResponse("no json here but yes they match, around 0.4 or 0.6 sure") == (1, 0.6))
+    assert(Llm.parseJudgeResponse(null) == (0, 0.0))
+    assert(Llm.parseJudgeResponse("garbage") == (0, 0.0))
+  }
+
+  test("transform_rows enforces chunk length contract and maps values") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "xyz")).toDF("id", "text")
+    val out = Llm.transformRows(df, Seq("text"), new Llm.UppercaseTransformer)
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[String]("transformed")).toMap
+    assert(out == Map("abc" -> "ABC", "xyz" -> "XYZ"))
+  }
+
+  test("merge_k_judge appends parsed llm columns and filters on confidence") {
+    val out = Llm.mergeKJudge(
+      companies1, companies2, on = Seq("CompanyName"), embedder = emb,
+      judge = new Llm.TokenOverlapJudge(0.5), k = 2)
+    assert(out.columns.toSet.intersect(
+      Set("llm_is_match", "llm_confidence", "llm_raw_response")).size == 3)
+    // exact name matches must be judged matches with confidence 1
+    val exact = out.filter(col("CompanyName_x") === col("CompanyName_y")).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(r.getAs[Int]("llm_is_match") == 1)
+      assert(r.getAs[Double]("llm_confidence") == 1.0)
+    }
+    val filtered = Llm.mergeKJudge(
+      companies1, companies2, on = Seq("CompanyName"), embedder = emb,
+      judge = new Llm.TokenOverlapJudge(0.5), k = 2, confidenceThreshold = Some(0.99))
+    assert(filtered.count() == exact.length)
+  }
+
+  // --- dedup / text ---------------------------------------------------------
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val df = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "completely unrelated content about databases and query optimization plans"),
+      (4L, "yet another separate text mentioning mountains oceans forests deserts")
+    ).toDF("id", "text")
+    val out = Dedup.minhashLsh(df, "id", "text", shingleSize = 3, jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(3L) != out(1L) && out(4L) != out(1L) && out(3L) != out(4L))
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the sea"),
+      (3L, "astronomy telescope galaxy nebula quasar pulsar comet asteroid")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"), Dedup.simhash64(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("text analysis: token count and fingerprint basics") {
+    import spark.implicits._
+    val df = Seq("a b  c", "", "   ").toDF("t")
+    val counts = df.select(TextAnalysis.tokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(counts.toSeq == Seq(3L, 0L, 0L))
+    val fp = Seq("abc").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).head().getLong(0)
+    assert(fp == ((97L * 31 + 98) * 31 + 99) % 1000000007) // 96354
+  }
+
+  // --- ann ------------------------------------------------------------------
+
+  test("IVF top-k achieves high recall vs brute force on testdata") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = SemanticJoin.knnJoinVec(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val approx = Ann.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
