@@ -131,13 +131,14 @@ object SparkEntry {
     "q_blocking_1nn" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("left_id"), col("label"), asDouble(col("embedding")).as("va"))
+        .withColumn("na", norm(col("va")))
       val b = e.select(col("vec_id").as("right_id"), col("label"), asDouble(col("embedding")).as("vb"))
-      val topk = TopK.topK(1)
+        .withColumn("nb", norm(col("vb")))
       a.join(b, Seq("label")).filter(col("left_id") =!= col("right_id"))
         .select(col("label"), col("left_id"), col("right_id"),
-          cosine(col("va"), col("vb")).as("sc"))
+          cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")).as("sc"))
         .groupBy(col("label"), col("left_id"))
-        .agg(topk(col("sc"), col("right_id")).as("t"))
+        .agg(graft.functions.VecExpressions.topK(1, col("sc"), col("right_id")).as("t"))
         .select(col("label").cast("int").as("label"), col("left_id"),
           col("t")(0).getField("id").as("right_id"),
           col("t")(0).getField("score").as("score"))

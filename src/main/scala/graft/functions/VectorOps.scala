@@ -20,9 +20,8 @@ object VectorOps {
   /** Cast to array<double> (parquet embeddings are float32). */
   def asDouble(a: Column): Column = a.cast(ArrayType(DoubleType))
 
-  /** Sequential left-to-right double dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-to-right double dot product (codegen'd native loop). */
+  def dot(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,6 +31,13 @@ object VectorOps {
     */
   def cosine(a: Column, b: Column): Column =
     least(greatest(dot(a, b) / (norm(a) * norm(b)), lit(-1.0)), lit(1.0))
+
+  /** Cosine with per-side precomputed norms (compute `norm(v)` once per ROW,
+    * not once per PAIR — the O(n·m) join hot path). Bit-identical to
+    * [[cosine]]: same `dot/(sqrt(na)*sqrt(nb))` op order, same clamp.
+    */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    least(greatest(dotAB / (normA * normB), lit(-1.0)), lit(1.0))
 
   /** Cosine for pre-L2-normalized vectors (skips the norm recomputation). */
   def cosineNormalized(a: Column, b: Column): Column = dot(a, b)

@@ -63,9 +63,8 @@ object Ann {
     val scored = queriesExp.join(corpusByList, Seq("centroid_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("__score"))
-    val topk = TopK.topK(k)
     scored.groupBy(col("query_id"))
-      .agg(topk(col("__score"), col("corpus_id")).as("__top"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
       .select(
         col("query_id").as("left_id"),

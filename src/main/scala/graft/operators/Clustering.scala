@@ -73,13 +73,14 @@ object Clustering {
     import graft.functions.VectorOps._
     val tau = 1.0 - eps
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
     // predicate; checkpointed so downstream stages never re-run the self-join
-    val a = pts.select(col("id").as("i"), col("v").as("vi"))
-    val b = pts.select(col("id").as("j"), col("v").as("vj"))
+    val a = pts.select(col("id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
+    val b = pts.select(col("id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
     val nbrs = a.join(b, col("i") =!= col("j"))
-      .filter(cosine(col("vi"), col("vj")) >= lit(tau))
+      .filter(cosineWithNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")) >= lit(tau))
       .select("i", "j")
       .localCheckpoint(true)
 
@@ -113,10 +114,11 @@ object Clustering {
   def epsilonCluster(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.functions.VectorOps._
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val a = pts.select(col("id").as("i"), col("v").as("vi"))
-    val b = pts.select(col("id").as("j"), col("v").as("vj"))
+      .withColumn("nrm", norm(col("v")))
+    val a = pts.select(col("id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
+    val b = pts.select(col("id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
     val edges = a.join(b, col("i") < col("j"))
-      .filter(cosine(col("vi"), col("vj")) >= lit(tau))
+      .filter(cosineWithNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")) >= lit(tau))
       .select("i", "j")
     connectedComponents(pts.select("id"), edges)
       .withColumnRenamed("component", "cluster")

@@ -30,16 +30,18 @@ object SemanticJoin {
       excludeSelf: Boolean = false,
       broadcastRight: Boolean = true): DataFrame = {
     val l = left.select(col(leftId).cast("long").as("__lid"), asDouble(col(leftVec)).as("__lvec"))
+      .withColumn("__lnorm", norm(col("__lvec")))
     val r0 = right.select(col(rightId).cast("long").as("__rid"), asDouble(col(rightVec)).as("__rvec"))
+      .withColumn("__rnorm", norm(col("__rvec")))
     val r = if (broadcastRight) broadcast(r0) else r0
     val pairs0 = l.crossJoin(r)
     val pairs = if (excludeSelf) pairs0.filter(col("__lid") =!= col("__rid")) else pairs0
     val scored = pairs.select(
       col("__lid"), col("__rid"),
-      cosine(col("__lvec"), col("__rvec")).as("__score"))
-    val topk = TopK.topK(k)
+      cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm"))
+        .as("__score"))
     scored.groupBy(col("__lid"))
-      .agg(topk(col("__score"), col("__rid")).as("__top"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("__rid")).as("__top"))
       .select(col("__lid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
       .select(
         col("__lid").as("left_id"),
@@ -60,12 +62,15 @@ object SemanticJoin {
       keepUnmatched: Boolean = true,
       broadcastRight: Boolean = true): DataFrame = {
     val l = left.select(col(leftId).cast("long").as("left_id"), asDouble(col(leftVec)).as("__lvec"))
+      .withColumn("__lnorm", norm(col("__lvec")))
     val r0 = right.select(col(rightId).cast("long").as("right_id"), asDouble(col(rightVec)).as("__rvec"))
+      .withColumn("__rnorm", norm(col("__rvec")))
     val r = if (broadcastRight) broadcast(r0) else r0
     val pairs0 = l.crossJoin(r)
     val pairs = if (excludeSelf) pairs0.filter(col("left_id") =!= col("right_id")) else pairs0
     val matches = pairs
-      .withColumn("score", cosine(col("__lvec"), col("__rvec")))
+      .withColumn("score",
+        cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm")))
       .filter(col("score") >= lit(tau))
       .select("left_id", "right_id", "score")
     if (!keepUnmatched) matches
@@ -197,9 +202,8 @@ object SemanticJoin {
         blockingVars.map(c => col(c) === col(s"__rb_$c")).reduce(_ && _))
       .select(col(LeftIdCol), col(RightIdCol),
         cosine(asDouble(col("__lv")), asDouble(col("__rv"))).as("__score"))
-    val topk = TopK.topK(1)
     val best = scored.groupBy(col(LeftIdCol))
-      .agg(topk(col("__score"), col(RightIdCol)).as("__top"))
+      .agg(graft.functions.VecExpressions.topK(1, col("__score"), col(RightIdCol)).as("__top"))
       .select(col(LeftIdCol).as("left_id"),
         col("__top")(0).getField("id").as("right_id"),
         col("__top")(0).getField("score").as("score"))
