@@ -82,8 +82,9 @@ object SparkEntry {
     }),
 
     "q_group_ids" -> ((s, dir) => {
-      ld(s, dir, "part")
-        .withColumn("group_id", dense_rank().over(Window.orderBy(col("p_brand"))).cast("long"))
+      // rank only the distinct-brand set, broadcast the mapping back (the
+      // global-window dense_rank alternative funnels ALL rows into one task)
+      graft.train.TrainPrep.assignGroupIds(ld(s, dir, "part"), Seq("p_brand"))
         .select("p_partkey", "p_brand", "group_id")
         .orderBy(col("p_partkey"))
     }),
@@ -208,7 +209,138 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----------------------------------------------------------------- train prep
+    "q_clusters_from_pairs" -> ((s, dir) => {
+      // chains 0-1-2-3-4, 5-6-..., built from consecutive doc ids: CC label
+      // must come out as floor(id/5)*5 (min reachable id)
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val pairs = docs
+        .select(col("doc_id").as("l"), (col("doc_id") + 1).as("r"))
+        .filter(pmod(col("l"), lit(5)) =!= 4)
+        .join(docs, col("r") === col("doc_id"), "left_semi")
+      graft.train.TrainPrep.clustersFromPairs(pairs, "l", "r")
+        .orderBy(col("id"))
+    }),
+
+    "q_split_by_cluster" -> ((s, dir) => {
+      val withCluster = ld(s, dir, "documents")
+        .withColumn("cluster", (col("doc_id") / 5).cast("long") * 5)
+      graft.train.TrainPrep.splitByCluster(withCluster, "cluster")
+        .select("doc_id", "cluster", "split")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cluster_members" -> ((s, dir) => {
+      graft.train.TrainPrep.clusterMembers(
+          ld(s, dir, "documents"), "lang", Seq("source"))
+        .orderBy(col("cluster"))
+    }),
+
+    "q_ir_eval_relevant" -> ((s, dir) => {
+      val (_, _, rel) = graft.train.TrainPrep.irEvalSplit(
+        ld(s, dir, "documents"), "doc_id", "lang", "text")
+      rel.orderBy(col("qid"), col("did"))
+    }),
+
+    "q_label_distribution" -> ((s, dir) => {
+      graft.train.TrainPrep.labelDistribution(ld(s, dir, "embeddings"), "label")
+        .withColumn("frac", round(col("frac"), 6))
+        .orderBy(col("label"))
+    }),
+
+    // -------------------------------------------------------------- eval metrics
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val lbl = e.select(col("vec_id"), col("label"))
+      val ranked = SemanticJoin.knnJoinVec(e, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, excludeSelf = true)
+        .join(lbl.select(col("vec_id").as("left_id"), col("label").as("__ll")), Seq("left_id"))
+        .join(lbl.select(col("vec_id").as("right_id"), col("label").as("__rl")), Seq("right_id"))
+        .withColumn("is_rel", (col("__ll") === col("__rl")).cast("int"))
+      val nRel = lbl.select(col("label"), col("vec_id"))
+        .groupBy("label").agg((count(lit(1)) - 1).as("n_rel"))
+      val input = ranked.join(nRel.withColumnRenamed("label", "__ll"), Seq("__ll"))
+      PairScoring.retrievalMetrics(input, "left_id", "rank", "is_rel", "n_rel", k = 5)
+        .select(
+          round(col("accuracy_at_5"), 6).as("accuracy_at_5"),
+          round(col("precision_at_5"), 6).as("precision_at_5"),
+          round(col("recall_at_5"), 6).as("recall_at_5"),
+          round(col("mrr_at_5"), 6).as("mrr_at_5"),
+          round(col("ndcg_at_5"), 6).as("ndcg_at_5"))
+    }),
+
+    "q_best_f1" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val a = e.select(col("vec_id"), col("label").as("__la"), asDouble(col("embedding")).as("va"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("label").as("__lb"), asDouble(col("embedding")).as("vb"))
+      val scored = a.join(b, Seq("vec_id"))
+        .select(cosine(col("va"), col("vb")).as("score"),
+          (col("__la") === col("__lb")).cast("int").as("label"))
+      PairScoring.bestF1Threshold(scored, "score", "label")
+        .select(col("threshold"),
+          round(col("f1"), 6).as("f1"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"))
+    }),
+
+    // ----------------------------------------------------- multimodal / streaming
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = ld(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withMediaMeta(bin, "payload")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          coalesce(col("media_meta.format"), lit("none")).as("format"),
+          col("media_meta.checksum").as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_event_window" -> ((s, dir) => {
+      // batch execution of the streaming windowed-agg operator (watermark is a
+      // no-op in batch; identical plan shape to the readStream path). The
+      // events table stores TIMESTAMP(NANOS) which Spark's reader rejects by
+      // default → read nanos as long and convert; emit epoch seconds (a
+      // parquet TIMESTAMP output round-trips as tz-aware and breaks compares).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = ld(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamOps.windowedEventCounts(events, windowLen = "1 hour")
+        .select(unix_timestamp(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("window_epoch"), col("event_type"))
+    }),
+
     // ------------------------------------------------- rows-only (no SQL oracle)
+    "q_merge_blocking_docs" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      SemanticJoin.mergeBlocking(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "text"),
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "text"),
+        blockingVars = Seq("lang"), on = Seq("text"), embedder = embedder)
+    }),
+
+    "q_aggregate_rows" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      SemanticJoin.aggregateRows(
+        docs.select("doc_id", "text"),
+        docs.select(col("source").as("bucket")).distinct(),
+        leftOn = Seq("text"), rightOn = Seq("bucket"), embedder = embedder)
+    }),
+
+    "q_evaluate_pairs" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select("doc_id", "text", "source")
+      PairScoring.evaluatePairs(docs, Seq("text"), Seq("source"), embedder)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_merge_range_text" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      SemanticJoin.mergeRange(
+        docs.filter(col("doc_id") < 100).select("doc_id", "text"),
+        docs.filter(col("doc_id") >= 100).select("doc_id", "text"),
+        on = Seq("text"), embedder = embedder, simThreshold = 0.5)
+    }),
+
     "q_semantic_merge_docs" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
       SemanticJoin.merge(
@@ -296,7 +428,7 @@ object SparkEntry {
         |GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey""".stripMargin,
 
     "q_group_ids" ->
-      """SELECT p_partkey, p_brand, dense_rank() OVER (ORDER BY p_brand) AS group_id
+      """SELECT p_partkey, p_brand, dense_rank() OVER (ORDER BY p_brand) - 1 AS group_id
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_anti_join" ->
@@ -418,5 +550,80 @@ object SparkEntry {
 
     "q_transform_upper" ->
       "SELECT doc_id, upper(text) AS transformed FROM documents ORDER BY doc_id",
+
+    "q_clusters_from_pairs" ->
+      """SELECT doc_id AS id, (doc_id // 5) * 5 AS cluster
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "q_split_by_cluster" ->
+      """SELECT doc_id, (doc_id // 5) * 5 AS cluster,
+        |  CASE WHEN ((doc_id // 5) * 5) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id // 5) * 5) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_members" ->
+      """SELECT lang AS cluster, list_sort(list_distinct(array_agg(source))) AS texts
+        |FROM documents GROUP BY lang ORDER BY cluster""".stripMargin,
+
+    "q_ir_eval_relevant" ->
+      """WITH q AS (SELECT lang, min(doc_id) AS qid FROM documents GROUP BY lang)
+        |SELECT q.qid, d.doc_id AS did
+        |FROM q JOIN documents d ON d.lang = q.lang AND d.doc_id <> q.qid
+        |ORDER BY qid, did""".stripMargin,
+
+    "q_label_distribution" ->
+      """SELECT label, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS frac
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_retrieval_metrics" ->
+      s"""WITH nrel AS (SELECT label, count(*) - 1 AS n_rel FROM embeddings GROUP BY label),
+         |s AS (SELECT a.vec_id AS l, b.vec_id AS r, a.label AS la, b.label AS lb, $CosSelf AS score
+         |      FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT l, r, la, lb, score,
+         |      row_number() OVER (PARTITION BY l ORDER BY score DESC, r) AS rnk FROM s),
+         |k AS (SELECT r.l, r.rnk, CASE WHEN la = lb THEN 1.0 ELSE 0.0 END AS rel, n.n_rel
+         |      FROM r JOIN nrel n ON n.label = r.la WHERE rnk <= 5),
+         |pq AS (SELECT l, max(rel) AS hit, sum(rel) / 5 AS p, sum(rel) / max(n_rel) AS rc,
+         |       max(CASE WHEN rel = 1.0 THEN 1.0 / rnk ELSE 0.0 END) AS rr,
+         |       sum(CASE WHEN rel = 1.0 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg,
+         |       max(n_rel) AS nr FROM k GROUP BY l),
+         |pq2 AS (SELECT *, list_sum(list_transform(range(1, CAST(least(nr, 5) AS INT) + 1),
+         |        i -> 1.0 / log2(i + 1))) AS idcg FROM pq)
+         |SELECT round(avg(hit), 6) AS accuracy_at_5, round(avg(p), 6) AS precision_at_5,
+         |  round(avg(rc), 6) AS recall_at_5, round(avg(rr), 6) AS mrr_at_5,
+         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) AS ndcg_at_5
+         |FROM pq2""".stripMargin,
+
+    "q_best_f1" ->
+      s"""WITH s AS (
+         |  SELECT $CosSelf AS score, CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END AS label
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |curve AS (SELECT score,
+         |  sum(label) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+         |  count(*) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS n FROM s),
+         |g AS (SELECT score, max(tp) AS tp, max(n) AS n FROM curve GROUP BY score),
+         |m AS (SELECT score, tp / n AS prec, tp / (SELECT sum(label) FROM s) AS rec FROM g),
+         |f AS (SELECT score, prec, rec,
+         |  CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM m)
+         |SELECT score AS threshold, round(f1, 6) AS f1, round(prec, 6) AS precision,
+         |  round(rec, 6) AS recall
+         |FROM f ORDER BY f1 DESC, score DESC LIMIT 1""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'none' AS format,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    AS window_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources/sinks (SURVEY §2.1). The reference reads CSV/XLSX eagerly with
+  * pandas; here readers return lazy DataFrames so Catalyst pushes filters and
+  * prunes columns into the scan. XLSX is intentionally unsupported (no bundled
+  * reader; convert to CSV/Parquet upstream), matching the documented scope.
+  */
+object Io {
+
+  /** CSV with header + schema inference — `pd.read_csv`
+    * (reference: preprocess.py:308-309). For production-scale data prefer an
+    * explicit schema: inference scans the file once before the real read.
+    */
+  def readCsv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", inferSchema.toString).csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines read (config files, relevant-docs sidecars). */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** CSV sink with header — `to_csv` (reference: preprocess.py:648-649). */
+  def writeCsv(df: DataFrame, path: String, coalesceTo: Int = 0): Unit = {
+    val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Excel is not supported in this build (no bundled reader, zero egress).
+    * The reference's `pd.read_excel` sources (preprocess.py:306-307) must be
+    * converted to CSV or Parquet before ingestion.
+    */
+  def readExcel(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      s"XLSX not supported ($path): convert to CSV or Parquet (SURVEY §2.1)")
+}

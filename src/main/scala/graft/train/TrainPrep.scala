@@ -1,0 +1,115 @@
+package graft.train
+
+import graft.core.Serialize
+import graft.operators.Clustering
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation as pure DataFrame jobs — the dataflow contract of the
+  * reference's preprocessing pipeline (reference: src/linktransformer/preprocess.py),
+  * with the torch gradient step fenced out per SURVEY §7.0.
+  *
+  * Everything here is shuffle-bounded and driver-light: group-id assignment ranks
+  * only the distinct-key set (not all rows), cluster formation is the distributed
+  * connected-components of [[graft.operators.Clustering]], and splits are semi-joins
+  * against a (small) bucketed cluster-id table.
+  */
+object TrainPrep {
+
+  /** Dense 0-based group ids per distinct key tuple, in key sort order — the
+    * engine's `groupby(ids).ngroup()` (reference: preprocess.py:51, 131-147).
+    *
+    * Scale shape: `dense_rank` over an unpartitioned window is a single-task
+    * sort over ALL rows; instead rank only `distinct(keys)` (small) and
+    * broadcast-join the mapping back — full parallelism on the big side.
+    */
+  def assignGroupIds(df: DataFrame, keys: Seq[String], outCol: String = "group_id"): DataFrame = {
+    val mapping = df.select(keys.map(col): _*).distinct()
+      .withColumn(outCol,
+        (dense_rank().over(Window.orderBy(keys.map(col): _*)) - 1).cast("long"))
+    df.join(broadcast(mapping), keys)
+  }
+
+  /** Cluster labels from positive pairs: edges (leftId, rightId) → connected
+    * components (reference: preprocess.py:535-540, cluster_fns.py:81-93).
+    * Returns `(id, cluster)`, cluster = min reachable id.
+    */
+  def clustersFromPairs(pairs: DataFrame, leftCol: String, rightCol: String): DataFrame = {
+    val nodes = pairs.select(col(leftCol).cast("long").as("id"))
+      .union(pairs.select(col(rightCol).cast("long").as("id")))
+      .distinct()
+    Clustering.connectedComponents(nodes, pairs.select(col(leftCol), col(rightCol)))
+      .withColumnRenamed("component", "cluster")
+  }
+
+  /** Split by CLUSTER id, not by row — all members of a cluster land in the same
+    * split, so train/val/test never share an entity (the behavior to preserve
+    * per SURVEY §2.9; reference: preprocess.py:553-561).
+    *
+    * Deterministic: cluster → bucket in [0, 100) via `pmod(clusterId, 100)`;
+    * cumulative weight ranges pick the split. Returns the input plus a `split`
+    * column ("train"/"val"/"test"). The bucket table is tiny → broadcast semi-map.
+    */
+  def splitByCluster(
+      df: DataFrame, clusterCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(col(clusterCol).cast("long"), lit(100))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Seeded random split by cluster (contract-compatible with the reference's
+    * `train_test_split(random_state=...)` over cluster ids). Non-reproducible
+    * across engines — use [[splitByCluster]] where oracle determinism matters.
+    */
+  def randomSplitByCluster(
+      df: DataFrame, clusterCol: String,
+      weights: Array[Double], seed: Long): Array[DataFrame] = {
+    val clusters = df.select(col(clusterCol)).distinct()
+    clusters.randomSplit(weights, seed).map { part =>
+      df.join(broadcast(part), Seq(clusterCol), "left_semi")
+    }
+  }
+
+  /** Train dict {cluster → member texts}, deduped (reference: preprocess.py:581-587). */
+  def clusterMembers(
+      df: DataFrame, clusterCol: String, textCols: Seq[String],
+      sep: String = Serialize.DefaultSep): DataFrame = {
+    val withText = df.withColumn("__text",
+      Serialize.serializeColumns(textCols.map(df(_)), sep))
+    withText.groupBy(col(clusterCol).as("cluster"))
+      .agg(sort_array(collect_set(col("__text"))).as("texts"))
+  }
+
+  /** IR-eval structures: (queries, corpus, relevant_docs) as three DataFrames
+    * (reference: preprocess.py:599-623 builds dicts; the DataFrame forms are
+    * `(qid, text)`, `(did, text)`, `(qid, did)` with qid/did = row ids and
+    * relevance = same cluster).
+    */
+  def irEvalSplit(
+      df: DataFrame, idCol: String, clusterCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // query = first member of each cluster (min id); corpus = everything
+    val w = Window.partitionBy(col(clusterCol)).orderBy(col(idCol))
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    val queries = ranked.filter(col("__rn") === 1)
+      .select(col(idCol).as("qid"), col(textCol).as("text"), col(clusterCol))
+    val corpus = df.select(col(idCol).as("did"), col(textCol).as("text"), col(clusterCol))
+    val relevant = queries.select(col("qid"), col(clusterCol))
+      .join(corpus.select(col("did"), col(clusterCol)), Seq(clusterCol))
+      .filter(col("qid") =!= col("did"))
+      .select("qid", "did")
+    (queries.drop(clusterCol), corpus.drop(clusterCol), relevant)
+  }
+
+  /** Normalized label distribution — `value_counts(normalize=True)`
+    * (reference: train_clf_model.py:35-37).
+    */
+  def labelDistribution(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    counts.withColumn("frac", col("n") / sum("n").over(Window.partitionBy()))
+  }
+}

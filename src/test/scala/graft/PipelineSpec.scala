@@ -1,0 +1,217 @@
+package graft
+
+import graft.embed.HashEmbedder
+import graft.llm.Routing
+import graft.operators.{Multimodal, SemanticJoin}
+import graft.sources.Io
+import graft.streaming.StreamOps
+import graft.train.TrainPrep
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the pipeline modules: train prep, provider routing, multimodal
+  * plumbing, streaming ops, and IO wrappers.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val emb = new HashEmbedder(32)
+
+  // ------------------------------------------------------------------ TrainPrep
+
+  test("assignGroupIds: dense 0-based ids in key order, all rows kept") {
+    import spark.implicits._
+    val df = Seq(("b", 1), ("a", 2), ("b", 3), ("c", 4), ("a", 5)).toDF("k", "v")
+    val out = TrainPrep.assignGroupIds(df, Seq("k")).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("group_id"))).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    assert(TrainPrep.assignGroupIds(df, Seq("k")).count() == 5)
+  }
+
+  test("clustersFromPairs: connected components over positive pairs") {
+    import spark.implicits._
+    // 1-2, 2-3 chain; 10-11; 20 never appears (no pair → no row)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("l", "r")
+    val got = TrainPrep.clustersFromPairs(pairs, "l", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("splitByCluster: same cluster never straddles splits, pcts respected") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i, i / 4)).toDF("id", "cluster")
+    val out = TrainPrep.splitByCluster(df, "cluster")
+    val perCluster = out.groupBy("cluster").agg(countDistinct("split").as("k"))
+      .agg(max("k")).first().getLong(0)
+    assert(perCluster == 1L, "a cluster leaked across splits")
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("val") >= bySplit("test") * 0)
+    assert(bySplit.values.sum == 1000)
+  }
+
+  test("randomSplitByCluster: partitions are disjoint and cover all rows") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i, i / 5)).toDF("id", "cluster")
+    val parts = TrainPrep.randomSplitByCluster(df, "cluster", Array(0.8, 0.2), seed = 42)
+    assert(parts.map(_.count()).sum == 200)
+    val c0 = parts(0).select("cluster").distinct().as[Int].collect().toSet
+    val c1 = parts(1).select("cluster").distinct().as[Int].collect().toSet
+    assert(c0.intersect(c1).isEmpty)
+  }
+
+  test("irEvalSplit: one query per cluster, relevant = same-cluster others") {
+    import spark.implicits._
+    val df = Seq((1L, 100L, "a"), (2L, 100L, "b"), (3L, 200L, "c"), (4L, 200L, "d"), (5L, 200L, "e"))
+      .toDF("id", "cluster", "text")
+    val (queries, corpus, rel) = TrainPrep.irEvalSplit(df, "id", "cluster", "text")
+    assert(queries.count() == 2 && corpus.count() == 5)
+    val relSet = rel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(relSet == Set((1L, 2L), (3L, 4L), (3L, 5L)))
+  }
+
+  test("labelDistribution sums to 1") {
+    import spark.implicits._
+    val df = Seq(0, 0, 0, 1, 2, 2).toDF("label")
+    val fracs = TrainPrep.labelDistribution(df, "label").agg(sum("frac")).first().getDouble(0)
+    assert(math.abs(fracs - 1.0) < 1e-12)
+  }
+
+  // -------------------------------------------------------------------- Routing
+
+  test("routing quirks preserved: text-embedding-004 is gemini, ada-002 is openai") {
+    assert(Routing.isGeminiModel("models/text-embedding-004"))
+    assert(Routing.isGeminiModel("gemini-1.5-flash"))
+    assert(Routing.isGeminiModel("embedding-001"))
+    assert(!Routing.isGeminiModel("text-embedding-3-small"))
+    assert(Routing.isOpenAiEmbeddingModel("text-embedding-3-small"))
+    assert(Routing.isOpenAiEmbeddingModel("text-embedding-ada-002"))
+    // gemini check runs FIRST: -004 routes gemini despite matching both
+    assert(Routing.embeddingProvider("text-embedding-004") == Routing.Gemini)
+    assert(Routing.embeddingProvider("text-embedding-3-large") == Routing.OpenAi)
+    assert(Routing.embeddingProvider("all-MiniLM-L6-v2") == Routing.Local)
+  }
+
+  test("routing key precedence: explicit gemini > env gemini > openai") {
+    assert(Routing.resolveAutoProvider(Some("ok"), Some("gk")) == Right(Routing.Gemini))
+    assert(Routing.resolveAutoProvider(Some("ok"), None,
+      Map("GEMINI_API_KEY" -> "g")) == Right(Routing.Gemini))
+    assert(Routing.resolveAutoProvider(Some("ok"), None) == Right(Routing.OpenAi))
+    assert(Routing.resolveAutoProvider(None, None).isLeft)
+    assert(Routing.judgeProvider("gemini-pro") == Routing.Gemini)
+    assert(Routing.judgeProvider("gpt-4o") == Routing.OpenAi)
+    assert(Routing.backoffMs(0) == 15000L && Routing.backoffMs(2) == 60000L)
+  }
+
+  // ----------------------------------------------------------------- Multimodal
+
+  test("multimodal: format sniffing, checksum, and chunk sampling") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 9)
+    val raw = "hello world, this is a long enough payload".getBytes("UTF-8")
+    val df = Seq((1, png), (2, jpg), (3, raw)).toDF("id", "payload")
+    val meta = Multimodal.withMediaMeta(df, "payload")
+      .select("id", "media_meta.format", "media_meta.n_bytes").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(meta(1) == ("png", 7L))
+    assert(meta(2) == ("jpeg", 4L))
+    assert(meta(3)._1 == null && meta(3)._2 == raw.length.toLong)
+
+    val chunks = Multimodal.sampleChunks(df.filter($"id" === 3), "payload", n = 4, chunkBytes = 8)
+      .select("chunks").first().getSeq[Array[Byte]](0)
+    assert(chunks.length == 4)
+    assert(chunks.forall(_.length <= 8))
+    assert(new String(chunks(0), "UTF-8") == "hello wo")
+  }
+
+  // ------------------------------------------------------------------ Streaming
+
+  test("windowedEventCounts over a memory stream matches batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 60).map { i =>
+      (java.sql.Timestamp.valueOf(f"2026-01-01 10:${i % 30}%02d:00"), if (i % 2 == 0) "click" else "view", 1.0)
+    }
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val out = StreamOps.windowedEventCounts(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    stream.addData((java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // windows 10:00/10:10/10:20 each hold 10 clicks + 10 views (closed by the
+    // 12:00 watermark-advancing event; the 12:00 window itself stays open)
+    assert(got == Set(
+      ("2026-01-01 10:00:00.0", "click", 10L), ("2026-01-01 10:00:00.0", "view", 10L),
+      ("2026-01-01 10:10:00.0", "click", 10L), ("2026-01-01 10:10:00.0", "view", 10L),
+      ("2026-01-01 10:20:00.0", "click", 10L), ("2026-01-01 10:20:00.0", "view", 10L)))
+  }
+
+  test("semanticEnrich: streaming 1-NN against a static reference table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "apple computers"), (2L, "orange juice"), (3L, "steel factory"))
+      .toDF("ref_id", "ref_text")
+    val stream = MemoryStream[String]
+    var batches = Vector.empty[DataFrame]
+    val writer = StreamOps.semanticEnrich(
+      stream.toDF().toDF("text"), "text", ref, "ref_id", "ref_text", emb,
+      batch => batches = batches :+ batch)
+    val q = writer.start()
+    stream.addData("apple computers", "orange juice")
+    q.processAllAvailable()
+    q.stop()
+    val got = batches.flatMap(_.collect()).map(r =>
+      (r.getAs[String]("text"), r.getAs[Long]("match_id"), r.getAs[Double]("score")))
+    assert(got.map(g => (g._1, g._2)).toSet ==
+      Set(("apple computers", 1L), ("orange juice", 2L)))
+    assert(got.forall(_._3 > 0.99), s"exact text match should score ~1.0: $got")
+  }
+
+  test("streamingDedup drops in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamOps.streamingDedup(
+      stream.toDF().toDF("ts", "k"), Seq("k"), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    stream.addData((t, "a"), (t, "a"), (t, "b"))
+    q.processAllAvailable()
+    stream.addData((java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val ks = spark.table("dedup_out").select("k").as[String].collect().sorted
+    assert(ks.toSeq == Seq("a", "b"), s"got $ks")
+  }
+
+  // ------------------------------------------------------------------------- IO
+
+  test("csv round-trip via Io preserves data; xlsx raises") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val df = Seq((1, "a,b", 2.5), (2, null, -1.0)).toDF("id", "s", "x")
+    Io.writeCsv(df, s"$dir/out", coalesceTo = 1)
+    val back = Io.readCsv(spark, s"$dir/out")
+    assert(back.count() == 2)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    assert(back.filter($"id" === 1).select("s").first().getString(0) == "a,b")
+    intercept[UnsupportedOperationException] { Io.readExcel(spark, "/tmp/x.xlsx") }
+  }
+}
