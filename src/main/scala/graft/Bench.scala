@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen, shuffle machinery, and the parquet reader once so the
+    // first timed query measures steady-state execution, not JVM startup
+    spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 10))
+      .count().collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

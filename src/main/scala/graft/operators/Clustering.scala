@@ -16,6 +16,56 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clustering {
 
+  /** Edge-count bound for the driver union-find fast path in
+    * [[connectedComponents]] (~80 MB of collected longs at the limit).
+    */
+  val SmallGraphEdgeLimit: Long = 5L * 1000 * 1000
+
+  /** Driver union-find (path-halving + union-by-rank) over an edge list;
+    * returns (id, minIdOfComponent) for every edge-incident node.
+    */
+  private def unionFindMinLabel(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    // boxed key/value types: the Scala-primitive form of these maps unboxes
+    // a missing-key null to 0, silently corrupting the interning
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(id: Long): Int = {
+      val got = idx.get(java.lang.Long.valueOf(id))
+      if (got == null) { val i = ids.length; idx.put(id, i); ids += id; i }
+      else got.intValue()
+    }
+    val l = new Array[Int](edges.length)
+    val r = new Array[Int](edges.length)
+    var e = 0
+    while (e < edges.length) { l(e) = intern(edges(e)._1); r(e) = intern(edges(e)._2); e += 1 }
+    val parent = Array.tabulate(ids.length)(identity)
+    val rank = new Array[Byte](ids.length)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    e = 0
+    while (e < edges.length) {
+      val a = find(l(e)); val b = find(r(e))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(a) > rank(b)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+      e += 1
+    }
+    val minOf = new java.util.HashMap[java.lang.Integer, java.lang.Long]()
+    var i = 0
+    while (i < ids.length) {
+      val root = java.lang.Integer.valueOf(find(i))
+      val cur = minOf.get(root)
+      if (cur == null || ids(i) < cur.longValue()) minOf.put(root, ids(i))
+      i += 1
+    }
+    (0 until ids.length).map(i => (ids(i), minOf.get(java.lang.Integer.valueOf(find(i))).longValue()))
+  }
+
   /** Connected components by iterative min-label propagation over a DataFrame
     * edge list `(src, dst)` (both directions need not be present; we symmetrize).
     * Returns `(id, component)` where `component` = min node id reachable.
@@ -36,25 +86,63 @@ object Clustering {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = n.withColumn("component", col("id")).localCheckpoint(true)
-    var changed = 1L
+    // iterate ONLY over edge-incident nodes: isolated nodes are their own
+    // component by definition and would otherwise ride through every
+    // join/groupBy round trip (in near-dup workloads they are the vast
+    // majority of rows)
+    val touched = sym.select(col("src").as("id")).distinct()
+    val isolated = n.join(touched, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+
+    // small-graph fast path: below the guard, a driver union-find replaces
+    // ~5 shuffles × O(diameter) iterations with one collect. Edge-bounded
+    // (≤ ~80 MB of longs at the limit), so this never materializes the INPUT
+    // — only the (already ε/LSH-filtered) edge list. The distributed
+    // iteration below remains the path for genuinely large graphs.
+    val edgeCount = sym.count()
+    if (edgeCount <= SmallGraphEdgeLimit) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labeled = unionFindMinLabel(
+        sym.select(col("src"), col("dst")).as[(Long, Long)].collect())
+      return spark.createDataset(labeled).toDF("id", "component")
+        .unionByName(isolated)
+    }
+
+    var labels = n.join(touched, Seq("id"), "left_semi")
+      .withColumn("component", col("id")).localCheckpoint(true)
+    // convergence check: per-node labels only ever decrease, so the global sum
+    // is strictly monotone — "sum unchanged" ⟺ fixed point. One cheap agg per
+    // iteration instead of a join + count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("component"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 50) {
-      // candidate label for each node: min over neighbors' labels and own.
-      // localCheckpoint keeps the per-iteration plan constant-size (otherwise
-      // the lineage — and driver heap — grows geometrically with iterations).
+    while (!converged && iter < 50) {
+      // candidate label for each node: min over neighbors' labels and own,
+      // then one path-compression hop (component := component's component) so
+      // labels shortcut geometrically — O(log diameter) rounds instead of
+      // O(diameter) for chain-shaped duplicate groups. localCheckpoint keeps
+      // the per-iteration plan constant-size (otherwise the lineage — and
+      // driver heap — grows geometrically with iterations).
       val fromNeighbors = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      val minned = labels.select(col("id"), col("component"))
         .union(fromNeighbors)
         .groupBy("id").agg(min("component").as("component"))
+      val next = minned
+        .join(minned.select(col("id").as("__cid"), col("component").as("__cc")),
+          col("component") === col("__cid"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    labels
+    labels.unionByName(isolated)
   }
 
   /** DBSCAN-equivalent over a vector column, exact for cosine metric.
@@ -73,15 +161,11 @@ object Clustering {
     import graft.functions.VectorOps._
     val tau = 1.0 - eps
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
-    // predicate; checkpointed so downstream stages never re-run the self-join
-    val a = pts.select(col("id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
-    val b = pts.select(col("id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
-    val nbrs = a.join(b, col("i") =!= col("j"))
-      .filter(cosineWithNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")) >= lit(tau))
-      .select("i", "j")
+    // predicate; checkpointed so downstream stages never re-run the self-scan
+    val nbrs = VecScan.range(pts, "id", "v", pts, "id", "v", tau, excludeSelf = true)
+      .select(col("left_id").as("i"), col("right_id").as("j"))
       .localCheckpoint(true)
 
     // core = |neighbors incl. self| >= minSamples
@@ -114,12 +198,9 @@ object Clustering {
   def epsilonCluster(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.functions.VectorOps._
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val a = pts.select(col("id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
-    val b = pts.select(col("id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
-    val edges = a.join(b, col("i") < col("j"))
-      .filter(cosineWithNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")) >= lit(tau))
-      .select("i", "j")
+    val edges = VecScan.range(pts, "id", "v", pts, "id", "v", tau,
+        excludeSelf = true, onlyUpperPairs = true)
+      .select(col("left_id").as("i"), col("right_id").as("j"))
     connectedComponents(pts.select("id"), edges)
       .withColumnRenamed("component", "cluster")
   }

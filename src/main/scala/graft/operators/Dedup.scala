@@ -26,10 +26,10 @@ object Dedup {
     * functions, the min over shingles of xxhash64(shingle, seed). Pure built-ins.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(array_distinct(shingles),
-        s => xxhash64(s, lit(seed))))
-    }: _*)
+    // native one-pass kernel; bit-identical to
+    // array(seed -> array_min(transform(shingles, s -> xxhash64(s, lit(seed)))))
+    // (no pre-dedup needed either way: min is invariant under duplicates)
+    graft.functions.MinHashSig.minhashSig(shingles, numHashes)
 
   /** MinHash+LSH near-duplicate clustering.
     *

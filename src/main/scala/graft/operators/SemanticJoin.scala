@@ -29,25 +29,31 @@ object SemanticJoin {
       k: Int,
       excludeSelf: Boolean = false,
       broadcastRight: Boolean = true): DataFrame = {
-    val l = left.select(col(leftId).cast("long").as("__lid"), asDouble(col(leftVec)).as("__lvec"))
-      .withColumn("__lnorm", norm(col("__lvec")))
-    val r0 = right.select(col(rightId).cast("long").as("__rid"), asDouble(col(rightVec)).as("__rvec"))
-      .withColumn("__rnorm", norm(col("__rvec")))
-    val r = if (broadcastRight) broadcast(r0) else r0
-    val pairs0 = l.crossJoin(r)
-    val pairs = if (excludeSelf) pairs0.filter(col("__lid") =!= col("__rid")) else pairs0
-    val scored = pairs.select(
-      col("__lid"), col("__rid"),
-      cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm"))
-        .as("__score"))
-    scored.groupBy(col("__lid"))
-      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("__rid")).as("__top"))
-      .select(col("__lid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
-      .select(
-        col("__lid").as("left_id"),
-        col("__s.id").as("right_id"),
-        col("__s.score").as("score"),
-        (col("__pos") + 1).cast(IntegerType).as("rank"))
+    if (broadcastRight) {
+      // broadcast-matrix scan: zero shuffle, no per-pair rows (SURVEY §4.3)
+      VecScan.knn(left, leftId, leftVec, right, rightId, rightVec, k, excludeSelf)
+    } else {
+      // shuffle path for when neither side fits a broadcast: crossJoin pairs,
+      // partial-aggregating native top-k so only ≤k rows per left key shuffle
+      val l = left.select(col(leftId).cast("long").as("__lid"), asDouble(col(leftVec)).as("__lvec"))
+        .withColumn("__lnorm", norm(col("__lvec")))
+      val r = right.select(col(rightId).cast("long").as("__rid"), asDouble(col(rightVec)).as("__rvec"))
+        .withColumn("__rnorm", norm(col("__rvec")))
+      val pairs0 = l.crossJoin(r)
+      val pairs = if (excludeSelf) pairs0.filter(col("__lid") =!= col("__rid")) else pairs0
+      val scored = pairs.select(
+        col("__lid"), col("__rid"),
+        cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm"))
+          .as("__score"))
+      scored.groupBy(col("__lid"))
+        .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("__rid")).as("__top"))
+        .select(col("__lid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+        .select(
+          col("__lid").as("left_id"),
+          col("__s.id").as("right_id"),
+          col("__s.score").as("score"),
+          (col("__pos") + 1).cast(IntegerType).as("rank"))
+    }
   }
 
   /** Similarity range join (theta join on cosine >= tau) over precomputed vectors.
@@ -61,20 +67,25 @@ object SemanticJoin {
       excludeSelf: Boolean = false,
       keepUnmatched: Boolean = true,
       broadcastRight: Boolean = true): DataFrame = {
-    val l = left.select(col(leftId).cast("long").as("left_id"), asDouble(col(leftVec)).as("__lvec"))
-      .withColumn("__lnorm", norm(col("__lvec")))
-    val r0 = right.select(col(rightId).cast("long").as("right_id"), asDouble(col(rightVec)).as("__rvec"))
-      .withColumn("__rnorm", norm(col("__rvec")))
-    val r = if (broadcastRight) broadcast(r0) else r0
-    val pairs0 = l.crossJoin(r)
-    val pairs = if (excludeSelf) pairs0.filter(col("left_id") =!= col("right_id")) else pairs0
-    val matches = pairs
-      .withColumn("score",
-        cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm")))
-      .filter(col("score") >= lit(tau))
-      .select("left_id", "right_id", "score")
+    val matches =
+      if (broadcastRight) {
+        VecScan.range(left, leftId, leftVec, right, rightId, rightVec, tau, excludeSelf)
+      } else {
+        val l = left.select(col(leftId).cast("long").as("left_id"), asDouble(col(leftVec)).as("__lvec"))
+          .withColumn("__lnorm", norm(col("__lvec")))
+        val r = right.select(col(rightId).cast("long").as("right_id"), asDouble(col(rightVec)).as("__rvec"))
+          .withColumn("__rnorm", norm(col("__rvec")))
+        val pairs0 = l.crossJoin(r)
+        val pairs = if (excludeSelf) pairs0.filter(col("left_id") =!= col("right_id")) else pairs0
+        pairs
+          .withColumn("score",
+            cosineWithNorms(dot(col("__lvec"), col("__rvec")), col("__lnorm"), col("__rnorm")))
+          .filter(col("score") >= lit(tau))
+          .select("left_id", "right_id", "score")
+      }
     if (!keepUnmatched) matches
-    else l.select("left_id").join(matches, Seq("left_id"), "left")
+    else left.select(col(leftId).cast("long").as("left_id"))
+      .join(matches, Seq("left_id"), "left")
   }
 
   // ---------------------------------------------------------------------------

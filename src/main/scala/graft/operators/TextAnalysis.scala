@@ -88,14 +88,11 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
 
-  /** Word n-gram shingles (lowercased, whitespace-tokenized) as array<string>. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  /** Word n-gram shingles (lowercased, whitespace-tokenized) as array<string>.
+    * Native one-pass kernel (see [[graft.functions.WordShinglesExpr]]).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.MinHashSig.wordShingles(text, n)
 
   /** n-gram Jaccard similarity between two texts' shingle sets. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

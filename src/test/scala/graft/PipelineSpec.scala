@@ -201,6 +201,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(ks.toSeq == Seq("a", "b"), s"got $ks")
   }
 
+  test("native minhash_sig is bit-identical to the builtin xxhash64 composition") {
+    import spark.implicits._
+    val df = Seq(
+      Array("the quick", "quick brown", "brown fox"),
+      Array("lone"),
+      Array.empty[String]).toDF("sh")
+    val builtin = array((0 until 16).map { seed =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(seed))))
+    }: _*)
+    val both = df.select(
+      graft.operators.Dedup.minhashSignature(col("sh"), 16).as("native"),
+      builtin.as("ref")).collect()
+    both.foreach { r => assert(r.get(0) == r.get(1), s"mismatch: $r") }
+  }
+
   // ------------------------------------------------------------------------- IO
 
   test("csv round-trip via Io preserves data; xlsx raises") {
