@@ -151,6 +151,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_cluster_agglom" -> ((s, dir) => {
+      // single-linkage agglomerative cut at distance 0.65 == connected
+      // components of the strict cos > 0.35 graph (oracle below relies on this)
+      HierarchicalClustering.agglomerative(ld(s, dir, "embeddings"),
+          "vec_id", "embedding", distanceThreshold = 0.65, linkage = "single")
+        .orderBy(col("id"))
+    }),
+
+    "q_cluster_hdbscan" -> ((s, dir) => {
+      HierarchicalClustering.hdbscan(ld(s, dir, "embeddings"),
+          "vec_id", "embedding", minClusterSize = 4)
+        .orderBy(col("id"))
+    }),
+
     "q_pair_cosine" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val a = e.select(col("vec_id"), asDouble(col("embedding")).as("va"))
@@ -477,6 +491,16 @@ object SparkEntry {
       s"""WITH RECURSIVE e AS (
          |  SELECT a.vec_id AS s, b.vec_id AS d FROM embeddings a, embeddings b
          |  WHERE a.vec_id <> b.vec_id AND $CosSelf >= 0.35),
+         |r(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id)
+         |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_cluster_agglom" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS d FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id AND $CosSelf > 0.35),
          |r(id, lbl) AS (
          |  SELECT vec_id, vec_id FROM embeddings
          |  UNION

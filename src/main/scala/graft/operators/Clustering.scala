@@ -211,7 +211,8 @@ object Clustering {
   def clusterRows(
       df: DataFrame, on: Seq[String], embedder: Embedder,
       threshold: Double = 0.5, minClusterSize: Int = 2,
-      sep: String = Serialize.DefaultSep): DataFrame = {
+      sep: String = Serialize.DefaultSep,
+      method: String = "SLINK"): DataFrame = {
     Keys.requireNoReserved(df, Seq("__graft_id", "__graft_text", "__graft_vec", "cluster"))
     val withId = df.withColumn("__graft_id", monotonically_increasing_id())
     val withText = withId.withColumn("__graft_text",
@@ -219,8 +220,23 @@ object Clustering {
     // checkpoint: the frame branches into the clusterer and the label join-back;
     // row ids must be assigned exactly once (see SemanticJoin.withTextVec)
     val emb = embedder.embed(withText, "__graft_text", "__graft_vec").localCheckpoint(true)
-    val labels = dbscanCosine(emb, "__graft_id", "__graft_vec",
-      eps = 1.0 - threshold, minSamples = minClusterSize)
+    // dispatch mirrors the reference's cluster_type branches
+    // (cluster_fns.py:8-78): "SLINK" (the default, actually DBSCAN) stays the
+    // fully distributed path; "agglomerative"/"HDBScan" are driver-side and
+    // size-guarded (see HierarchicalClustering)
+    val labels = method match {
+      case "SLINK" =>
+        dbscanCosine(emb, "__graft_id", "__graft_vec",
+          eps = 1.0 - threshold, minSamples = minClusterSize)
+      case "agglomerative" =>
+        HierarchicalClustering.agglomerative(emb, "__graft_id", "__graft_vec",
+          distanceThreshold = 1.0 - threshold)
+      case "HDBScan" =>
+        HierarchicalClustering.hdbscan(emb, "__graft_id", "__graft_vec",
+          minClusterSize = math.max(2, minClusterSize))
+      case m => throw new IllegalArgumentException(
+        s"unknown cluster method: $m (expected SLINK | agglomerative | HDBScan)")
+    }
     emb.drop("__graft_text", "__graft_vec")
       .join(labels.withColumnRenamed("id", "__graft_id"), Seq("__graft_id"))
       .drop("__graft_id")

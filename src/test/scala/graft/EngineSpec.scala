@@ -197,6 +197,59 @@ class EngineSpec extends AnyFunSuite {
     assert(out(9L) == -1L)
   }
 
+  test("agglomerative single-linkage cut equals epsilon-graph components") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.3, 0.0)),   // close to 0
+      (2L, Array(0.0, 1.0, 0.1)),   // own group with 3
+      (3L, Array(0.05, 1.0, 0.0)),
+      (7L, Array(0.0, 0.0, 1.0))    // singleton
+    ).toDF("id", "v")
+    val tau = 0.9
+    val agg = HierarchicalClustering
+      .agglomerative(vs, "id", "v", distanceThreshold = 1.0 - tau, linkage = "single")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eps = Clustering.epsilonCluster(vs, "id", "v", tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == eps, s"agg=$agg eps=$eps")
+    assert(agg(7L) == 7L) // singleton keeps own label (no -1 in agglomerative)
+  }
+
+  test("agglomerative ward and average separate two euclidean blobs") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)), (2L, Array(0.0, 0.1)),
+      (10L, Array(5.0, 5.0)), (11L, Array(5.1, 5.0)), (12L, Array(5.0, 5.1))
+    ).toDF("id", "v")
+    for (linkage <- Seq("ward", "average", "complete")) {
+      val out = HierarchicalClustering
+        .agglomerative(vs, "id", "v", distanceThreshold = 2.0,
+          linkage = linkage, metric = "euclidean")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L, s"$linkage: $out")
+      assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L, s"$linkage: $out")
+    }
+  }
+
+  test("hdbscan: two dense blobs clustered, far outlier is noise") {
+    import spark.implicits._
+    // outlier bridges the hierarchy at the LARGEST distance, so it falls out
+    // of the unselected root -> noise (a point falling out of a selected
+    // cluster keeps that cluster's label — hdbscan-library default semantics)
+    val blobA = (0L to 5L).map(i => (i, Array(0.01 * i, 0.0)))
+    val blobB = (10L to 15L).map(i => (i, Array(5.0 + 0.01 * (i - 10), 5.0)))
+    val outlier = Seq((99L, Array(100.0, 100.0)))
+    val vs = (blobA ++ blobB ++ outlier).toDF("id", "v")
+    val out = HierarchicalClustering.hdbscan(vs, "id", "v",
+        minClusterSize = 4, metric = "euclidean")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).map(out).toSet.size == 1, s"blob A split: $out")
+    assert((10L to 15L).map(out).toSet.size == 1, s"blob B split: $out")
+    assert(out(0L) != out(10L), s"blobs merged: $out")
+    assert(out(99L) == -1L, s"outlier not noise: $out")
+  }
+
   // --- llm ------------------------------------------------------------------
 
   test("judge parser: JSON fields, keyword fallback, last-number fallback, clamping") {
