@@ -162,6 +162,24 @@ object Clustering {
     val tau = 1.0 - eps
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // minSamples <= 2 degenerate case: any point with >= 1 ε-neighbor is core,
+    // so there are no border points and DBSCAN is exactly connected components
+    // of the ε-graph with isolated points as noise. Skips the degree/core/
+    // border stages (3 shuffles + 2 checkpoints) — this is the default path
+    // for dedup_rows.
+    if (minSamples <= 2) {
+      val edges = VecScan.range(pts, "id", "v", pts, "id", "v", tau,
+          excludeSelf = true, onlyUpperPairs = true)
+        .select(col("left_id").as("i"), col("right_id").as("j"))
+        .localCheckpoint(true)
+      val touched = edges.select(col("i").as("id"))
+        .union(edges.select(col("j").as("id"))).distinct()
+      val labels = connectedComponents(touched, edges)
+      return pts.select("id").join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), lit(-1L)).as("cluster"))
+    }
+
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
     // predicate; checkpointed so downstream stages never re-run the self-scan
     val nbrs = VecScan.range(pts, "id", "v", pts, "id", "v", tau, excludeSelf = true)
