@@ -151,6 +151,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.8)
+        .orderBy(col("id"))
+    }),
+
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      // approximate scale path; deterministic (fixed SRP seed) but not
+      // SQL-expressible -> rows-only oracle check
+      Dedup.embeddingNearDupLsh(ld(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.8, nBands = 16, bitsPerBand = 8)
+        .orderBy(col("id"))
+    }),
+
     "q_cluster_agglom" -> ((s, dir) => {
       // single-linkage agglomerative cut at distance 0.65 == connected
       // components of the strict cos > 0.35 graph (oracle below relies on this)
@@ -496,6 +509,17 @@ object SparkEntry {
          |  UNION
          |  SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id)
          |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS d FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id AND $CosSelf >= 0.8),
+         |r(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id)
+         |SELECT id, min(lbl) AS cluster, id = min(lbl) AS is_representative
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
 
     "q_cluster_agglom" ->
       s"""WITH RECURSIVE e AS (

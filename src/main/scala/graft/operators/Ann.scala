@@ -28,6 +28,34 @@ object Ann {
     corpus.select(col(cId).cast("long").as("centroid_id"), asDouble(col(cVec)).as("centroid_vec"))
       .orderBy(col("centroid_id")).limit(nCentroids)
 
+  /** SRP-LSH candidate pairs `(i, j, score)` with `i < j`: vectors sharing at
+    * least one signed-random-projection band bucket, exact-verified at
+    * `cosine >= tau` (precision 1; recall = 1-(1-p^bits)^bands with
+    * p = 1 - θ/π). The scale path for near-dup candidate generation — a
+    * bucket equi-join (one shuffle on the band key) instead of the O(n²)
+    * all-pairs scan; hot buckets are handled by AQE skew splitting.
+    */
+  def srpCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double,
+      nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.SrpBands.srpBands
+    val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val sigs = pts
+      .withColumn("__bands", srpBands(col("v"), nBands, bitsPerBand, seed))
+      .select(col("id"), col("v"), posexplode(col("__bands")).as(Seq("__band", "__key")))
+    val a = sigs.select(col("id").as("i"), col("v").as("vi"),
+      col("__band"), col("__key"))
+    val b = sigs.select(col("id").as("j"), col("v").as("vj"),
+      col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), cosine(col("vi"), col("vj")).as("score"))
+      .filter(col("score") >= lit(tau))
+      // a pair colliding in multiple bands appears once per collision
+      .groupBy("i", "j").agg(first("score").as("score"))
+  }
+
   /** IVF top-k: returns (left_id, right_id, score, rank) like the exact join.
     *
     * Both the corpus→centroid assignment and the query→probe-list expansion are

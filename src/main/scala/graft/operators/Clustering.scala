@@ -223,6 +223,23 @@ object Clustering {
       .withColumnRenamed("component", "cluster")
   }
 
+  /** Approximate ε-graph clustering via SRP-LSH candidate generation: same
+    * output shape as [[epsilonCluster]] but edges come from
+    * [[Ann.srpCandidatePairs]] (bucket equi-join, exact-verified) instead of
+    * the O(n²) self-scan — the 100 TB path for embedding near-dup. Recall < 1
+    * for pairs near the threshold; raise `nBands` to trade cost for recall.
+    */
+  def epsilonClusterLsh(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    import graft.functions.VectorOps._
+    val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val edges = Ann.srpCandidatePairs(pts, "id", "v", tau, nBands, bitsPerBand)
+      .select("i", "j")
+    connectedComponents(pts.select("id"), edges)
+      .withColumnRenamed("component", "cluster")
+  }
+
   /** `cluster_rows` — embed serialized key columns, cluster, attach `cluster` col
     * (reference: src/linktransformer/infer.py:377-438).
     */

@@ -136,4 +136,15 @@ object Dedup {
     val clustered = Clustering.epsilonCluster(df, idCol, vecCol, tau)
     clustered.withColumn("is_representative", col("id") === col("cluster"))
   }
+
+  /** LSH-accelerated variant of [[embeddingNearDup]] — SRP bucket equi-join
+    * candidate generation instead of the all-pairs scan (the 100 TB path;
+    * approximate: recall < 1 near the threshold).
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val clustered = Clustering.epsilonClusterLsh(df, idCol, vecCol, tau, nBands, bitsPerBand)
+    clustered.withColumn("is_representative", col("id") === col("cluster"))
+  }
 }

@@ -197,6 +197,39 @@ class EngineSpec extends AnyFunSuite {
     assert(out(9L) == -1L)
   }
 
+  test("SRP-LSH near-dup clustering matches exact path on planted duplicates") {
+    import spark.implicits._
+    // near-identical vectors share all SRP sign bits -> recall 1 for true dups
+    val base = (0L until 20L).map { i =>
+      val v = Array.tabulate(16)(d => math.sin(i * 37.0 + d * 13.0))
+      (i, v)
+    }
+    val dups = Seq(
+      (100L, base(3)._2.map(_ * 1.0001)),
+      (101L, base(7)._2.map(_ * 0.9999)))
+    val vs = (base ++ dups).toDF("id", "v")
+    val exact = Clustering.epsilonCluster(vs, "id", "v", tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Clustering.epsilonClusterLsh(vs, "id", "v", tau = 0.999,
+      nBands = 8, bitsPerBand = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(lsh(100L) == 3L && lsh(101L) == 7L)
+  }
+
+  test("srpCandidatePairs: verified scores all >= tau, i < j, no dup pairs") {
+    import spark.implicits._
+    val vs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 7.0 + d * 3.0)))
+    }.toDF("id", "v")
+    val pairs = Ann.srpCandidatePairs(vs, "id", "v", tau = 0.5,
+      nBands = 16, bitsPerBand = 4).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("agglomerative single-linkage cut equals epsilon-graph components") {
     import spark.implicits._
     val vs = Seq(
