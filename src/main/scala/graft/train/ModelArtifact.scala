@@ -1,0 +1,151 @@
+package graft.train
+
+import graft.embed.Embedder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training configuration mirroring the reference's JSON config surface
+  * (reference: src/linktransformer/configs/linkage.json:1-25; loaded and
+  * override-merged in train_model.py:138-144). Fields the torch trainer would
+  * consume (learning rate, loss params, wandb) are carried through verbatim so
+  * a config written by this engine round-trips into the reference's trainer.
+  */
+case class TrainConfig(
+    modelSaveDir: String = "models",
+    modelSaveName: String = "linkage",
+    trainBatchSize: Int = 64,
+    numEpochs: Int = 10,
+    warmUpPerc: Double = 1.0,
+    learningRate: Double = 2e-5,
+    lossType: String = "supcon",
+    valPerc: Double = 0.2,
+    largeVal: Boolean = true,
+    evalStepsPerc: Double = 0.5,
+    testAtEnd: Boolean = true,
+    saveValTestPickles: Boolean = true,
+    valQueryProp: Double = 0.5)
+
+object TrainConfig {
+
+  /** Keys use the reference's exact snake_case names so configs interoperate. */
+  def toJson(c: TrainConfig): String = {
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val node = m.createObjectNode()
+    node.put("model_save_dir", c.modelSaveDir)
+    node.put("model_save_name", c.modelSaveName)
+    node.put("train_batch_size", c.trainBatchSize)
+    node.put("num_epochs", c.numEpochs)
+    node.put("warm_up_perc", c.warmUpPerc)
+    node.put("learning_rate", c.learningRate)
+    node.put("loss_type", c.lossType)
+    node.put("val_perc", c.valPerc)
+    node.put("large_val", c.largeVal)
+    node.put("eval_steps_perc", c.evalStepsPerc)
+    node.put("test_at_end", c.testAtEnd)
+    node.put("save_val_test_pickles", c.saveValTestPickles)
+    node.put("val_query_prop", c.valQueryProp)
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  def fromJson(json: String): TrainConfig = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def s(k: String, d: String) = if (node.has(k)) node.get(k).asText() else d
+    def i(k: String, d: Int) = if (node.has(k)) node.get(k).asInt() else d
+    def dd(k: String, d: Double) = if (node.has(k)) node.get(k).asDouble() else d
+    def b(k: String, d: Boolean) = if (node.has(k)) node.get(k).asBoolean() else d
+    val base = TrainConfig()
+    TrainConfig(
+      modelSaveDir = s("model_save_dir", base.modelSaveDir),
+      modelSaveName = s("model_save_name", base.modelSaveName),
+      trainBatchSize = i("train_batch_size", base.trainBatchSize),
+      numEpochs = i("num_epochs", base.numEpochs),
+      warmUpPerc = dd("warm_up_perc", base.warmUpPerc),
+      learningRate = dd("learning_rate", base.learningRate),
+      lossType = s("loss_type", base.lossType),
+      valPerc = dd("val_perc", base.valPerc),
+      largeVal = b("large_val", base.largeVal),
+      evalStepsPerc = dd("eval_steps_perc", base.evalStepsPerc),
+      testAtEnd = b("test_at_end", base.testAtEnd),
+      saveValTestPickles = b("save_val_test_pickles", base.saveValTestPickles),
+      valQueryProp = dd("val_query_prop", base.valQueryProp))
+  }
+}
+
+/** The gradient step behind a trait (SURVEY §7.0): the engine preserves the
+  * training pipeline's DATAFLOW (preprocess → split → fit → eval → persist)
+  * and fences out torch. The default fitter returns the base embedder
+  * unchanged — plug a real ONNX/JNI trainer in here out-of-engine.
+  */
+trait ModelFitter extends Serializable {
+  /** @param trainClusters (cluster, text) training groups (positives share a cluster) */
+  def fit(trainClusters: DataFrame, base: Embedder, config: TrainConfig): Embedder
+}
+
+/** No-op fitter: the embedding model is treated as frozen. */
+class IdentityFitter extends ModelFitter {
+  override def fit(trainClusters: DataFrame, base: Embedder, config: TrainConfig): Embedder = base
+}
+
+/** Model artifact directory: `LT_training_config.json` (reference name —
+  * modelling/LinkTransformer.py:272-275) plus parquet sidecars replacing the
+  * reference's val/test pickles (train_model.py:182-189).
+  */
+object ModelArtifact {
+
+  def save(
+      dir: String,
+      config: TrainConfig,
+      valQueries: Option[DataFrame] = None,
+      valCorpus: Option[DataFrame] = None,
+      valRelevant: Option[DataFrame] = None): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(
+      p.resolve("LT_training_config.json"),
+      TrainConfig.toJson(config).getBytes("UTF-8"))
+    valQueries.foreach(_.write.mode("overwrite").parquet(s"$dir/val_queries.parquet"))
+    valCorpus.foreach(_.write.mode("overwrite").parquet(s"$dir/val_corpus.parquet"))
+    valRelevant.foreach(_.write.mode("overwrite").parquet(s"$dir/val_relevant.parquet"))
+  }
+
+  def loadConfig(dir: String): TrainConfig =
+    TrainConfig.fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "LT_training_config.json")), "UTF-8"))
+
+  /** End-to-end `train_model` dataflow over positive text pairs
+    * (reference: train_model.py:101-247 via preprocess.py:438-623): distinct
+    * texts → dense ids → connected-component clusters over the pair edges →
+    * split BY CLUSTER → fitter.fit on train clusters → IR-eval structures on
+    * val → artifact dir. Returns the fitted embedder and the artifact path.
+    */
+  def trainModel(
+      spark: SparkSession,
+      pairs: DataFrame, leftCol: String, rightCol: String,
+      base: Embedder,
+      config: TrainConfig = TrainConfig(),
+      fitter: ModelFitter = new IdentityFitter,
+      seed: Long = 42L): (Embedder, String) = {
+    import org.apache.spark.sql.functions._
+    val texts = pairs.select(col(leftCol).as("text"))
+      .union(pairs.select(col(rightCol).as("text")))
+      .distinct()
+    val ids = TrainPrep.assignGroupIds(texts, Seq("text"), "id")
+      .localCheckpoint(true)
+    val edges = pairs
+      .join(ids.select(col("text").as(leftCol), col("id").as("lid")), Seq(leftCol))
+      .join(ids.select(col("text").as(rightCol), col("id").as("rid")), Seq(rightCol))
+      .select("lid", "rid")
+    val clustered = TrainPrep.clustersFromPairs(edges, "lid", "rid")
+      .join(ids, Seq("id")) // (id, cluster, text)
+    val parts = TrainPrep.randomSplitByCluster(
+      clustered, "cluster", Array(1.0 - config.valPerc, config.valPerc), seed)
+    val (train, valSplit) = (parts(0), parts(1))
+    val fitted = fitter.fit(train.select("cluster", "text"), base, config)
+    val (q, c, rel) = TrainPrep.irEvalSplit(valSplit, "id", "cluster", "text")
+    val outDir = s"${config.modelSaveDir}/${config.modelSaveName}"
+    save(outDir, config,
+      if (config.saveValTestPickles) Some(q) else None,
+      if (config.saveValTestPickles) Some(c) else None,
+      if (config.saveValTestPickles) Some(rel) else None)
+    (fitted, outDir)
+  }
+}

@@ -5,7 +5,7 @@ import graft.llm.Routing
 import graft.operators.{Multimodal, SemanticJoin}
 import graft.sources.Io
 import graft.streaming.StreamOps
-import graft.train.TrainPrep
+import graft.train.{ModelArtifact, TrainConfig, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -83,6 +83,28 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq(0, 0, 0, 1, 2, 2).toDF("label")
     val fracs = TrainPrep.labelDistribution(df, "label").agg(sum("frac")).first().getDouble(0)
     assert(math.abs(fracs - 1.0) < 1e-12)
+  }
+
+  test("trainModel: artifact dir with round-tripping config and val sidecars") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("apple inc", "Apple Inc."), ("apple inc", "APPLE"),
+      ("microsoft corp", "Microsoft"), ("tesla", "Tesla Motors"))
+      .toDF("l", "r")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val cfg = TrainConfig(modelSaveDir = tmp, modelSaveName = "m1", valPerc = 0.5)
+    val (fitted, dir) = ModelArtifact.trainModel(
+      spark, pairs, "l", "r", emb, cfg)
+    assert(fitted eq emb) // IdentityFitter returns the frozen base model
+    assert(new java.io.File(s"$dir/LT_training_config.json").exists())
+    val back = ModelArtifact.loadConfig(dir)
+    assert(back == cfg, s"config did not round-trip: $back")
+    // sidecars only written when the val split drew clusters — check readability
+    val qf = new java.io.File(s"$dir/val_queries.parquet")
+    if (qf.exists()) {
+      val q = spark.read.parquet(s"$dir/val_queries.parquet")
+      assert(q.columns.toSeq == Seq("qid", "text"))
+    }
   }
 
   // -------------------------------------------------------------------- Routing
