@@ -195,4 +195,22 @@ object Llm {
       case None => judged
     }
   }
+
+  /** Backward-compat alias of [[mergeKJudge]] (reference: infer.py:1208-1254). */
+  def mergeKnnWithLlm(
+      df1: DataFrame, df2: DataFrame,
+      on: Seq[String] = Nil, leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil,
+      embedder: graft.embed.Embedder, judge: PairJudge, k: Int = 5,
+      confidenceThreshold: Option[Double] = None,
+      suffixes: (String, String) = ("_x", "_y")): DataFrame =
+    mergeKJudge(df1, df2, on, leftOn, rightOn, embedder, judge, k, confidenceThreshold, suffixes)
+
+  /** Backward-compat alias of [[mergeKJudge]] (reference: infer.py:1257-1303). */
+  def mergeKnnOpenai(
+      df1: DataFrame, df2: DataFrame,
+      on: Seq[String] = Nil, leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil,
+      embedder: graft.embed.Embedder, judge: PairJudge, k: Int = 5,
+      confidenceThreshold: Option[Double] = None,
+      suffixes: (String, String) = ("_x", "_y")): DataFrame =
+    mergeKJudge(df1, df2, on, leftOn, rightOn, embedder, judge, k, confidenceThreshold, suffixes)
 }

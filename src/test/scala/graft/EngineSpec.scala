@@ -318,6 +318,15 @@ class EngineSpec extends AnyFunSuite {
       companies1, companies2, on = Seq("CompanyName"), embedder = emb,
       judge = new Llm.TokenOverlapJudge(0.5), k = 2, confidenceThreshold = Some(0.99))
     assert(filtered.count() == exact.length)
+    // backward-compat aliases delegate unchanged (reference: infer.py:1208-1303)
+    val viaAlias = Llm.mergeKnnWithLlm(
+      companies1, companies2, on = Seq("CompanyName"), embedder = emb,
+      judge = new Llm.TokenOverlapJudge(0.5), k = 2)
+    assert(viaAlias.count() == out.count())
+    val viaOpenai = Llm.mergeKnnOpenai(
+      companies1, companies2, on = Seq("CompanyName"), embedder = emb,
+      judge = new Llm.TokenOverlapJudge(0.5), k = 2)
+    assert(viaOpenai.count() == out.count())
   }
 
   // --- dedup / text ---------------------------------------------------------
