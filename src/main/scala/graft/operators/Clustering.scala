@@ -145,6 +145,31 @@ object Clustering {
     labels.unionByName(isolated)
   }
 
+  /** ε-neighbor pairs over `(id, v)` with cosine >= tau — broadcast-matrix
+    * scan when the table fits the broadcast bound, exact crossJoin fallback
+    * otherwise (never collects an over-limit table to the driver). For inputs
+    * too large even for the crossJoin, use [[epsilonClusterLsh]].
+    */
+  private def rangePairs(pts: DataFrame, tau: Double, onlyUpperPairs: Boolean): DataFrame = {
+    import graft.functions.VectorOps._
+    if (VecScan.fitsBroadcast(pts, "v")) {
+      VecScan.range(pts, "id", "v", pts, "id", "v", tau,
+        excludeSelf = true, onlyUpperPairs = onlyUpperPairs)
+    } else {
+      val a = pts.select(col("id").as("left_id"), col("v").as("va"))
+        .withColumn("na", norm(col("va")))
+      val b = pts.select(col("id").as("right_id"), col("v").as("vb"))
+        .withColumn("nb", norm(col("vb")))
+      val pred = if (onlyUpperPairs) col("left_id") < col("right_id")
+        else col("left_id") =!= col("right_id")
+      a.join(b, pred)
+        .withColumn("score",
+          cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+        .filter(col("score") >= lit(tau))
+        .select("left_id", "right_id", "score")
+    }
+  }
+
   /** DBSCAN-equivalent over a vector column, exact for cosine metric.
     *
     * `eps` is cosine DISTANCE (1 - similarity), `minSamples` counts the point
@@ -169,8 +194,7 @@ object Clustering {
     // border stages (3 shuffles + 2 checkpoints) — this is the default path
     // for dedup_rows.
     if (minSamples <= 2) {
-      val edges = VecScan.range(pts, "id", "v", pts, "id", "v", tau,
-          excludeSelf = true, onlyUpperPairs = true)
+      val edges = rangePairs(pts, tau, onlyUpperPairs = true)
         .select(col("left_id").as("i"), col("right_id").as("j"))
         .localCheckpoint(true)
       val touched = edges.select(col("i").as("id"))
@@ -182,7 +206,7 @@ object Clustering {
 
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
     // predicate; checkpointed so downstream stages never re-run the self-scan
-    val nbrs = VecScan.range(pts, "id", "v", pts, "id", "v", tau, excludeSelf = true)
+    val nbrs = rangePairs(pts, tau, onlyUpperPairs = false)
       .select(col("left_id").as("i"), col("right_id").as("j"))
       .localCheckpoint(true)
 
@@ -216,8 +240,7 @@ object Clustering {
   def epsilonCluster(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.functions.VectorOps._
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val edges = VecScan.range(pts, "id", "v", pts, "id", "v", tau,
-        excludeSelf = true, onlyUpperPairs = true)
+    val edges = rangePairs(pts, tau, onlyUpperPairs = true)
       .select(col("left_id").as("i"), col("right_id").as("j"))
     connectedComponents(pts.select("id"), edges)
       .withColumnRenamed("component", "cluster")

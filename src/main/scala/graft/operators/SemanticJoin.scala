@@ -29,7 +29,9 @@ object SemanticJoin {
       k: Int,
       excludeSelf: Boolean = false,
       broadcastRight: Boolean = true): DataFrame = {
-    if (broadcastRight) {
+    // the broadcast path is size-guarded: an over-limit right side falls back
+    // to the shuffle plan instead of collecting to the driver (100 TB safety)
+    if (broadcastRight && VecScan.fitsBroadcast(right, rightVec)) {
       // broadcast-matrix scan: zero shuffle, no per-pair rows (SURVEY §4.3)
       VecScan.knn(left, leftId, leftVec, right, rightId, rightVec, k, excludeSelf)
     } else {
@@ -68,7 +70,7 @@ object SemanticJoin {
       keepUnmatched: Boolean = true,
       broadcastRight: Boolean = true): DataFrame = {
     val matches =
-      if (broadcastRight) {
+      if (broadcastRight && VecScan.fitsBroadcast(right, rightVec)) {
         VecScan.range(left, leftId, leftVec, right, rightId, rightVec, tau, excludeSelf)
       } else {
         val l = left.select(col(leftId).cast("long").as("left_id"), asDouble(col(leftVec)).as("__lvec"))
