@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.Serialize
+import graft.functions.TopKBuffer
+import graft.llm.Llm
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY §5.2): pure kernels via scalacheck `forAll`;
+  * DataFrame-level properties as one-job batch checks over generated data
+  * (per-case Spark jobs would be 100× slower for the same coverage).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(p: Prop, minTests: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("judge parser: never throws, is_match in {0,1}, confidence clamped to [0,1]") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val (m, c) = Llm.parseJudgeResponse(s)
+      (m == 0 || m == 1) && c >= 0.0 && c <= 1.0
+    })
+    // numeric confidences anywhere in free text get clamped, not rejected
+    check(Prop.forAll(Gen.chooseNum(-1000.0, 1000.0)) { x =>
+      val (_, c) = Llm.parseJudgeResponse(s"""{"is_match": 1, "confidence": $x}""")
+      c >= 0.0 && c <= 1.0
+    })
+  }
+
+  test("TopKBuffer equals sort-take reference for random inputs") {
+    // distinct ids, like real kNN candidates (ids are row ids)
+    val gen = for {
+      k <- Gen.chooseNum(1, 8)
+      m <- Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-1.0, 1.0)))
+      order <- Gen.const(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(k)).shuffle(m.toList))
+    } yield (k, order)
+    check(Prop.forAll(gen) { case (k, xs) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (id, s) => buf.insert(s, id) }
+      val got = (0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))
+      val want = xs.map { case (id, s) => (s, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      got == want
+    })
+  }
+
+  test("cosine: symmetric, bounded, self-similarity 1 (batch property)") {
+    import spark.implicits._
+    import graft.functions.VectorOps._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(16)
+      val a = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      // avoid zero vectors (cosine undefined — reference clips norms at 1e-12)
+      (i.toLong, a.map(x => if (x == 0.0) 0.5 else x), b.map(x => if (x == 0.0) 0.5 else x))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      cosine(col("a"), col("b")).as("ab"),
+      cosine(col("b"), col("a")).as("ba"),
+      cosine(col("a"), col("a")).as("aa")).collect()
+    out.foreach { r =>
+      val (ab, ba, aa) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(ab == ba, s"asymmetric: $ab vs $ba")
+      assert(ab >= -1.0 && ab <= 1.0)
+      assert(math.abs(aa - 1.0) < 1e-9, s"self-sim $aa")
+    }
+  }
+
+  test("serializer: every cell slot preserved, nulls become empty strings (batch)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      def cell(): String = rnd.nextInt(4) match {
+        case 0 => null
+        case 1 => ""
+        case _ => rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      }
+      (i, cell(), cell(), cell())
+    }
+    val df = rows.toDF("id", "c1", "c2", "c3")
+    val sep = "</s>"
+    val out = df.select(col("id"),
+      Serialize.serializeColumns(Seq(col("c1"), col("c2"), col("c3")), sep).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    rows.foreach { case (i, c1, c2, c3) =>
+      val want = Seq(c1, c2, c3).map(c => if (c == null) "" else c).mkString(sep)
+      assert(out(i) == want, s"row $i: got '${out(i)}' want '$want'")
+    }
+  }
+
+  test("minhash signature: invariant under permutation and duplication (batch)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 100).map { i =>
+      val sh = (0 until 1 + rnd.nextInt(10)).map(_ => rnd.alphanumeric.take(5).mkString)
+      val permuted = rnd.shuffle(sh ++ sh.take(rnd.nextInt(sh.size + 1)))
+      (i.toLong, sh.toArray, permuted.toArray)
+    }
+    val df = rows.toDF("id", "sh", "perm")
+    val out = df.select(
+      graft.operators.Dedup.minhashSignature(col("sh"), 16).as("a"),
+      graft.operators.Dedup.minhashSignature(col("perm"), 16).as("b")).collect()
+    out.foreach { r => assert(r.get(0) == r.get(1), s"signature not invariant: $r") }
+  }
+}
