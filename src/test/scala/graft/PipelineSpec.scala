@@ -107,6 +107,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- Embedders
+
+  test("HttpEmbedder: char-budget packing boundaries and order") {
+    import graft.embed.HttpEmbedder
+    val texts = Seq("aaaa", "bbbb", "cccc", "dd", "e")
+    // budget 8: [aaaa,bbbb] (8 chars), then cccc+dd+e = 7 chars fits one pack
+    val packs = HttpEmbedder.packByCharBudget(texts, 8)
+    assert(packs == Seq(Seq("aaaa", "bbbb"), Seq("cccc", "dd", "e")))
+    assert(HttpEmbedder.packByCharBudget(texts, 4) ==
+      Seq(Seq("aaaa"), Seq("bbbb"), Seq("cccc"), Seq("dd", "e")))
+    // oversized single text still ships alone (packs are never empty)
+    assert(HttpEmbedder.packByCharBudget(Seq("x" * 100, "y"), 8) ==
+      Seq(Seq("x" * 100), Seq("y")))
+    assert(HttpEmbedder.packByCharBudget(Nil, 8).isEmpty)
+  }
+
+  test("HttpEmbedder: retries with backoff then succeeds; gives up after max") {
+    import graft.embed.{EmbeddingTransport, HttpEmbedder}
+    import spark.implicits._
+    // JVM-static counter: transport instances are closure-serialized per task,
+    // but the object symbol resolves to the shared instance in local mode
+    FlakyTransportState.calls.set(0)
+    val flaky = new EmbeddingTransport {
+      def request(texts: Seq[String]): Seq[Array[Double]] = {
+        if (FlakyTransportState.calls.incrementAndGet() <= 2)
+          throw new RuntimeException("429")
+        texts.map(t => Array(t.length.toDouble, 1.0))
+      }
+    }
+    val emb2 = new HttpEmbedder(flaky, dim = 2, charBudget = 1000,
+      maxRetries = 5, initialBackoffMs = 1L)
+    val out = emb2.embed(Seq((1L, "ab"), (2L, "xyz")).toDF("id", "t"), "t", "v")
+      .orderBy("id").collect()
+    // the first two requests failed and were retried in-task, then succeeded
+    assert(FlakyTransportState.calls.get() >= 3)
+    assert(out.map(_.getSeq[Double](2).head) sameElements Array(2.0, 3.0))
+
+    val alwaysFail = new EmbeddingTransport {
+      def request(texts: Seq[String]): Seq[Array[Double]] = throw new RuntimeException("boom")
+    }
+    val emb3 = new HttpEmbedder(alwaysFail, dim = 2, maxRetries = 2, initialBackoffMs = 1L)
+    val ex = intercept[org.apache.spark.SparkException] {
+      emb3.embed(Seq((1L, "a")).toDF("id", "t"), "t", "v").collect()
+    }
+    assert(ex.getMessage.contains("boom") || ex.getCause != null)
+  }
+
   // -------------------------------------------------------------------- Routing
 
   test("routing quirks preserved: text-embedding-004 is gemini, ada-002 is openai") {
@@ -251,4 +298,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.filter($"id" === 1).select("s").first().getString(0) == "a,b")
     intercept[UnsupportedOperationException] { Io.readExcel(spark, "/tmp/x.xlsx") }
   }
+}
+
+/** Shared-JVM state for the flaky-transport retry test (local mode only). */
+object FlakyTransportState {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
