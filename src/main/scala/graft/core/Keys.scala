@@ -51,4 +51,28 @@ object Keys {
     val bad = df.columns.toSet.intersect(reserved.toSet)
     require(bad.isEmpty, s"Reserved column name(s) in input: ${bad.mkString(", ")}")
   }
+
+  /** Key-uniqueness validation for a declared merge type (reference:
+    * infer.py:67-89, deprecated `merge_type` but still warned on): "1:*"
+    * requires unique left keys, "*:1" unique right keys; violations WARN (never
+    * raise — matching the reference). Returns the warning messages (empty =
+    * clean) so callers/tests can assert; also logs each at WARN.
+    */
+  def validateMergeType(
+      df1: DataFrame, df2: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      mergeType: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    require(Set("1:1", "1:m", "m:1", "m:m")(mergeType), s"bad merge_type: $mergeType")
+    def dupCount(df: DataFrame, keys: Seq[String]): Long =
+      df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+    val warnings = Seq.newBuilder[String]
+    if ((mergeType == "1:1" || mergeType == "1:m") && dupCount(df1, leftKeys) > 0)
+      warnings += s"merge_type=$mergeType but left keys ${leftKeys.mkString(",")} are not unique"
+    if ((mergeType == "1:1" || mergeType == "m:1") && dupCount(df2, rightKeys) > 0)
+      warnings += s"merge_type=$mergeType but right keys ${rightKeys.mkString(",")} are not unique"
+    val out = warnings.result()
+    out.foreach(w => org.slf4j.LoggerFactory.getLogger(getClass).warn(w))
+    out
+  }
 }

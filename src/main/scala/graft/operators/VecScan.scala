@@ -59,16 +59,18 @@ object VecScan {
   @inline private def cosine(d: Double, na: Double, nb: Double): Double =
     math.min(math.max(d / (na * nb), -1.0), 1.0)
 
-  /** True if the right side is small enough (by fast count of rows × dim). */
+  /** True if the right side is small enough (rows × dim × 8 bytes). One job:
+    * count and dim come from a single aggregate.
+    */
   def fitsBroadcast(right: DataFrame, vecCol: String, dim: => Int = 0): Boolean = {
-    // cheap pre-check on row count only; dim resolved from the first row when
-    // the caller doesn't know it. Count is a metadata-only scan for parquet.
-    val n = right.count()
-    val d = if (dim > 0) dim else {
-      val r = right.select(asDouble(col(vecCol))).head(1)
-      if (r.isEmpty) 0 else r(0).getSeq[Double](0).length
+    if (dim > 0) {
+      right.count() * dim.toLong * 8L <= MaxBroadcastBytes
+    } else {
+      val r = right.agg(count(lit(1)), first(size(col(vecCol)), ignoreNulls = true)).first()
+      val n = r.getLong(0)
+      val d = if (r.isNullAt(1)) 1 else math.max(r.getInt(1), 1)
+      n * d.toLong * 8L <= MaxBroadcastBytes
     }
-    n * math.max(d, 1).toLong * 8L <= MaxBroadcastBytes
   }
 
   /** kNN scan: `(left_id, right_id, score, rank)`, rank 1-based best-first,

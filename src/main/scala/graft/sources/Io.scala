@@ -32,6 +32,19 @@ object Io {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC (native Spark format — columnar alternative for pipelines already on ORC). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines sink (config/metrics sidecars). */
+  def writeJsonLines(df: DataFrame, path: String, coalesceTo: Int = 0): Unit = {
+    val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    out.write.mode("overwrite").json(path)
+  }
+
   /** Excel is not supported in this build (no bundled reader, zero egress).
     * The reference's `pd.read_excel` sources (preprocess.py:306-307) must be
     * converted to CSV or Parquet before ingestion.

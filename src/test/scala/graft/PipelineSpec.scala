@@ -154,6 +154,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("boom") || ex.getCause != null)
   }
 
+  test("validateMergeType: warns on duplicated keys per declared side only") {
+    import graft.core.Keys
+    import spark.implicits._
+    val dupLeft = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val uniq = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Keys.validateMergeType(dupLeft, uniq, Seq("k"), Seq("k"), "1:1").size == 1)
+    assert(Keys.validateMergeType(dupLeft, uniq, Seq("k"), Seq("k"), "1:m").size == 1)
+    assert(Keys.validateMergeType(dupLeft, uniq, Seq("k"), Seq("k"), "m:1").isEmpty)
+    assert(Keys.validateMergeType(dupLeft, dupLeft, Seq("k"), Seq("k"), "1:1").size == 2)
+    assert(Keys.validateMergeType(dupLeft, dupLeft, Seq("k"), Seq("k"), "m:m").isEmpty)
+    intercept[IllegalArgumentException] {
+      Keys.validateMergeType(uniq, uniq, Seq("k"), Seq("k"), "2:2")
+    }
+  }
+
+  test("orc and json-lines round-trip via Io") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
+    Io.writeOrc(df, s"$tmp/o")
+    assert(Io.readOrc(spark, s"$tmp/o").orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    Io.writeJsonLines(df, s"$tmp/j", coalesceTo = 1)
+    assert(Io.readJsonLines(spark, s"$tmp/j").count() == 2)
+  }
+
   // -------------------------------------------------------------------- Routing
 
   test("routing quirks preserved: text-embedding-004 is gemini, ada-002 is openai") {
