@@ -148,6 +148,21 @@ object Llm {
       }, schema).drop("__graft_text")
   }
 
+  /** Generic single-column transform — the reference's `transform_column`
+    * higher-order op (utils.py:467-494): applies `fn` to one existing column,
+    * writing `transformed_<col>` (chunked through the same strict-length
+    * machinery as [[transformRows]]).
+    */
+  def transformColumn(
+      df: DataFrame, column: String, fn: String => String,
+      outCol: String = null, chunkSize: Int = 50): DataFrame = {
+    val out = if (outCol == null) s"transformed_$column" else outCol
+    val t = new BatchTransformer {
+      def transform(chunk: Seq[String]): Seq[String] = chunk.map(fn)
+    }
+    transformRows(df, Seq(column), t, out, chunkSize)
+  }
+
   /** `merge_k_judge` — retrieve top-k candidates semantically, then adjudicate
     * each pair with the judge; appends llm_is_match / llm_confidence /
     * llm_raw_response and applies the optional confidence filter

@@ -299,6 +299,10 @@ class EngineSpec extends AnyFunSuite {
     val out = Llm.transformRows(df, Seq("text"), new Llm.UppercaseTransformer)
       .collect().map(r => r.getAs[String]("text") -> r.getAs[String]("transformed")).toMap
     assert(out == Map("abc" -> "ABC", "xyz" -> "XYZ"))
+    // generic transform_column: default out column name transformed_<col>
+    val tc = Llm.transformColumn(df, "text", s => s.reverse)
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[String]("transformed_text")).toMap
+    assert(tc == Map("abc" -> "cba", "xyz" -> "zyx"))
   }
 
   test("merge_k_judge appends parsed llm columns and filters on confidence") {
