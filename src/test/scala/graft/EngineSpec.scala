@@ -293,6 +293,35 @@ class EngineSpec extends AnyFunSuite {
     assert(Llm.parseJudgeResponse("garbage") == (0, 0.0))
   }
 
+  test("classify_rows: labels in range; label_map renders strings") {
+    import spark.implicits._
+    val df = Seq.tabulate(20)(i => (i.toLong, s"document number $i")).toDF("id", "text")
+    val out = Llm.classifyRows(df, Seq("text"), new Llm.HashClassifier(3))
+    // reference invariant: predictions always land in the label set
+    // (tests/infer_test.py:270, 292)
+    val preds = out.select("clf_preds").collect().map(_.getInt(0))
+    assert(preds.forall(p => p >= 0 && p < 3))
+    assert(preds.distinct.length > 1, "stub should spread labels")
+    val mapped = Llm.classifyRows(df, Seq("text"), new Llm.HashClassifier(2),
+      labelMap = Map(0 -> "no", 1 -> "yes"))
+    assert(mapped.select("clf_preds").collect().map(_.getString(0)).forall(Set("no", "yes")))
+  }
+
+  test("l2Normalize: unit norm, zero vector stays finite (1e-12 clip)") {
+    import spark.implicits._
+    import graft.functions.VectorOps._
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),
+      (2L, Array(0.0, 0.0)),
+      (3L, Array(-2.0, 0.0))).toDF("id", "v")
+    val out = df.select(col("id"), l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(math.hypot(out(1L)(0), out(1L)(1)) - 1.0) < 1e-12)
+    assert(out(1L)(0) == 0.6 && out(1L)(1) == 0.8)
+    assert(out(2L).forall(x => !x.isNaN && !x.isInfinite)) // clip prevents 0/0
+    assert(out(3L)(0) == -1.0)
+  }
+
   test("transform_rows enforces chunk length contract and maps values") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "xyz")).toDF("id", "text")
