@@ -33,10 +33,11 @@ trait Embedder extends Serializable {
   */
 class HashEmbedder(val dim: Int = 64, tokenMix: Boolean = true) extends Embedder {
 
-  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val f = udf((s: String) => HashEmbedder.embedText(if (s == null) "" else s, dim, tokenMix))
-    df.withColumn(outCol, f(col(textCol)))
-  }
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    // native expression, not a Scala UDF: stays inside whole-stage codegen
+    // (no serializer fence around every embed projection)
+    df.withColumn(outCol,
+      graft.functions.HashEmbedExpr.hashEmbed(col(textCol), dim, tokenMix))
 }
 
 object HashEmbedder {
