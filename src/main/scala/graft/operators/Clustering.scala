@@ -76,6 +76,19 @@ object Clustering {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val n = nodes.select(col(nodes.columns.head).cast("long").as("id")).distinct()
+    val labels = componentsOfEdgeIncident(edges)
+    // isolated nodes (no edges) are their own component by definition and never
+    // enter the iteration — in near-dup workloads they are the vast majority
+    val isolated = n.join(labels, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labels.unionByName(isolated)
+  }
+
+  /** Components of edge-incident nodes only — the kernel behind
+    * [[connectedComponents]], also used directly where non-incident nodes get
+    * a sentinel label (DBSCAN noise) rather than their own component.
+    */
+  private[operators] def componentsOfEdgeIncident(edges: DataFrame): DataFrame = {
     val e0 = edges.select(
       col(edges.columns(0)).cast("long").as("src"),
       col(edges.columns(1)).cast("long").as("dst"))
@@ -85,14 +98,8 @@ object Clustering {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-
-    // iterate ONLY over edge-incident nodes: isolated nodes are their own
-    // component by definition and would otherwise ride through every
-    // join/groupBy round trip (in near-dup workloads they are the vast
-    // majority of rows)
-    val touched = sym.select(col("src").as("id")).distinct()
-    val isolated = n.join(touched, Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
+    val spark = edges.sparkSession
+    import spark.implicits._
 
     // small-graph fast path: below the guard, a driver union-find replaces
     // ~5 shuffles × O(diameter) iterations with one collect. Edge-bounded
@@ -101,15 +108,12 @@ object Clustering {
     // iteration below remains the path for genuinely large graphs.
     val edgeCount = sym.count()
     if (edgeCount <= SmallGraphEdgeLimit) {
-      val spark = nodes.sparkSession
-      import spark.implicits._
       val labeled = unionFindMinLabel(
         sym.select(col("src"), col("dst")).as[(Long, Long)].collect())
       return spark.createDataset(labeled).toDF("id", "component")
-        .unionByName(isolated)
     }
 
-    var labels = n.join(touched, Seq("id"), "left_semi")
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     // convergence check: per-node labels only ever decrease, so the global sum
     // is strictly monotone — "sum unchanged" ⟺ fixed point. One cheap agg per
@@ -142,7 +146,7 @@ object Clustering {
       labels = next
       iter += 1
     }
-    labels.unionByName(isolated)
+    labels
   }
 
   /** ε-neighbor pairs over `(id, v)` with cosine >= tau — broadcast-matrix
@@ -196,10 +200,8 @@ object Clustering {
     if (minSamples <= 2) {
       val edges = rangePairs(pts, tau, onlyUpperPairs = true)
         .select(col("left_id").as("i"), col("right_id").as("j"))
-        .localCheckpoint(true)
-      val touched = edges.select(col("i").as("id"))
-        .union(edges.select(col("j").as("id"))).distinct()
-      val labels = connectedComponents(touched, edges)
+      // edge-incident components only; everything else is noise (-1)
+      val labels = componentsOfEdgeIncident(edges)
       return pts.select("id").join(labels, Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), lit(-1L)).as("cluster"))
     }
