@@ -45,6 +45,23 @@ object Io {
     out.write.mode("overwrite").json(path)
   }
 
+  /** Bucketed parquet table for co-located joins: two tables bucketed (and
+    * sorted) the same way on the join key equi-join WITHOUT a shuffle — the
+    * pre-partitioning is reused across every downstream join/aggregation on
+    * that key (the 100 TB pattern for repeatedly-joined dimensions and fact
+    * tables). Requires a table name (bucketing metadata lives in the catalog).
+    */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(tableName)
+  }
+
   /** Excel is not supported in this build (no bundled reader, zero egress).
     * The reference's `pd.read_excel` sources (preprocess.py:306-307) must be
     * converted to CSV or Parquet before ingestion.

@@ -179,6 +179,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Io.readJsonLines(spark, s"$tmp/j").count() == 2)
   }
 
+  test("bucketed tables equi-join without a shuffle exchange") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_bucketdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '${dbDir.toUri}'")
+    val a = (0 until 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (0 until 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Io.writeBucketed(a, "bucketdb.t_a", Seq("k"), nBuckets = 4, sortCols = Seq("k"))
+    Io.writeBucketed(b, "bucketdb.t_b", Seq("k"), nBuckets = 4, sortCols = Seq("k"))
+    // disable auto-broadcast so the planner must consider distribution: the
+    // bucketing then satisfies the sort-merge join's requirement directly
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucketdb.t_a").join(spark.table("bucketdb.t_b"), "k")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // -------------------------------------------------------------------- Routing
 
   test("routing quirks preserved: text-embedding-004 is gemini, ada-002 is openai") {
