@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins: salt the skewed (big) side, replicate the
+  * other side across the salt domain, join on (keys, salt). Result is
+  * row-identical to the plain join — salting only changes the partitioning of
+  * the hot keys, splitting each across `saltFactor` reducers.
+  *
+  * AQE's skew-join split handles most sort-merge cases at runtime; explicit
+  * salting remains the tool when a single key is hot enough to overwhelm one
+  * task even after AQE splitting (e.g. a null-heavy or default-valued key at
+  * 100 TB), or when the join is not an SMJ.
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner/left equi-join with the LEFT side treated as big+skewed.
+    * `saltFactor` = number of ways each hot key is split.
+    */
+  def saltedJoin(
+      big: DataFrame, other: DataFrame, keys: Seq[String],
+      saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    // deterministic per-row salt: stable hash of the whole row spread over the
+    // salt domain (rand() would break retry/replay determinism)
+    val salted = big.withColumn(SaltCol,
+      pmod(hash(big.columns.map(col) :+ monotonically_increasing_id(): _*), lit(saltFactor)))
+    val domain = other.sparkSession.range(saltFactor)
+      .select(col("id").cast("int").as(SaltCol))
+    val replicated = other.crossJoin(broadcast(domain))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+}

@@ -283,6 +283,20 @@ class EngineSpec extends AnyFunSuite {
     assert(out(99L) == -1L, s"outlier not noise: $out")
   }
 
+  test("saltedJoin result-identical to plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val big = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong, i)).toDF("k", "v")
+    val other = Seq((7L, "hot"), (950L, "cold"), (9999L, "nomatch")).toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(other, Seq("k"), jt)
+        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val salted = graft.operators.Skew.saltedJoin(big, other, Seq("k"), 8, jt)
+        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"$jt: $salted != $plain")
+    }
+  }
+
   // --- llm ------------------------------------------------------------------
 
   test("judge parser: JSON fields, keyword fallback, last-number fallback, clamping") {
