@@ -283,6 +283,27 @@ class EngineSpec extends AnyFunSuite {
     assert(out(99L) == -1L, s"outlier not noise: $out")
   }
 
+  test("SQL surface: registered functions match DataFrame-API results") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0), "alpha beta gamma"))
+      .toDF("id", "a", "b", "t").createOrReplaceTempView("sqlsurface")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, cosine_sim(a, b) AS c,
+        |       hash_embed(t, 8) AS e, minhash_sig(word_shingles(t, 2), 4) AS m,
+        |       srp_bands(a, 2, 4) AS s
+        |FROM sqlsurface""".stripMargin).first()
+    assert(r.getDouble(0) == 10.0)
+    import graft.functions.VectorOps
+    val want = Seq((1L, Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+      .toDF("id", "a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(r.getDouble(1) == want, "cosine_sim must be bit-identical to VectorOps.cosine")
+    assert(r.getSeq[Double](2).length == 8)
+    assert(r.getSeq[Long](3).length == 4)
+    assert(r.getSeq[Long](4).length == 2)
+  }
+
   test("saltedJoin result-identical to plain join on skewed keys") {
     import spark.implicits._
     // 90% of left rows share one hot key
