@@ -63,6 +63,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize plumbing: binary in → binary out with a `(width, height)` target
+    * carried in a sibling struct column. The STUB "resize" deterministically
+    * strides the payload down to `w*h` bytes (a real image path decodes,
+    * resamples pixels, re-encodes — same signature, same batch shape).
+    */
+  def resize(df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame = {
+    require(w > 0 && h > 0)
+    val target = w * h
+    val rs = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) Array.empty[Byte]
+      else if (bytes.length <= target) bytes
+      else {
+        val out = new Array[Byte](target)
+        val stride = bytes.length.toDouble / target
+        var i = 0
+        while (i < target) { out(i) = bytes((i * stride).toInt); i += 1 }
+        out
+      }
+    }
+    df.withColumn(outCol, rs(col(binCol)))
+      .withColumn(s"${outCol}_shape", struct(lit(w).as("width"), lit(h).as("height")))
+  }
+
+  /** Feature extraction: binary payload → unit-norm `array<double>` embedding.
+    * The STUB projects the bytes through the same seeded hash-projection used
+    * for text (HashEmbedder kernel over a hex digest), so media columns plug
+    * directly into the engine's similarity/dedup/ANN operators today; a real
+    * model (CLIP-style encoder) replaces only the per-partition kernel.
+    */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 64,
+      outCol: String = "features"): DataFrame = {
+    require(dim >= 1)
+    val fx = udf { (bytes: Array[Byte]) =>
+      val s = if (bytes == null) "" else {
+        // stable textual digest of the payload (first/last bytes + length)
+        val head = bytes.take(32).map(b => (b & 0xff).toHexString).mkString
+        val tail = bytes.takeRight(8).map(b => (b & 0xff).toHexString).mkString
+        s"$head:$tail:${bytes.length}"
+      }
+      graft.embed.HashEmbedder.embedText(s, dim, tokenMix = false)
+    }
+    df.withColumn(outCol, fx(col(binCol)))
+  }
+
   /** Deterministic frame/chunk sampling: split the payload into `n` evenly
     * spaced fixed-size chunks (a real video path would seek keyframes; the
     * partitioning/UDF shape is identical).

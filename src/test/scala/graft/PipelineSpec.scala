@@ -249,6 +249,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(new String(chunks(0), "UTF-8") == "hello wo")
   }
 
+  test("multimodal: resize bounds payload, features feed the similarity stack") {
+    import spark.implicits._
+    val a = Array.tabulate(500)(_.toByte)
+    val b = Array.tabulate(500)(_.toByte) // identical payload
+    val c = Array.tabulate(400)(i => (i * 7).toByte)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "payload")
+
+    val rs = Multimodal.resize(df, "payload", w = 8, h = 8)
+      .select("id", "resized", "resized_shape.width").collect()
+    rs.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).length <= 64)
+      assert(r.getInt(2) == 8)
+    }
+
+    // identical payloads embed identically -> near-dup machinery finds them
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 16)
+    val clusters = graft.operators.Clustering
+      .epsilonCluster(feats, "id", "features", tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L), s"identical media split: $clusters")
+    assert(clusters(3L) != clusters(1L), s"distinct media merged: $clusters")
+  }
+
   // ------------------------------------------------------------------ Streaming
 
   test("windowedEventCounts over a memory stream matches batch result") {
