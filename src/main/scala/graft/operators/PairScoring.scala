@@ -87,16 +87,21 @@ object PairScoring {
     * Returns one row: (threshold, f1, precision, recall).
     */
   def bestF1Threshold(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = scored.select(
       coalesce(col(scoreCol).cast("double"), lit(0.0)).as("score"),
       col(labelCol).cast("double").as("label"))
-    val totalPos = s.agg(sum("label")).first().getDouble(0)
-    val w = Window.orderBy(desc("score"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = s.withColumn("tp", sum("label").over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .groupBy("score").agg(max("tp").as("tp"), max("n").as("n"))
+    // aggregate per distinct score first (partial map-side combine), then a
+    // distributed prefix-sum over scores desc — never a single-task window
+    // over the raw pair table (PR curves are prefix scans; tied scores share
+    // the group total, matching the reference's through-group cumulative).
+    // localCheckpoint: the expensive pair table is scanned exactly once;
+    // totalPos and the curve both read the tiny per-score aggregate.
+    val perScore = s.groupBy("score")
+      .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totalPos = perScore.agg(sum("pos")).first().getDouble(0)
+    val curve = graft.core.Prefix.cumSums(perScore, Seq(desc("score")), Seq("pos", "cnt"))
+      .select(col("score"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
       .withColumn("precision", col("tp") / col("n"))
       .withColumn("recall", col("tp") / lit(totalPos))
       .withColumn("f1", when(col("precision") + col("recall") > 0,

@@ -20,14 +20,14 @@ object TrainPrep {
   /** Dense 0-based group ids per distinct key tuple, in key sort order — the
     * engine's `groupby(ids).ngroup()` (reference: preprocess.py:51, 131-147).
     *
-    * Scale shape: `dense_rank` over an unpartitioned window is a single-task
-    * sort over ALL rows; instead rank only `distinct(keys)` (small) and
-    * broadcast-join the mapping back — full parallelism on the big side.
+    * Scale shape: rank only `distinct(keys)` and join the mapping back, and
+    * rank it with [[graft.core.Prefix.globalIndex]] (range-partitioned local
+    * ranks + per-partition offsets) — no single-task global window anywhere,
+    * even when the distinct-key set itself is large.
     */
   def assignGroupIds(df: DataFrame, keys: Seq[String], outCol: String = "group_id"): DataFrame = {
-    val mapping = df.select(keys.map(col): _*).distinct()
-      .withColumn(outCol,
-        (dense_rank().over(Window.orderBy(keys.map(col): _*)) - 1).cast("long"))
+    val mapping = graft.core.Prefix.globalIndex(
+      df.select(keys.map(col): _*).distinct(), keys.map(col), outCol)
     df.join(broadcast(mapping), keys)
   }
 
@@ -110,6 +110,11 @@ object TrainPrep {
     */
   def labelDistribution(df: DataFrame, labelCol: String): DataFrame = {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-    counts.withColumn("frac", col("n") / sum("n").over(Window.partitionBy()))
+    // broadcast the grand total instead of an empty-partition window (which
+    // coalesces to one task); Catalyst reuses the counts exchange for both.
+    val total = counts.agg(sum("n").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("frac", col("n") / col("__total"))
+      .drop("__total")
   }
 }

@@ -78,6 +78,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(relSet == Set((1L, 2L), (3L, 4L), (3L, 5L)))
   }
 
+  test("Prefix.cumSums matches a single-partition window, with ties, across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5k rows, scores drawn from 500 distinct values → guaranteed ties and
+    // multiple range partitions at shufflePartitions=32
+    val df = (0 until 5000)
+      .map(i => ((i * 2654435761L % 500) / 500.0, (i % 3 == 0): Boolean))
+      .toDF("score", "flag")
+      .withColumn("w", col("flag").cast("double"))
+      .groupBy("score").agg(sum("w").as("pos"), count(lit(1)).as("cnt"))
+    val got = graft.core.Prefix.cumSums(df, Seq(desc("score")), Seq("pos", "cnt"))
+      .select("score", "__cum_pos", "__cum_cnt").collect()
+      .map(r => (r.getDouble(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cp", sum(col("pos").cast("double")).over(w))
+      .withColumn("cc", sum(col("cnt").cast("double")).over(w))
+      .select("score", "cp", "cc").collect()
+      .map(r => (r.getDouble(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == want)
+  }
+
+  test("Prefix.globalIndex is the dense 0..n-1 rank in sort order") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => f"k${(i * 7919) % 2000}%05d").toDF("k")
+    val out = graft.core.Prefix.globalIndex(keys, Seq(col("k")), "idx")
+      .orderBy("k").collect().map(_.getAs[Long]("idx"))
+    assert(out.toSeq == (0L until 2000L))
+  }
+
   test("labelDistribution sums to 1") {
     import spark.implicits._
     val df = Seq(0, 0, 0, 1, 2, 2).toDF("label")
