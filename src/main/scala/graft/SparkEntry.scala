@@ -258,8 +258,10 @@ object SparkEntry {
     }),
 
     "q_cluster_members" -> ((s, dir) => {
+      // texts emitted as a sorted joined string: the driver compare sorts and
+      // hashes cell values, which an array<string> column would crash
       graft.train.TrainPrep.clusterMembers(
-          ld(s, dir, "documents"), "lang", Seq("source"))
+          ld(s, dir, "documents"), "lang", Seq("source"), memberSep = Some("|"))
         .orderBy(col("cluster"))
     }),
 
@@ -611,7 +613,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cluster_members" ->
-      """SELECT lang AS cluster, list_sort(list_distinct(array_agg(source))) AS texts
+      """SELECT lang AS cluster,
+        |  array_to_string(list_sort(list_distinct(array_agg(source))), '|') AS texts
         |FROM documents GROUP BY lang ORDER BY cluster""".stripMargin,
 
     "q_ir_eval_relevant" ->

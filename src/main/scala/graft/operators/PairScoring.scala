@@ -44,7 +44,14 @@ object PairScoring {
     val r = embedder.embed(
       r0.withColumn("__t", Serialize.serializeColumns(rightOn.map(r0(_)), sep)), "__t", "__v2")
       .withColumnsRenamed(rightOn.filter(leftOn.contains).map(c => c -> (c + "_y")).toMap)
-    l.drop("__t").crossJoin(broadcast(r.drop("__t")))
+    // broadcast only when the embedded right side fits the configured bound —
+    // an unguarded broadcast of a large df2 OOMs executors; above the bound the
+    // plain crossJoin shuffles instead (the pair table is O(n·m) either way).
+    val rhs = r.drop("__t")
+    val joined =
+      if (VecScan.fitsBroadcast(rhs, "__v2")) l.drop("__t").crossJoin(broadcast(rhs))
+      else l.drop("__t").crossJoin(rhs)
+    joined
       .withColumn("score", cosineNormalized(col("__v1"), col("__v2")))
       .drop("__v1", "__v2")
   }

@@ -17,15 +17,24 @@ import org.apache.spark.sql.functions._
   * [-1,1] clamp, same (score desc, id asc) tie-break.
   *
   * Scale posture: the scan distributes over left partitions with zero shuffle;
-  * the broadcast is bounded by [[VecScan.MaxBroadcastBytes]] and callers fall
+  * the broadcast is bounded by [[VecScan.maxBroadcastBytes]] and callers fall
   * back to the shuffle/crossJoin plan (or IVF) above that.
   */
 object VecScan {
 
-  /** Right side must stay under this to take the broadcast path (1 GiB of
-    * packed doubles — comfortable for a 1000-executor cluster broadcast).
+  /** Right side must stay under this to take the broadcast path. The default
+    * (256 MiB of packed doubles) leaves headroom under Spark's default
+    * `spark.driver.maxResultSize=1g`: [[collectMat]] pulls the matrix through
+    * the driver, so a bound near 1 GiB kills the job with a confusing
+    * driver-side error instead of falling back to the shuffle plan. Tune with
+    * `spark.graft.vecscan.maxBroadcastBytes` (raise it together with
+    * maxResultSize / driver memory).
     */
-  val MaxBroadcastBytes: Long = 1L << 30
+  val DefaultMaxBroadcastBytes: Long = 256L << 20
+  val MaxBroadcastBytesKey = "spark.graft.vecscan.maxBroadcastBytes"
+
+  def maxBroadcastBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(MaxBroadcastBytesKey).map(_.toLong).getOrElse(DefaultMaxBroadcastBytes)
 
   private[operators] final case class Mat(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
 
@@ -63,13 +72,14 @@ object VecScan {
     * count and dim come from a single aggregate.
     */
   def fitsBroadcast(right: DataFrame, vecCol: String, dim: => Int = 0): Boolean = {
+    val bound = maxBroadcastBytes(right.sparkSession)
     if (dim > 0) {
-      right.count() * dim.toLong * 8L <= MaxBroadcastBytes
+      right.count() * dim.toLong * 8L <= bound
     } else {
       val r = right.agg(count(lit(1)), first(size(col(vecCol)), ignoreNulls = true)).first()
       val n = r.getLong(0)
       val d = if (r.isNullAt(1)) 1 else math.max(r.getInt(1), 1)
-      n * d.toLong * 8L <= MaxBroadcastBytes
+      n * d.toLong * 8L <= bound
     }
   }
 

@@ -25,10 +25,22 @@ object TrainPrep {
     * ranks + per-partition offsets) — no single-task global window anywhere,
     * even when the distinct-key set itself is large.
     */
-  def assignGroupIds(df: DataFrame, keys: Seq[String], outCol: String = "group_id"): DataFrame = {
+  /** Broadcast the key→id mapping only below this row count; above it the
+    * distinct-key set is itself big data (high-cardinality keys at 100 TB) and
+    * a forced broadcast would blow executor memory — fall through to a plain
+    * equi-join and let Catalyst pick SMJ/shuffled-hash.
+    */
+  val MaxBroadcastGroupKeys: Long = 4L * 1000 * 1000
+
+  def assignGroupIds(
+      df: DataFrame, keys: Seq[String], outCol: String = "group_id",
+      maxBroadcastKeys: Long = MaxBroadcastGroupKeys): DataFrame = {
     val mapping = graft.core.Prefix.globalIndex(
       df.select(keys.map(col): _*).distinct(), keys.map(col), outCol)
-    df.join(broadcast(mapping), keys)
+    // mapping is localCheckpoint-backed (Prefix.cumSums), so this count is a
+    // cheap scan of the materialized distinct-key set, not a recompute
+    val small = mapping.count() <= maxBroadcastKeys
+    df.join(if (small) broadcast(mapping) else mapping, keys)
   }
 
   /** Cluster labels from positive pairs: edges (leftId, rightId) → connected
@@ -75,14 +87,21 @@ object TrainPrep {
     }
   }
 
-  /** Train dict {cluster → member texts}, deduped (reference: preprocess.py:581-587). */
+  /** Train dict {cluster → member texts}, deduped (reference: preprocess.py:581-587).
+    *
+    * `memberSep = Some(s)` emits `texts` as one sorted `s`-joined string instead
+    * of `array<string>` — the hashable form for flat-file sinks and row-compare
+    * harnesses that cannot sort/hash array cells.
+    */
   def clusterMembers(
       df: DataFrame, clusterCol: String, textCols: Seq[String],
-      sep: String = Serialize.DefaultSep): DataFrame = {
+      sep: String = Serialize.DefaultSep,
+      memberSep: Option[String] = None): DataFrame = {
     val withText = df.withColumn("__text",
       Serialize.serializeColumns(textCols.map(df(_)), sep))
+    val members = sort_array(collect_set(col("__text")))
     withText.groupBy(col(clusterCol).as("cluster"))
-      .agg(sort_array(collect_set(col("__text"))).as("texts"))
+      .agg(memberSep.fold(members)(s => array_join(members, s)).as("texts"))
   }
 
   /** IR-eval structures: (queries, corpus, relevant_docs) as three DataFrames

@@ -450,4 +450,61 @@ class EngineSpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  // --- broadcast guards -----------------------------------------------------
+
+  test("vecscan bound is config-driven; oversized right side falls back, same results") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.9, 0.1, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)), (4L, Array(0.0, 0.9, 0.1)),
+      (5L, Array(0.0, 0.0, 1.0))).toDF("id", "vec")
+    def run() = SemanticJoin.knnJoinVec(e, "id", "vec", e, "id", "vec", k = 2, excludeSelf = true)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Int]("rank"))).toSet
+    val viaBroadcast = run()
+    spark.conf.set(VecScan.MaxBroadcastBytesKey, "1")
+    try {
+      assert(!VecScan.fitsBroadcast(e, "vec"))
+      assert(run() == viaBroadcast)
+    } finally spark.conf.unset(VecScan.MaxBroadcastBytesKey)
+    assert(VecScan.fitsBroadcast(e, "vec"))
+  }
+
+  test("allPairCombos drops the broadcast hint when the right side exceeds the bound") {
+    import spark.implicits._
+    val d1 = Seq(("a", 1), ("b", 2)).toDF("name", "x")
+    val d2 = Seq(("c", 3), ("d", 4)).toDF("name", "y")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+    val hinted = PairScoring.allPairCombos(d1, Seq("name"), d2, Seq("name"), emb)
+    assert(planOf(hinted).contains("broadcast"))
+    spark.conf.set(VecScan.MaxBroadcastBytesKey, "1")
+    try {
+      val plain = PairScoring.allPairCombos(d1, Seq("name"), d2, Seq("name"), emb)
+      assert(!planOf(plain).contains("broadcast"))
+      // results identical either way
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows(plain.select(col("name"), col("name_y"))) ==
+        rows(hinted.select(col("name"), col("name_y"))))
+    } finally spark.conf.unset(VecScan.MaxBroadcastBytesKey)
+  }
+
+  test("assignGroupIds: oversized key set joins without a forced broadcast, same result") {
+    import spark.implicits._
+    val df = Seq("b", "a", "b", "c", "a").toDF("k")
+    def ids(maxKeys: Long) = graft.train.TrainPrep.assignGroupIds(df, Seq("k"), maxBroadcastKeys = maxKeys)
+    // hint census: the guarded variant must carry strictly fewer broadcast
+    // hints (the tiny Prefix offsets broadcast legitimately remains)
+    def hints(d: org.apache.spark.sql.DataFrame) =
+      "broadcast".r.findAllIn(d.queryExecution.optimizedPlan.toString.toLowerCase).size
+    val forced = ids(Long.MaxValue)
+    val guarded = ids(0L)
+    assert(hints(guarded) < hints(forced))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+    assert(asMap(guarded) == asMap(forced))
+    assert(asMap(forced).keySet.map(_._2) == Set(0L, 1L, 2L))
+  }
 }
