@@ -295,7 +295,27 @@ object SparkEntry {
           round(col("precision_at_5"), 6).as("precision_at_5"),
           round(col("recall_at_5"), 6).as("recall_at_5"),
           round(col("mrr_at_5"), 6).as("mrr_at_5"),
-          round(col("ndcg_at_5"), 6).as("ndcg_at_5"))
+          round(col("ndcg_at_5"), 6).as("ndcg_at_5"),
+          round(col("map_at_5"), 6).as("map_at_5"))
+    }),
+
+    "q_binary_eval" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val a = e.select(col("vec_id"), col("label").as("__la"), col("embedding").as("v1"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("label").as("__lb"),
+        col("embedding").as("v2"))
+      val pairs = a.join(b, Seq("vec_id"))
+        .select(col("v1"), col("v2"), (col("__la") === col("__lb")).cast("int").as("label"))
+      PairScoring.binaryClassificationMetrics(pairs, "v1", "v2", "label")
+        .select(col("score_fn"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("accuracy_threshold"), 6).as("accuracy_threshold"),
+          round(col("f1"), 6).as("f1"),
+          round(col("f1_threshold"), 6).as("f1_threshold"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("ap"), 6).as("ap"))
+        .orderBy(col("score_fn"))
     }),
 
     "q_best_f1" -> ((s, dir) => {
@@ -424,6 +444,57 @@ object SparkEntry {
 
   private val CosSelf =
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+  /** Sequential left-to-right double fold over pairs of embedding elements —
+    * matches Spark's `aggregate(zip_with(...))` accumulation order exactly.
+    */
+  private def pairFold(term: String): String =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+      "list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), " +
+      s"x -> $term)), (p, q) -> p + q)"
+
+  /** One score-function leg of the binary-eval oracle: PR/accuracy curve over
+    * distinct scores (ties grouped), best rows by (metric desc, threshold
+    * direction), AP = Σ pos·precision / totalPos — mirrors
+    * PairScoring.bestBinaryMetrics exactly.
+    */
+  private def binaryLeg(fn: String, scoreExpr: String, higher: Boolean): String = {
+    val ord = if (higher) "DESC" else "ASC"
+    s"""t_$fn AS (SELECT $scoreExpr AS score,
+       |  CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END AS label
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+       |g_$fn AS (SELECT score, sum(label) AS pos, count(*) AS cnt FROM t_$fn GROUP BY score),
+       |tot_$fn AS (SELECT sum(pos) AS tpos, sum(cnt) AS tn FROM g_$fn),
+       |c_$fn AS (SELECT score, pos,
+       |  sum(pos) OVER (ORDER BY score $ord ROWS UNBOUNDED PRECEDING) AS tp,
+       |  sum(cnt) OVER (ORDER BY score $ord ROWS UNBOUNDED PRECEDING) AS n FROM g_$fn),
+       |m_$fn AS (SELECT score, pos, tp / n AS prec,
+       |  CASE WHEN tpos > 0 THEN tp / tpos ELSE 0.0 END AS rec,
+       |  (tp + (tn - n) - (tpos - tp)) / tn AS acc FROM c_$fn, tot_$fn),
+       |f_$fn AS (SELECT *, CASE WHEN prec + rec > 0
+       |  THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM m_$fn),
+       |r_$fn AS (SELECT '$fn' AS score_fn,
+       |  (SELECT round(acc, 6) FROM f_$fn ORDER BY acc DESC, score $ord LIMIT 1) AS accuracy,
+       |  (SELECT round(score, 6) FROM f_$fn ORDER BY acc DESC, score $ord LIMIT 1) AS accuracy_threshold,
+       |  (SELECT round(f1, 6) FROM f_$fn ORDER BY f1 DESC, score $ord LIMIT 1) AS f1,
+       |  (SELECT round(score, 6) FROM f_$fn ORDER BY f1 DESC, score $ord LIMIT 1) AS f1_threshold,
+       |  (SELECT round(prec, 6) FROM f_$fn ORDER BY f1 DESC, score $ord LIMIT 1) AS precision,
+       |  (SELECT round(rec, 6) FROM f_$fn ORDER BY f1 DESC, score $ord LIMIT 1) AS recall,
+       |  (SELECT round(sum(pos * prec) / max(tpos), 6) FROM f_$fn, tot_$fn) AS ap)""".stripMargin
+  }
+
+  private def binaryEvalOracle: String = {
+    val legs = Seq(
+      binaryLeg("cossim", CosSelf, higher = true),
+      binaryLeg("manhattan", pairFold("abs(x[1] - x[2])"), higher = false),
+      binaryLeg("euclidean", "sqrt(" + pairFold("(x[1] - x[2]) * (x[1] - x[2])") + ")", higher = false),
+      binaryLeg("dot", pairFold("x[1] * x[2]"), higher = true))
+    "WITH " + legs.mkString(",\n") +
+      """
+        |SELECT * FROM r_cossim UNION ALL SELECT * FROM r_manhattan
+        |UNION ALL SELECT * FROM r_euclidean UNION ALL SELECT * FROM r_dot
+        |ORDER BY score_fn""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -634,18 +705,25 @@ object SparkEntry {
          |      FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
          |r AS (SELECT l, r, la, lb, score,
          |      row_number() OVER (PARTITION BY l ORDER BY score DESC, r) AS rnk FROM s),
-         |k AS (SELECT r.l, r.rnk, CASE WHEN la = lb THEN 1.0 ELSE 0.0 END AS rel, n.n_rel
+         |k AS (SELECT r.l, r.rnk, CASE WHEN la = lb THEN 1.0 ELSE 0.0 END AS rel, n.n_rel,
+         |      sum(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END)
+         |        OVER (PARTITION BY r.l ORDER BY rnk) AS cumrel
          |      FROM r JOIN nrel n ON n.label = r.la WHERE rnk <= 5),
          |pq AS (SELECT l, max(rel) AS hit, sum(rel) / 5 AS p, sum(rel) / max(n_rel) AS rc,
          |       max(CASE WHEN rel = 1.0 THEN 1.0 / rnk ELSE 0.0 END) AS rr,
          |       sum(CASE WHEN rel = 1.0 THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg,
+         |       sum(CASE WHEN rel = 1.0 THEN cumrel / rnk ELSE 0.0 END) AS sum_prec,
          |       max(n_rel) AS nr FROM k GROUP BY l),
          |pq2 AS (SELECT *, list_sum(list_transform(range(1, CAST(least(nr, 5) AS INT) + 1),
          |        i -> 1.0 / log2(i + 1))) AS idcg FROM pq)
          |SELECT round(avg(hit), 6) AS accuracy_at_5, round(avg(p), 6) AS precision_at_5,
          |  round(avg(rc), 6) AS recall_at_5, round(avg(rr), 6) AS mrr_at_5,
-         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) AS ndcg_at_5
+         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) AS ndcg_at_5,
+         |  round(avg(CASE WHEN least(nr, 5) > 0 THEN sum_prec / least(nr, 5) ELSE 0.0 END), 6)
+         |    AS map_at_5
          |FROM pq2""".stripMargin,
+
+    "q_binary_eval" -> binaryEvalOracle,
 
     "q_best_f1" ->
       s"""WITH s AS (

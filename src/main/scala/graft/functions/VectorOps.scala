@@ -42,6 +42,20 @@ object VectorOps {
   /** Cosine for pre-L2-normalized vectors (skips the norm recomputation). */
   def cosineNormalized(a: Column, b: Column): Column = dot(a, b)
 
+  /** Manhattan (L1) distance — sequential left-to-right double fold, matching
+    * DuckDB `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b),
+    * x -> abs(x[1]-x[2]))), (p,q) -> p+q)` for oracle bit-parity
+    * (reference: modified_sbert/evaluation.py:455, paired_manhattan_distances).
+    */
+  def manhattan(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean (L2) distance — sqrt of a sequential sum of squared diffs
+    * (reference: evaluation.py:456, paired_euclidean_distances).
+    */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
   /** L2-normalize with the reference's epsilon clip (reference: infer.py:815-816). */
   def l2Normalize(a: Column): Column =
     transform(a, x => x / greatest(sqrt(aggregate(zip_with(a, a, (p, q) => p * q),

@@ -4,6 +4,7 @@ import graft.core.Serialize
 import graft.embed.Embedder
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise similarity scoring and retrieval-quality metrics.
@@ -60,15 +61,20 @@ object PairScoring {
     *
     * Input: `(queryId, rank, isRelevant, nRelevant)` — one row per retrieved
     * candidate, rank 1-based. Output: one row of
-    * accuracy@k / precision@k / recall@k / mrr@k / ndcg@k averaged over queries
-    * (reference: modified_sbert/evaluation.py:294-405).
+    * accuracy@k / precision@k / recall@k / mrr@k / ndcg@k / map@k averaged over
+    * queries (reference: modified_sbert/evaluation.py:294-405; MAP@k per
+    * evaluation.py:357-368: per query, sum over relevant hits of
+    * precision-at-their-rank, normalized by min(k, nRelevant)).
     */
   def retrievalMetrics(
       ranked: DataFrame, queryCol: String, rankCol: String,
       relevantCol: String, nRelevantCol: String, k: Int): DataFrame = {
     val q = col(queryCol)
-    val inK = ranked.filter(col(rankCol) <= k)
     val rel = col(relevantCol).cast("double")
+    // per-query windows partition on the query key — fully parallel at scale
+    val wq = Window.partitionBy(q).orderBy(col(rankCol))
+    val inK = ranked.filter(col(rankCol) <= k)
+      .withColumn("__cumrel", sum(rel).over(wq))
     val perQuery = inK.groupBy(q.as("query"))
       .agg(
         max(rel).as("hit"),
@@ -76,16 +82,20 @@ object PairScoring {
         (sum(rel) / first(col(nRelevantCol))).as("r_at_k"),
         max(when(rel === 1.0, lit(1.0) / col(rankCol)).otherwise(lit(0.0))).as("rr"),
         sum(when(rel === 1.0, lit(1.0) / log2(col(rankCol) + 1)).otherwise(lit(0.0))).as("dcg"),
+        sum(when(rel === 1.0, col("__cumrel") / col(rankCol)).otherwise(lit(0.0))).as("sum_prec"),
         first(col(nRelevantCol)).as("n_rel"))
       // ideal DCG: relevant docs at ranks 1..min(nRel,k)
       .withColumn("idcg", expr(s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0d, (a, i) -> a + 1.0d / log2(i + 1))"))
       .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+      .withColumn("ap", when(least(col("n_rel"), lit(k)) > 0,
+        col("sum_prec") / least(col("n_rel"), lit(k))).otherwise(lit(0.0)))
     perQuery.agg(
       avg("hit").as(s"accuracy_at_$k"),
       avg("p_at_k").as(s"precision_at_$k"),
       avg("r_at_k").as(s"recall_at_$k"),
       avg("rr").as(s"mrr_at_$k"),
-      avg("ndcg").as(s"ndcg_at_$k"))
+      avg("ndcg").as(s"ndcg_at_$k"),
+      avg("ap").as(s"map_at_$k"))
   }
 
   /** Best-F1 threshold over (score, label) pairs — the reference tunes this with
@@ -116,5 +126,110 @@ object PairScoring {
         .otherwise(lit(0.0)))
     curve.orderBy(desc("f1"), desc("score")).limit(1)
       .select(col("score").as("threshold"), col("f1"), col("precision"), col("recall"))
+  }
+
+  /** One output row of [[binaryClassificationMetrics]]. */
+  final case class BinaryEvalRow(
+      score_fn: String,
+      accuracy: Double, accuracy_threshold: Double,
+      f1: Double, f1_threshold: Double,
+      precision: Double, recall: Double, ap: Double)
+
+  /** Binary-classification pair evaluator over four score functions —
+    * cosine / manhattan / euclidean / dot — each with best accuracy+threshold,
+    * best F1 / precision / recall + threshold, and average precision
+    * (reference: modified_sbert/evaluation.py:409-498; csv headers 436-440).
+    *
+    * Input: `(vec1, vec2, label∈{0,1})`, one row per pair. Output: 4 rows, one
+    * per score function. For similarity scores (cossim, dot) a pair is
+    * predicted positive when score ≥ threshold; for distances (manhattan,
+    * euclidean) when score ≤ threshold — the reference's `reverse` flag
+    * (evaluation.py:464).
+    *
+    * Scale shape: the pair table is scanned ONCE to produce all four score
+    * columns (localCheckpoint), then each score function reduces to a
+    * per-distinct-score aggregate and runs the same distributed prefix sweep
+    * as [[bestF1Threshold]] — accuracy, F1, and AP all come from one PR-curve
+    * scan; no unpartitioned windows, no driver-side sort of the pair table.
+    * Tied scores are grouped (threshold semantics over ties are exact rather
+    * than the reference's row-by-row scan, which splits ties arbitrarily).
+    */
+  def binaryClassificationMetrics(
+      pairs: DataFrame, vec1Col: String, vec2Col: String, labelCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val v1 = asDouble(col(vec1Col))
+    val v2 = asDouble(col(vec2Col))
+    val scored = pairs.select(
+      cosine(v1, v2).as("cossim"),
+      manhattan(v1, v2).as("manhattan"),
+      euclidean(v1, v2).as("euclidean"),
+      dot(v1, v2).as("dot"),
+      col(labelCol).cast("double").as("label"))
+      .localCheckpoint(true)
+    val fns = Seq(("cossim", true), ("manhattan", false), ("euclidean", false), ("dot", true))
+    val rows = fns.map { case (name, higherIsBetter) =>
+      bestBinaryMetrics(scored.select(col(name).as("score"), col("label")), higherIsBetter)
+        .copy(score_fn = name)
+    }
+    spark.createDataFrame(rows)
+  }
+
+  /** Threshold sweep for one score column: one distributed prefix scan over the
+    * per-distinct-score aggregate yields accuracy/F1 at every threshold and AP.
+    *
+    * AP uses the PR-curve identity Σ (R_i − R_{i−1})·P_i with
+    * R_i − R_{i−1} = pos_i / totalPos, so it needs no adjacent-row access —
+    * a plain aggregate over the curve (same semantics as sklearn
+    * `average_precision_score`, reference evaluation.py:469).
+    */
+  private def bestBinaryMetrics(s: DataFrame, higherIsBetter: Boolean): BinaryEvalRow = {
+    val perScore = s.groupBy("score")
+      .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totals = perScore.agg(sum("pos"), sum("cnt")).first()
+    val totalPos = totals.getDouble(0)
+    val totalN = totals.getLong(1).toDouble
+    val sortKey = if (higherIsBetter) desc("score") else asc("score")
+    val tieBreak = if (higherIsBetter) desc("score") else asc("score")
+    val curve = graft.core.Prefix.cumSums(perScore, Seq(sortKey), Seq("pos", "cnt"))
+      .select(col("score"), col("pos"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
+      .withColumn("precision", col("tp") / col("n"))
+      .withColumn("recall", when(lit(totalPos) > 0, col("tp") / lit(totalPos)).otherwise(lit(0.0)))
+      .withColumn("accuracy", (col("tp") + (lit(totalN) - col("n")) - (lit(totalPos) - col("tp"))) / lit(totalN))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(lit(0.0)))
+      .localCheckpoint(true)
+    val bestAcc = curve.orderBy(desc("accuracy"), tieBreak).limit(1)
+      .select("accuracy", "score").first()
+    val bestF1 = curve.orderBy(desc("f1"), tieBreak).limit(1)
+      .select("f1", "score", "precision", "recall").first()
+    val ap =
+      if (totalPos == 0) 0.0
+      else curve.agg(sum(col("pos") * col("precision"))).first().getDouble(0) / totalPos
+    BinaryEvalRow("", bestAcc.getDouble(0), bestAcc.getDouble(1),
+      bestF1.getDouble(0), bestF1.getDouble(1), bestF1.getDouble(2), bestF1.getDouble(3), ap)
+  }
+
+  /** Text-level wrapper: serialize + embed both sides, then run the
+    * four-function evaluator. Distinct texts are embedded once across both
+    * sides (the reference dedupes the union of sentence lists before encoding,
+    * evaluation.py:448-451) — at 100 TB the embed stage dominates, so the
+    * dedup-embed-join shape matters more than it looks.
+    */
+  def evaluateBinaryPairs(
+      df: DataFrame, leftOn: Seq[String], rightOn: Seq[String], labelCol: String,
+      embedder: Embedder, sep: String = Serialize.DefaultSep): DataFrame = {
+    val withTexts = df.select(
+      Serialize.serializeColumns(leftOn.map(df(_)), sep).as("__t1"),
+      Serialize.serializeColumns(rightOn.map(df(_)), sep).as("__t2"),
+      col(labelCol).as("__label"))
+    val texts = withTexts.select(col("__t1").as("__t"))
+      .union(withTexts.select(col("__t2"))).distinct()
+    val embedded = embedder.embed(texts, "__t", "__v").localCheckpoint(true)
+    val paired = withTexts
+      .join(embedded.select(col("__t").as("__t1"), col("__v").as("__v1")), Seq("__t1"))
+      .join(embedded.select(col("__t").as("__t2"), col("__v").as("__v2")), Seq("__t2"))
+    binaryClassificationMetrics(paired, "__v1", "__v2", "__label")
   }
 }

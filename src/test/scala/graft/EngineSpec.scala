@@ -451,6 +451,70 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  // --- eval metrics ---------------------------------------------------------
+
+  test("retrievalMetrics: MAP@k matches the hand-computed average precision") {
+    import spark.implicits._
+    // one query, hits at ranks 1 and 3 of 5, 2 relevant docs total:
+    // AP = (1/1 + 2/3) / min(2, 5) = 5/6
+    val ranked = Seq(
+      (1L, 1, 1, 2), (1L, 2, 0, 2), (1L, 3, 1, 2), (1L, 4, 0, 2), (1L, 5, 0, 2))
+      .toDF("q", "rank", "rel", "n_rel")
+    val m = PairScoring.retrievalMetrics(ranked, "q", "rank", "rel", "n_rel", k = 5).head()
+    assert(math.abs(m.getAs[Double]("map_at_5") - 5.0 / 6.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mrr_at_5") - 1.0) < 1e-12)
+  }
+
+  test("binaryClassificationMetrics: perfect separation gives 1.0 across all four fns") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1),
+      (Array(0.0, 1.0), Array(0.0, 1.0), 1),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0),
+      (Array(0.0, 1.0), Array(1.0, 0.0), 0)).toDF("v1", "v2", "label")
+    val out = PairScoring.binaryClassificationMetrics(pairs, "v1", "v2", "label").collect()
+    assert(out.map(_.getAs[String]("score_fn")).toSet ==
+      Set("cossim", "manhattan", "euclidean", "dot"))
+    out.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0, r.toString)
+      assert(r.getAs[Double]("f1") == 1.0, r.toString)
+      assert(r.getAs[Double]("ap") == 1.0, r.toString)
+    }
+    // distance thresholds sit at the positive-pair distances (0), similarity at 1
+    val byFn = out.map(r => r.getAs[String]("score_fn") -> r).toMap
+    assert(byFn("cossim").getAs[Double]("f1_threshold") == 1.0)
+    assert(byFn("manhattan").getAs[Double]("f1_threshold") == 0.0)
+  }
+
+  test("binaryClassificationMetrics: imperfect split yields the exact sklearn-style AP") {
+    import spark.implicits._
+    // cossim scores: 1.0(pos), 0.8(neg), 0.6(pos), 0.0(neg)
+    // desc sweep: prec at groups = 1/1, 1/2, 2/3, 2/4; AP = (1*1 + 1*(2/3)) / 2
+    val pairs = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1),
+      (Array(1.0, 0.0), Array(0.8, math.sqrt(1 - 0.64)), 0),
+      (Array(1.0, 0.0), Array(0.6, 0.8), 1),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0)).toDF("v1", "v2", "label")
+    val cos = PairScoring.binaryClassificationMetrics(pairs, "v1", "v2", "label")
+      .filter(col("score_fn") === "cossim").head()
+    assert(math.abs(cos.getAs[Double]("ap") - (1.0 + 2.0 / 3.0) / 2.0) < 1e-9)
+    // best F1: threshold 0.6 → P=2/3, R=1, F1=0.8
+    assert(math.abs(cos.getAs[Double]("f1") - 0.8) < 1e-9)
+    assert(math.abs(cos.getAs[Double]("f1_threshold") - 0.6) < 1e-9)
+  }
+
+  test("evaluateBinaryPairs embeds each distinct text once and returns 4 rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("Apple Inc", "Apple Inc", 1), ("Apple Inc", "Zalando", 0),
+      ("Tesla Motors", "Tesla Motors", 1), ("Carrefour", "Microsoft", 0))
+      .toDF("l", "r", "y")
+    val out = PairScoring.evaluateBinaryPairs(df, Seq("l"), Seq("r"), "y", emb).collect()
+    assert(out.length == 4)
+    val cos = out.find(_.getAs[String]("score_fn") == "cossim").get
+    assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
+  }
+
   // --- broadcast guards -----------------------------------------------------
 
   test("vecscan bound is config-driven; oversized right side falls back, same results") {
