@@ -265,6 +265,19 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    "q_prep_paired" -> ((s, dir) => {
+      // check_and_prep_data core: null-drop, dedup on left+right keys
+      // keep-first, dense string ids from sorted distinct keys, text columns
+      val docs = ld(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("y"))
+      graft.train.Preprocess.checkAndPrepData(
+          docs, leftCols = Seq("text"), rightCols = Seq("source"),
+          labelCol = Some("y"), ordCol = Some("doc_id"))
+        .select("left_id", "right_id", "left_text", "right_text", "y")
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
     "q_ir_eval_relevant" -> ((s, dir) => {
       val (_, _, rel) = graft.train.TrainPrep.irEvalSplit(
         ld(s, dir, "documents"), "doc_id", "lang", "text")
@@ -687,6 +700,17 @@ object SparkEntry {
       """SELECT lang AS cluster,
         |  array_to_string(list_sort(list_distinct(array_agg(source))), '|') AS texts
         |FROM documents GROUP BY lang ORDER BY cluster""".stripMargin,
+
+    "q_prep_paired" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source, CAST(doc_id % 2 AS INT) AS y,
+        |    row_number() OVER (PARTITION BY text, source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |u AS (SELECT * FROM d WHERE rn = 1)
+        |SELECT CAST(dense_rank() OVER (ORDER BY text) - 1 AS VARCHAR) || '_l' AS left_id,
+        |       CAST(dense_rank() OVER (ORDER BY source) - 1 AS VARCHAR) || '_r' AS right_id,
+        |       text AS left_text, source AS right_text, y
+        |FROM u ORDER BY left_id, right_id""".stripMargin,
 
     "q_ir_eval_relevant" ->
       """WITH q AS (SELECT lang, min(doc_id) AS qid FROM documents GROUP BY lang)

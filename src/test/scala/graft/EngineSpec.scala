@@ -515,6 +515,92 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- preprocess dispatch --------------------------------------------------
+
+  test("preprocessAnyData: mutual-exclusion rules match the reference") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq(("a", "b", 1, 7)).toDF("l", "r", "y", "c")
+    def err(f: => Any): String = intercept[IllegalArgumentException](f).getMessage
+    assert(err(Preprocess.preprocessAnyData(df, labelCol = Some("y"), clusIdCol = Some("c")))
+      .contains("Not both"))
+    assert(err(Preprocess.preprocessAnyData(df, labelCol = Some("y"), clusTextCols = Seq("l")))
+      .contains("Not both"))
+    assert(err(Preprocess.preprocessAnyData(df, clusIdCol = Some("c")))
+      .contains("cluster_text_col_name"))
+    assert(err(Preprocess.preprocessAnyData(df, clusTextCols = Seq("l")))
+      .contains("clusterid_col_name"))
+    // routing: label → paired, cluster pair → clus, neither → linkage
+    assert(Preprocess.preprocessAnyData(df, Seq("l"), Seq("r"), labelCol = Some("y"))
+      .isInstanceOf[Preprocess.PairedPrep])
+    assert(Preprocess.preprocessAnyData(df, clusIdCol = Some("c"), clusTextCols = Seq("l"))
+      .isInstanceOf[Preprocess.ClusPrep])
+    assert(Preprocess.preprocessAnyData(df, Seq("l"), Seq("r"))
+      .isInstanceOf[Preprocess.LinkagePrep])
+  }
+
+  test("checkAndPrepData: missing columns raise with the reference's message") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq(("a", "b")).toDF("l", "r")
+    val e = intercept[IllegalArgumentException](
+      Preprocess.checkAndPrepData(df, Seq("nope"), Seq("r")))
+    assert(e.getMessage.contains("Column nope not present in data"))
+  }
+
+  test("checkAndPrepData: null-drop, dedup keep-first, dense ids, text cols") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq(
+      (1L, Some("b"), "x", 1), (2L, Some("a"), "y", 0),
+      (3L, Some("b"), "x", 1),             // dup of row 1 → dropped (keep-first)
+      (4L, Option.empty[String], "z", 0))  // all-left-null → dropped
+      .toDF("ord", "l", "r", "y")
+    val out = Preprocess.checkAndPrepData(df, Seq("l"), Seq("r"),
+      labelCol = Some("y"), ordCol = Some("ord"))
+      .select("ord", "left_id", "right_id", "left_text", "right_text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out.length == 2)
+    // ids rank sorted distinct keys: "a"→0_l, "b"→1_l; "x"→0_r, "y"→1_r
+    assert(out(0) == ((1L, "1_l", "0_r", "b", "x")))
+    assert(out(1) == ((2L, "0_l", "1_r", "a", "y")))
+  }
+
+  test("prepPairedLabelData: positives cluster via CC, members deduped; val pairs shaped") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq(
+      (1L, "a1", "b1", 1), (2L, "a1", "b2", 1), // a1-b1, a1-b2 → one component
+      (3L, "a2", "b3", 1),
+      (4L, "a3", "b1", 0))                      // negative: no edge
+      .toDF("ord", "l", "r", "y")
+    val prep = Preprocess.prepPairedLabelData(df, Seq("l"), Seq("r"),
+      labelCol = "y", valPct = 0, testAtEnd = false, ordCol = Some("ord"))
+    val members = prep.train.collect()
+      .map(r => r.getAs[Seq[String]]("texts").toSet).toSet
+    // valPct=0 → everything lands in train
+    assert(members == Set(Set("a1", "b1", "b2"), Set("a2", "b3")))
+    assert(prep.valPairs.columns.toSeq == Seq("left_text", "right_text", "label"))
+    assert(prep.testPairs.isEmpty)
+  }
+
+  test("prepClusData: per-cluster query/corpus split with full relevance") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq(
+      (1L, "t1", "g1"), (2L, "t2", "g1"), (3L, "t3", "g1"), (4L, "t4", "g1"),
+      (5L, "u1", "g2"), (6L, "u2", "g2"))
+      .toDF("ord", "txt", "grp")
+    val prep = Preprocess.prepClusData(df, Seq("txt"), "grp",
+      valPct = 100, queryProp = 0.5, testAtEnd = false, ordCol = Some("ord"))
+    // valPct=100 → all clusters in val; 4-member cluster → 2 queries × 2 corpus,
+    // 2-member cluster → 1 × 1: 5 relevant pairs total
+    val ir = prep.valIr
+    assert(ir.queries.count() == 3 && ir.corpus.count() == 3)
+    assert(ir.relevant.count() == 2 * 2 + 1)
+  }
+
   // --- broadcast guards -----------------------------------------------------
 
   test("vecscan bound is config-driven; oversized right side falls back, same results") {
