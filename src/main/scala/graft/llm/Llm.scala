@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.core.Serialize
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -109,13 +110,15 @@ object Llm {
       Serialize.serializeColumns(on.map(df(_)), sep))
     val schema = serialized.schema.add(StructField(outCol, IntegerType, nullable = false))
     val textIdx = serialized.schema.fieldNames.indexOf("__graft_text")
-    val out = serialized.sparkSession.createDataFrame(
-      serialized.rdd.mapPartitions { it =>
-        it.grouped(batchSize).flatMap { rows =>
-          val preds = clf.classify(rows.map(r => Option(r.getString(textIdx)).getOrElse("")))
-          rows.zip(preds).map { case (r, p) => Row.fromSeq(r.toSeq :+ p) }
-        }
-      }, schema)
+    // typed mapPartitions (single serialization fence), not df.rdd — the RDD
+    // hop pays an extra InternalRow→Row conversion and breaks codegen around
+    // the stage (pattern: Multimodal.withMediaMeta)
+    val out = serialized.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val preds = clf.classify(rows.map(r => Option(r.getString(textIdx)).getOrElse("")))
+        rows.zip(preds).map { case (r, p) => Row.fromSeq(r.toSeq :+ p) }
+      }
+    }(RowEncoder.encoderFor(schema))
     val withLabels =
       if (labelMap.isEmpty) out
       else {
@@ -137,15 +140,14 @@ object Llm {
       Serialize.serializeColumns(on.map(df(_)), sep))
     val schema = serialized.schema.add(StructField(outCol, StringType, nullable = true))
     val textIdx = serialized.schema.fieldNames.indexOf("__graft_text")
-    serialized.sparkSession.createDataFrame(
-      serialized.rdd.mapPartitions { it =>
-        it.grouped(chunkSize).flatMap { rows =>
-          val outs = t.transform(rows.map(_.getString(textIdx)))
-          require(outs.size == rows.size,
-            s"BatchTransformer returned ${outs.size} rows for a chunk of ${rows.size}")
-          rows.zip(outs).map { case (r, o) => Row.fromSeq(r.toSeq :+ o) }
-        }
-      }, schema).drop("__graft_text")
+    serialized.mapPartitions { it =>
+      it.grouped(chunkSize).flatMap { rows =>
+        val outs = t.transform(rows.map(_.getString(textIdx)))
+        require(outs.size == rows.size,
+          s"BatchTransformer returned ${outs.size} rows for a chunk of ${rows.size}")
+        rows.zip(outs).map { case (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(RowEncoder.encoderFor(schema)).drop("__graft_text")
   }
 
   /** Generic single-column transform — the reference's `transform_column`
@@ -194,16 +196,15 @@ object Llm {
       .add(StructField("llm_raw_response", StringType, nullable = true))
     val lpIdx = withPayload.schema.fieldNames.indexOf("__lp")
     val rpIdx = withPayload.schema.fieldNames.indexOf("__rp")
-    val judged = withPayload.sparkSession.createDataFrame(
-      withPayload.rdd.mapPartitions { it =>
-        it.map { r =>
-          val raw = judge.judge(
-            Option(r.getString(lpIdx)).getOrElse(""),
-            Option(r.getString(rpIdx)).getOrElse(""))
-          val (m, c) = parseJudgeResponse(raw)
-          Row.fromSeq(r.toSeq ++ Seq(m, c, raw))
-        }
-      }, schema).drop("__lp", "__rp")
+    val judged = withPayload.mapPartitions { it =>
+      it.map { r =>
+        val raw = judge.judge(
+          Option(r.getString(lpIdx)).getOrElse(""),
+          Option(r.getString(rpIdx)).getOrElse(""))
+        val (m, c) = parseJudgeResponse(raw)
+        Row.fromSeq(r.toSeq ++ Seq(m, c, raw))
+      }
+    }(RowEncoder.encoderFor(schema)).drop("__lp", "__rp")
 
     confidenceThreshold match {
       case Some(t) => judged.filter(col("llm_confidence") >= t)

@@ -20,13 +20,55 @@ object Ann {
       corpus: DataFrame, cId: String, cVec: String, k: Int): DataFrame =
     SemanticJoin.knnJoinVec(queries, qId, qVec, corpus, cId, cVec, k)
 
-  /** Deterministic centroid pick: the `nCentroids` corpus vectors with the
-    * smallest ids (seedless and reproducible; at scale swap in sampled ids or
-    * k-means|| — the probing plan is unchanged).
+  /** Deterministic seeded-sample centroid pick: order corpus ids by a seeded
+    * hash and take the first `nCentroids` — a reproducible uniform sample
+    * (smallest-ids would mirror whatever structure id order carries, e.g.
+    * ingestion order or a single shard, and collapse the inverted lists onto
+    * one region of the space). `orderBy(...).limit(n)` compiles to
+    * TakeOrderedAndProject — per-partition top-n then a merge of n·P rows,
+    * never a global sort.
     */
-  def centroids(corpus: DataFrame, cId: String, cVec: String, nCentroids: Int): DataFrame =
+  def centroids(
+      corpus: DataFrame, cId: String, cVec: String, nCentroids: Int,
+      seed: Long = 42L): DataFrame =
     corpus.select(col(cId).cast("long").as("centroid_id"), asDouble(col(cVec)).as("centroid_vec"))
-      .orderBy(col("centroid_id")).limit(nCentroids)
+      .orderBy(xxhash64(col("centroid_id"), lit(seed)), col("centroid_id"))
+      .limit(nCentroids)
+
+  /** Lloyd refinement rounds over the sampled seeds: assign (a deterministic
+    * hash-sample of) the corpus to its nearest centroid, replace each centroid
+    * with its assigned-vector mean. One round turns arbitrary seed points into
+    * actual cluster centers and buys most of k-means' recall benefit.
+    *
+    * Scale: assignment is the broadcast-1NN join against the tiny centroid
+    * table; the mean is an element-wise partial aggregate (explode by
+    * position → avg), over `refineFraction` of the corpus — pass a small
+    * fraction at 100 TB, the centroids converge on any uniform sample.
+    */
+  def refineCentroids(
+      corpus: DataFrame, cId: String, cVec: String, cents: DataFrame,
+      rounds: Int = 1, refineFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val pts = corpus.select(col(cId).cast("long").as("__pid"), asDouble(col(cVec)).as("__v"))
+    var c = cents
+    for (r <- 1 to rounds) {
+      val sample =
+        if (refineFraction >= 1.0) pts
+        else pts.filter(
+          pmod(xxhash64(col("__pid"), lit(seed + r)), lit(1000000L)) <
+            lit((refineFraction * 1000000L).toLong))
+      val assigned = SemanticJoin.knnJoinVec(sample, "__pid", "__v",
+          c, "centroid_id", "centroid_vec", k = 1)
+        .select(col("left_id").as("__pid"), col("right_id").as("centroid_id"))
+      c = sample.join(assigned, "__pid")
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("centroid_id", "__pos").agg(avg("__x").as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__sm"))
+        .select(col("centroid_id"), expr("transform(__sm, s -> s.__m)").as("centroid_vec"))
+        .localCheckpoint(true) // iterative: cut lineage between rounds
+    }
+    c
+  }
 
   /** SRP-LSH candidate pairs `(i, j, score)` with `i < j`: vectors sharing at
     * least one signed-random-projection band bucket, exact-verified at
@@ -66,8 +108,12 @@ object Ann {
   def ivfTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, cId, cVec, nCentroids)
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      refineRounds: Int = 1, refineFraction: Double = 1.0): DataFrame = {
+    val cents0 = centroids(corpus, cId, cVec, nCentroids, seed)
+    val cents =
+      if (refineRounds <= 0) cents0
+      else refineCentroids(corpus, cId, cVec, cents0, refineRounds, refineFraction, seed)
 
     // corpus → nearest centroid (exact 1-NN against the tiny centroid table)
     val assign = SemanticJoin.knnJoinVec(

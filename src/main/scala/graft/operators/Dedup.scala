@@ -113,20 +113,63 @@ object Dedup {
   /** SimHash near-dup pairs: block on 4×16-bit sub-fingerprints (any pair within
     * Hamming distance 3 shares at least one block — pigeonhole), then verify the
     * true Hamming distance. Returns (i, j, hamming).
+    *
+    * `maxBlockFreq` caps the bucket join: a degenerate fingerprint (e.g. a
+    * corpus full of empty or near-identical texts) puts every row in the same
+    * four blocks and turns the equi-join quadratic. Blocks above the cap are
+    * dropped from candidate generation (recall loss only inside the hot block;
+    * use [[simhashDedup]] when identical fingerprints must still cluster —
+    * it collapses them exactly, before any pairwise work).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("fp"))
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBlockFreq: Long = 10000L): DataFrame =
+    pairsFromFps(
+      df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("fp")),
+      maxHamming, maxBlockFreq)
+
+  private def pairsFromFps(base: DataFrame, maxHamming: Int, maxBlockFreq: Long): DataFrame = {
     val blocked = base.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(blk =>
         shiftright(col("fp"), blk * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnsRenamed(Map("pos" -> "blk", "col" -> "blockval"))
-    val lhs = blocked.select(col("blk"), col("blockval"), col("id").as("i"), col("fp").as("fi"))
-    val rhs = blocked.select(col("blk"), col("blockval"), col("id").as("j"), col("fp").as("fj"))
+    // hot-block cap: frequency census (one small aggregate), then a semi-join
+    // keeps only rows in under-cap blocks
+    val underCap = blocked.groupBy("blk", "blockval")
+      .agg(count(lit(1)).as("__bf"))
+      .filter(col("__bf") <= maxBlockFreq)
+      .select("blk", "blockval")
+    val kept = blocked.join(underCap, Seq("blk", "blockval"), "left_semi")
+    val lhs = kept.select(col("blk"), col("blockval"), col("id").as("i"), col("fp").as("fi"))
+    val rhs = kept.select(col("blk"), col("blockval"), col("id").as("j"), col("fp").as("fj"))
     lhs.join(rhs, Seq("blk", "blockval"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), hamming64(col("fi"), col("fj")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup clustering that stays LINEAR on degenerate inputs.
+    *
+    * Rows collapse to their exact fingerprint first (identical texts — the
+    * common degenerate case — become ONE representative with zero pairwise
+    * work), the hamming-ball candidate join runs over distinct fingerprints
+    * only, and fingerprint-level components map back to rows with one
+    * equi-join. Returns `(id, cluster)`, cluster = min row id of the group.
+    */
+  def simhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBlockFreq: Long = 10000L): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("fp"))
+      .localCheckpoint(true) // branches: representatives + final map-back
+    val repr = base.groupBy("fp").agg(min("id").as("rid"))
+    val fpPairs = pairsFromFps(repr.select(col("rid").as("id"), col("fp")),
+      maxHamming, maxBlockFreq)
+    val comps = Clustering.connectedComponents(
+      repr.select(col("rid").as("id")), fpPairs.select("i", "j"))
+    base.join(repr, "fp")
+      .join(comps.withColumnRenamed("id", "rid"), "rid")
+      .select(col("id"), col("component").as("cluster"))
   }
 
   /** Embedding-cosine near-dup representatives: ε-cluster then keep min id per

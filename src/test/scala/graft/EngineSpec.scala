@@ -451,6 +451,44 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF recall@5 >= 0.9 on clustered data where smallest-id centroids would collapse") {
+    import spark.implicits._
+    // 16 well-separated clusters; ids are SORTED BY CLUSTER, so the old
+    // smallest-ids centroid pick would take all 16 seeds from cluster 0 and
+    // probe blindly — the seeded-sample + Lloyd-refined pick must not
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val centers = Array.fill(16)(unit(Array.fill(32)(rnd.nextGaussian())))
+    val data = (0 until 2000).map { i =>
+      val c = i / 125 // ids 0-124 cluster 0, 125-249 cluster 1, ...
+      (i.toLong, unit(centers(c).map(_ + 0.15 * rnd.nextGaussian())))
+    }.toDF("id", "vec")
+    val q = data.filter(col("id") % 40 === 0) // 50 queries spread over clusters
+    val exact = SemanticJoin.knnJoinVec(q, "id", "vec", data, "id", "vec", k = 5)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val approx = Ann.ivfTopK(q, "id", "vec", data, "id", "vec",
+      k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+  }
+
+  test("IVF at sf0.1: recall beats the scan-fraction bound on unclustered testdata") {
+    // the synthetic sf0.1 embeddings are uniform random (within-label cosine ≈
+    // cross-label ≈ 0), so ANY inverted-file index is information-theoretically
+    // capped near its scan fraction (nProbe/nCentroids = 0.5 here); assert we
+    // land solidly above it — deterministic: seeded centroids, exact kernels
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 50)
+    val exact = SemanticJoin.knnJoinVec(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val approx = Ann.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF recall below scan-fraction expectation at sf0.1: $recall")
+  }
+
   // --- eval metrics ---------------------------------------------------------
 
   test("retrievalMetrics: MAP@k matches the hand-computed average precision") {
@@ -513,6 +551,34 @@ class EngineSpec extends AnyFunSuite {
     assert(out.length == 4)
     val cos = out.find(_.getAs[String]("score_fn") == "cossim").get
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
+  }
+
+  // --- simhash hot blocks ---------------------------------------------------
+
+  test("simhash: 1k identical fingerprints stay linear — dedup clusters them, pairs stay capped") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, "the exact same text")).toDF("id", "text")
+    // candidate join with the cap: hot block dropped, no quadratic pair set
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxBlockFreq = 100)
+    assert(pairs.count() == 0)
+    // dedup path still clusters them — exactly, with zero pairwise work
+    val clusters = Dedup.simhashDedup(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.length == 1000)
+    assert(clusters.forall(_._2 == 1L))
+  }
+
+  test("simhashDedup merges near-identical fingerprints across distinct texts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical → same fp
+      (3L, "completely different content about fish"))
+      .toDF("id", "text")
+    val out = Dedup.simhashDedup(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(3L) != out(1L))
   }
 
   // --- preprocess dispatch --------------------------------------------------
