@@ -167,10 +167,18 @@ object PairScoring {
       col(labelCol).cast("double").as("label"))
       .localCheckpoint(true)
     val fns = Seq(("cossim", true), ("manhattan", false), ("euclidean", false), ("dot", true))
-    val rows = fns.map { case (name, higherIsBetter) =>
-      bestBinaryMetrics(scored.select(col(name).as("score"), col("label")), higherIsBetter)
-        .copy(score_fn = name)
-    }
+    // the four sweeps are independent jobs over the checkpointed score table —
+    // submit them concurrently (Spark schedules concurrent actions fine; this
+    // is driver-side orchestration latency, not executor work)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(fns.map { case (name, higherIsBetter) =>
+      Future {
+        bestBinaryMetrics(scored.select(col(name).as("score"), col("label")), higherIsBetter)
+          .copy(score_fn = name)
+      }
+    }), Duration.Inf)
     spark.createDataFrame(rows)
   }
 
@@ -190,7 +198,9 @@ object PairScoring {
     val totalPos = totals.getDouble(0)
     val totalN = totals.getLong(1).toDouble
     val sortKey = if (higherIsBetter) desc("score") else asc("score")
-    val tieBreak = if (higherIsBetter) desc("score") else asc("score")
+    // argmax tie-break key: highest score wins ties for similarities, lowest
+    // for distances — encoded so plain struct-max ordering realizes it
+    val tieKey = if (higherIsBetter) col("score") else -col("score")
     val curve = graft.core.Prefix.cumSums(perScore, Seq(sortKey), Seq("pos", "cnt"))
       .select(col("score"), col("pos"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
       .withColumn("precision", col("tp") / col("n"))
@@ -199,16 +209,18 @@ object PairScoring {
       .withColumn("f1", when(col("precision") + col("recall") > 0,
         lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
         .otherwise(lit(0.0)))
-      .localCheckpoint(true)
-    val bestAcc = curve.orderBy(desc("accuracy"), tieBreak).limit(1)
-      .select("accuracy", "score").first()
-    val bestF1 = curve.orderBy(desc("f1"), tieBreak).limit(1)
-      .select("f1", "score", "precision", "recall").first()
-    val ap =
-      if (totalPos == 0) 0.0
-      else curve.agg(sum(col("pos") * col("precision"))).first().getDouble(0) / totalPos
-    BinaryEvalRow("", bestAcc.getDouble(0), bestAcc.getDouble(1),
-      bestF1.getDouble(0), bestF1.getDouble(1), bestF1.getDouble(2), bestF1.getDouble(3), ap)
+    // one aggregate: best-accuracy row, best-F1 row (struct-max = argmax with
+    // tie-break), and the AP sum — instead of three sort-limit jobs
+    val r = curve.agg(
+      max(struct(col("accuracy"), tieKey.as("tk"), col("score"))).as("ba"),
+      max(struct(col("f1"), tieKey.as("tk"), col("score"),
+        col("precision"), col("recall"))).as("bf"),
+      sum(col("pos") * col("precision")).as("sumap")).first()
+    val ba = r.getStruct(0)
+    val bf = r.getStruct(1)
+    val ap = if (totalPos == 0) 0.0 else r.getDouble(2) / totalPos
+    BinaryEvalRow("", ba.getDouble(0), ba.getDouble(2),
+      bf.getDouble(0), bf.getDouble(2), bf.getDouble(3), bf.getDouble(4), ap)
   }
 
   /** Text-level wrapper: serialize + embed both sides, then run the

@@ -85,6 +85,73 @@ class IdentityFitter extends ModelFitter {
   override def fit(trainClusters: DataFrame, base: Embedder, config: TrainConfig): Embedder = base
 }
 
+/** Centroid fitter — the cheapest useful "fit" without a gradient framework.
+  *
+  * For every training cluster it computes the centroid of the members' base
+  * embeddings; the fitted embedder pulls a KNOWN training text toward its
+  * cluster centroid (`v' = normalize((1−α)·v + α·c)`) and leaves unseen text
+  * untouched. That reproduces on the train set the geometry contrastive
+  * training induces — positive-cluster members move together, so 1-NN merges
+  * and ε-clustering over training entities tighten (reference loss intent:
+  * modified_sbert/losses.py:31-61) — while inference on novel text falls back
+  * to the base model.
+  *
+  * The text→centroid map is collected under `maxTrainTexts` and broadcast;
+  * above the bound `fit` returns the base embedder unchanged (real gradient
+  * training belongs out-of-engine, SURVEY §7.0).
+  */
+class CentroidFitter(alpha: Double = 0.5, maxTrainTexts: Long = 2000000L) extends ModelFitter {
+  override def fit(trainClusters: DataFrame, base: Embedder, config: TrainConfig): Embedder = {
+    import org.apache.spark.sql.functions._
+    val spark = trainClusters.sparkSession
+    val Array(cCol, tCol) = trainClusters.columns.take(2)
+    val embedded = base.embed(
+      trainClusters.select(col(cCol).as("__c"), col(tCol).as("__t")).distinct(),
+      "__t", "__v").localCheckpoint(true)
+    if (embedded.count() > maxTrainTexts) return base
+    // element-wise cluster mean: explode by position → partial-agg avg
+    val centroids = embedded
+      .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy("__c", "__p").agg(avg("__x").as("__m"))
+      .groupBy("__c").agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__sm"))
+      .select(col("__c"), expr("transform(__sm, s -> s.__m)").as("__cent"))
+    val textCentroid = embedded.select("__c", "__t").join(centroids, "__c")
+      .select("__t", "__cent").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    new CentroidAdjustedEmbedder(base, spark.sparkContext.broadcast(textCentroid), alpha)
+  }
+}
+
+/** Embedder produced by [[CentroidFitter]]: base embedding, then the
+  * broadcast centroid pull for training texts.
+  */
+class CentroidAdjustedEmbedder(
+    base: Embedder,
+    centroids: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]],
+    alpha: Double) extends Embedder {
+  def dim: Int = base.dim
+
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = alpha
+    val bc = centroids
+    val adjust = udf { (t: String, v: Seq[Double]) =>
+      bc.value.get(t) match {
+        case Some(c) =>
+          val out = new Array[Double](v.length)
+          var i = 0; var n = 0.0
+          while (i < out.length) { out(i) = (1 - a) * v(i) + a * c(i); n += out(i) * out(i); i += 1 }
+          val nn = math.max(math.sqrt(n), 1e-12)
+          i = 0
+          while (i < out.length) { out(i) /= nn; i += 1 }
+          out.toSeq
+        case None => v
+      }
+    }
+    base.embed(df, textCol, outCol).withColumn(outCol, adjust(col(textCol), col(outCol)))
+  }
+}
+
 /** Model artifact directory: `LT_training_config.json` (reference name —
   * modelling/LinkTransformer.py:272-275) plus parquet sidecars replacing the
   * reference's val/test pickles (train_model.py:182-189).

@@ -553,6 +553,34 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- centroid fitter ------------------------------------------------------
+
+  test("CentroidFitter pulls training texts together within clusters, leaves unseen text alone") {
+    import spark.implicits._
+    import graft.train.{CentroidFitter, TrainConfig}
+    val clusters = Seq(
+      (0L, "apple iphone device"), (0L, "apple macbook device"),
+      (1L, "banana bread recipe"), (1L, "banana split recipe"))
+      .toDF("cluster", "text")
+    val fitted = new CentroidFitter(alpha = 0.5).fit(clusters, emb, TrainConfig())
+    def vecs(e: graft.embed.Embedder, texts: Seq[String]) = {
+      val df = texts.toDF("t")
+      e.embed(df, "t", "v").collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val texts = Seq("apple iphone device", "apple macbook device", "unrelated zebra")
+    val base = vecs(emb, texts)
+    val tuned = vecs(fitted, texts)
+    // within-cluster pair gets closer after the centroid pull
+    assert(cos(tuned("apple iphone device"), tuned("apple macbook device")) >
+      cos(base("apple iphone device"), base("apple macbook device")))
+    // unseen text is untouched
+    assert(tuned("unrelated zebra").sameElements(base("unrelated zebra")))
+  }
+
   // --- simhash hot blocks ---------------------------------------------------
 
   test("simhash: 1k identical fingerprints stay linear — dedup clusters them, pairs stay capped") {
