@@ -97,6 +97,18 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_null_drop" -> ((s, dir) => {
+      // dropna(how="any") / dropna(how="all") over synthesized nulls
+      // (reference: preprocess.py:91-104 uses both modes)
+      val d = ld(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null)).otherwise(col("text")).as("a"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(null)).otherwise(col("source")).as("b"))
+      d.na.drop("any", Seq("a", "b")).select(col("doc_id"), lit("any").as("mode"))
+        .union(d.na.drop("all", Seq("a", "b")).select(col("doc_id"), lit("all").as("mode")))
+        .orderBy(col("mode"), col("doc_id"))
+    }),
+
     "q_filter_isin" -> ((s, dir) => {
       ld(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("A", "R"))
@@ -552,6 +564,16 @@ object SparkEntry {
     "q_filter_isin" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
         |WHERE l_returnflag IN ('A', 'R') ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_null_drop" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS a,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS b FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 'any' AS mode FROM d WHERE a IS NOT NULL AND b IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 'all' AS mode FROM d WHERE a IS NOT NULL OR b IS NOT NULL)
+        |ORDER BY mode, doc_id""".stripMargin,
 
     "q_knn_join" ->
       s"""WITH s AS (

@@ -57,7 +57,8 @@ object Ann {
           pmod(xxhash64(col("__pid"), lit(seed + r)), lit(1000000L)) <
             lit((refineFraction * 1000000L).toLong))
       val assigned = SemanticJoin.knnJoinVec(sample, "__pid", "__v",
-          c, "centroid_id", "centroid_vec", k = 1)
+          c, "centroid_id", "centroid_vec", k = 1,
+          skipSizeCheck = true) // centroid table is ≤nCentroids rows by construction
         .select(col("left_id").as("__pid"), col("right_id").as("centroid_id"))
       c = sample.join(assigned, "__pid")
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
@@ -115,10 +116,12 @@ object Ann {
       if (refineRounds <= 0) cents0
       else refineCentroids(corpus, cId, cVec, cents0, refineRounds, refineFraction, seed)
 
-    // corpus → nearest centroid (exact 1-NN against the tiny centroid table)
+    // corpus → nearest centroid (exact 1-NN against the tiny centroid table;
+    // skipSizeCheck: the table is ≤nCentroids rows by construction, the
+    // fitsBroadcast census job would be pure overhead)
     val assign = SemanticJoin.knnJoinVec(
       corpus, cId, cVec,
-      cents, "centroid_id", "centroid_vec", k = 1)
+      cents, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
       .select(col("left_id").as("corpus_id"), col("right_id").as("centroid_id"))
     val corpusByList = corpus
       .select(col(cId).cast("long").as("corpus_id"), asDouble(col(cVec)).as("cv"))
@@ -127,7 +130,7 @@ object Ann {
     // query → nProbe nearest centroids
     val probes = SemanticJoin.knnJoinVec(
       queries, qId, qVec,
-      cents, "centroid_id", "centroid_vec", k = nProbe)
+      cents, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
       .select(col("left_id").as("query_id"), col("right_id").as("centroid_id"))
     val queriesExp = queries
       .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))

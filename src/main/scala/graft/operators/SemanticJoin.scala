@@ -28,10 +28,13 @@ object SemanticJoin {
       right: DataFrame, rightId: String, rightVec: String,
       k: Int,
       excludeSelf: Boolean = false,
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      skipSizeCheck: Boolean = false): DataFrame = {
     // the broadcast path is size-guarded: an over-limit right side falls back
-    // to the shuffle plan instead of collecting to the driver (100 TB safety)
-    if (broadcastRight && VecScan.fitsBroadcast(right, rightVec)) {
+    // to the shuffle plan instead of collecting to the driver (100 TB safety).
+    // skipSizeCheck lets callers with a size guarantee by construction (e.g. a
+    // ≤nCentroids centroid table) save the census aggregate job.
+    if (broadcastRight && (skipSizeCheck || VecScan.fitsBroadcast(right, rightVec))) {
       // broadcast-matrix scan: zero shuffle, no per-pair rows (SURVEY §4.3)
       VecScan.knn(left, leftId, leftVec, right, rightId, rightVec, k, excludeSelf)
     } else {
@@ -118,13 +121,19 @@ object SemanticJoin {
     * Output: all df1 columns, all df2 columns (shared names suffixed), `score`;
     * k rows per left row, ordered (left, rank).
     */
+  /** `stableOrder=false` skips the final global `orderBy(left_id, rank)` — the
+    * reference's stable-output contract is a cross-partition sort, which at
+    * scale is a needless extra shuffle when the merge feeds another operator
+    * rather than a human-facing sink (VERDICT r1: make it opt-out).
+    */
   def mergeKnn(
       df1: DataFrame, df2: DataFrame,
       on: Seq[String] = Nil, leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil,
       embedder: Embedder,
       k: Int = 1,
       suffixes: (String, String) = ("_x", "_y"),
-      sep: String = Serialize.DefaultSep): DataFrame = {
+      sep: String = Serialize.DefaultSep,
+      stableOrder: Boolean = true): DataFrame = {
     val (lk, rk) = Keys.resolve(df1.columns, df2.columns, on, leftOn, rightOn)
     val l = withTextVec(df1, lk, LeftIdCol, embedder, sep)
     val r = withTextVec(df2, rk, RightIdCol, embedder, sep)
@@ -141,9 +150,9 @@ object SemanticJoin {
     val outCols = (ls.columns.filterNot(_ == LeftIdCol) ++
       rs.columns.filterNot(_ == RightIdCol)).map(col) :+ col("score")
 
-    knn.join(ls.withColumnRenamed(LeftIdCol, "left_id"), Seq("left_id"))
+    val joined = knn.join(ls.withColumnRenamed(LeftIdCol, "left_id"), Seq("left_id"))
       .join(rs.withColumnRenamed(RightIdCol, "right_id"), Seq("right_id"))
-      .orderBy(col("left_id"), col("rank"))
+    (if (stableOrder) joined.orderBy(col("left_id"), col("rank")) else joined)
       .select(outCols: _*)
   }
 

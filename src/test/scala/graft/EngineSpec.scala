@@ -541,6 +541,52 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(cos.getAs[Double]("f1_threshold") - 0.6) < 1e-9)
   }
 
+  test("binaryClassificationMetrics matches a brute-force sweep, ties included") {
+    import spark.implicits._
+    // angle-encoded pairs: cossim = cos(θ) drawn from few discrete values so
+    // tied scores exercise the grouped-threshold semantics
+    val rnd = new scala.util.Random(7)
+    val angles = Seq(0.0, 0.4, 0.9, 1.4, 2.2)
+    val data = (1 to 60).map { _ =>
+      val th = angles(rnd.nextInt(angles.length))
+      val label = if (rnd.nextDouble() < math.max(0.1, 1.0 - th / 2)) 1 else 0
+      (Array(1.0, 0.0), Array(math.cos(th), math.sin(th)), label, math.cos(th))
+    }
+    val df = data.map(t => (t._1, t._2, t._3)).toDF("v1", "v2", "label")
+    val got = PairScoring.binaryClassificationMetrics(df, "v1", "v2", "label")
+      .filter(col("score_fn") === "cossim").head()
+
+    // brute force over distinct thresholds (predict positive when score >= t)
+    val pairs = data.map(t => (t._4, t._3))
+    val totalPos = pairs.count(_._2 == 1).toDouble
+    val n = pairs.size.toDouble
+    val thresholds = pairs.map(_._1).distinct.sorted(Ordering[Double].reverse)
+    val sweep = thresholds.map { t =>
+      val pred = pairs.filter(_._1 >= t)
+      val tp = pred.count(_._2 == 1).toDouble
+      val fp = pred.size - tp
+      val prec = tp / pred.size
+      val rec = tp / totalPos
+      val acc = (tp + (n - pred.size) - (totalPos - tp)) / n
+      val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+      (t, acc, f1, prec, rec)
+    }
+    val bestAcc = sweep.maxBy(s => (s._2, s._1))
+    val bestF1 = sweep.maxBy(s => (s._3, s._1))
+    // AP with grouped ties: sum over groups of pos_in_group * precision / totalPos
+    val byT = pairs.groupBy(_._1)
+    val ap = thresholds.map { t =>
+      val posInGroup = byT(t).count(_._2 == 1).toDouble
+      val prec = sweep.find(_._1 == t).get._4
+      posInGroup * prec / totalPos
+    }.sum
+    assert(math.abs(got.getAs[Double]("accuracy") - bestAcc._2) < 1e-12)
+    assert(math.abs(got.getAs[Double]("accuracy_threshold") - bestAcc._1) < 1e-12)
+    assert(math.abs(got.getAs[Double]("f1") - bestF1._3) < 1e-12)
+    assert(math.abs(got.getAs[Double]("f1_threshold") - bestF1._1) < 1e-12)
+    assert(math.abs(got.getAs[Double]("ap") - ap) < 1e-12)
+  }
+
   test("evaluateBinaryPairs embeds each distinct text once and returns 4 rows") {
     import spark.implicits._
     val df = Seq(
