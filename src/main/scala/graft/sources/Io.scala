@@ -62,11 +62,54 @@ object Io {
     sorted.saveAsTable(tableName)
   }
 
-  /** Excel is not supported in this build (no bundled reader, zero egress).
-    * The reference's `pd.read_excel` sources (preprocess.py:306-307) must be
-    * converted to CSV or Parquet before ingestion.
+  /** Extension-routed loader — the reference's path dispatch inside every prep
+    * entry point (reference: preprocess.py:304-311): `.xlsx` → Excel, `.csv` →
+    * CSV, anything else raises with the reference's message.
     */
-  def readExcel(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      s"XLSX not supported ($path): convert to CSV or Parquet (SURVEY §2.1)")
+  def readAny(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".xlsx")) readExcel(spark, path)
+    else if (path.endsWith(".csv")) readCsv(spark, path)
+    else throw new IllegalArgumentException(
+      "Data should be a path to a csv or excel file or a dataframe")
+
+  /** XLSX source — `pd.read_excel` (reference: preprocess.py:306-307) via the
+    * pure-JDK [[Xlsx]] parser (zip + DOM; no external reader dependency).
+    * First row = header (pandas default); per-column long/double/string
+    * inference mirrors pandas' numeric coercion. Driver-side parse: XLSX is an
+    * eager small-file format — convert to Parquet for anything at data scale.
+    */
+  def readExcel(
+      spark: SparkSession, path: String,
+      sheetName: Option[String] = None,
+      header: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val sheet = Xlsx.readSheet(path, sheetName)
+    if (sheet.rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[SRow](), StructType(Nil))
+    val width = sheet.rows.map(_.length).max
+    val (names, dataRows) =
+      if (header) {
+        val h = sheet.rows.head.padTo(width, None)
+        (h.zipWithIndex.map { case (c, i) => c.getOrElse(s"_c$i") }, sheet.rows.tail)
+      } else (Vector.tabulate(width)(i => s"_c$i"), sheet.rows)
+    val padded = dataRows.map(_.padTo(width, None))
+    val types = (0 until width).map(i =>
+      Xlsx.inferType(padded.flatMap(_(i))))
+    val schema = StructType(names.zip(types).map {
+      case (n, "long") => StructField(n, LongType)
+      case (n, "double") => StructField(n, DoubleType)
+      case (n, _) => StructField(n, StringType)
+    })
+    val rows = new java.util.ArrayList[SRow](padded.length)
+    padded.foreach { r =>
+      rows.add(SRow.fromSeq(r.zip(types).map {
+        case (Some(v), "long") => v.toLongOption.getOrElse(v.toDouble.toLong)
+        case (Some(v), "double") => v.toDouble
+        case (Some(v), _) => v
+        case (None, _) => null
+      }))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

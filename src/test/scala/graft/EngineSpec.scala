@@ -599,6 +599,49 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- xlsx source ----------------------------------------------------------
+
+  test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_test", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<si><t>name</t></si><si><t>qty</t></si><si><t>price</t></si><si><t>note</t></si>
+        |<si><r><t>Ap</t></r><r><t>ple</t></r></si><si><t>Pear</t></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+        |  <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>4</v></c><c r="B2"><v>3</v></c>
+        |  <c r="C2"><v>1.5</v></c><c r="D2" t="inlineStr"><is><t>fresh</t></is></c></row>
+        |<row r="3"><c r="A3" t="s"><v>5</v></c><c r="B3"><v>7</v></c>
+        |  <c r="C3"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = graft.sources.Io.readExcel(spark, path.toString)
+    assert(df.columns.toSeq == Seq("name", "qty", "price", "note"))
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("qty") == "bigint" && types("price") == "double" && types("name") == "string")
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("name"), r.getAs[Long]("qty"), r.getAs[Double]("price"), r.getAs[String]("note")))
+      .sortBy(_._1)
+    assert(rows(0) == (("Apple", 3L, 1.5, "fresh"))) // rich-text shared string reassembled
+    assert(rows(1) == (("Pear", 7L, 2.0, null)))     // missing cell → null
+    java.nio.file.Files.delete(path)
+  }
+
   // --- centroid fitter ------------------------------------------------------
 
   test("CentroidFitter pulls training texts together within clusters, leaves unseen text alone") {

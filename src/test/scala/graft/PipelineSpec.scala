@@ -387,7 +387,7 @@ class PipelineSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------------- IO
 
-  test("csv round-trip via Io preserves data; xlsx raises") {
+  test("csv round-trip via Io preserves data; readAny routes on extension") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Seq((1, "a,b", 2.5), (2, null, -1.0)).toDF("id", "s", "x")
@@ -396,7 +396,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x"))
     assert(back.filter($"id" === 1).select("s").first().getString(0) == "a,b")
-    intercept[UnsupportedOperationException] { Io.readExcel(spark, "/tmp/x.xlsx") }
+    // extension dispatch: unknown extensions raise with the reference message
+    val e = intercept[IllegalArgumentException] { Io.readAny(spark, "/tmp/x.pickle") }
+    assert(e.getMessage.contains("csv or excel"))
   }
 }
 
