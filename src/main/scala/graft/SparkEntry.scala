@@ -240,6 +240,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(
+          ld(s, dir, "documents").select("doc_id", "text"), "text",
+          chunkSize = 8, overlap = 2)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("chunk_n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_cap_per_source" -> ((s, dir) => {
+      Sampling.capPerKey(ld(s, dir, "documents"), Seq("source"), cap = 10, ordCol = "doc_id")
+        .select("doc_id", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_transform_upper" -> ((s, dir) => {
       Llm.transformRows(
           ld(s, dir, "documents").select("doc_id", "text"),
@@ -706,6 +721,23 @@ object SparkEntry {
 
     "q_transform_upper" ->
       "SELECT doc_id, upper(text) AS transformed FROM documents ORDER BY doc_id",
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(toks[i*6+1 : i*6+8], ' ') AS chunk_text,
+        |  least(len(toks) - i*6, 8)::BIGINT AS chunk_n_tokens
+        |FROM t, unnest(range(0, CAST(ceil(len(toks) / 6.0) AS INT))) AS u(i)
+        |WHERE i*6 < len(toks)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_clusters_from_pairs" ->
       """SELECT doc_id AS id, (doc_id // 5) * 5 AS cluster

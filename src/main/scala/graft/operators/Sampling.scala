@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / rebalancing operators for training-data pipelines. At 100 TB the
+  * corpus is dominated by a few huge sources; these keep the mix bounded and
+  * reproducible without driver-side state.
+  */
+object Sampling {
+
+  /** Cap each key group at `cap` rows, keeping the first `cap` in `ordCol`
+    * order — bounds any one source/domain's contribution to a training mix.
+    * One key-partitioned window (WindowGroupLimit pushes the cap below the
+    * sort at the physical level — no full per-group materialization).
+    */
+  def capPerKey(df: DataFrame, keys: Seq[String], cap: Int, ordCol: String): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Deterministic hash-bucket sample: keeps a row iff
+    * `xxhash64(key, seed) mod 1e6 < fraction·1e6`. Reproducible across runs,
+    * engines, and cluster sizes (unlike `df.sample`, whose output depends on
+    * partitioning), and co-sampling-safe: the same key draws the same verdict
+    * in every table, so sampled fact/dim tables still join.
+    */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    df.filter(
+      pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L)) < lit((fraction * 1e6).toLong))
+  }
+}

@@ -95,6 +95,34 @@ object TextAnalysis {
     graft.functions.MinHashSig.wordShingles(text, n)
 
   /** n-gram Jaccard similarity between two texts' shingle sets. */
+  /** Token-window document chunking — the pre-tokenization step of an LLM
+    * training pipeline: each document becomes overlapping windows of
+    * `chunkSize` whitespace tokens advancing by `chunkSize - overlap`.
+    * Appends `chunk_id` (0-based), `chunk_text`, `chunk_n_tokens`; blank
+    * documents produce no chunks. Pure built-ins (split/sequence/slice inside
+    * an explode) — one narrow pass, no shuffle, rows fan out in place.
+    */
+  def chunkDocuments(
+      df: DataFrame, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.withColumn("__toks",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), ceil(col("__n") / lit(stride)).cast("int") - 1)))
+      .filter(col("chunk_id") * stride < col("__n"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)), " "))
+      .withColumn("chunk_n_tokens",
+        least(col("__n") - col("chunk_id") * stride, lit(chunkSize)).cast("long"))
+      .drop("__toks", "__n")
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val sa = array_distinct(wordShingles(a, n))
     val sb = array_distinct(wordShingles(b, n))

@@ -599,6 +599,40 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- chunking / sampling --------------------------------------------------
+
+  test("chunkDocuments: overlapping token windows, short tail, empty doc skipped") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "   ")).toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", chunkSize = 4, overlap = 1)
+      .select("id", "chunk_id", "chunk_text", "chunk_n_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    // stride 3: [a b c d] [d e f g] [g]; doc 2: [x y]; doc 3: none
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c d", 4L), (1L, 1, "d e f g", 4L), (1L, 2, "g", 1L),
+      (2L, 0, "x y", 2L)))
+  }
+
+  test("capPerKey keeps first cap rows per key; deterministicSample is reproducible") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val capped = Sampling.capPerKey(df, Seq("src"), cap = 5, ordCol = "id")
+    assert(capped.count() == 15)
+    assert(capped.groupBy("src").count().collect().forall(_.getLong(1) == 5))
+    // first-5 semantics: src0 keeps ids 3,6,9,12,15
+    assert(capped.filter(col("src") === "src0").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L, 9L, 12L, 15L))
+    val s1 = Sampling.deterministicSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(df.repartition(7), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // invariant to partitioning
+    assert(s1.size > 10 && s1.size < 50)
+    // co-sampling: same keys survive from a second table with the same key col
+    val other = df.withColumn("extra", lit("x"))
+    val s3 = Sampling.deterministicSample(other, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s3 == s1)
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
