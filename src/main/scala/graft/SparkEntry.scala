@@ -399,7 +399,25 @@ object SparkEntry {
         .orderBy(col("window_epoch"), col("event_type"))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // session_window in batch form; oracle = gaps-and-islands SQL
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = ld(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamOps.sessionize(events, "user_id", "ts", gap = "30 minutes")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_epoch"),
+          unix_timestamp(col("session_end")).as("session_end_epoch"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_epoch"))
+    }),
+
     // ------------------------------------------------- rows-only (no SQL oracle)
+    "q_simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashDedup(ld(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     "q_merge_blocking_docs" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
       SemanticJoin.mergeBlocking(
@@ -832,5 +850,19 @@ object SparkEntry {
         |    AS window_epoch,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN CAST(ts AS TIMESTAMP)
+        |           - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |         > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_epoch,
+        |  CAST(floor(epoch(max(ts) + INTERVAL '30 minutes')) AS BIGINT) AS session_end_epoch,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_epoch""".stripMargin,
   )
 }

@@ -2,10 +2,9 @@ package graft.streaming
 
 import graft.embed.Embedder
 import graft.operators.SemanticJoin
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (stretch scope per SURVEY §2.10 — the reference
   * has no streaming; these lift the engine's embed→match pipeline and the
@@ -40,6 +39,106 @@ object StreamOps {
       tsCol: String = "ts", watermarkDelay: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Event sessionization: group a key's events into sessions that close after
+    * `gap` of event-time inactivity (`session_window` — merging windows, works
+    * identically in batch and streaming; streaming needs the watermark for
+    * state eviction). Emits (key, session_start, session_end = last event +
+    * gap, n_events, sum_value).
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** "10 minutes" / "2 hours" / "30 seconds" / "1 day" → milliseconds. */
+  private def durationMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>', got '$s'")
+    val n = parts(0).toLong
+    parts(1).stripSuffix("s") match {
+      case "millisecond" => n
+      case "second" => n * 1000L
+      case "minute" => n * 60000L
+      case "hour" => n * 3600000L
+      case "day" => n * 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported unit '$u' in '$s'")
+    }
+  }
+
+  /** One simhash block row feeding the stateful near-dup operator. */
+  final case class BlockEvent(blk: Int, blockval: Long, id: Long, fp: Long, ts: java.sql.Timestamp)
+  /** A detected near-duplicate: `id` arrived while `matchId` was in state. */
+  final case class NearDupHit(id: Long, matchId: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup detection with CUSTOM STATE
+    * (`flatMapGroupsWithState`): each incoming document fans out to its four
+    * 16-bit fingerprint blocks; per block-bucket the operator keeps the
+    * in-horizon fingerprints and emits a hit for every stored fingerprint
+    * within `maxHamming`. Event-time timeout drops a bucket's state once the
+    * watermark passes its newest entry — state is bounded by (horizon ×
+    * arrival rate), independent of stream length; `maxStatePerBlock` bounds
+    * hot buckets (the streaming twin of Dedup.simhashPairs' frequency cap).
+    *
+    * A pair colliding in several blocks emits once per collision — run
+    * `dropDuplicatesWithinWatermark` downstream if exactly-once pairs matter.
+    */
+  def streamingNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts",
+      maxHamming: Int = 3,
+      watermarkDelay: String = "10 minutes",
+      maxStatePerBlock: Int = 1000): Dataset[NearDupHit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val horizonMs = durationMs(watermarkDelay)
+    val blocked = df
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("id"),
+        graft.operators.Dedup.simhash64(col(textCol)).as("fp"), col(tsCol).as("ts"))
+      .select(col("id"), col("fp"), col("ts"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("pos").cast("int").as("blk"), col("col").as("blockval"),
+        col("id"), col("fp"), col("ts"))
+      .as[BlockEvent]
+
+    def update(
+        key: (Int, Long), events: Iterator[BlockEvent],
+        state: GroupState[List[(Long, Long, Long)]]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var held = state.getOption.getOrElse(Nil)
+      val wm = state.getCurrentWatermarkMs()
+      held = held.filter(_._3 >= wm - horizonMs) // evict out-of-horizon entries
+      val hits = List.newBuilder[NearDupHit]
+      events.toList.sortBy(e => (e.ts.getTime, e.id)).foreach { e =>
+        held.foreach { case (hid, hfp, _) =>
+          if (hid != e.id) {
+            val d = java.lang.Long.bitCount(hfp ^ e.fp)
+            if (d <= maxHamming) hits += NearDupHit(e.id, hid, d)
+          }
+        }
+        if (held.size < maxStatePerBlock) held = (e.id, e.fp, e.ts.getTime) :: held
+      }
+      state.update(held)
+      if (held.nonEmpty)
+        state.setTimeoutTimestamp(held.map(_._3).max + horizonMs)
+      hits.result().iterator
+    }
+
+    blocked
+      .groupByKey(e => (e.blk, e.blockval))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Streaming semantic enrichment: embed the incoming text column and 1-NN
     * match each micro-batch against a STATIC reference table (stream-static

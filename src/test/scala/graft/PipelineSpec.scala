@@ -370,6 +370,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(ks.toSeq == Seq("a", "b"), s"got $ks")
   }
 
+  test("streamingNearDup: stateful cross-batch near-dup detection with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamOps.streamingNearDup(
+      stream.toDF().toDF("id", "text", "ts"), "id", "text",
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog", t1),
+      (2L, "completely unrelated text about databases and streams", t1))
+    q.processAllAvailable()
+    // near-identical doc arrives in a LATER batch → must match against state
+    stream.addData((3L, "the quick brown fox jumps over the lazy dog", t2))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("neardup_out")
+      .select("id", "matchId").distinct().as[(Long, Long)].collect().toSet
+    assert(hits.contains((3L, 1L)), s"expected cross-batch hit, got $hits")
+    assert(!hits.exists { case (a, b) => Set(a, b) == Set(1L, 2L) },
+      s"unrelated texts must not match: $hits")
+  }
+
+  test("sessionize: streaming session windows close after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = StreamOps.sessionize(
+      stream.toDF().toDF("user_id", "ts", "value"), "user_id", "ts",
+      gap = "10 minutes", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData(
+      ("u1", ts("2026-01-01 10:00:00"), 1.0),
+      ("u1", ts("2026-01-01 10:05:00"), 2.0),  // same session (≤10 min gap)
+      ("u1", ts("2026-01-01 11:00:00"), 3.0))  // new session
+    q.processAllAvailable()
+    // advance the watermark far enough to close both sessions
+    stream.addData(("u2", ts("2026-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess_out").filter($"user_id" === "u1")
+      .select("n_events", "sum_value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(sess.toSeq == Seq((1L, 3.0), (2L, 3.0)), s"got ${sess.toSeq}")
+  }
+
   test("native minhash_sig is bit-identical to the builtin xxhash64 composition") {
     import spark.implicits._
     val df = Seq(
