@@ -13,6 +13,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField}
   */
 abstract class BatchedEmbedder(val batchSize: Int = 128) extends Embedder {
 
+  /** Model-shaped embeddings cost real work per text → dedup before embedding. */
+  override def preferDedup: Boolean = true
+
   /** Embed one batch of texts (executor-side; never null elements — nulls
     * arrive as "").
     */
@@ -24,16 +27,16 @@ abstract class BatchedEmbedder(val batchSize: Int = 128) extends Embedder {
     require(idx >= 0, s"column $textCol not found")
     val bs = batchSize
     val self = this
-    df.sparkSession.createDataFrame(
-      df.rdd.mapPartitions { it =>
-        it.grouped(bs).flatMap { rows =>
-          val texts = rows.map(r => Option(r.getString(idx)).getOrElse(""))
-          val vecs = self.embedBatch(texts)
-          require(vecs.length == rows.length,
-            s"embedBatch returned ${vecs.length} vectors for ${rows.length} texts")
-          rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
-        }
-      }, schema)
+    // typed mapPartitions (single serialization fence), not df.rdd
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { rows =>
+        val texts = rows.map(r => Option(r.getString(idx)).getOrElse(""))
+        val vecs = self.embedBatch(texts)
+        require(vecs.length == rows.length,
+          s"embedBatch returned ${vecs.length} vectors for ${rows.length} texts")
+        rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
   }
 }
 

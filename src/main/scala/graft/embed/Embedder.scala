@@ -17,6 +17,14 @@ trait Embedder extends Serializable {
 
   /** Append `outCol` (a unit-norm array<double> of length `dim`) derived from `textCol`. */
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame
+
+  /** True when callers should embed DISTINCT texts and join the vectors back
+    * (the reference's embed-each-string-once optimization,
+    * evaluation.py:448-451): worth a shuffle when each embedding costs real
+    * model/API work. False for codegen-cheap embedders, where the extra
+    * distinct+join would cost more than re-embedding.
+    */
+  def preferDedup: Boolean = false
 }
 
 /** Deterministic hash-projection embedder (the test/bench default, SURVEY §5.2).

@@ -599,6 +599,27 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- embed-once policy ----------------------------------------------------
+
+  test("merge with a model-shaped embedder embeds each distinct key text once") {
+    import spark.implicits._
+    val counter = spark.sparkContext.longAccumulator("embedded_texts")
+    val counting = new graft.embed.BatchedEmbedder(batchSize = 16) {
+      val dim = 8
+      def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+        counter.add(texts.length)
+        texts.map(t => graft.embed.HashEmbedder.embedText(t, 8, tokenMix = true))
+      }
+    }
+    // 12 rows, only 3 distinct key texts on each side
+    val left = (1 to 12).map(i => (i.toLong, s"name${i % 3}")).toDF("id", "nm")
+    val right = (1 to 12).map(i => (i.toLong + 100, s"name${i % 3}")).toDF("id", "nm")
+    val out = SemanticJoin.merge(left, right, on = Seq("nm"), embedder = counting)
+    assert(out.count() == 12)
+    // dedup-embed: at most 3 distinct texts per side (6 total), not 24
+    assert(counter.value <= 6, s"embedded ${counter.value} texts, expected <= 6")
+  }
+
   // --- chunking / sampling --------------------------------------------------
 
   test("chunkDocuments: overlapping token windows, short tail, empty doc skipped") {
