@@ -149,16 +149,28 @@ object Clustering {
     labels
   }
 
-  /** ε-neighbor pairs over `(id, v)` with cosine >= tau — broadcast-matrix
-    * scan when the table fits the broadcast bound, exact crossJoin fallback
-    * otherwise (never collects an over-limit table to the driver). For inputs
-    * too large even for the crossJoin, use [[epsilonClusterLsh]].
+  /** ε-neighbor pairs over `(id, v)` with cosine >= tau.
+    *
+    * Plan selection: broadcast-matrix scan (exact, zero shuffle) while the
+    * table fits the broadcast bound; above it the default escalates to the
+    * SRP-LSH bucket equi-join (candidates exact-verified at >= tau —
+    * precision 1, recall < 1 near the threshold) because an O(n²) crossJoin
+    * over a table that big is not a survivable plan at 100 TB. Pass
+    * `forceExact=true` to keep the exact crossJoin regardless (small
+    * over-bound tables where exactness matters more than wall-clock).
     */
-  private def rangePairs(pts: DataFrame, tau: Double, onlyUpperPairs: Boolean): DataFrame = {
+  private def rangePairs(
+      pts: DataFrame, tau: Double, onlyUpperPairs: Boolean,
+      forceExact: Boolean = false): DataFrame = {
     import graft.functions.VectorOps._
     if (VecScan.fitsBroadcast(pts, "v")) {
       VecScan.range(pts, "id", "v", pts, "id", "v", tau,
         excludeSelf = true, onlyUpperPairs = onlyUpperPairs)
+    } else if (!forceExact) {
+      val upper = Ann.srpCandidatePairs(pts, "id", "v", tau)
+        .select(col("i").as("left_id"), col("j").as("right_id"), col("score"))
+      if (onlyUpperPairs) upper
+      else upper.union(upper.select(col("right_id"), col("left_id"), col("score")))
     } else {
       val a = pts.select(col("id").as("left_id"), col("v").as("va"))
         .withColumn("na", norm(col("va")))

@@ -599,6 +599,25 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- over-bound clustering escalation -------------------------------------
+
+  test("epsilonCluster escalates to the LSH bucket join above the broadcast bound") {
+    import spark.implicits._
+    // three exact-duplicate groups; identical vectors collide in every SRP
+    // band, so the LSH path must recover the same clusters as the exact path
+    val base = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val df = (0L until 30L).map(i => (i, base((i % 3).toInt))).toDF("id", "vec")
+    def clusters() = Clustering.epsilonCluster(df, "id", "vec", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = clusters()
+    spark.conf.set(VecScan.MaxBroadcastBytesKey, "1")
+    try {
+      assert(!VecScan.fitsBroadcast(df, "vec"))
+      assert(clusters() == exact)
+    } finally spark.conf.unset(VecScan.MaxBroadcastBytesKey)
+    assert(exact.values.toSet.size == 3)
+  }
+
   // --- embed-once policy ----------------------------------------------------
 
   test("merge with a model-shaped embedder embeds each distinct key text once") {
