@@ -195,6 +195,8 @@ object PairScoring {
       .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val totals = perScore.agg(sum("pos"), sum("cnt")).first()
+    if (totals.isNullAt(1)) // empty input: no pairs, no curve — all-zero row
+      return BinaryEvalRow("", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val totalPos = totals.getDouble(0)
     val totalN = totals.getLong(1).toDouble
     val sortKey = if (higherIsBetter) desc("score") else asc("score")

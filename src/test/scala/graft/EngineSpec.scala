@@ -599,6 +599,28 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- empty-input hardening ------------------------------------------------
+
+  test("operators tolerate empty inputs") {
+    import spark.implicits._
+    val emptyTexts = Seq.empty[(Long, String)].toDF("id", "text")
+    val emptyVecs = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    val emptyPairs = Seq.empty[(Array[Double], Array[Double], Int)].toDF("v1", "v2", "label")
+
+    assert(SemanticJoin.merge(emptyTexts, emptyTexts, on = Seq("text"), embedder = emb).count() == 0)
+    assert(Clustering.epsilonCluster(emptyVecs, "id", "vec", 0.5).count() == 0)
+    assert(Dedup.minhashLsh(emptyTexts, "id", "text").count() == 0)
+    assert(Dedup.simhashDedup(emptyTexts, "id", "text").count() == 0)
+    assert(TextAnalysis.chunkDocuments(emptyTexts, "text", 8, 2).count() == 0)
+    assert(Sampling.capPerKey(emptyTexts, Seq("text"), 5, "id").count() == 0)
+    val be = PairScoring.binaryClassificationMetrics(emptyPairs, "v1", "v2", "label")
+    assert(be.count() == 4) // four all-zero rows, not a crash
+    val rm = PairScoring.retrievalMetrics(
+      Seq.empty[(Long, Int, Int, Int)].toDF("q", "rank", "rel", "n_rel"),
+      "q", "rank", "rel", "n_rel", k = 5)
+    assert(rm.count() == 1) // single row of null averages
+  }
+
   // --- over-bound clustering escalation -------------------------------------
 
   test("epsilonCluster escalates to the LSH bucket join above the broadcast bound") {
