@@ -22,7 +22,15 @@ object Prefix {
     * a tiny per-partition-totals aggregate whose own cumulative runs over
     * ≤numShufflePartitions rows on the driver.
     */
-  def cumSums(df: DataFrame, sort: Seq[Column], sumCols: Seq[String]): DataFrame = {
+  def cumSums(df: DataFrame, sort: Seq[Column], sumCols: Seq[String]): DataFrame =
+    cumSumsWithTotals(df, sort, sumCols)._1
+
+  /** [[cumSums]] plus the grand total per sum column — already computed by the
+    * offsets pass, so callers needing a total (row counts, total positives)
+    * save one aggregation job.
+    */
+  def cumSumsWithTotals(
+      df: DataFrame, sort: Seq[Column], sumCols: Seq[String]): (DataFrame, Array[Double]) = {
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     // localCheckpoint pins the sampled range boundaries: the offsets job and
@@ -53,16 +61,24 @@ object Prefix {
     val withCums = sumCols.foldLeft(parted.join(broadcast(offsets), "__pid")) { (d, c) =>
       d.withColumn(s"__cum_$c", sum(col(c).cast("double")).over(w) + col(s"__off_$c"))
     }
-    withCums.drop("__pid" +: sumCols.map(c => s"__off_$c"): _*)
+    // acc now holds the grand totals (exclusive offsets folded over every pid)
+    (withCums.drop("__pid" +: sumCols.map(c => s"__off_$c"): _*), acc)
   }
 
   /** Global 0-based dense index over `df`'s rows in `sort` order (rows must be
     * distinct under `sort`). Fully parallel — the distributed `ngroup`.
     */
-  def globalIndex(df: DataFrame, sort: Seq[Column], outCol: String): DataFrame = {
+  def globalIndex(df: DataFrame, sort: Seq[Column], outCol: String): DataFrame =
+    globalIndexWithCount(df, sort, outCol)._1
+
+  /** [[globalIndex]] plus the row count (free — see [[cumSumsWithTotals]]). */
+  def globalIndexWithCount(
+      df: DataFrame, sort: Seq[Column], outCol: String): (DataFrame, Long) = {
     val withOne = df.withColumn("__one", lit(1L))
-    cumSums(withOne, sort, Seq("__one"))
+    val (cum, totals) = cumSumsWithTotals(withOne, sort, Seq("__one"))
+    val indexed = cum
       .withColumn(outCol, (col("__cum___one") - 1).cast("long"))
       .drop("__one", "__cum___one")
+    (indexed, totals(0).toLong)
   }
 }

@@ -116,8 +116,10 @@ object PairScoring {
     val perScore = s.groupBy("score")
       .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val totalPos = perScore.agg(sum("pos")).first().getDouble(0)
-    val curve = graft.core.Prefix.cumSums(perScore, Seq(desc("score")), Seq("pos", "cnt"))
+    val (cum, totals) = graft.core.Prefix.cumSumsWithTotals(
+      perScore, Seq(desc("score")), Seq("pos", "cnt"))
+    val totalPos = totals(0)
+    val curve = cum
       .select(col("score"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
       .withColumn("precision", col("tp") / col("n"))
       .withColumn("recall", col("tp") / lit(totalPos))
@@ -194,16 +196,18 @@ object PairScoring {
     val perScore = s.groupBy("score")
       .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val totals = perScore.agg(sum("pos"), sum("cnt")).first()
-    if (totals.isNullAt(1)) // empty input: no pairs, no curve — all-zero row
-      return BinaryEvalRow("", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-    val totalPos = totals.getDouble(0)
-    val totalN = totals.getLong(1).toDouble
     val sortKey = if (higherIsBetter) desc("score") else asc("score")
     // argmax tie-break key: highest score wins ties for similarities, lowest
     // for distances — encoded so plain struct-max ordering realizes it
     val tieKey = if (higherIsBetter) col("score") else -col("score")
-    val curve = graft.core.Prefix.cumSums(perScore, Seq(sortKey), Seq("pos", "cnt"))
+    // grand totals fall out of the prefix-scan's offsets pass — no totals job
+    val (cum, totals) = graft.core.Prefix.cumSumsWithTotals(
+      perScore, Seq(sortKey), Seq("pos", "cnt"))
+    val totalPos = totals(0)
+    val totalN = totals(1)
+    if (totalN == 0) // empty input: no pairs, no curve — all-zero row
+      return BinaryEvalRow("", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val curve = cum
       .select(col("score"), col("pos"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
       .withColumn("precision", col("tp") / col("n"))
       .withColumn("recall", when(lit(totalPos) > 0, col("tp") / lit(totalPos)).otherwise(lit(0.0)))

@@ -35,12 +35,10 @@ object TrainPrep {
   def assignGroupIds(
       df: DataFrame, keys: Seq[String], outCol: String = "group_id",
       maxBroadcastKeys: Long = MaxBroadcastGroupKeys): DataFrame = {
-    val mapping = graft.core.Prefix.globalIndex(
+    // the key count falls out of the prefix-scan's offsets pass — no extra job
+    val (mapping, nKeys) = graft.core.Prefix.globalIndexWithCount(
       df.select(keys.map(col): _*).distinct(), keys.map(col), outCol)
-    // mapping is localCheckpoint-backed (Prefix.cumSums), so this count is a
-    // cheap scan of the materialized distinct-key set, not a recompute
-    val small = mapping.count() <= maxBroadcastKeys
-    df.join(if (small) broadcast(mapping) else mapping, keys)
+    df.join(if (nKeys <= maxBroadcastKeys) broadcast(mapping) else mapping, keys)
   }
 
   /** Cluster labels from positive pairs: edges (leftId, rightId) → connected
