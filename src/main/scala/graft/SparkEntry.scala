@@ -305,6 +305,15 @@ object SparkEntry {
         .orderBy(col("left_id"), col("right_id"))
     }),
 
+    "q_prep_classifier" -> ((s, dir) => {
+      // string labels -> dense ints by first appearance in doc_id order
+      val (prepared, _) = graft.train.Preprocess.prepClassifierData(
+        ld(s, dir, "documents").select("doc_id", "text", "lang"),
+        on = Seq("text"), labelCol = "lang", ordCol = Some("doc_id"))
+      prepared.select(col("doc_id"), col("text"), col("lang").cast("long").as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ir_eval_relevant" -> ((s, dir) => {
       val (_, _, rel) = graft.train.TrainPrep.irEvalSplit(
         ld(s, dir, "documents"), "doc_id", "lang", "text")
@@ -783,6 +792,12 @@ object SparkEntry {
         |       CAST(dense_rank() OVER (ORDER BY source) - 1 AS VARCHAR) || '_r' AS right_id,
         |       text AS left_text, source AS right_text, y
         |FROM u ORDER BY left_id, right_id""".stripMargin,
+
+    "q_prep_classifier" ->
+      """WITH f AS (SELECT lang, min(doc_id) AS first_ord FROM documents GROUP BY lang),
+        |m AS (SELECT lang, dense_rank() OVER (ORDER BY first_ord) - 1 AS label_id FROM f)
+        |SELECT d.doc_id, d.text, CAST(m.label_id AS BIGINT) AS label
+        |FROM documents d JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
 
     "q_ir_eval_relevant" ->
       """WITH q AS (SELECT lang, min(doc_id) AS qid FROM documents GROUP BY lang)

@@ -231,6 +231,63 @@ object Preprocess {
     IrEval(queries.drop(clusterCol), corpus.drop(clusterCol), relevant)
   }
 
+  /** Classifier-training data prep (reference: train_clf_model.py:280-328):
+    * validate columns, null-drop, normalize the label column to dense ints —
+    * string labels map by FIRST APPEARANCE in `ordCol` order (the reference's
+    * `pd.unique` appearance order, made deterministic), floats truncate,
+    * ints pass through — serialize the `on` columns to `text`.
+    * Returns (prepared rows, labelMap as `(label, label_id)`).
+    */
+  def prepClassifierData(
+      df: DataFrame, on: Seq[String], labelCol: String,
+      ordCol: Option[String] = None, sep: String = Serialize.DefaultSep): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    (on :+ labelCol).foreach { c =>
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(s"Column $c not in data.")
+    }
+    val d0 = df.na.drop("all", on).na.drop("any", Seq(labelCol))
+    val (d, ord) = withOrd(d0, ordCol)
+    val (labeled, labelMap) = df.schema(labelCol).dataType match {
+      case StringType =>
+        // first-appearance rank of each distinct label, fully distributed:
+        // min(ord) per label, then a dense global index over those minima
+        val firsts = d.groupBy(col(labelCol)).agg(min(col(ord)).as("__first"))
+        val mapping = graft.core.Prefix.globalIndex(firsts, Seq(col("__first")), "label_id")
+          .select(col(labelCol), col("label_id"))
+        (d.join(mapping, Seq(labelCol))
+          .withColumn(labelCol, col("label_id")).drop("label_id"),
+          mapping.withColumnRenamed(labelCol, "label"))
+      case _: FloatType | _: DoubleType =>
+        val m = d.select(col(labelCol).cast("int").as("label")).distinct()
+          .withColumn("label_id", col("label"))
+        (d.withColumn(labelCol, col(labelCol).cast("int")), m)
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        val m = d.select(col(labelCol).as("label")).distinct()
+          .withColumn("label_id", col("label"))
+        (d, m)
+      case other => throw new IllegalArgumentException(
+        s"Label column $labelCol is not an int, float or string (got $other).")
+    }
+    val asStrings = on.foldLeft(labeled)((acc, c) => acc.withColumn(c, col(c).cast("string")))
+    (asStrings.withColumn("text", serialized(asStrings, on, sep)), labelMap)
+  }
+
+  /** Train/eval/test row split (reference: train_clf_model.py:train_test_dev_split,
+    * 15/15/70 by default) as a deterministic hash bucket on `keyCol` instead of
+    * two chained seed-fixed `train_test_split`s.
+    */
+  def trainTestDevSplit(
+      df: DataFrame, keyCol: String,
+      testPct: Int = 15, evalPct: Int = 15): DataFrame = {
+    require(testPct + evalPct < 100, "test+eval must leave room for train")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(100))
+    df.withColumn("split",
+      when(bucket < 100 - testPct - evalPct, "train")
+        .when(bucket < 100 - testPct, "eval")
+        .otherwise("test"))
+  }
+
   /** `prep_linkage_data` (reference: preprocess.py:438-623): unlabeled pairs
     * are all positives — edges → connected components → split whole clusters,
     * member lists for train, (query=left_text, corpus=right_text) IR-eval for

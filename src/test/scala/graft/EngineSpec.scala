@@ -864,6 +864,27 @@ class EngineSpec extends AnyFunSuite {
     assert(prep.testPairs.isEmpty)
   }
 
+  test("prepClassifierData: string labels map by first appearance; floats truncate; bad types raise") {
+    import spark.implicits._
+    import graft.train.Preprocess
+    val df = Seq((1L, "t1", "neg"), (2L, "t2", "pos"), (3L, "t3", "neg"))
+      .toDF("ord", "txt", "y")
+    val (prep, labelMap) = Preprocess.prepClassifierData(df, Seq("txt"), "y", ordCol = Some("ord"))
+    val rows = prep.select("ord", "y", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // "neg" appears first (ord 1) → 0; "pos" → 1
+    assert(rows.toSeq == Seq((1L, 0L, "t1"), (2L, 1L, "t2"), (3L, 0L, "t3")))
+    assert(labelMap.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("neg" -> 0L, "pos" -> 1L))
+    val fdf = Seq((1L, "a", 2.9)).toDF("ord", "txt", "y")
+    val (fprep, _) = Preprocess.prepClassifierData(fdf, Seq("txt"), "y", ordCol = Some("ord"))
+    assert(fprep.select("y").head().getInt(0) == 2) // float truncates like astype(int)
+    val bad = Seq((1L, "a", Array(1.0))).toDF("ord", "txt", "y")
+    intercept[IllegalArgumentException] {
+      Preprocess.prepClassifierData(bad, Seq("txt"), "y", ordCol = Some("ord"))
+    }
+  }
+
   test("prepClusData: per-cluster query/corpus split with full relevance") {
     import spark.implicits._
     import graft.train.Preprocess
