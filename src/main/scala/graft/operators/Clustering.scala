@@ -18,8 +18,13 @@ object Clustering {
 
   /** Edge-count bound for the driver union-find fast path in
     * [[connectedComponents]] (~80 MB of collected longs at the limit).
+    * Overridable via conf so tests can force the distributed iteration.
     */
   val SmallGraphEdgeLimit: Long = 5L * 1000 * 1000
+  val SmallGraphEdgeLimitKey = "spark.graft.cc.smallGraphEdgeLimit"
+
+  private def smallGraphEdgeLimit(spark: SparkSession): Long =
+    spark.conf.getOption(SmallGraphEdgeLimitKey).map(_.toLong).getOrElse(SmallGraphEdgeLimit)
 
   /** Driver union-find (path-halving + union-by-rank) over an edge list;
     * returns (id, minIdOfComponent) for every edge-incident node.
@@ -107,7 +112,7 @@ object Clustering {
     // — only the (already ε/LSH-filtered) edge list. The distributed
     // iteration below remains the path for genuinely large graphs.
     val edgeCount = sym.count()
-    if (edgeCount <= SmallGraphEdgeLimit) {
+    if (edgeCount <= smallGraphEdgeLimit(spark)) {
       val labeled = unionFindMinLabel(
         sym.select(col("src"), col("dst")).as[(Long, Long)].collect())
       return spark.createDataset(labeled).toDF("id", "component")

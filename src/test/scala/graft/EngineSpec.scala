@@ -599,6 +599,25 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- connected components: both paths agree -------------------------------
+
+  test("distributed CC iteration agrees with the union-find fast path") {
+    import spark.implicits._
+    // chain 0-1-...-19 (diameter stresses label propagation), a triangle,
+    // an isolated pair, and isolated nodes
+    val edges = ((0L until 19L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L))).toDF("a", "b")
+    val nodes = (0L until 20L).union(Seq(100L, 101L, 102L, 200L, 201L, 300L)).toDF("id")
+    def run() = Clustering.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaUnionFind = run()
+    spark.conf.set(Clustering.SmallGraphEdgeLimitKey, "0")
+    try assert(run() == viaUnionFind)
+    finally spark.conf.unset(Clustering.SmallGraphEdgeLimitKey)
+    assert(viaUnionFind(19L) == 0L && viaUnionFind(102L) == 100L &&
+      viaUnionFind(201L) == 200L && viaUnionFind(300L) == 300L)
+  }
+
   // --- empty-input hardening ------------------------------------------------
 
   test("operators tolerate empty inputs") {
