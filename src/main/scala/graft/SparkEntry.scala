@@ -163,6 +163,14 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_dbscan" -> ((s, dir) => {
+      // full DBSCAN semantics: core (>= minSamples neighbors incl. self),
+      // border -> min-labeled core neighbor, noise -> -1
+      Clustering.dbscanCosine(ld(s, dir, "embeddings"), "vec_id", "embedding",
+          eps = 0.6, minSamples = 4)
+        .orderBy(col("id"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.8)
         .orderBy(col("id"))
@@ -659,6 +667,30 @@ object SparkEntry {
          |  UNION
          |  SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id)
          |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dbscan" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS d FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id AND $CosSelf >= 0.4),
+         |deg AS (SELECT s AS id, count(*) + 1 AS deg FROM e GROUP BY s),
+         |core AS (SELECT id FROM deg WHERE deg >= 4),
+         |ce AS (SELECT e.s, e.d FROM e
+         |       JOIN core c1 ON c1.id = e.s JOIN core c2 ON c2.id = e.d),
+         |r(id, lbl) AS (
+         |  SELECT id, id FROM core
+         |  UNION
+         |  SELECT ce.d, r.lbl FROM r JOIN ce ON ce.s = r.id),
+         |corelab AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+         |border AS (
+         |  SELECT e.s AS id, min(cl.cluster) AS cluster
+         |  FROM e JOIN corelab cl ON cl.id = e.d
+         |  WHERE e.s NOT IN (SELECT id FROM core)
+         |  GROUP BY e.s)
+         |SELECT v.vec_id AS id, COALESCE(cl.cluster, b.cluster, -1) AS cluster
+         |FROM embeddings v
+         |LEFT JOIN corelab cl ON cl.id = v.vec_id
+         |LEFT JOIN border b ON b.id = v.vec_id
+         |ORDER BY id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH RECURSIVE e AS (
