@@ -798,6 +798,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
+    "q_classify_stub" ->
+      """SELECT doc_id, text,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) % 3 AS INT) AS clf_preds
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_clusters_from_pairs" ->
       """SELECT doc_id AS id, (doc_id // 5) * 5 AS cluster
         |FROM documents ORDER BY id""".stripMargin,

@@ -77,12 +77,19 @@ object Llm {
   /** Deterministic stub classifier: stable hash of the text modulo numLabels —
     * the interface twin of the reference's HF-Trainer / OpenAI paths
     * (infer.py:1306-1422), batched per partition like batch Trainer.predict.
+    * Uses the same rolling code-point hash as `TextAnalysis.fingerprint`
+    * (`(acc·31 + cp) mod 1e9+7`) so a SQL oracle can replicate predictions.
     */
   class HashClassifier(numLabels: Int) extends RowClassifier {
     def classify(batch: Seq[String]): Seq[Int] = batch.map { s =>
-      val h = s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((acc, b) =>
-        (acc ^ (b & 0xffL)) * 0x100000001b3L)
-      math.floorMod(h, numLabels.toLong).toInt
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = Math.floorMod(h * 31 + cp, 1000000007L)
+        i += Character.charCount(cp)
+      }
+      (h % numLabels).toInt
     }
   }
 
