@@ -757,6 +757,68 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.delete(path)
   }
 
+  test("readExcel: sheet selection by name and headerless mode") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_test2", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="First" sheetId="1" r:id="rId1"/>
+        |<sheet name="Second" sheetId="2" r:id="rId2"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData><row r="1"><c r="A1"><v>1</v></c></row></sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData><row r="1"><c r="A1"><v>41</v></c><c r="B1"><v>42</v></c></row>
+        |<row r="2"><c r="A2"><v>43</v></c><c r="B2"><v>44</v></c></row></sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val second = graft.sources.Io.readExcel(spark, path.toString,
+      sheetName = Some("Second"), header = false)
+    assert(second.columns.toSeq == Seq("_c0", "_c1"))
+    assert(second.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((41L, 42L), (43L, 44L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Io.readExcel(spark, path.toString, sheetName = Some("Nope"))
+    }
+    assert(e.getMessage.contains("no sheet named"))
+    java.nio.file.Files.delete(path)
+  }
+
+  test("chunkDocuments: every token covered; consecutive chunks overlap exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 15).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(40))).map(j => s"w$j").mkString(" "))
+    }.toDF("id", "text")
+    val chunkSize = 7; val overlap = 2; val stride = chunkSize - overlap
+    val chunks = TextAnalysis.chunkDocuments(docs, "text", chunkSize, overlap)
+      .select("id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2).split(" ").toSeq))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).split(" ").toSeq
+      val cs = chunks(r.getLong(0))
+      // coverage: concatenating each chunk's non-overlapping head rebuilds the doc
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(overlap))
+      assert(rebuilt == toks, s"doc ${r.getLong(0)} not covered")
+      // overlap: consecutive chunks share exactly `overlap` boundary tokens
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(chunkSize - stride) == b.take(overlap) ||
+          a.length < chunkSize) // short tail chunks relax the overlap
+        case _ =>
+      }
+    }
+  }
+
   // --- centroid fitter ------------------------------------------------------
 
   test("CentroidFitter pulls training texts together within clusters, leaves unseen text alone") {
