@@ -60,6 +60,56 @@ object Routing {
   def judgeProvider(judgeModelName: String): Provider =
     if (isGeminiModel(judgeModelName)) Gemini else OpenAi
 
+  /** `_resolve_knn_api_model` (reference: infer.py:931-947): an explicit
+    * non-"auto" name wins; otherwise keys pick the provider's default model,
+    * gemini before openai; no key at all is an error.
+    */
+  def resolveKnnApiModel(
+      knnApiModel: Option[String],
+      openAiKey: Option[String], geminiKey: Option[String],
+      env: Map[String, String] = Map.empty): Either[String, String] =
+    knnApiModel.filter(_ != "auto") match {
+      case Some(explicit) => Right(explicit)
+      case None =>
+        if (geminiKey.orElse(env.get("GEMINI_API_KEY")).isDefined) Right("gemini-embedding-001")
+        else if (openAiKey.orElse(env.get("OPENAI_API_KEY")).isDefined) Right("text-embedding-3-small")
+        else Left("Could not resolve `knn_api_model`: provide `openai_key`/OPENAI_API_KEY or " +
+          "`gemini_key`/GEMINI_API_KEY, or pass an explicit `knn_api_model`.")
+    }
+
+  /** Resolved retrieval config: model name plus the keys the retrieval stage
+    * may use (a key is forwarded only when the model routes to its provider).
+    */
+  final case class RetrievalConfig(
+      model: String, openAiKey: Option[String], geminiKey: Option[String])
+
+  /** `_resolve_knn_retrieval_config` (reference: infer.py:950-977): sbert and
+    * api retrieval models are mutually exclusive; an sbert model drops both
+    * keys; an api model resolves via [[resolveKnnApiModel]] and forwards only
+    * its provider's key; neither falls back to the judge-shared `model`.
+    */
+  def resolveKnnRetrievalConfig(
+      model: String,
+      knnSbertModel: Option[String], knnApiModel: Option[String],
+      openAiKey: Option[String], geminiKey: Option[String],
+      env: Map[String, String] = Map.empty): Either[String, RetrievalConfig] = {
+    if (knnSbertModel.isDefined && knnApiModel.isDefined)
+      return Left("Specify only one of `knn_sbert_model` or `knn_api_model`, not both.")
+    // both predicates can match at once (the "text-embedding-004" quirk) and
+    // the reference then forwards BOTH keys — preserved verbatim
+    def keysFor(m: String) = RetrievalConfig(m,
+      openAiKey.filter(_ => isOpenAiEmbeddingModel(m)),
+      geminiKey.filter(_ => isGeminiModel(m)))
+    knnSbertModel match {
+      case Some(sbert) => Right(RetrievalConfig(sbert, None, None))
+      case None => knnApiModel match {
+        case Some(_) =>
+          resolveKnnApiModel(knnApiModel, openAiKey, geminiKey, env).map(keysFor)
+        case None => Right(keysFor(model)) // shared-default fallback (warns in reference)
+      }
+    }
+  }
+
   /** Retry schedule for API-backed providers (reference: utils.py:366-369 —
     * backoff 15s·2^attempt, max_retries=5). Pure: returns the wait in ms for
     * a given attempt, for the provider impls to consume.

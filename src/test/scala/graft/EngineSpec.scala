@@ -599,6 +599,30 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- retrieval-config resolution ------------------------------------------
+
+  test("resolveKnnRetrievalConfig mirrors the reference's rules and quirks") {
+    import graft.llm.Routing
+    // mutual exclusion
+    assert(Routing.resolveKnnRetrievalConfig("m", Some("s"), Some("a"), None, None).isLeft)
+    // sbert model drops both keys
+    assert(Routing.resolveKnnRetrievalConfig("m", Some("sbert-x"), None, Some("ok"), Some("gk"))
+      == Right(Routing.RetrievalConfig("sbert-x", None, None)))
+    // api "auto": gemini key wins over openai
+    assert(Routing.resolveKnnRetrievalConfig("m", None, Some("auto"), Some("ok"), Some("gk"))
+      == Right(Routing.RetrievalConfig("gemini-embedding-001", None, Some("gk"))))
+    assert(Routing.resolveKnnRetrievalConfig("m", None, Some("auto"), Some("ok"), None)
+      == Right(Routing.RetrievalConfig("text-embedding-3-small", Some("ok"), None)))
+    // api "auto" with no keys anywhere → error
+    assert(Routing.resolveKnnRetrievalConfig("m", None, Some("auto"), None, None).isLeft)
+    // quirk: text-embedding-004 matches BOTH predicates → both keys forwarded
+    assert(Routing.resolveKnnRetrievalConfig("m", None, Some("text-embedding-004"), Some("ok"), Some("gk"))
+      == Right(Routing.RetrievalConfig("text-embedding-004", Some("ok"), Some("gk"))))
+    // neither specified → shared default model with provider-matched keys
+    assert(Routing.resolveKnnRetrievalConfig("ada-002", None, None, Some("ok"), Some("gk"))
+      == Right(Routing.RetrievalConfig("ada-002", Some("ok"), None)))
+  }
+
   // --- connected components: both paths agree -------------------------------
 
   test("distributed CC iteration agrees with the union-find fast path") {
