@@ -101,6 +101,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature: union = elementwise min of signatures (batch)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 100).map { i =>
+      val a = (0 until 1 + rnd.nextInt(8)).map(_ => rnd.alphanumeric.take(5).mkString).toArray
+      val b = (0 until 1 + rnd.nextInt(8)).map(_ => rnd.alphanumeric.take(5).mkString).toArray
+      (i.toLong, a, b, (a ++ b).distinct)
+    }
+    val df = rows.toDF("id", "a", "b", "u")
+    val out = df.select(
+      graft.operators.Dedup.minhashSignature(col("a"), 16).as("sa"),
+      graft.operators.Dedup.minhashSignature(col("b"), 16).as("sb"),
+      graft.operators.Dedup.minhashSignature(col("u"), 16).as("su")).collect()
+    out.foreach { r =>
+      val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1); val su = r.getSeq[Long](2)
+      assert(su == sa.zip(sb).map { case (x, y) => math.min(x, y) },
+        "sig(A ∪ B) must equal min(sig(A), sig(B))")
+    }
+  }
+
+  test("hamming64 and the distance columns satisfy metric axioms (batch)") {
+    import spark.implicits._
+    import graft.functions.VectorOps._
+    val rnd = new scala.util.Random(19)
+    val fps = (0 until 200).map(i =>
+      (i.toLong, rnd.nextLong(), rnd.nextLong(), rnd.nextLong()))
+    val hdf = fps.toDF("id", "x", "y", "z")
+    hdf.select(
+      graft.operators.Dedup.hamming64(col("x"), col("y")).as("xy"),
+      graft.operators.Dedup.hamming64(col("y"), col("x")).as("yx"),
+      graft.operators.Dedup.hamming64(col("x"), col("x")).as("xx"),
+      graft.operators.Dedup.hamming64(col("x"), col("z")).as("xz"),
+      graft.operators.Dedup.hamming64(col("y"), col("z")).as("yz")).collect()
+      .foreach { r =>
+        assert(r.getInt(0) == r.getInt(1) && r.getInt(2) == 0)
+        assert(r.getInt(3) <= r.getInt(0) + r.getInt(4), "hamming triangle inequality")
+      }
+    val vecs = (0 until 150).map { i =>
+      def v() = Array.fill(8)(rnd.nextDouble() * 4 - 2)
+      (i.toLong, v(), v(), v())
+    }
+    val vdf = vecs.toDF("id", "a", "b", "c")
+    vdf.select(
+      manhattan(col("a"), col("b")).as("m_ab"), manhattan(col("b"), col("a")).as("m_ba"),
+      manhattan(col("a"), col("a")).as("m_aa"),
+      manhattan(col("a"), col("c")).as("m_ac"), manhattan(col("b"), col("c")).as("m_bc"),
+      euclidean(col("a"), col("b")).as("e_ab"), euclidean(col("a"), col("c")).as("e_ac"),
+      euclidean(col("b"), col("c")).as("e_bc")).collect()
+      .foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == 0.0)
+        assert(r.getDouble(3) <= r.getDouble(0) + r.getDouble(4) + 1e-9, "manhattan triangle")
+        assert(r.getDouble(6) <= r.getDouble(5) + r.getDouble(7) + 1e-9, "euclidean triangle")
+        // L2 <= L1 elementwise-sum bound
+        assert(r.getDouble(5) <= r.getDouble(0) + 1e-9)
+      }
+  }
+
   test("minhash signature: invariant under permutation and duplication (batch)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
