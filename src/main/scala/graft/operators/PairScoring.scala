@@ -17,15 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object PairScoring {
 
-  /** Rowwise cosine of two text columns — no join, no shuffle. */
+  /** Rowwise cosine of two text columns. Codegen embedders stay a pure
+    * projection (no join, no shuffle); model-shaped embedders
+    * (`preferDedup`) embed each distinct text across BOTH columns once and
+    * join the vectors back (reference evaluation.py:448-451).
+    */
   def evaluatePairs(
       df: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
       embedder: Embedder, scoreCol: String = "score",
       sep: String = Serialize.DefaultSep): DataFrame = {
     val t1 = df.withColumn("__t1", Serialize.serializeColumns(leftOn.map(df(_)), sep))
     val t2 = t1.withColumn("__t2", Serialize.serializeColumns(rightOn.map(t1(_)), sep))
-    val e1 = embedder.embed(t2, "__t1", "__v1")
-    val e2 = embedder.embed(e1, "__t2", "__v2")
+    val e2 =
+      if (embedder.preferDedup) {
+        val texts = t2.select(col("__t1").as("__t")).union(t2.select(col("__t2"))).distinct()
+        val vecs = embedder.embed(texts, "__t", "__v").localCheckpoint(true)
+        t2.join(vecs.select(col("__t").as("__t1"), col("__v").as("__v1")), Seq("__t1"))
+          .join(vecs.select(col("__t").as("__t2"), col("__v").as("__v2")), Seq("__t2"))
+      } else {
+        embedder.embed(embedder.embed(t2, "__t1", "__v1"), "__t2", "__v2")
+      }
     e2.withColumn(scoreCol, cosineNormalized(col("__v1"), col("__v2")))
       .drop("__t1", "__t2", "__v1", "__v2")
   }

@@ -80,8 +80,10 @@ object TrainPrep {
       df: DataFrame, clusterCol: String,
       weights: Array[Double], seed: Long): Array[DataFrame] = {
     val clusters = df.select(col(clusterCol)).distinct()
+    // no forced broadcast: the distinct-cluster set can itself be big data at
+    // scale — plain semi-join lets AQE pick broadcast when it actually fits
     clusters.randomSplit(weights, seed).map { part =>
-      df.join(broadcast(part), Seq(clusterCol), "left_semi")
+      df.join(part, Seq(clusterCol), "left_semi")
     }
   }
 
