@@ -226,13 +226,18 @@ object SemanticJoin {
     val r = withTextVec(df2, rk, RightIdCol, embedder, sep)
 
     // candidates restricted to equal block keys; null-safe equality mirrors
-    // pandas groupby (NaN blocks are dropped by pandas; we require non-null)
-    val scored = l.select(Seq(col(LeftIdCol), col("__graft_vec").as("__lv")) ++ blockingVars.map(l(_)): _*)
-      .join(r.select(Seq(col(RightIdCol), col("__graft_vec").as("__rv")) ++ blockingVars.map(r(_)): _*)
-        .withColumnsRenamed(blockingVars.map(c => c -> s"__rb_$c").toMap),
-        blockingVars.map(c => col(c) === col(s"__rb_$c")).reduce(_ && _))
+    // pandas groupby (NaN blocks are dropped by pandas; we require non-null).
+    // norms are computed once per ROW before the join — inside the pair
+    // predicate they would be recomputed O(candidates) times
+    val lSide = l.select(Seq(col(LeftIdCol), asDouble(col("__graft_vec")).as("__lv")) ++ blockingVars.map(l(_)): _*)
+      .withColumn("__ln", norm(col("__lv")))
+    val rSide = r.select(Seq(col(RightIdCol), asDouble(col("__graft_vec")).as("__rv")) ++ blockingVars.map(r(_)): _*)
+      .withColumn("__rn", norm(col("__rv")))
+      .withColumnsRenamed(blockingVars.map(c => c -> s"__rb_$c").toMap)
+    val scored = lSide
+      .join(rSide, blockingVars.map(c => col(c) === col(s"__rb_$c")).reduce(_ && _))
       .select(col(LeftIdCol), col(RightIdCol),
-        cosine(asDouble(col("__lv")), asDouble(col("__rv"))).as("__score"))
+        cosineWithNorms(dot(col("__lv"), col("__rv")), col("__ln"), col("__rn")).as("__score"))
     val best = scored.groupBy(col(LeftIdCol))
       .agg(graft.functions.VecExpressions.topK(1, col("__score"), col(RightIdCol)).as("__top"))
       .select(col(LeftIdCol).as("left_id"),
