@@ -83,17 +83,21 @@ object Ann {
       tau: Double,
       nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     import graft.functions.SrpBands.srpBands
+    // norms once per point — inside the bucket join they would be recomputed
+    // per (candidate pair × colliding band)
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__n", norm(col("v")))
     val sigs = pts
       .withColumn("__bands", srpBands(col("v"), nBands, bitsPerBand, seed))
-      .select(col("id"), col("v"), posexplode(col("__bands")).as(Seq("__band", "__key")))
-    val a = sigs.select(col("id").as("i"), col("v").as("vi"),
+      .select(col("id"), col("v"), col("__n"), posexplode(col("__bands")).as(Seq("__band", "__key")))
+    val a = sigs.select(col("id").as("i"), col("v").as("vi"), col("__n").as("ni"),
       col("__band"), col("__key"))
-    val b = sigs.select(col("id").as("j"), col("v").as("vj"),
+    val b = sigs.select(col("id").as("j"), col("v").as("vj"), col("__n").as("nj"),
       col("__band"), col("__key"))
     a.join(b, Seq("__band", "__key"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), cosine(col("vi"), col("vj")).as("score"))
+      .select(col("i"), col("j"),
+        cosineWithNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")).as("score"))
       .filter(col("score") >= lit(tau))
       // a pair colliding in multiple bands appears once per collision
       .groupBy("i", "j").agg(first("score").as("score"))
@@ -134,12 +138,15 @@ object Ann {
       .select(col("left_id").as("query_id"), col("right_id").as("centroid_id"))
     val queriesExp = queries
       .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+      .withColumn("__qn", norm(col("qv"))) // once per query, before probe fan-out
       .join(probes, "query_id")
 
     // score only candidates sharing a probed list; then global top-k per query
-    val scored = queriesExp.join(corpusByList, Seq("centroid_id"))
+    // (norms hoisted to per-row columns before the candidate join)
+    val scored = queriesExp
+      .join(corpusByList.withColumn("__cn", norm(col("cv"))), Seq("centroid_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("__score"))
+        cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
