@@ -599,6 +599,31 @@ class EngineSpec extends AnyFunSuite {
     assert(cos.getAs[Double]("accuracy") == 1.0) // identical texts → score 1
   }
 
+  // --- knn path equivalence under ties --------------------------------------
+
+  test("broadcast and shuffle kNN paths agree exactly, including tied scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // duplicated vectors force exact cosine ties → tie-break must match
+    val basis = Array.fill(40)(Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    val data = (0L until 200L).map(i => (i, basis((i % 40).toInt))).toDF("id", "vec")
+    def run(broadcastOk: Boolean) = {
+      if (!broadcastOk) spark.conf.set(VecScan.MaxBroadcastBytesKey, "1")
+      try SemanticJoin.knnJoinVec(data, "id", "vec", data, "id", "vec",
+          k = 4, excludeSelf = true)
+        .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Int]("rank").toLong,
+          r.getAs[Long]("right_id"), r.getAs[Double]("score"))).toSet
+      finally if (!broadcastOk) spark.conf.unset(VecScan.MaxBroadcastBytesKey)
+    }
+    val b = run(broadcastOk = true)
+    val s = run(broadcastOk = false)
+    assert(b == s, {
+      val diff = (b diff s).take(5) ++ (s diff b).take(5)
+      s"paths diverge on ${diff.size}+ rows, e.g. $diff"
+    })
+    assert(b.size == 200 * 4)
+  }
+
   // --- retrieval-config resolution ------------------------------------------
 
   test("resolveKnnRetrievalConfig mirrors the reference's rules and quirks") {
