@@ -5,7 +5,7 @@ import graft.llm.Routing
 import graft.operators.{Multimodal, SemanticJoin}
 import graft.sources.Io
 import graft.streaming.StreamOps
-import graft.train.{ModelArtifact, TrainConfig, TrainPrep}
+import graft.train.{CentroidAdjustedEmbedder, CentroidFitter, ModelArtifact, TrainConfig, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -135,6 +135,24 @@ class PipelineSpec extends AnyFunSuite {
       val q = spark.read.parquet(s"$dir/val_queries.parquet")
       assert(q.columns.toSeq == Seq("qid", "text"))
     }
+  }
+
+  test("trainModel with CentroidFitter returns a centroid-adjusted embedder") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("apple inc", "Apple Inc."), ("apple inc", "APPLE"),
+      ("microsoft corp", "Microsoft"), ("tesla", "Tesla Motors"))
+      .toDF("l", "r")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_model_cf").toString
+    val cfg = TrainConfig(modelSaveDir = tmp, modelSaveName = "m2",
+      valPerc = 0.25, saveValTestPickles = false)
+    val (fitted, _) = ModelArtifact.trainModel(
+      spark, pairs, "l", "r", emb, cfg, fitter = new CentroidFitter(alpha = 0.5))
+    assert(fitted.isInstanceOf[CentroidAdjustedEmbedder])
+    // fitted model still embeds arbitrary text at the right dim
+    val v = fitted.embed(Seq("anything").toDF("t"), "t", "v")
+      .head().getSeq[Double](1)
+    assert(v.length == emb.dim)
   }
 
   // ---------------------------------------------------------------- Embedders
