@@ -27,6 +27,21 @@ trait Embedder extends Serializable {
   def preferDedup: Boolean = false
 }
 
+object Embedder {
+
+  /** Embed each distinct value of `textCol` once and join the vectors back —
+    * the dedup-embed shape behind [[Embedder.preferDedup]]. The vector table
+    * is checkpointed so both the join and any downstream branch reuse it.
+    */
+  def embedDistinct(
+      df: org.apache.spark.sql.DataFrame, textCol: String, outCol: String,
+      embedder: Embedder): org.apache.spark.sql.DataFrame = {
+    val vecs = embedder.embed(df.select(textCol).distinct(), textCol, outCol)
+      .localCheckpoint(true)
+    df.join(vecs, Seq(textCol))
+  }
+}
+
 /** Deterministic hash-projection embedder (the test/bench default, SURVEY §5.2).
   *
   * Maps text -> seeded pseudo-random unit vector: FNV-1a 64 over UTF-8 bytes seeds a

@@ -60,12 +60,16 @@ object Ann {
           c, "centroid_id", "centroid_vec", k = 1,
           skipSizeCheck = true) // centroid table is ≤nCentroids rows by construction
         .select(col("left_id").as("__pid"), col("right_id").as("centroid_id"))
-      c = sample.join(assigned, "__pid")
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("centroid_id", "__pos").agg(avg("__x").as("__m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__sm"))
-        .select(col("centroid_id"), expr("transform(__sm, s -> s.__m)").as("centroid_vec"))
+      val means = graft.core.VecAgg.elementWiseMean(
+        sample.join(assigned, "__pid").select(col("centroid_id"), col("__v")),
+        "centroid_id", "__v", "__mean")
+      // a centroid with no assigned sample points keeps its previous vector —
+      // dropping it would shrink the index below nCentroids (acute at small
+      // refineFraction, where the sample can't even reach every centroid)
+      c = c.select(col("centroid_id"), col("centroid_vec").as("__prev"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__mean"), col("__prev")).as("centroid_vec"))
         .localCheckpoint(true) // iterative: cut lineage between rounds
     }
     c
@@ -116,8 +120,10 @@ object Ann {
       k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       refineRounds: Int = 1, refineFraction: Double = 1.0): DataFrame = {
     val cents0 = centroids(corpus, cId, cVec, nCentroids, seed)
+    // pin the centroid table: both knnJoinVec collects below would otherwise
+    // re-run the corpus top-n scan (refineCentroids already ends checkpointed)
     val cents =
-      if (refineRounds <= 0) cents0
+      if (refineRounds <= 0) cents0.localCheckpoint(true)
       else refineCentroids(corpus, cId, cVec, cents0, refineRounds, refineFraction, seed)
 
     // corpus → nearest centroid (exact 1-NN against the tiny centroid table;

@@ -191,7 +191,7 @@ object Clustering {
     }
   }
 
-  /** DBSCAN-equivalent over a vector column, exact for cosine metric.
+  /** DBSCAN-equivalent over a vector column on cosine distance.
     *
     * `eps` is cosine DISTANCE (1 - similarity), `minSamples` counts the point
     * itself (sklearn semantics). Core points form clusters via connected
@@ -200,10 +200,15 @@ object Clustering {
     * documented divergence); noise gets cluster -1. Cluster labels are the min
     * member id of each cluster's core set (stable, join-friendly).
     * Reference semantics: cluster_fns.py:52-78 ("SLINK"/DBSCAN branch).
+    *
+    * EXACT while the table fits the broadcast bound; above it ε-neighbor
+    * candidates come from the SRP-LSH bucket join (recall < 1 near the
+    * threshold → degrees can undercount). Pass `exactPairs=true` to keep the
+    * exact O(n²) crossJoin above the bound instead.
     */
   def dbscanCosine(
       df: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minSamples: Int = 2): DataFrame = {
+      eps: Double, minSamples: Int = 2, exactPairs: Boolean = false): DataFrame = {
     import graft.functions.VectorOps._
     val tau = 1.0 - eps
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
@@ -215,7 +220,7 @@ object Clustering {
     // border stages (3 shuffles + 2 checkpoints) — this is the default path
     // for dedup_rows.
     if (minSamples <= 2) {
-      val edges = rangePairs(pts, tau, onlyUpperPairs = true)
+      val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs)
         .select(col("left_id").as("i"), col("right_id").as("j"))
       // edge-incident components only; everything else is noise (-1)
       val labels = componentsOfEdgeIncident(edges)
@@ -225,7 +230,7 @@ object Clustering {
 
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
     // predicate; checkpointed so downstream stages never re-run the self-scan
-    val nbrs = rangePairs(pts, tau, onlyUpperPairs = false)
+    val nbrs = rangePairs(pts, tau, onlyUpperPairs = false, forceExact = exactPairs)
       .select(col("left_id").as("i"), col("right_id").as("j"))
       .localCheckpoint(true)
 
@@ -254,12 +259,16 @@ object Clustering {
 
   /** Pure ε-graph single-linkage clustering (no density requirement): connected
     * components of the cosine >= tau graph; singletons are their own cluster.
-    * The distributed backend for near-dup detection.
+    * The distributed backend for near-dup detection. Exact within the broadcast
+    * bound; above it SRP-LSH candidates unless `exactPairs=true` (see
+    * [[dbscanCosine]]).
     */
-  def epsilonCluster(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+  def epsilonCluster(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      exactPairs: Boolean = false): DataFrame = {
     import graft.functions.VectorOps._
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val edges = rangePairs(pts, tau, onlyUpperPairs = true)
+    val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs)
       .select(col("left_id").as("i"), col("right_id").as("j"))
     connectedComponents(pts.select("id"), edges)
       .withColumnRenamed("component", "cluster")
@@ -289,7 +298,8 @@ object Clustering {
       df: DataFrame, on: Seq[String], embedder: Embedder,
       threshold: Double = 0.5, minClusterSize: Int = 2,
       sep: String = Serialize.DefaultSep,
-      method: String = "SLINK"): DataFrame = {
+      method: String = "SLINK",
+      exactPairs: Boolean = false): DataFrame = {
     Keys.requireNoReserved(df, Seq("__graft_id", "__graft_text", "__graft_vec", "cluster"))
     val withId = df.withColumn("__graft_id", monotonically_increasing_id())
     val withText = withId.withColumn("__graft_text",
@@ -304,7 +314,7 @@ object Clustering {
     val labels = method match {
       case "SLINK" =>
         dbscanCosine(emb, "__graft_id", "__graft_vec",
-          eps = 1.0 - threshold, minSamples = minClusterSize)
+          eps = 1.0 - threshold, minSamples = minClusterSize, exactPairs = exactPairs)
       case "agglomerative" =>
         HierarchicalClustering.agglomerative(emb, "__graft_id", "__graft_vec",
           distanceThreshold = 1.0 - threshold)
@@ -325,7 +335,8 @@ object Clustering {
     */
   def dedupRows(
       df: DataFrame, on: Seq[String], embedder: Embedder,
-      threshold: Double = 0.55, minClusterSize: Int = 2): DataFrame = {
+      threshold: Double = 0.55, minClusterSize: Int = 2,
+      exactPairs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Keys.requireNoReserved(df, Seq("__graft_ord"))
     val withOrd = df.withColumn("__graft_ord", monotonically_increasing_id())
@@ -333,7 +344,8 @@ object Clustering {
     val exactW = Window.partitionBy(on.map(col): _*).orderBy(col("__graft_ord"))
     val exact = withOrd.withColumn("__rn", row_number().over(exactW))
       .filter(col("__rn") === 1).drop("__rn")
-    val clustered = clusterRows(exact, on, embedder, threshold, minClusterSize)
+    val clustered = clusterRows(exact, on, embedder, threshold, minClusterSize,
+      exactPairs = exactPairs)
     val w = Window.partitionBy(col("cluster")).orderBy(col("__graft_ord"))
     clustered
       .withColumn("__rn", row_number().over(w))

@@ -59,9 +59,13 @@ object PairScoring {
     // broadcast only when the embedded right side fits the configured bound —
     // an unguarded broadcast of a large df2 OOMs executors; above the bound the
     // plain crossJoin shuffles instead (the pair table is O(n·m) either way).
+    // Sized on the PRE-embed distinct key count (rows × dim × 8): running the
+    // size census on the embedded frame would execute the (model-priced) embed
+    // stage once for the census and again for the join.
     val rhs = r.drop("__t")
     val joined =
-      if (VecScan.fitsBroadcast(rhs, "__v2")) l.drop("__t").crossJoin(broadcast(rhs))
+      if (VecScan.fitsBroadcast(r0, vecCol = "", dim = embedder.dim))
+        l.drop("__t").crossJoin(broadcast(rhs))
       else l.drop("__t").crossJoin(rhs)
     joined
       .withColumn("score", cosineNormalized(col("__v1"), col("__v2")))

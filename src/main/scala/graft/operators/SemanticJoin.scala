@@ -113,15 +113,13 @@ object SemanticJoin {
     // silently misalign the join-back. This is also the embed-once-reuse
     // optimization (reference: infer.py:244-247, CHANGELOG.md:71-72) — the
     // embedding stage is the expensive one and must not run twice.
+    // model/API embedders: embed each DISTINCT key text once, join vectors
+    // back (reference evaluation.py:448-451) — the distinct+join shuffle is
+    // cheap against re-running a model on duplicate keys at scale
     val embedded =
-      if (embedder.preferDedup) {
-        // model/API embedders: embed each DISTINCT key text once, join vectors
-        // back (reference evaluation.py:448-451) — the distinct+join shuffle is
-        // cheap against re-running a model on duplicate keys at scale
-        val vecs = embedder.embed(
-          withText.select("__graft_text").distinct(), "__graft_text", "__graft_vec")
-        withText.join(vecs, Seq("__graft_text"))
-      } else embedder.embed(withText, "__graft_text", "__graft_vec")
+      if (embedder.preferDedup)
+        graft.embed.Embedder.embedDistinct(withText, "__graft_text", "__graft_vec", embedder)
+      else embedder.embed(withText, "__graft_text", "__graft_vec")
     embedded.localCheckpoint(true)
   }
 

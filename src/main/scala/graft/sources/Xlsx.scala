@@ -82,8 +82,13 @@ object Xlsx {
 
       val rows = elems(ws, "row").map { row =>
         val cells = mutable.Map.empty[Int, Option[String]]
+        // the r= cell reference is OPTIONAL (ECMA-376): cells without it
+        // occupy the position after the previous cell
+        var nextIdx = 0
         elems(row, "c").foreach { c =>
-          val idx = colIndex(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          val idx = if (ref == null || ref.isEmpty) nextIdx else colIndex(ref)
+          nextIdx = idx + 1
           val t = c.getAttribute("t")
           val v = t match {
             case "s" => elems(c, "v").headOption

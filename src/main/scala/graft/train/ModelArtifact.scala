@@ -109,13 +109,12 @@ class CentroidFitter(alpha: Double = 0.5, maxTrainTexts: Long = 2000000L) extend
       trainClusters.select(col(cCol).as("__c"), col(tCol).as("__t")).distinct(),
       "__t", "__v").localCheckpoint(true)
     if (embedded.count() > maxTrainTexts) return base
-    // element-wise cluster mean: explode by position → partial-agg avg
-    val centroids = embedded
-      .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
-      .groupBy("__c", "__p").agg(avg("__x").as("__m"))
-      .groupBy("__c").agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__sm"))
-      .select(col("__c"), expr("transform(__sm, s -> s.__m)").as("__cent"))
-    val textCentroid = embedded.select("__c", "__t").join(centroids, "__c")
+    val centroids = graft.core.VecAgg.elementWiseMean(embedded, "__c", "__v", "__cent")
+    // a text in several clusters contributes to every cluster's centroid but
+    // resolves to its MIN cluster's pull — deterministic, where last-in-map
+    // would depend on partition collection order
+    val textCentroid = embedded.groupBy("__t").agg(min("__c").as("__c"))
+      .join(centroids, "__c")
       .select("__t", "__cent").collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     new CentroidAdjustedEmbedder(base, spark.sparkContext.broadcast(textCentroid), alpha)
@@ -130,6 +129,9 @@ class CentroidAdjustedEmbedder(
     centroids: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]],
     alpha: Double) extends Embedder {
   def dim: Int = base.dim
+
+  /** Wrapping must not lose the base model's embed-once policy. */
+  override def preferDedup: Boolean = base.preferDedup
 
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.functions._

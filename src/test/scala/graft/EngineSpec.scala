@@ -806,6 +806,34 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.delete(path)
   }
 
+  test("readExcel: cells without the optional r= reference occupy consecutive positions") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_test3", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // ECMA-376 allows omitting r=; a mid-row r= resynchronizes the position
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c><v>1</v></c><c><v>2</v></c><c r="D1"><v>4</v></c><c><v>5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = graft.sources.Io.readExcel(spark, path.toString, header = false)
+    val row = df.collect().head
+    assert(df.columns.length == 5)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L && row.isNullAt(2) &&
+      row.getLong(3) == 4L && row.getLong(4) == 5L)
+    java.nio.file.Files.delete(path)
+  }
+
   test("readExcel: sheet selection by name and headerless mode") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val path = java.nio.file.Files.createTempFile("graft_test2", ".xlsx")
