@@ -248,6 +248,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text"), 2), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      // plant synthetic PII, then scrub — placeholder tokens must replace all
+      val planted = ld(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+          lit(" via http://site"), col("doc_id"), lit(".example/path"),
+          lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"),
+          lit(" tel 55512"), (col("doc_id") + 10000), lit(" end")).as("t"))
+      planted.select(col("doc_id"), TextAnalysis.scrubPii(col("t")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       TextAnalysis.chunkDocuments(
           ld(s, dir, "documents").select("doc_id", "text"), "text",
@@ -780,6 +799,34 @@ object SparkEntry {
 
     "q_transform_upper" ->
       "SELECT doc_id, upper(text) AS transformed FROM documents ORDER BY doc_id",
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |    END AS sh FROM t)
+        |SELECT doc_id, round(CASE WHEN len(sh) = 0 THEN 0.0
+        |  ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@mail.example.com'
+        |    || ' via http://site' || doc_id || '.example/path'
+        |    || ' at 10.0.' || (doc_id % 256) || '.7'
+        |    || ' tel 55512' || (doc_id + 10000) || ' end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH t AS (

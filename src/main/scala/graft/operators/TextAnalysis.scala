@@ -95,6 +95,31 @@ object TextAnalysis {
     graft.functions.MinHashSig.wordShingles(text, n)
 
   /** n-gram Jaccard similarity between two texts' shingle sets. */
+  /** Gopher-style repetition signal: fraction of duplicate word n-grams
+    * (1 − distinct/total over [[wordShingles]]). Boilerplate- and
+    * template-heavy documents score high; a standard pretraining-quality
+    * filter (public Gopher/MassiveText rules).
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
+  /** PII scrubbing: emails, URLs, IPv4 addresses, and long digit runs
+    * (phone/id shaped) replaced with typed placeholder tokens, in that fixed
+    * order. Pure `regexp_replace` chain — codegen'd, pushes through scans;
+    * patterns stay in the regex subset shared by Java and RE2 so SQL oracles
+    * can replicate them.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    val ip = regexp_replace(url, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
   /** Token-window document chunking — the pre-tokenization step of an LLM
     * training pipeline: each document becomes overlapping windows of
     * `chunkSize` whitespace tokens advancing by `chunkSize - overlap`.

@@ -731,6 +731,21 @@ class EngineSpec extends AnyFunSuite {
 
   // --- chunking / sampling --------------------------------------------------
 
+  test("repetitionRatio flags duplicated n-grams; scrubPii replaces typed patterns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),        // all bigrams identical → high
+      (2L, "each word here appears just once")) // all distinct → 0
+      .toDF("id", "t")
+    val rep = df.select(col("id"), TextAnalysis.repetitionRatio(col("t"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) == 1.0 - 1.0 / 4.0) // 4 bigrams, 1 distinct
+    assert(rep(2L) == 0.0)
+    val scrubbed = Seq("mail a.b@x.io or http://a.b/c from 10.0.0.1 ref 12345678 ok")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t"))).head().getString(0)
+    assert(scrubbed == "mail <EMAIL> or <URL> from <IP> ref <NUM> ok", scrubbed)
+  }
+
   test("chunkDocuments: overlapping token windows, short tail, empty doc skipped") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "   ")).toDF("id", "text")
