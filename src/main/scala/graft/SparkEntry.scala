@@ -504,6 +504,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // "benchmark" = every 10th doc; those docs must flag themselves (J=1)
+      val docs = ld(s, dir, "documents")
+      Dedup.contamination(
+          docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
     "q_simhash" -> ((s, dir) => {
       ld(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))

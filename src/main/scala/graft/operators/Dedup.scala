@@ -172,6 +172,50 @@ object Dedup {
       .select(col("id"), col("component").as("cluster"))
   }
 
+  /** Benchmark decontamination: flag corpus documents whose n-gram Jaccard
+    * with ANY benchmark document reaches `jaccardThreshold` — the train/eval
+    * overlap check run before training on scraped corpora. Two-table variant
+    * of [[minhashLsh]]: both sides shingle + minhash once, candidates come
+    * from the band-bucket equi-join (never corpus × benchmark), exact Jaccard
+    * verifies. Returns one row per contaminated pair
+    * `(corpus_id, benchmark_id, jaccard)`; anti-join the corpus against it to
+    * clean. The benchmark side is typically tiny — Catalyst broadcasts its
+    * banded form on its own.
+    */
+  def contamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    def prep(df: DataFrame, id: String, text: String) = df.select(
+      col(id).cast("long").as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(text), shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
+    def banded(base: DataFrame) = base.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val c = prep(corpus, corpusId, corpusText)
+    val b = prep(benchmark, benchId, benchText)
+    val candidates = banded(c).select(col("band"), col("bucket"), col("id").as("corpus_id"))
+      .join(banded(b).select(col("band"), col("bucket"), col("id").as("benchmark_id")),
+        Seq("band", "bucket"))
+      .select("corpus_id", "benchmark_id")
+      .distinct()
+    candidates
+      .join(c.select(col("id").as("corpus_id"), col("sh").as("cs")), "corpus_id")
+      .join(b.select(col("id").as("benchmark_id"), col("sh").as("bs")), "benchmark_id")
+      .withColumn("inter", size(array_intersect(col("cs"), col("bs"))).cast("double"))
+      .withColumn("uni", size(array_union(col("cs"), col("bs"))).cast("double"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(0.0)).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("corpus_id", "benchmark_id", "jaccard")
+  }
+
   /** Embedding-cosine near-dup representatives: ε-cluster then keep min id per
     * cluster. Returns the deduplicated id set as (id, cluster, is_representative).
     */

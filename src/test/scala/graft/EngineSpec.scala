@@ -731,6 +731,23 @@ class EngineSpec extends AnyFunSuite {
 
   // --- chunking / sampling --------------------------------------------------
 
+  test("contamination flags corpus docs overlapping the benchmark, misses unrelated ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog yesterday")) // near-copy of bench
+      .toDF("id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val hits = Dedup.contamination(corpus, "id", "text", bench, "id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((1L, 100L)), s"exact copy must flag: $hits")
+    assert(hits.contains((3L, 100L)), s"near-copy must flag: $hits")
+    assert(!hits.exists(_._1 == 2L), s"unrelated doc must not flag: $hits")
+  }
+
   test("repetitionRatio flags duplicated n-grams; scrubPii replaces typed patterns") {
     import spark.implicits._
     val df = Seq(
