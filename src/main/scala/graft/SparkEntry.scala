@@ -759,7 +759,7 @@ object SparkEntry {
 
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
@@ -767,12 +767,12 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(length(text) AS DOUBLE) AS n_chars,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS n_toks,
+        |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
         |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS n_punct,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
-        |        / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END AS stop_ratio
+        |        / CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stop_ratio
         |  FROM documents)
         |SELECT doc_id,
         |  n_toks AS q_n_tokens,
@@ -786,7 +786,7 @@ object SparkEntry {
 
     "q_lang_id" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks,
         |    length(trim(text)) AS lt FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -812,13 +812,13 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
         |    END AS sh FROM t)
-        |SELECT doc_id, round(CASE WHEN len(sh) = 0 THEN 0.0
-        |  ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep_ratio
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
@@ -833,14 +833,14 @@ object SparkEntry {
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^\s]+', '<URL>', 'g'),
+        |        'https?://[^ \t\n\x0b\f\r]+', '<URL>', 'g'),
         |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{7,}\b', '<NUM>', 'g') AS scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
         |  FROM documents WHERE length(trim(text)) > 0)
         |SELECT doc_id, i AS chunk_id,
         |  array_to_string(toks[i*6+1 : i*6+8], ' ') AS chunk_text,

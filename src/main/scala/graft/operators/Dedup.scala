@@ -31,6 +31,37 @@ object Dedup {
     // (no pre-dedup needed either way: min is invariant under duplicates)
     graft.functions.MinHashSig.minhashSig(shingles, numHashes)
 
+  /** Per-doc distinct shingle set + minhash signature, computed ONCE and
+    * pinned (reused by the band join and the exact-Jaccard verify). The id
+    * expression keeps its natural type.
+    */
+  private def shingleSig(
+      df: DataFrame, idExpr: Column, textCol: Column,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(
+      idExpr.as("id"),
+      array_distinct(TextAnalysis.wordShingles(textCol, shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
+
+  /** One narrow `(id, band, bucket)` row per band from the signature —
+    * the SINGLE definition of the banding scheme, shared by the one-table
+    * ([[minhashLsh]]) and two-table ([[contamination]]) LSH paths.
+    */
+  private def bandBuckets(base: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    base.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Exact shingle-set Jaccard; 0 when both sets are empty. */
+  private def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
   /** MinHash+LSH near-duplicate clustering.
     *
     * shingle → minhash(numBands*rowsPerBand) → band-bucket equi-join → verify
@@ -42,19 +73,9 @@ object Dedup {
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    // per-doc distinct shingle set, computed ONCE (reused for signature + verify)
-    val base = df.select(
-      col(idCol).cast("long").as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .localCheckpoint(true)
-
-    // one narrow row per (band, bandHash, id); bucket equi-join finds candidates
-    val banded = base.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // CC needs long node ids — cast here, not in the shared helper
+    val base = shingleSig(df, col(idCol).cast("long"), col(textCol), shingleSize, numHashes)
+    val banded = bandBuckets(base, numBands, rowsPerBand)
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("i"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("j")), Seq("band", "bucket"))
@@ -63,12 +84,10 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact shingle-set Jaccard (arrays joined back in)
-    val shl = base.select(col("id").as("i"), col("sh").as("si"))
-    val shr = base.select(col("id").as("j"), col("sh").as("sj"))
-    val edges = candidates.join(shl, "i").join(shr, "j")
-      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
-      .withColumn("uni", size(array_union(col("si"), col("sj"))).cast("double"))
-      .filter(when(col("uni") === 0, lit(0.0)).otherwise(col("inter") / col("uni")) >= jaccardThreshold)
+    val edges = candidates
+      .join(base.select(col("id").as("i"), col("sh").as("si")), "i")
+      .join(base.select(col("id").as("j"), col("sh").as("sj")), "j")
+      .filter(jaccardOf(col("si"), col("sj")) >= jaccardThreshold)
       .select("i", "j")
 
     Clustering.connectedComponents(df.select(col(idCol).cast("long")), edges)
@@ -188,30 +207,20 @@ object Dedup {
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    def prep(df: DataFrame, id: String, text: String) = df.select(
-      col(id).cast("long").as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(text), shingleSize)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .localCheckpoint(true)
-    def banded(base: DataFrame) = base.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val c = prep(corpus, corpusId, corpusText)
-    val b = prep(benchmark, benchId, benchText)
-    val candidates = banded(c).select(col("band"), col("bucket"), col("id").as("corpus_id"))
-      .join(banded(b).select(col("band"), col("bucket"), col("id").as("benchmark_id")),
+    // ids keep their natural type (string/UUID doc ids are common in scraped
+    // corpora; no connected components here, so nothing needs a long)
+    val c = shingleSig(corpus, col(corpusId), col(corpusText), shingleSize, numHashes)
+    val b = shingleSig(benchmark, col(benchId), col(benchText), shingleSize, numHashes)
+    val candidates = bandBuckets(c, numBands, rowsPerBand)
+      .withColumnRenamed("id", "corpus_id")
+      .join(bandBuckets(b, numBands, rowsPerBand).withColumnRenamed("id", "benchmark_id"),
         Seq("band", "bucket"))
       .select("corpus_id", "benchmark_id")
       .distinct()
     candidates
       .join(c.select(col("id").as("corpus_id"), col("sh").as("cs")), "corpus_id")
       .join(b.select(col("id").as("benchmark_id"), col("sh").as("bs")), "benchmark_id")
-      .withColumn("inter", size(array_intersect(col("cs"), col("bs"))).cast("double"))
-      .withColumn("uni", size(array_union(col("cs"), col("bs"))).cast("double"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, lit(0.0)).otherwise(col("inter") / col("uni")))
+      .withColumn("jaccard", jaccardOf(col("cs"), col("bs")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("corpus_id", "benchmark_id", "jaccard")
   }

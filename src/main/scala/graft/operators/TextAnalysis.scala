@@ -94,28 +94,29 @@ object TextAnalysis {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.MinHashSig.wordShingles(text, n)
 
-  /** n-gram Jaccard similarity between two texts' shingle sets. */
   /** Gopher-style repetition signal: fraction of duplicate word n-grams
     * (1 − distinct/total over [[wordShingles]]). Boilerplate- and
     * template-heavy documents score high; a standard pretraining-quality
-    * filter (public Gopher/MassiveText rules).
+    * filter (public Gopher/MassiveText rules). The shingle array is never
+    * empty (texts shorter than n emit one whole-text shingle), so no
+    * zero-guard is needed.
     */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val sh = wordShingles(text, n)
-    when(size(sh) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
   }
 
   /** PII scrubbing: emails, URLs, IPv4 addresses, and long digit runs
     * (phone/id shaped) replaced with typed placeholder tokens, in that fixed
-    * order. Pure `regexp_replace` chain — codegen'd, pushes through scans;
-    * patterns stay in the regex subset shared by Java and RE2 so SQL oracles
-    * can replicate them.
+    * order. Pure `regexp_replace` chain — codegen'd, pushes through scans.
+    * Whitespace is matched with the EXPLICIT ASCII class `[ \t\n\x0B\f\r]`
+    * rather than `\s`: Java's `\s` includes vertical tab, RE2's does not, so
+    * `\s` would silently diverge from the SQL oracle on scraped text.
     */
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    val url = regexp_replace(email, "https?://[^ \\t\\n\\x0B\\f\\r]+", "<URL>")
     val ip = regexp_replace(url, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
   }
@@ -148,6 +149,7 @@ object TextAnalysis {
       .drop("__toks", "__n")
   }
 
+  /** n-gram Jaccard similarity between two texts' shingle sets. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val sa = array_distinct(wordShingles(a, n))
     val sb = array_distinct(wordShingles(b, n))
