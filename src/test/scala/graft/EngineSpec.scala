@@ -748,6 +748,19 @@ class EngineSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 2L), s"unrelated doc must not flag: $hits")
   }
 
+  test("contamination works with string document ids (no numeric cast)") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("doc-a", "the quick brown fox jumps over the lazy dog"),
+      ("doc-b", "unrelated text about databases")).toDF("id", "text")
+    val bench = Seq(("bench-1", "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val hits = Dedup.contamination(corpus, "id", "text", bench, "id", "text",
+        jaccardThreshold = 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hits == Set(("doc-a", "bench-1")), s"got $hits")
+  }
+
   test("repetitionRatio flags duplicated n-grams; scrubPii replaces typed patterns") {
     import spark.implicits._
     val df = Seq(
