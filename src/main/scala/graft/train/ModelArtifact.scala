@@ -125,9 +125,9 @@ class CentroidFitter(alpha: Double = 0.5, maxTrainTexts: Long = 2000000L) extend
   * broadcast centroid pull for training texts.
   */
 class CentroidAdjustedEmbedder(
-    base: Embedder,
-    centroids: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]],
-    alpha: Double) extends Embedder {
+    val base: Embedder,
+    val centroids: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]],
+    val alpha: Double) extends Embedder {
   def dim: Int = base.dim
 
   /** Wrapping must not lose the base model's embed-once policy. */
@@ -180,6 +180,41 @@ object ModelArtifact {
     TrainConfig.fromJson(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "LT_training_config.json")), "UTF-8"))
 
+  /** Persist a fitted embedder's learned state — the analogue of the
+    * reference saving model weights into the artifact dir
+    * (modelling/LinkTransformer.py:79-136). A [[CentroidAdjustedEmbedder]]
+    * writes its text→centroid table + alpha; an unfitted/identity model
+    * writes nothing (the base model is configuration, not artifact state).
+    */
+  def saveFitted(spark: SparkSession, dir: String, embedder: Embedder): Unit =
+    embedder match {
+      case c: CentroidAdjustedEmbedder =>
+        import org.apache.spark.sql.functions._
+        val rows = c.centroids.value.toSeq.map { case (t, v) => (t, v.toSeq) }
+        spark.createDataFrame(rows).toDF("text", "centroid")
+          .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "fitted_meta.json"),
+          s"""{"type": "centroid", "alpha": ${c.alpha}}""")
+      case _ => ()
+    }
+
+  /** Reload a fitted embedder saved by [[saveFitted]] on top of `base`;
+    * returns `base` unchanged when the artifact holds no fitted state.
+    */
+  def loadFitted(spark: SparkSession, dir: String, base: Embedder): Embedder = {
+    val meta = java.nio.file.Paths.get(dir, "fitted_meta.json")
+    if (!java.nio.file.Files.exists(meta)) return base
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(meta))
+    require(node.get("type").asText() == "centroid",
+      s"unknown fitted-model type in $dir: ${node.get("type")}")
+    val alpha = node.get("alpha").asDouble()
+    val map = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    new CentroidAdjustedEmbedder(base, spark.sparkContext.broadcast(map), alpha)
+  }
+
   /** End-to-end `train_model` dataflow over positive text pairs
     * (reference: train_model.py:101-247 via preprocess.py:438-623): distinct
     * texts → dense ids → connected-component clusters over the pair edges →
@@ -215,6 +250,7 @@ object ModelArtifact {
       if (config.saveValTestPickles) Some(q) else None,
       if (config.saveValTestPickles) Some(c) else None,
       if (config.saveValTestPickles) Some(rel) else None)
+    saveFitted(spark, outDir, fitted)
     (fitted, outDir)
   }
 }

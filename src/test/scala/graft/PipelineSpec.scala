@@ -137,6 +137,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fitted centroid model round-trips through the artifact dir") {
+    import spark.implicits._
+    val clusters = Seq((0L, "apple iphone"), (0L, "apple mac"), (1L, "banana bread"))
+      .toDF("cluster", "text")
+    val fitted = new CentroidFitter(alpha = 0.4).fit(clusters, emb, TrainConfig())
+    val dir = java.nio.file.Files.createTempDirectory("graft_fitted").toString
+    ModelArtifact.saveFitted(spark, dir, fitted)
+    val reloaded = ModelArtifact.loadFitted(spark, dir, emb)
+    val texts = Seq("apple iphone", "banana bread", "unseen text").toDF("t")
+    def vecs(e: graft.embed.Embedder) = e.embed(texts, "t", "v").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val a = vecs(fitted); val b = vecs(reloaded)
+    texts.collect().map(_.getString(0)).foreach { t =>
+      assert(a(t) == b(t), s"reloaded model diverges on '$t'")
+    }
+    // no fitted state → base returned unchanged
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_unfitted").toString
+    assert(ModelArtifact.loadFitted(spark, plainDir, emb) eq emb)
+  }
+
   test("trainModel with CentroidFitter returns a centroid-adjusted embedder") {
     import spark.implicits._
     val pairs = Seq(
