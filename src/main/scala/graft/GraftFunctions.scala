@@ -67,6 +67,22 @@ object GraftFunctions {
       require(args.length == 3 || args.length == 4, "srp_bands(vec, nBands, bitsPerBand[, seed])")
       val seed = if (args.length > 3) longArg(args(3), "seed") else 42L
       SrpBands(args(0), intArg(args(1), "nBands"), intArg(args(2), "bitsPerBand"), seed)
+    },
+    "scrub_pii" -> { args =>
+      require(args.length == 1, "scrub_pii(text)")
+      import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+      graft.operators.TextAnalysis.PiiPatterns.foldLeft(args(0)) {
+        case (acc, (p, r)) => RegExpReplace(acc, Literal(p), Literal(r))
+      }
+    },
+    "word_shingle_rep_ratio" -> { args =>
+      require(args.length == 2, "word_shingle_rep_ratio(text, n)")
+      // 1 - distinct/total duplicate-n-gram fraction over the shingle kernel
+      import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Cast, Size, Subtract}
+      import org.apache.spark.sql.types.DoubleType
+      val sh = WordShinglesExpr(args(0), intArg(args(1), "n"))
+      Subtract(Literal(1.0),
+        Divide(Cast(Size(ArrayDistinct(sh)), DoubleType), Cast(Size(sh), DoubleType)))
     })
 
   /** Register all functions on a live session's catalog. */

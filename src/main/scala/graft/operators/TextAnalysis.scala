@@ -106,20 +106,24 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
   }
 
+  /** PII patterns, in application order, shared by the Column function and
+    * the SQL registration. Whitespace uses the EXPLICIT ASCII class
+    * `[ \t\n\x0B\f\r]` rather than `\s`: Java's `\s` includes vertical tab,
+    * RE2's does not, so `\s` would silently diverge from SQL oracles on
+    * scraped text.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ \\t\\n\\x0B\\f\\r]+" -> "<URL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{7,}\\b" -> "<NUM>")
+
   /** PII scrubbing: emails, URLs, IPv4 addresses, and long digit runs
     * (phone/id shaped) replaced with typed placeholder tokens, in that fixed
     * order. Pure `regexp_replace` chain — codegen'd, pushes through scans.
-    * Whitespace is matched with the EXPLICIT ASCII class `[ \t\n\x0B\f\r]`
-    * rather than `\s`: Java's `\s` includes vertical tab, RE2's does not, so
-    * `\s` would silently diverge from the SQL oracle on scraped text.
     */
-  def scrubPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email, "https?://[^ \\t\\n\\x0B\\f\\r]+", "<URL>")
-    val ip = regexp_replace(url, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
-  }
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
   /** Token-window document chunking — the pre-tokenization step of an LLM
     * training pipeline: each document becomes overlapping windows of

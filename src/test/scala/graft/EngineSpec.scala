@@ -302,6 +302,12 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getSeq[Double](2).length == 8)
     assert(r.getSeq[Long](3).length == 4)
     assert(r.getSeq[Long](4).length == 2)
+    // quality filters on the SQL surface agree with the Column API
+    val q = spark.sql(
+      """SELECT scrub_pii('mail a@b.co see http://x.y ref 12345678') AS s,
+        |       word_shingle_rep_ratio('spam spam spam', 2) AS r""".stripMargin).first()
+    assert(q.getString(0) == "mail <EMAIL> see <URL> ref <NUM>")
+    assert(q.getDouble(1) == 0.5) // bigrams: [spam spam, spam spam] → 1 - 1/2
   }
 
   test("saltedJoin result-identical to plain join on skewed keys") {
