@@ -8,8 +8,8 @@ import graft.functions._
 
 /** SQL surface for the engine's native expressions: registers
   * `vec_dot`, `cosine_sim`, `hash_embed`, `minhash_sig`, `word_shingles`,
-  * `srp_bands` so `spark.sql` queries can use the same codegen kernels as the
-  * DataFrame API.
+  * `srp_bands`, `scrub_pii`, `word_shingle_rep_ratio` so `spark.sql` queries
+  * can use the same codegen kernels as the DataFrame API.
   *
   * Two wirings:
   *  - runtime: `GraftFunctions.register(spark)` on any live session;
@@ -77,12 +77,7 @@ object GraftFunctions {
     },
     "word_shingle_rep_ratio" -> { args =>
       require(args.length == 2, "word_shingle_rep_ratio(text, n)")
-      // 1 - distinct/total duplicate-n-gram fraction over the shingle kernel
-      import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Cast, Size, Subtract}
-      import org.apache.spark.sql.types.DoubleType
-      val sh = WordShinglesExpr(args(0), intArg(args(1), "n"))
-      Subtract(Literal(1.0),
-        Divide(Cast(Size(ArrayDistinct(sh)), DoubleType), Cast(Size(sh), DoubleType)))
+      WordShinglesExpr.repRatio(args(0), intArg(args(1), "n"))
     })
 
   /** Register all functions on a live session's catalog. */

@@ -104,6 +104,21 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShinglesExpr {
+
+  /** Duplicate-n-gram fraction `1 − distinct/total` over the shingle kernel —
+    * the SINGLE definition of the repetition-ratio formula, shared by the
+    * Column API (`TextAnalysis.repetitionRatio`) and the SQL registration
+    * (`word_shingle_rep_ratio`) so the two surfaces cannot drift.
+    */
+  def repRatio(text: Expression, n: Int): Expression = {
+    val sh = WordShinglesExpr(text, n)
+    Subtract(Literal(1.0),
+      Divide(Cast(Size(ArrayDistinct(sh)), DoubleType), Cast(Size(sh), DoubleType)))
+  }
+
+  def repRatioCol(text: Column, n: Int): Column =
+    ColumnBridge.column(repRatio(ColumnBridge.expression(text), n))
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toLowerCase.trim.toString.split("\\s+")
     if (toks.length < n) {

@@ -101,10 +101,8 @@ object TextAnalysis {
     * empty (texts shorter than n emit one whole-text shingle), so no
     * zero-guard is needed.
     */
-  def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val sh = wordShingles(text, n)
-    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
-  }
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    graft.functions.WordShinglesExpr.repRatioCol(text, n)
 
   /** PII patterns, in application order, shared by the Column function and
     * the SQL registration. Whitespace uses the EXPLICIT ASCII class

@@ -180,37 +180,60 @@ object ModelArtifact {
     TrainConfig.fromJson(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "LT_training_config.json")), "UTF-8"))
 
+  private def fittedMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "fitted_meta.json")
+  private def centroidsPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "centroids.parquet")
+
   /** Persist a fitted embedder's learned state — the analogue of the
     * reference saving model weights into the artifact dir
     * (modelling/LinkTransformer.py:79-136). A [[CentroidAdjustedEmbedder]]
-    * writes its text→centroid table + alpha; an unfitted/identity model
-    * writes nothing (the base model is configuration, not artifact state).
+    * writes its text→centroid table plus (alpha, dim) meta; an
+    * unfitted/identity model DELETES any fitted state a previous run left in
+    * the dir (otherwise a retrain that fell back to the base model would
+    * silently resurrect stale centroids on reload). Meta I/O goes through the
+    * Hadoop FS API so hdfs:/s3a: artifact dirs work like local ones.
     */
-  def saveFitted(spark: SparkSession, dir: String, embedder: Embedder): Unit =
+  def saveFitted(spark: SparkSession, dir: String, embedder: Embedder): Unit = {
+    val fs = fittedMetaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     embedder match {
       case c: CentroidAdjustedEmbedder =>
-        import org.apache.spark.sql.functions._
         val rows = c.centroids.value.toSeq.map { case (t, v) => (t, v.toSeq) }
-        spark.createDataFrame(rows).toDF("text", "centroid")
-          .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(dir, "fitted_meta.json"),
-          s"""{"type": "centroid", "alpha": ${c.alpha}}""")
-      case _ => ()
+        // distribute before writing: a LocalRelation would hold yet another
+        // driver-side copy of a map that can reach ~GB at the fitter's bound
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)))
+          .toDF("text", "centroid")
+          .write.mode("overwrite").parquet(centroidsPath(dir).toString)
+        val out = fs.create(fittedMetaPath(dir), true)
+        try out.write(
+          s"""{"type": "centroid", "alpha": ${c.alpha}, "dim": ${c.dim}}""".getBytes("UTF-8"))
+        finally out.close()
+      case _ =>
+        if (fs.exists(fittedMetaPath(dir))) fs.delete(fittedMetaPath(dir), false)
+        if (fs.exists(centroidsPath(dir))) fs.delete(centroidsPath(dir), true)
     }
+  }
 
   /** Reload a fitted embedder saved by [[saveFitted]] on top of `base`;
     * returns `base` unchanged when the artifact holds no fitted state.
+    * Fails fast when the artifact's dimension does not match `base` (blending
+    * vectors from two embedding spaces would be silent corruption).
     */
   def loadFitted(spark: SparkSession, dir: String, base: Embedder): Embedder = {
-    val meta = java.nio.file.Paths.get(dir, "fitted_meta.json")
-    if (!java.nio.file.Files.exists(meta)) return base
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(meta))
-    require(node.get("type").asText() == "centroid",
-      s"unknown fitted-model type in $dir: ${node.get("type")}")
+    val fs = fittedMetaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fittedMetaPath(dir))) return base
+    val in = fs.open(fittedMetaPath(dir))
+    val metaStr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
+    val tpe = Option(node.get("type")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"$dir/fitted_meta.json is malformed: missing \"type\""))
+    require(tpe == "centroid", s"unknown fitted-model type '$tpe' in $dir")
     val alpha = node.get("alpha").asDouble()
-    val map = spark.read.parquet(s"$dir/centroids.parquet")
+    val dim = Option(node.get("dim")).map(_.asInt()).getOrElse(base.dim)
+    require(dim == base.dim,
+      s"fitted artifact in $dir was trained at dim=$dim but the base embedder has dim=${base.dim}")
+    val map = spark.read.parquet(centroidsPath(dir).toString)
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     new CentroidAdjustedEmbedder(base, spark.sparkContext.broadcast(map), alpha)
   }

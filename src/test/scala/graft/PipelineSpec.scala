@@ -155,6 +155,16 @@ class PipelineSpec extends AnyFunSuite {
     // no fitted state → base returned unchanged
     val plainDir = java.nio.file.Files.createTempDirectory("graft_unfitted").toString
     assert(ModelArtifact.loadFitted(spark, plainDir, emb) eq emb)
+    // re-saving an UNFITTED model into the same dir must clear the old state,
+    // not let a later load resurrect the previous run's centroids
+    ModelArtifact.saveFitted(spark, dir, emb)
+    assert(ModelArtifact.loadFitted(spark, dir, emb) eq emb)
+    // dim mismatch fails fast instead of blending embedding spaces
+    ModelArtifact.saveFitted(spark, dir, fitted)
+    val e = intercept[IllegalArgumentException] {
+      ModelArtifact.loadFitted(spark, dir, new HashEmbedder(16))
+    }
+    assert(e.getMessage.contains("dim"))
   }
 
   test("trainModel with CentroidFitter returns a centroid-adjusted embedder") {
