@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.embed.Embedder
 import graft.core.{Keys, Serialize}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -14,7 +15,18 @@ import org.apache.spark.storage.StorageLevel
   * connected components → density/noise relabeling. Exact single-linkage, fully
   * distributed — no driver-side materialization (SURVEY §7.4 point 7).
   */
-object Clustering {
+object Clustering extends Logging {
+
+  /** Expected SRP-LSH candidate recall for a pair at exactly `cosine = tau`:
+    * collision probability per bit is p = 1 - θ/π, a band collides with p^bits,
+    * and the pair is found unless all bands miss. Pairs safely above `tau`
+    * have higher recall; pairs at the threshold are the worst case this bound
+    * describes. Exposed so callers can size `nBands` to a recall target.
+    */
+  def srpRecallAtTau(tau: Double, nBands: Int, bitsPerBand: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bitsPerBand), nBands)
+  }
 
   /** Edge-count bound for the driver union-find fast path in
     * [[connectedComponents]] (~80 MB of collected longs at the limit).
@@ -166,13 +178,23 @@ object Clustering {
     */
   private def rangePairs(
       pts: DataFrame, tau: Double, onlyUpperPairs: Boolean,
-      forceExact: Boolean = false): DataFrame = {
+      forceExact: Boolean = false,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     import graft.functions.VectorOps._
     if (VecScan.fitsBroadcast(pts, "v")) {
       VecScan.range(pts, "id", "v", pts, "id", "v", tau,
         excludeSelf = true, onlyUpperPairs = onlyUpperPairs)
     } else if (!forceExact) {
-      val upper = Ann.srpCandidatePairs(pts, "id", "v", tau)
+      // never silent: results become approximate here, and at tau ~0.5 the
+      // default 8x8 bands are far from recall 1 — surface both facts
+      logWarning(
+        f"rangePairs: input exceeds the broadcast bound " +
+        f"(${VecScan.MaxBroadcastBytesKey}); escalating from the exact scan to " +
+        f"SRP-LSH candidate pairs ($nBands bands x $bitsPerBand bits, estimated " +
+        f"worst-case pair recall ${srpRecallAtTau(tau, nBands, bitsPerBand)}%.3f " +
+        f"at tau=$tau%.3f). Raise nBands to trade cost for recall, or pass " +
+        f"exactPairs=true to keep the exact O(n^2) plan.")
+      val upper = Ann.srpCandidatePairs(pts, "id", "v", tau, nBands, bitsPerBand)
         .select(col("i").as("left_id"), col("j").as("right_id"), col("score"))
       if (onlyUpperPairs) upper
       else upper.union(upper.select(col("right_id"), col("left_id"), col("score")))
@@ -203,12 +225,14 @@ object Clustering {
     *
     * EXACT while the table fits the broadcast bound; above it ε-neighbor
     * candidates come from the SRP-LSH bucket join (recall < 1 near the
-    * threshold → degrees can undercount). Pass `exactPairs=true` to keep the
-    * exact O(n²) crossJoin above the bound instead.
+    * threshold → degrees can undercount; a logWarning is emitted and
+    * `nBands`/`bitsPerBand` size the recall — see [[srpRecallAtTau]]). Pass
+    * `exactPairs=true` to keep the exact O(n²) crossJoin above the bound.
     */
   def dbscanCosine(
       df: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minSamples: Int = 2, exactPairs: Boolean = false): DataFrame = {
+      eps: Double, minSamples: Int = 2, exactPairs: Boolean = false,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     import graft.functions.VectorOps._
     val tau = 1.0 - eps
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
@@ -220,7 +244,8 @@ object Clustering {
     // border stages (3 shuffles + 2 checkpoints) — this is the default path
     // for dedup_rows.
     if (minSamples <= 2) {
-      val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs)
+      val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs,
+          nBands = nBands, bitsPerBand = bitsPerBand)
         .select(col("left_id").as("i"), col("right_id").as("j"))
       // edge-incident components only; everything else is noise (-1)
       val labels = componentsOfEdgeIncident(edges)
@@ -230,7 +255,8 @@ object Clustering {
 
     // ε-neighbor pairs (i != j), both directions retained by symmetry of the
     // predicate; checkpointed so downstream stages never re-run the self-scan
-    val nbrs = rangePairs(pts, tau, onlyUpperPairs = false, forceExact = exactPairs)
+    val nbrs = rangePairs(pts, tau, onlyUpperPairs = false, forceExact = exactPairs,
+        nBands = nBands, bitsPerBand = bitsPerBand)
       .select(col("left_id").as("i"), col("right_id").as("j"))
       .localCheckpoint(true)
 
@@ -265,10 +291,12 @@ object Clustering {
     */
   def epsilonCluster(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      exactPairs: Boolean = false): DataFrame = {
+      exactPairs: Boolean = false,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     import graft.functions.VectorOps._
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs)
+    val edges = rangePairs(pts, tau, onlyUpperPairs = true, forceExact = exactPairs,
+        nBands = nBands, bitsPerBand = bitsPerBand)
       .select(col("left_id").as("i"), col("right_id").as("j"))
     connectedComponents(pts.select("id"), edges)
       .withColumnRenamed("component", "cluster")
@@ -299,7 +327,8 @@ object Clustering {
       threshold: Double = 0.5, minClusterSize: Int = 2,
       sep: String = Serialize.DefaultSep,
       method: String = "SLINK",
-      exactPairs: Boolean = false): DataFrame = {
+      exactPairs: Boolean = false,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     Keys.requireNoReserved(df, Seq("__graft_id", "__graft_text", "__graft_vec", "cluster"))
     val withId = df.withColumn("__graft_id", monotonically_increasing_id())
     val withText = withId.withColumn("__graft_text",
@@ -314,7 +343,8 @@ object Clustering {
     val labels = method match {
       case "SLINK" =>
         dbscanCosine(emb, "__graft_id", "__graft_vec",
-          eps = 1.0 - threshold, minSamples = minClusterSize, exactPairs = exactPairs)
+          eps = 1.0 - threshold, minSamples = minClusterSize, exactPairs = exactPairs,
+          nBands = nBands, bitsPerBand = bitsPerBand)
       case "agglomerative" =>
         HierarchicalClustering.agglomerative(emb, "__graft_id", "__graft_vec",
           distanceThreshold = 1.0 - threshold)
@@ -336,7 +366,8 @@ object Clustering {
   def dedupRows(
       df: DataFrame, on: Seq[String], embedder: Embedder,
       threshold: Double = 0.55, minClusterSize: Int = 2,
-      exactPairs: Boolean = false): DataFrame = {
+      exactPairs: Boolean = false,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Keys.requireNoReserved(df, Seq("__graft_ord"))
     val withOrd = df.withColumn("__graft_ord", monotonically_increasing_id())
@@ -345,7 +376,7 @@ object Clustering {
     val exact = withOrd.withColumn("__rn", row_number().over(exactW))
       .filter(col("__rn") === 1).drop("__rn")
     val clustered = clusterRows(exact, on, embedder, threshold, minClusterSize,
-      exactPairs = exactPairs)
+      exactPairs = exactPairs, nBands = nBands, bitsPerBand = bitsPerBand)
     val w = Window.partitionBy(col("cluster")).orderBy(col("__graft_ord"))
     clustered
       .withColumn("__rn", row_number().over(w))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions._
   * LSH band buckets (shuffle on the band hash, never all-pairs), verification
   * runs only on candidates, and final representative selection is one window.
   */
-object Dedup {
+object Dedup extends Logging {
 
   /** Exact dedup on key columns, keep-first by `ordCol` (deterministic version of
     * pandas keep="first", reference: src/linktransformer/infer.py:477).
@@ -152,11 +153,26 @@ object Dedup {
       posexplode(array((0 until 4).map(blk =>
         shiftright(col("fp"), blk * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnsRenamed(Map("pos" -> "blk", "col" -> "blockval"))
-    // hot-block cap: frequency census (one small aggregate), then a semi-join
-    // keeps only rows in under-cap blocks
-    val underCap = blocked.groupBy("blk", "blockval")
+    // hot-block cap: frequency census (one small aggregate, ≤ 4×2^16 distinct
+    // block keys by construction — pinned so the over-cap audit below doesn't
+    // re-run it), then a semi-join keeps only rows in under-cap blocks
+    val census = blocked.groupBy("blk", "blockval")
       .agg(count(lit(1)).as("__bf"))
-      .filter(col("__bf") <= maxBlockFreq)
+      .localCheckpoint(true)
+    // no-silent-caps: a dropped hot block loses candidate recall inside that
+    // block only (pairs may still collide via their other 3 blocks) — but the
+    // caller must be able to see it happened
+    val over = census.filter(col("__bf") > maxBlockFreq)
+      .agg(count(lit(1)).as("b"), coalesce(sum("__bf"), lit(0L)).as("r")).first()
+    if (over.getLong(0) > 0) {
+      logWarning(
+        s"simhash candidate generation: dropped ${over.getLong(0)} hot block(s) " +
+        s"covering ${over.getLong(1)} block-entries (maxBlockFreq=$maxBlockFreq). " +
+        s"Pairs inside those blocks can only be found via their other blocks; " +
+        s"use simhashDedup to collapse identical fingerprints exactly first, or " +
+        s"raise maxBlockFreq to trade cost for recall.")
+    }
+    val underCap = census.filter(col("__bf") <= maxBlockFreq)
       .select("blk", "blockval")
     val kept = blocked.join(underCap, Seq("blk", "blockval"), "left_semi")
     val lhs = kept.select(col("blk"), col("blockval"), col("id").as("i"), col("fp").as("fi"))

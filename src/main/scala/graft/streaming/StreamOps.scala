@@ -60,19 +60,10 @@ object StreamOps {
         col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
-  /** "10 minutes" / "2 hours" / "30 seconds" / "1 day" → milliseconds. */
-  private def durationMs(s: String): Long = {
-    val parts = s.trim.toLowerCase.split("\\s+")
-    require(parts.length == 2, s"expected '<n> <unit>', got '$s'")
-    val n = parts(0).toLong
-    parts(1).stripSuffix("s") match {
-      case "millisecond" => n
-      case "second" => n * 1000L
-      case "minute" => n * 60000L
-      case "hour" => n * 3600000L
-      case "day" => n * 86400000L
-      case u => throw new IllegalArgumentException(s"unsupported unit '$u' in '$s'")
-    }
+  /** Remove the first occurrence of `x` from `xs` (order otherwise preserved). */
+  private def removeFirst[A](xs: List[A], x: A): List[A] = {
+    val (pre, post) = xs.span(_ != x)
+    pre ++ post.drop(1)
   }
 
   /** One simhash block row feeding the stateful near-dup operator. */
@@ -84,10 +75,14 @@ object StreamOps {
     * (`flatMapGroupsWithState`): each incoming document fans out to its four
     * 16-bit fingerprint blocks; per block-bucket the operator keeps the
     * in-horizon fingerprints and emits a hit for every stored fingerprint
-    * within `maxHamming`. Event-time timeout drops a bucket's state once the
-    * watermark passes its newest entry — state is bounded by (horizon ×
-    * arrival rate), independent of stream length; `maxStatePerBlock` bounds
-    * hot buckets (the streaming twin of Dedup.simhashPairs' frequency cap).
+    * within `maxHamming`. An entry stays matchable until the WATERMARK passes
+    * its event time — i.e. the match window is `watermarkDelay` of event time
+    * — and the event-time timeout then drops the bucket's state, so state is
+    * bounded by (watermarkDelay × arrival rate), independent of stream
+    * length. `maxStatePerBlock` bounds hot buckets (the streaming twin of
+    * Dedup.simhashPairs' frequency cap): at capacity the OLDEST entry is
+    * evicted to admit the newest, so a full block degrades to a shorter
+    * effective window rather than going blind to new arrivals.
     *
     * A pair colliding in several blocks emits once per collision — run
     * `dropDuplicatesWithinWatermark` downstream if exactly-once pairs matter.
@@ -100,7 +95,6 @@ object StreamOps {
       maxStatePerBlock: Int = 1000): Dataset[NearDupHit] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val horizonMs = durationMs(watermarkDelay)
     val blocked = df
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).cast("long").as("id"),
@@ -118,7 +112,10 @@ object StreamOps {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var held = state.getOption.getOrElse(Nil)
       val wm = state.getCurrentWatermarkMs()
-      held = held.filter(_._3 >= wm - horizonMs) // evict out-of-horizon entries
+      // evict at the watermark: an entry is matchable for exactly the
+      // documented `watermarkDelay` of event time (evicting at wm − horizon
+      // would silently double the effective window)
+      held = held.filter(_._3 >= wm)
       val hits = List.newBuilder[NearDupHit]
       events.toList.sortBy(e => (e.ts.getTime, e.id)).foreach { e =>
         held.foreach { case (hid, hfp, _) =>
@@ -127,11 +124,20 @@ object StreamOps {
             if (d <= maxHamming) hits += NearDupHit(e.id, hid, d)
           }
         }
-        if (held.size < maxStatePerBlock) held = (e.id, e.fp, e.ts.getTime) :: held
+        if (held.size >= maxStatePerBlock) {
+          // full bucket: evict the oldest entry (deterministic tie-break on
+          // id) so the newest is always stored and future arrivals can still
+          // match it — skipping the newest would be one-sided recall loss
+          val oldest = held.minBy(t => (t._3, t._1))
+          held = removeFirst(held, oldest)
+        }
+        held = (e.id, e.fp, e.ts.getTime) :: held
       }
       state.update(held)
       if (held.nonEmpty)
-        state.setTimeoutTimestamp(held.map(_._3).max + horizonMs)
+        // all entries self-evict once the watermark passes the newest one;
+        // time the state out right after that (must stay > current watermark)
+        state.setTimeoutTimestamp(math.max(held.map(_._3).max, wm) + 1)
       hits.result().iterator
     }
 

@@ -96,11 +96,18 @@ class IdentityFitter extends ModelFitter {
   * modified_sbert/losses.py:31-61) — while inference on novel text falls back
   * to the base model.
   *
-  * The text→centroid map is collected under `maxTrainTexts` and broadcast;
-  * above the bound `fit` returns the base embedder unchanged (real gradient
-  * training belongs out-of-engine, SURVEY §7.0).
+  * The text→centroid map is collected and broadcast only while BOTH bounds
+  * hold: `maxTrainTexts` rows AND `maxCollectBytes` of estimated driver heap
+  * (count × (dim×8 + 2×avg text chars + per-entry overhead) — a 2M-text map
+  * at dim 768 is ~12 GB, which a row-count bound alone would wave through).
+  * Above either bound `fit` logs and returns the base embedder unchanged
+  * (real gradient training belongs out-of-engine, SURVEY §7.0).
   */
-class CentroidFitter(alpha: Double = 0.5, maxTrainTexts: Long = 2000000L) extends ModelFitter {
+class CentroidFitter(
+    alpha: Double = 0.5,
+    maxTrainTexts: Long = 2000000L,
+    maxCollectBytes: Long = 256L << 20)
+  extends ModelFitter with org.apache.spark.internal.Logging {
   override def fit(trainClusters: DataFrame, base: Embedder, config: TrainConfig): Embedder = {
     import org.apache.spark.sql.functions._
     val spark = trainClusters.sparkSession
@@ -108,7 +115,18 @@ class CentroidFitter(alpha: Double = 0.5, maxTrainTexts: Long = 2000000L) extend
     val embedded = base.embed(
       trainClusters.select(col(cCol).as("__c"), col(tCol).as("__t")).distinct(),
       "__t", "__v").localCheckpoint(true)
-    if (embedded.count() > maxTrainTexts) return base
+    val stats = embedded.agg(
+      count(lit(1)), coalesce(avg(length(col("__t"))), lit(0.0))).first()
+    val n = stats.getLong(0)
+    val estBytes = ModelArtifact.estimatedCentroidMapBytes(n, base.dim, stats.getDouble(1))
+    if (n > maxTrainTexts || estBytes > maxCollectBytes) {
+      logWarning(
+        s"CentroidFitter: $n train texts / ~$estBytes estimated map bytes exceed " +
+        s"the collect bound (maxTrainTexts=$maxTrainTexts, " +
+        s"maxCollectBytes=$maxCollectBytes); returning the base embedder " +
+        s"unfitted. Raise the bounds or fit out-of-engine.")
+      return base
+    }
     val centroids = graft.core.VecAgg.elementWiseMean(embedded, "__c", "__v", "__cent")
     // a text in several clusters contributes to every cluster's centroid but
     // resolves to its MIN cluster's pull — deterministic, where last-in-map
@@ -159,6 +177,20 @@ class CentroidAdjustedEmbedder(
   * reference's val/test pickles (train_model.py:182-189).
   */
 object ModelArtifact {
+
+  /** Bound (bytes) on the driver-collected text→centroid map when reloading a
+    * fitted artifact — an artifact written under a larger fit config must not
+    * OOM a smaller reload cluster. Conf-overridable.
+    */
+  val FittedMaxCollectBytesKey = "spark.graft.fitted.maxCollectBytes"
+  val DefaultFittedMaxCollectBytes: Long = 256L << 20
+
+  /** Estimated driver-heap bytes of a text→centroid HashMap: per entry one
+    * double[] (dim×8 + header) + a UTF-16 String (2×chars + header) + map
+    * entry overhead (~128 B combined headers/entry).
+    */
+  private[train] def estimatedCentroidMapBytes(n: Long, dim: Int, avgTextChars: Double): Long =
+    (n.toDouble * (dim.toDouble * 8 + 2 * avgTextChars + 128)).toLong
 
   def save(
       dir: String,
@@ -233,7 +265,21 @@ object ModelArtifact {
     val dim = Option(node.get("dim")).map(_.asInt()).getOrElse(base.dim)
     require(dim == base.dim,
       s"fitted artifact in $dir was trained at dim=$dim but the base embedder has dim=${base.dim}")
-    val map = spark.read.parquet(centroidsPath(dir).toString)
+    val centroidsDf = spark.read.parquet(centroidsPath(dir).toString)
+    // size-guard the collect: the artifact may have been written under a
+    // larger fit config than this cluster's driver can hold
+    val maxBytes = spark.conf.getOption(FittedMaxCollectBytesKey)
+      .map(_.toLong).getOrElse(DefaultFittedMaxCollectBytes)
+    import org.apache.spark.sql.functions.{avg, coalesce, count, length, lit, col => fcol}
+    val stats = centroidsDf.agg(
+      count(lit(1)), coalesce(avg(length(fcol("text"))), lit(0.0))).first()
+    val estBytes = estimatedCentroidMapBytes(stats.getLong(0), dim, stats.getDouble(1))
+    require(estBytes <= maxBytes,
+      s"fitted artifact in $dir holds ${stats.getLong(0)} centroids " +
+      s"(~$estBytes estimated bytes), over the $FittedMaxCollectBytesKey bound " +
+      s"of $maxBytes — raise the bound on a driver large enough to hold it, or " +
+      s"refit under a smaller config")
+    val map = centroidsDf
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     new CentroidAdjustedEmbedder(base, spark.sparkContext.broadcast(map), alpha)
   }

@@ -444,6 +444,66 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated texts must not match: $hits")
   }
 
+  test("streamingNearDup: full block evicts the oldest entry, not the newest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val txt = "the quick brown fox jumps over the lazy dog"
+    // capacity 1 per block-bucket: doc2 must REPLACE doc1 in state so doc3
+    // can still match it (skipping-the-newest would leave doc3 matching only
+    // the stale doc1)
+    val out = StreamOps.streamingNearDup(
+      stream.toDF().toDF("id", "text", "ts"), "id", "text",
+      watermarkDelay = "1 hour", maxStatePerBlock = 1)
+    val q = out.writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((1L, txt, ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    stream.addData((2L, txt, ts("2026-01-01 10:05:00")))
+    q.processAllAvailable()
+    stream.addData((3L, txt, ts("2026-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("neardup_evict")
+      .select("id", "matchId").distinct().as[(Long, Long)].collect().toSet
+    assert(hits.contains((2L, 1L)), s"doc2 must match the stored doc1: $hits")
+    assert(hits.contains((3L, 2L)),
+      s"doc3 must match doc2 — the newest entry must have been stored: $hits")
+    assert(!hits.contains((3L, 1L)),
+      s"doc1 must have been evicted from the size-1 bucket: $hits")
+  }
+
+  test("CentroidFitter: byte-estimate bound returns the base embedder unfitted") {
+    import spark.implicits._
+    import graft.train.{CentroidFitter, TrainConfig}
+    val clusters = Seq((0L, "apple iphone"), (0L, "apple mac"), (1L, "banana"))
+      .toDF("cluster", "text")
+    // row count is tiny but the byte bound is tighter still → must refuse
+    val fitted = new CentroidFitter(alpha = 0.5, maxCollectBytes = 8L)
+      .fit(clusters, emb, TrainConfig())
+    assert(fitted eq emb, "over-byte-bound fit must return the base embedder")
+  }
+
+  test("loadFitted: refuses an artifact over the configured collect bound") {
+    import spark.implicits._
+    val clusters = Seq((0L, "apple iphone"), (0L, "apple mac"), (1L, "banana"))
+      .toDF("cluster", "text")
+    val fitted = new CentroidFitter(alpha = 0.4).fit(clusters, emb, TrainConfig())
+    val dir = java.nio.file.Files.createTempDirectory("graft_fit_bound").toString
+    ModelArtifact.saveFitted(spark, dir, fitted)
+    spark.conf.set(ModelArtifact.FittedMaxCollectBytesKey, "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ModelArtifact.loadFitted(spark, dir, emb)
+      }
+      assert(e.getMessage.contains(ModelArtifact.FittedMaxCollectBytesKey))
+    } finally spark.conf.unset(ModelArtifact.FittedMaxCollectBytesKey)
+    // and with the default bound the same artifact loads fine
+    assert(ModelArtifact.loadFitted(spark, dir, emb)
+      .isInstanceOf[CentroidAdjustedEmbedder])
+  }
+
   test("sessionize: streaming session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -158,6 +158,21 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("srpRecallAtTau: bounded in [0,1], monotone in bands, anti-monotone in bits") {
+    import graft.operators.Clustering.srpRecallAtTau
+    for (tau <- Seq(0.0, 0.3, 0.5, 0.7, 0.9, 0.99); bands <- Seq(1, 4, 8, 32)) {
+      val r = srpRecallAtTau(tau, bands, 8)
+      assert(r >= 0.0 && r <= 1.0, s"recall out of range at tau=$tau bands=$bands: $r")
+      // more bands can only help; longer bands can only hurt
+      assert(srpRecallAtTau(tau, bands * 2, 8) >= r - 1e-12)
+      assert(srpRecallAtTau(tau, bands, 16) <= r + 1e-12)
+      // higher similarity is easier to find
+      assert(srpRecallAtTau(math.min(1.0, tau + 0.01), bands, 8) >= r - 1e-12)
+    }
+    // identical vectors always collide
+    assert(math.abs(srpRecallAtTau(1.0, 8, 8) - 1.0) < 1e-9)
+  }
+
   test("minhash signature: invariant under permutation and duplication (batch)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
