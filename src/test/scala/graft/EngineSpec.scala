@@ -921,6 +921,42 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.delete(path)
   }
 
+  test("readSheet: inflated-size and cell-count caps stop zip-bomb-shaped xlsx") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_bomb", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // ~400 KB of worksheet XML that deflates tiny (repetitive) — the shape of
+    // a decompression bomb at small scale
+    val cells = (1 to 5000).map(i => s"""<c><v>$i</v></c>""").mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData><row>$cells</row></sheetData></worksheet>""".stripMargin)
+    zos.close()
+    // uncompressed-size cap trips before the DOM ever materializes
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.Xlsx.readSheet(path.toString, maxPartBytes = 64 * 1024)
+    }
+    assert(e1.getMessage.contains("Parquet"), e1.getMessage)
+    // cell-count cap trips even when the bytes fit
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Xlsx.readSheet(path.toString, maxCells = 100)
+    }
+    assert(e2.getMessage.contains("cells"), e2.getMessage)
+    // default caps admit the sheet fine
+    assert(graft.sources.Xlsx.readSheet(path.toString).rows.head.size == 5000)
+    java.nio.file.Files.delete(path)
+  }
+
   test("chunkDocuments: every token covered; consecutive chunks overlap exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
