@@ -163,85 +163,88 @@ object PairScoring {
     * euclidean) when score ≤ threshold — the reference's `reverse` flag
     * (evaluation.py:464).
     *
-    * Scale shape: the pair table is scanned ONCE to produce all four score
-    * columns (localCheckpoint), then each score function reduces to a
-    * per-distinct-score aggregate and runs the same distributed prefix sweep
-    * as [[bestF1Threshold]] — accuracy, F1, and AP all come from one PR-curve
-    * scan; no unpartitioned windows, no driver-side sort of the pair table.
+    * Scale shape: ONE pass end to end. The pair table is scanned once to
+    * produce all four score columns, fanned out long-form (score_fn, score,
+    * label) in the same projection, and reduced to a per-(fn, distinct-score)
+    * aggregate; a single KEYED distributed prefix scan
+    * ([[graft.core.Prefix.cumSumsKeyedWithTotals]]) then sweeps all four PR
+    * curves together, and one grouped aggregate extracts best accuracy / best
+    * F1 (struct-max argmax with tie-break) and the AP sum per function — no
+    * unpartitioned windows, no driver-side sort of the pair table, and 4×
+    * fewer jobs/scans than sweeping each score function separately.
     * Tied scores are grouped (threshold semantics over ties are exact rather
     * than the reference's row-by-row scan, which splits ties arbitrarily).
-    */
-  def binaryClassificationMetrics(
-      pairs: DataFrame, vec1Col: String, vec2Col: String, labelCol: String): DataFrame = {
-    val spark = pairs.sparkSession
-    val v1 = asDouble(col(vec1Col))
-    val v2 = asDouble(col(vec2Col))
-    val scored = pairs.select(
-      cosine(v1, v2).as("cossim"),
-      manhattan(v1, v2).as("manhattan"),
-      euclidean(v1, v2).as("euclidean"),
-      dot(v1, v2).as("dot"),
-      col(labelCol).cast("double").as("label"))
-      .localCheckpoint(true)
-    val fns = Seq(("cossim", true), ("manhattan", false), ("euclidean", false), ("dot", true))
-    // the four sweeps are independent jobs over the checkpointed score table —
-    // submit them concurrently (Spark schedules concurrent actions fine; this
-    // is driver-side orchestration latency, not executor work)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val rows = Await.result(Future.sequence(fns.map { case (name, higherIsBetter) =>
-      Future {
-        bestBinaryMetrics(scored.select(col(name).as("score"), col("label")), higherIsBetter)
-          .copy(score_fn = name)
-      }
-    }), Duration.Inf)
-    spark.createDataFrame(rows)
-  }
-
-  /** Threshold sweep for one score column: one distributed prefix scan over the
-    * per-distinct-score aggregate yields accuracy/F1 at every threshold and AP.
     *
     * AP uses the PR-curve identity Σ (R_i − R_{i−1})·P_i with
     * R_i − R_{i−1} = pos_i / totalPos, so it needs no adjacent-row access —
     * a plain aggregate over the curve (same semantics as sklearn
     * `average_precision_score`, reference evaluation.py:469).
     */
-  private def bestBinaryMetrics(s: DataFrame, higherIsBetter: Boolean): BinaryEvalRow = {
-    val perScore = s.groupBy("score")
+  def binaryClassificationMetrics(
+      pairs: DataFrame, vec1Col: String, vec2Col: String, labelCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val v1 = asDouble(col(vec1Col))
+    val v2 = asDouble(col(vec2Col))
+    // (name, kernel, higherIsBetter): similarities predict positive at
+    // score ≥ threshold, distances at score ≤ threshold (the reference's
+    // `reverse` flag, evaluation.py:464)
+    val kernels = Seq(
+      ("cossim", cosine(v1, v2), true), ("manhattan", manhattan(v1, v2), false),
+      ("euclidean", euclidean(v1, v2), false), ("dot", dot(v1, v2), true))
+    val fns = kernels.map { case (name, _, higher) => (name, higher) }
+    // long-form fan-out in the scan projection: one row per (pair, score_fn).
+    // __sort flips sign for similarities so ONE ascending order sweeps every
+    // curve from "predict-positive-most-eagerly" downward; __tk (= −__sort) is
+    // the argmax tie-break: highest score wins ties for similarities, lowest
+    // for distances, so plain struct-max realizes both.
+    val long = pairs.select(explode(array(kernels.map { case (name, k, higher) =>
+      struct(lit(name).as("fn"), k.as("score"),
+        (if (higher) -k else k).as("__sort"))
+    }: _*)).as("s"), col(labelCol).cast("double").as("label"))
+      .select(col("s.fn").as("fn"), col("s.score").as("score"),
+        col("s.__sort").as("__sort"), col("label"))
+    val perScore = long.groupBy("fn", "score", "__sort")
       .agg(sum("label").as("pos"), count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val sortKey = if (higherIsBetter) desc("score") else asc("score")
-    // argmax tie-break key: highest score wins ties for similarities, lowest
-    // for distances — encoded so plain struct-max ordering realizes it
-    val tieKey = if (higherIsBetter) col("score") else -col("score")
-    // grand totals fall out of the prefix-scan's offsets pass — no totals job
-    val (cum, totals) = graft.core.Prefix.cumSumsWithTotals(
-      perScore, Seq(sortKey), Seq("pos", "cnt"))
-    val totalPos = totals(0)
-    val totalN = totals(1)
-    if (totalN == 0) // empty input: no pairs, no curve — all-zero row
-      return BinaryEvalRow("", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (cum, totals) = graft.core.Prefix.cumSumsKeyedWithTotals(
+      perScore, Seq("fn"), Seq(asc("__sort")), Seq("pos", "cnt"))
+    def totalOf(fn: String, i: Int): Double =
+      totals.getOrElse(Seq(fn), Array(0.0, 0.0))(i)
+    // per-fn grand totals as a tiny broadcast dimension
+    val totalsDf = broadcast(spark.createDataFrame(fns.map { case (name, _) =>
+      (name, totalOf(name, 0), totalOf(name, 1))
+    }).toDF("fn", "total_pos", "total_n"))
     val curve = cum
-      .select(col("score"), col("pos"), col("__cum_pos").as("tp"), col("__cum_cnt").as("n"))
+      .join(totalsDf, Seq("fn"))
+      .select(col("fn"), col("score"), col("pos"), col("total_pos"), col("total_n"),
+        col("__cum_pos").as("tp"), col("__cum_cnt").as("n"), (-col("__sort")).as("__tk"))
       .withColumn("precision", col("tp") / col("n"))
-      .withColumn("recall", when(lit(totalPos) > 0, col("tp") / lit(totalPos)).otherwise(lit(0.0)))
-      .withColumn("accuracy", (col("tp") + (lit(totalN) - col("n")) - (lit(totalPos) - col("tp"))) / lit(totalN))
+      .withColumn("recall", when(col("total_pos") > 0, col("tp") / col("total_pos"))
+        .otherwise(lit(0.0)))
+      .withColumn("accuracy",
+        (col("tp") + (col("total_n") - col("n")) - (col("total_pos") - col("tp"))) / col("total_n"))
       .withColumn("f1", when(col("precision") + col("recall") > 0,
         lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
         .otherwise(lit(0.0)))
-    // one aggregate: best-accuracy row, best-F1 row (struct-max = argmax with
-    // tie-break), and the AP sum — instead of three sort-limit jobs
-    val r = curve.agg(
-      max(struct(col("accuracy"), tieKey.as("tk"), col("score"))).as("ba"),
-      max(struct(col("f1"), tieKey.as("tk"), col("score"),
+    val byFn = curve.groupBy("fn").agg(
+      max(struct(col("accuracy"), col("__tk"), col("score"))).as("ba"),
+      max(struct(col("f1"), col("__tk"), col("score"),
         col("precision"), col("recall"))).as("bf"),
-      sum(col("pos") * col("precision")).as("sumap")).first()
-    val ba = r.getStruct(0)
-    val bf = r.getStruct(1)
-    val ap = if (totalPos == 0) 0.0 else r.getDouble(2) / totalPos
-    BinaryEvalRow("", ba.getDouble(0), ba.getDouble(2),
-      bf.getDouble(0), bf.getDouble(2), bf.getDouble(3), bf.getDouble(4), ap)
+      sum(col("pos") * col("precision")).as("sumap"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = fns.map { case (name, _) =>
+      byFn.get(name) match {
+        case Some(r) =>
+          val ba = r.getStruct(1)
+          val bf = r.getStruct(2)
+          val totalPos = totalOf(name, 0)
+          val ap = if (totalPos == 0) 0.0 else r.getDouble(3) / totalPos
+          BinaryEvalRow(name, ba.getDouble(0), ba.getDouble(2),
+            bf.getDouble(0), bf.getDouble(2), bf.getDouble(3), bf.getDouble(4), ap)
+        case None => // empty input: no pairs, no curve — all-zero row
+          BinaryEvalRow(name, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      }
+    }
+    spark.createDataFrame(rows)
   }
 
   /** Text-level wrapper: serialize + embed both sides, then run the
