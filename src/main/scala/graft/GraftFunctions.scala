@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Le
 import graft.functions._
 
 /** SQL surface for the engine's native expressions: registers
-  * `vec_dot`, `cosine_sim`, `hash_embed`, `minhash_sig`, `word_shingles`,
-  * `srp_bands`, `scrub_pii`, `word_shingle_rep_ratio` so `spark.sql` queries
-  * can use the same codegen kernels as the DataFrame API.
+  * `vec_dot`, `cosine_sim`, `hash_embed`, `md5_embed`, `minhash_sig`,
+  * `minhash_sig_md5`, `simhash64`, `word_shingles`, `srp_bands`, `scrub_pii`,
+  * `word_shingle_rep_ratio` so `spark.sql` queries can use the same codegen
+  * kernels as the DataFrame API.
   *
   * Two wirings:
   *  - runtime: `GraftFunctions.register(spark)` on any live session;
@@ -58,6 +59,18 @@ object GraftFunctions {
     "minhash_sig" -> { args =>
       require(args.length == 2, "minhash_sig(shingles, numHashes)")
       MinHashSig(args(0), intArg(args(1), "numHashes"))
+    },
+    "minhash_sig_md5" -> { args =>
+      require(args.length == 2, "minhash_sig_md5(shingles, numHashes)")
+      MinHashSigMd5(args(0), intArg(args(1), "numHashes"))
+    },
+    "md5_embed" -> { args =>
+      require(args.length == 1, "md5_embed(text)")
+      Md5EmbedExpr(args(0))
+    },
+    "simhash64" -> { args =>
+      require(args.length == 1, "simhash64(text)")
+      SimHash64Expr(args(0))
     },
     "word_shingles" -> { args =>
       require(args.length == 2, "word_shingles(text, n)")

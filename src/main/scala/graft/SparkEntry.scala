@@ -24,6 +24,12 @@ object SparkEntry {
 
   private val embedder = new HashEmbedder(64)
 
+  /** Text-leg semantic queries embed with the md5 embedder: its vectors are
+    * reproducible in DuckDB SQL (see graft.functions.Md5EmbedExpr), which
+    * upgrades those queries from rows-only to full hash-checked oracles.
+    */
+  private val md5Embedder = new graft.embed.Md5Embedder
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: semantic 1-NN merge
     * of the documents table onto itself (text key, hash embedder).
     */
@@ -448,7 +454,7 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_epoch"))
     }),
 
-    // ------------------------------------------------- rows-only (no SQL oracle)
+    // -------------------------------------- md5-kernel legs (SQL-oracled) + rows-only
     "q_simhash_dedup" -> ((s, dir) => {
       Dedup.simhashDedup(ld(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id"))
@@ -459,7 +465,7 @@ object SparkEntry {
       SemanticJoin.mergeBlocking(
         docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "text"),
         docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "text"),
-        blockingVars = Seq("lang"), on = Seq("text"), embedder = embedder)
+        blockingVars = Seq("lang"), on = Seq("text"), embedder = md5Embedder)
     }),
 
     "q_aggregate_rows" -> ((s, dir) => {
@@ -467,12 +473,12 @@ object SparkEntry {
       SemanticJoin.aggregateRows(
         docs.select("doc_id", "text"),
         docs.select(col("source").as("bucket")).distinct(),
-        leftOn = Seq("text"), rightOn = Seq("bucket"), embedder = embedder)
+        leftOn = Seq("text"), rightOn = Seq("bucket"), embedder = md5Embedder)
     }),
 
     "q_evaluate_pairs" -> ((s, dir) => {
       val docs = ld(s, dir, "documents").select("doc_id", "text", "source")
-      PairScoring.evaluatePairs(docs, Seq("text"), Seq("source"), embedder)
+      PairScoring.evaluatePairs(docs, Seq("text"), Seq("source"), md5Embedder)
         .orderBy(col("doc_id"))
     }),
 
@@ -481,7 +487,7 @@ object SparkEntry {
       SemanticJoin.mergeRange(
         docs.filter(col("doc_id") < 100).select("doc_id", "text"),
         docs.filter(col("doc_id") >= 100).select("doc_id", "text"),
-        on = Seq("text"), embedder = embedder, simThreshold = 0.5)
+        on = Seq("text"), embedder = md5Embedder, simThreshold = 0.5)
     }),
 
     "q_semantic_merge_docs" -> ((s, dir) => {
@@ -489,13 +495,13 @@ object SparkEntry {
       SemanticJoin.merge(
         docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
         docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
-        on = Seq("text"), embedder = embedder)
+        on = Seq("text"), embedder = md5Embedder)
     }),
 
     "q_dedup_rows_docs" -> ((s, dir) => {
       Clustering.dedupRows(
         ld(s, dir, "documents").select("doc_id", "text"),
-        on = Seq("text"), embedder = embedder, threshold = 0.9)
+        on = Seq("text"), embedder = md5Embedder, threshold = 0.9)
     }),
 
     "q_minhash_dedup" -> ((s, dir) => {
@@ -532,7 +538,7 @@ object SparkEntry {
       Llm.mergeKJudge(
         docs.filter(col("doc_id") < 50).select("doc_id", "text"),
         docs.filter(col("doc_id").between(50, 150)).select("doc_id", "text"),
-        on = Seq("text"), embedder = embedder,
+        on = Seq("text"), embedder = md5Embedder,
         judge = new Llm.TokenOverlapJudge(0.3), k = 3)
     }),
 
@@ -548,6 +554,78 @@ object SparkEntry {
 
   private val CosSelf =
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+  /** DuckDB subquery computing the md5-embedding vector (column `v`) for each
+    * row of `from` — bit-identical to `graft.functions.Md5EmbedExpr` (see the
+    * parity contract there): items = whole string + ASCII-ws tokens, integer
+    * byte sums per dim, `(S - 127.5·T)/127.5`, then an order-matched
+    * square-sum fold and `x · (1/max(sqrt(n), 1e-12))` normalization.
+    */
+  private def md5Vec(cols: String, textExpr: String, from: String): String =
+    s"""SELECT $cols, list_transform(acc, x -> x * (1.0 / greatest(sqrt(
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(acc, y -> y * y)),
+       |        (p, q) -> p + q)), 1e-12))) AS v
+       |  FROM (SELECT $cols,
+       |      list_transform(generate_series(0, 15), i ->
+       |        (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(items, it -> CAST('0x' || substr(md5(it), 2 * i + 1, 2) AS BIGINT))),
+       |           (p, q) -> p + q) AS DOUBLE)
+       |         - 127.5 * len(items)) / 127.5) AS acc
+       |    FROM (SELECT $cols,
+       |        list_prepend($textExpr, list_filter(
+       |          string_split_regex(trim($textExpr, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+       |            '[ \\t\\n\\x0b\\f\\r]+'),
+       |          x -> x <> '')) AS items
+       |      FROM $from))""".stripMargin
+
+  /** DuckDB subquery computing the md5 simhash fingerprint (column `fp`) —
+    * bit-identical to `graft.functions.SimHash64Expr`: lowercase ASCII-ws
+    * tokens, 64-bit md5 token hashes, per-bit ±1 majority (>= 0 sets the
+    * bit), assembled as a signed BIGINT (bit 63 via the two's-complement
+    * offset).
+    */
+  private def simhashFp(idCol: String, textExpr: String, from: String): String =
+    s"""SELECT $idCol,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 62), b ->
+       |    CASE WHEN coalesce(list_sum(list_transform(hs, x ->
+       |           CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q)
+       |  + CASE WHEN coalesce(list_sum(list_transform(hs, x ->
+       |           CASE WHEN ((x >> 63) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+       |         THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS fp
+       |FROM (SELECT $idCol,
+       |    list_transform(list_filter(
+       |      string_split_regex(lower(trim($textExpr, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))),
+       |        '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''),
+       |      t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
+       |  FROM $from)""".stripMargin
+
+  /** DuckDB subquery: per-doc distinct word-3-gram shingle set (`sh`) and the
+    * 32-component md5 minhash signature (`sig`) — bit-identical to
+    * `graft.functions.{WordShinglesExpr, MinHashSigMd5}` with the engine's
+    * 8-band × 4-row defaults: shingle hash = unsigned 32-bit md5 prefix;
+    * component j = min over shingles of `(a_j·h + b_j) mod 4294967291` with
+    * 30-bit md5-derived coefficients (a_j odd).
+    */
+  private def minhashSig(idCol: String, textExpr: String, from: String): String =
+    s"""SELECT $idCol, sh, list_transform(range(0, 32), j ->
+       |    list_min(list_transform(sh, s ->
+       |      (((CAST('0x' || substr(md5('graft-mh-a' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) & 1073741823) | 1)
+       |         * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+       |       + (CAST('0x' || substr(md5('graft-mh-b' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) & 1073741823)
+       |      ) % 4294967291))) AS sig
+       |FROM (SELECT $idCol, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END) AS sh
+       |  FROM (SELECT $idCol,
+       |      string_split_regex(lower(trim($textExpr, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))),
+       |        '[ \\t\\n\\x0b\\f\\r]+') AS toks
+       |    FROM $from))""".stripMargin
+
+  /** Exact shingle-set Jaccard in DuckDB (Dedup.jaccardOf parity). */
+  private def jaccardSql(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0
+       |  ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b)) END""".stripMargin
 
   /** Sequential left-to-right double fold over pairs of embedding elements —
     * matches Spark's `aggregate(zip_with(...))` accumulation order exactly.
@@ -976,5 +1054,175 @@ object SparkEntry {
         |  CAST(floor(epoch(max(ts) + INTERVAL '30 minutes')) AS BIGINT) AS session_end_epoch,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY user_id, sess ORDER BY user_id, session_epoch""".stripMargin,
+
+    // ---------------------------------------------------------- md5-kernel legs
+    "q_evaluate_pairs" ->
+      s"""WITH et AS (${md5Vec("doc_id, text, source", "text", "documents")}),
+         |eb AS (SELECT source AS src, v AS w FROM (
+         |  ${md5Vec("source", "source", "(SELECT DISTINCT source FROM documents)")}))
+         |SELECT et.doc_id, et.text, et.source,
+         |  ${pairFoldOn("et.v", "eb.w", "x[1] * x[2]")} AS score
+         |FROM et JOIN eb ON eb.src = et.source
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_merge_docs" ->
+      s"""WITH e AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |l AS (SELECT * FROM e WHERE doc_id % 2 = 0),
+         |r AS (SELECT * FROM e WHERE doc_id % 2 = 1),
+         |s AS (SELECT l.doc_id AS doc_id_x, l.text AS text_x,
+         |        r.doc_id AS doc_id_y, r.text AS text_y,
+         |        list_cosine_similarity(l.v, r.v) AS score,
+         |        row_number() OVER (PARTITION BY l.doc_id
+         |          ORDER BY list_cosine_similarity(l.v, r.v) DESC, r.doc_id) AS rnk
+         |      FROM l, r)
+         |SELECT doc_id_x, text_x, doc_id_y, text_y, score FROM s WHERE rnk = 1
+         |ORDER BY doc_id_x""".stripMargin,
+
+    "q_merge_range_text" ->
+      s"""WITH e AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |l AS (SELECT * FROM e WHERE doc_id < 100),
+         |r AS (SELECT * FROM e WHERE doc_id >= 100),
+         |m AS (SELECT l.doc_id AS lx, r.doc_id AS doc_id_y, r.text AS text_y,
+         |        list_cosine_similarity(l.v, r.v) AS score
+         |      FROM l, r WHERE list_cosine_similarity(l.v, r.v) >= 0.5)
+         |SELECT l.doc_id AS doc_id_x, l.text AS text_x, m.doc_id_y, m.text_y, m.score
+         |FROM l LEFT JOIN m ON m.lx = l.doc_id
+         |ORDER BY doc_id_x, score DESC NULLS LAST, doc_id_y""".stripMargin,
+
+    "q_merge_blocking_docs" ->
+      s"""WITH e AS (${md5Vec("doc_id, lang, text", "text", "documents")}),
+         |l AS (SELECT * FROM e WHERE doc_id % 2 = 0),
+         |r AS (SELECT * FROM e WHERE doc_id % 2 = 1),
+         |s AS (SELECT l.doc_id AS doc_id_x, l.lang AS lang_x, l.text AS text_x,
+         |        r.doc_id AS doc_id_y, r.lang AS lang_y, r.text AS text_y,
+         |        list_cosine_similarity(l.v, r.v) AS score,
+         |        row_number() OVER (PARTITION BY l.doc_id
+         |          ORDER BY list_cosine_similarity(l.v, r.v) DESC, r.doc_id) AS rnk
+         |      FROM l JOIN r ON l.lang = r.lang)
+         |SELECT doc_id_x, lang_x, text_x, doc_id_y, lang_y, text_y, score,
+         |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+         |  CAST(NULL AS VARCHAR) AS text
+         |FROM s WHERE rnk = 1
+         |UNION ALL
+         |SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, doc_id, lang, text
+         |FROM l WHERE lang NOT IN (SELECT lang FROM r)
+         |UNION ALL
+         |SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, doc_id, lang, text
+         |FROM r WHERE lang NOT IN (SELECT lang FROM l)
+         |ORDER BY doc_id_x""".stripMargin,
+
+    "q_aggregate_rows" ->
+      s"""WITH et AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |eb AS (SELECT bucket, v AS w FROM (
+         |  ${md5Vec("bucket", "bucket", "(SELECT DISTINCT source AS bucket FROM documents)")})),
+         |s AS (SELECT et.doc_id, et.text, eb.bucket,
+         |        list_cosine_similarity(et.v, eb.w) AS score,
+         |        row_number() OVER (PARTITION BY et.doc_id
+         |          ORDER BY list_cosine_similarity(et.v, eb.w) DESC, eb.bucket) AS rnk
+         |      FROM et, eb)
+         |SELECT doc_id, text, bucket, score FROM s WHERE rnk = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_rows_docs" ->
+      s"""WITH RECURSIVE e AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |ed AS (SELECT a.doc_id AS s, b.doc_id AS d FROM e a, e b
+         |       WHERE a.doc_id <> b.doc_id AND list_cosine_similarity(a.v, b.v) >= 0.9),
+         |r(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.d, r.lbl FROM r JOIN ed ON ed.s = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+         |keep AS (SELECT min(id) AS kid FROM comp GROUP BY cluster)
+         |SELECT d.doc_id, d.text FROM documents d JOIN keep k ON k.kid = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash" ->
+      s"""SELECT doc_id, fp FROM (${simhashFp("doc_id", "text", "documents")})
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_dedup" ->
+      s"""WITH RECURSIVE fps AS (${simhashFp("doc_id", "text", "documents")}),
+         |repr AS (SELECT fp, min(doc_id) AS rid FROM fps GROUP BY fp),
+         |ed AS (SELECT a.rid AS s, b.rid AS d FROM repr a, repr b
+         |       WHERE a.rid <> b.rid AND bit_count(xor(a.fp, b.fp)) <= 3),
+         |r(id, lbl) AS (
+         |  SELECT rid, rid FROM repr
+         |  UNION
+         |  SELECT ed.d, r.lbl FROM r JOIN ed ON ed.s = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+         |SELECT f.doc_id AS id, c.cluster
+         |FROM fps f JOIN repr rp ON rp.fp = f.fp JOIN comp c ON c.id = rp.rid
+         |ORDER BY id""".stripMargin,
+
+    "q_minhash_dedup" ->
+      s"""WITH RECURSIVE ms AS (${minhashSig("doc_id", "text", "documents")}),
+         |bands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |          FROM ms, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |         FROM bands a JOIN bands b2
+         |           ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |edges AS (SELECT i, j FROM cand
+         |          JOIN ms sa ON sa.doc_id = cand.i
+         |          JOIN ms sb ON sb.doc_id = cand.j
+         |          WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.4),
+         |e2 AS (SELECT i AS s, j AS d FROM edges UNION ALL SELECT j, i FROM edges),
+         |r(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id)
+         |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH cs AS (${minhashSig("doc_id", "text", "documents")}),
+         |bs AS (${minhashSig("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
+         |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM cs, unnest(range(0, 8)) AS u(b)),
+         |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM bs, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+         |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket)
+         |SELECT cand.corpus_id, cand.benchmark_id,
+         |  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+         |FROM cand
+         |JOIN cs sa ON sa.doc_id = cand.corpus_id
+         |JOIN bs sb ON sb.doc_id = cand.benchmark_id
+         |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
+         |ORDER BY corpus_id, benchmark_id""".stripMargin,
+
+    // mergeKnn(k=3) retrieval + TokenOverlapJudge(0.3): tokens are the judge's
+    // DISTINCT `\W+`-split lowercase sets; confidence round-trips through the
+    // %.4f raw-response string exactly as Llm.parseJudgeResponse sees it
+    "q_merge_k_judge" ->
+      s"""WITH e AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |l AS (SELECT * FROM e WHERE doc_id < 50),
+         |r AS (SELECT * FROM e WHERE doc_id BETWEEN 50 AND 150),
+         |s AS (SELECT l.doc_id AS doc_id_x, l.text AS text_x,
+         |        r.doc_id AS doc_id_y, r.text AS text_y,
+         |        list_cosine_similarity(l.v, r.v) AS score,
+         |        row_number() OVER (PARTITION BY l.doc_id
+         |          ORDER BY list_cosine_similarity(l.v, r.v) DESC, r.doc_id) AS rnk
+         |      FROM l, r),
+         |k AS (SELECT doc_id_x, text_x, doc_id_y, text_y, score FROM s WHERE rnk <= 3),
+         |t AS (SELECT *,
+         |    list_distinct(list_filter(string_split_regex(lower(text_x), '[^a-zA-Z0-9_]+'), x -> x <> '')) AS ta,
+         |    list_distinct(list_filter(string_split_regex(lower(text_y), '[^a-zA-Z0-9_]+'), x -> x <> '')) AS tb
+         |  FROM k),
+         |j AS (SELECT *, CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 1.0
+         |    WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(list_distinct(ta || tb)) END AS jv
+         |  FROM t)
+         |SELECT doc_id_x, text_x, doc_id_y, text_y, score,
+         |  CASE WHEN jv >= 0.3 THEN 1 ELSE 0 END AS llm_is_match,
+         |  CAST(printf('%.4f', jv) AS DOUBLE) AS llm_confidence,
+         |  printf('{"is_match": %s, "confidence": %.4f}',
+         |    CASE WHEN jv >= 0.3 THEN 'true' ELSE 'false' END, jv) AS llm_raw_response
+         |FROM j ORDER BY doc_id_x, doc_id_y""".stripMargin,
   )
+
+  /** [[pairFold]] over two explicit list expressions (not the `a`/`b` table
+    * aliases) — same left-to-right accumulation order.
+    */
+  private def pairFoldOn(va: String, vb: String, term: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+      s"list_zip($va, $vb), x -> $term)), (p, q) -> p + q)"
 }

@@ -63,6 +63,20 @@ class HashEmbedder(val dim: Int = 64, tokenMix: Boolean = true) extends Embedder
       graft.functions.HashEmbedExpr.hashEmbed(col(textCol), dim, tokenMix))
 }
 
+/** Deterministic md5-projection embedder (dim 16, token-aware) whose vectors
+  * the DuckDB oracle reproduces bit-identically (`graft.functions.Md5EmbedExpr`)
+  * — the embedder behind every hash-checked text-leg query. Same role as
+  * [[HashEmbedder]] (deterministic stand-in for model embeddings,
+  * SURVEY §5.2) but exactly replicable in SQL, so semantic text operators get
+  * a full value-level oracle instead of a rows-only check.
+  */
+class Md5Embedder extends Embedder {
+  val dim: Int = graft.functions.Md5EmbedExpr.Dim
+
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, graft.functions.Md5EmbedExpr.md5Embed(col(textCol)))
+}
+
 object HashEmbedder {
 
   private def fnv64(bytes: Array[Byte]): Long = {

@@ -23,14 +23,21 @@ object Dedup extends Logging {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature of a shingle set: for each of `numHashes` seeded hash
-    * functions, the min over shingles of xxhash64(shingle, seed). Pure built-ins.
+  /** MinHash signature of a shingle set: for each of `numHashes` hash
+    * functions, the min over shingles of a seeded shingle hash. Two families:
+    * `"md5"` (default; md5-derived, reproducible by the DuckDB oracle — see
+    * graft.functions.MinHashSigMd5) and `"xx"` (xxhash64 chain — cheapest
+    * per byte, for 100 TB runs where no cross-engine parity is needed).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    // native one-pass kernel; bit-identical to
-    // array(seed -> array_min(transform(shingles, s -> xxhash64(s, lit(seed)))))
-    // (no pre-dedup needed either way: min is invariant under duplicates)
-    graft.functions.MinHashSig.minhashSig(shingles, numHashes)
+  def minhashSignature(shingles: Column, numHashes: Int, hashFamily: String = "md5"): Column =
+    hashFamily match {
+      // both are native one-pass kernels; min is invariant under duplicate
+      // shingles so no pre-dedup is needed either way
+      case "md5" => graft.functions.MinHashSigMd5.minhashSigMd5(shingles, numHashes)
+      case "xx" => graft.functions.MinHashSig.minhashSig(shingles, numHashes)
+      case f => throw new IllegalArgumentException(
+        s"unknown minhash hash family: $f (expected md5 | xx)")
+    }
 
   /** Per-doc distinct shingle set + minhash signature, computed ONCE and
     * pinned (reused by the band join and the exact-Jaccard verify). The id
@@ -38,22 +45,25 @@ object Dedup extends Logging {
     */
   private def shingleSig(
       df: DataFrame, idExpr: Column, textCol: Column,
-      shingleSize: Int, numHashes: Int): DataFrame =
+      shingleSize: Int, numHashes: Int, hashFamily: String): DataFrame =
     df.select(
       idExpr.as("id"),
       array_distinct(TextAnalysis.wordShingles(textCol, shingleSize)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, hashFamily))
       .localCheckpoint(true)
 
   /** One narrow `(id, band, bucket)` row per band from the signature —
     * the SINGLE definition of the banding scheme, shared by the one-table
-    * ([[minhashLsh]]) and two-table ([[contamination]]) LSH paths.
+    * ([[minhashLsh]]) and two-table ([[contamination]]) LSH paths. The bucket
+    * key is the band's signature slice itself (4 longs), not a hash of it:
+    * the equi-join is then collision-free by construction and the oracle can
+    * reproduce it as a plain list equality.
     */
   private def bandBuckets(base: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     base.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+        bnd => slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
   /** Exact shingle-set Jaccard; 0 when both sets are empty. */
@@ -72,10 +82,10 @@ object Dedup extends Logging {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, hashFamily: String = "md5"): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // CC needs long node ids — cast here, not in the shared helper
-    val base = shingleSig(df, col(idCol).cast("long"), col(textCol), shingleSize, numHashes)
+    val base = shingleSig(df, col(idCol).cast("long"), col(textCol), shingleSize, numHashes, hashFamily)
     val banded = bandBuckets(base, numBands, rowsPerBand)
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("i"))
@@ -96,36 +106,12 @@ object Dedup extends Logging {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the sign
-    * of sum over tokens of (+1 if bit b of hash64(token) else -1). A scalar UDF:
-    * the per-token bit-plane loop has no clean built-in form, and the column is
-    * not oracle-checked (rows-only gate).
+    * of sum over tokens of (+1 if bit b of md5-hash64(token) else -1). A native
+    * codegen expression (graft.functions.SimHash64Expr); md5 token hashes make
+    * the fingerprint reproducible by the DuckDB oracle, so simhash queries are
+    * hash-checked rather than rows-only.
     */
-  val simhash64: Column => Column = {
-    val f = udf { (s: String) =>
-      val toks = if (s == null) Array.empty[String]
-        else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      val counts = new Array[Int](64)
-      toks.foreach { t =>
-        // same splitmix64-of-FNV stream family as the hash embedder
-        var h = 0xcbf29ce484222325L
-        t.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-        var z = h + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= (z >>> 31)
-        var bit = 0
-        while (bit < 64) {
-          if (((z >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
-          bit += 1
-        }
-      }
-      var fp = 0L
-      var bit = 0
-      while (bit < 64) { if (counts(bit) >= 0) fp |= (1L << bit); bit += 1 }
-      fp
-    }
-    (text: Column) => f(text)
-  }
+  def simhash64(text: Column): Column = graft.functions.SimHash64Expr.simhash64(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
@@ -221,12 +207,12 @@ object Dedup extends Logging {
       corpus: DataFrame, corpusId: String, corpusText: String,
       benchmark: DataFrame, benchId: String, benchText: String,
       shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, hashFamily: String = "md5"): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // ids keep their natural type (string/UUID doc ids are common in scraped
     // corpora; no connected components here, so nothing needs a long)
-    val c = shingleSig(corpus, col(corpusId), col(corpusText), shingleSize, numHashes)
-    val b = shingleSig(benchmark, col(benchId), col(benchText), shingleSize, numHashes)
+    val c = shingleSig(corpus, col(corpusId), col(corpusText), shingleSize, numHashes, hashFamily)
+    val b = shingleSig(benchmark, col(benchId), col(benchText), shingleSize, numHashes, hashFamily)
     val candidates = bandBuckets(c, numBands, rowsPerBand)
       .withColumnRenamed("id", "corpus_id")
       .join(bandBuckets(b, numBands, rowsPerBand).withColumnRenamed("id", "benchmark_id"),

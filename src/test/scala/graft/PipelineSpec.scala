@@ -538,9 +538,72 @@ class PipelineSpec extends AnyFunSuite {
       array_min(transform(col("sh"), s => xxhash64(s, lit(seed))))
     }: _*)
     val both = df.select(
+      graft.operators.Dedup.minhashSignature(col("sh"), 16, hashFamily = "xx").as("native"),
+      builtin.as("ref")).collect()
+    both.foreach { r => assert(r.get(0) == r.get(1), s"mismatch: $r") }
+  }
+
+  test("native minhash_sig_md5 is bit-identical to the builtin md5/conv composition") {
+    import spark.implicits._
+    val df = Seq(
+      Array("the quick", "quick brown", "brown fox"),
+      Array("lone"),
+      Array.empty[String]).toDF("sh")
+    def h32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val builtin = array((0 until 16).map { j =>
+      val a = conv(substring(md5(lit("graft-mh-a" + j)), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x3fffffffL)).bitwiseOR(lit(1L))
+      val b = conv(substring(md5(lit("graft-mh-b" + j)), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x3fffffffL))
+      array_min(transform(col("sh"), s => pmod(a * h32(s) + b, lit(4294967291L))))
+    }: _*)
+    val both = df.select(
       graft.operators.Dedup.minhashSignature(col("sh"), 16).as("native"),
       builtin.as("ref")).collect()
     both.foreach { r => assert(r.get(0) == r.get(1), s"mismatch: $r") }
+  }
+
+  test("md5_embed matches the builtin md5/conv composition per coordinate") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "", "one", "  spaced   out  ").toDF("t")
+    // rebuild the kernel's spec from Spark built-ins: items = text :: tokens,
+    // S_i = sum of digest byte i, acc = (S - 127.5 T)/127.5, L2-normalized
+    val items = concat(array(col("t")),
+      filter(split(trim(col("t")), "[ \\t\\n\\u000B\\f\\r]+"), x => x =!= ""))
+    val accs = (0 until 16).map { i =>
+      val s = aggregate(
+        transform(items, it => conv(substring(md5(it), 2 * i + 1, 2), 16, 10).cast("long")),
+        lit(0L), (a, x) => a + x)
+      (s.cast("double") - lit(127.5) * size(items)) / lit(127.5)
+    }
+    val acc = array(accs: _*)
+    val nrm2 = aggregate(transform(acc, x => x * x), lit(0.0), (a, x) => a + x)
+    val ref = transform(acc, x => x * (lit(1.0) / greatest(sqrt(nrm2), lit(1e-12))))
+    val both = df.select(
+      graft.functions.Md5EmbedExpr.md5Embed(col("t")).as("native"), ref.as("ref")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"mismatch: $r")
+    }
+  }
+
+  test("simhash64 matches a per-bit majority rebuilt from Spark's md5") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox fox", "", "solo").toDF("t")
+    val toks = filter(split(lower(trim(col("t"))), "[ \\t\\n\\u000B\\f\\r]+"), x => x =!= "")
+    // 64-bit value assembled from two 32-bit halves: conv(16 hex).cast(long)
+    // would null out digests above Long.MaxValue
+    val hs = transform(toks, t => shiftleft(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long")))
+    val ref = (0 until 64).map { b =>
+      val cnt = aggregate(hs, lit(0),
+        (a, x) => a + when(shiftrightunsigned(x, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(cnt >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val both = df.select(
+      graft.operators.Dedup.simhash64(col("t")).as("native"), ref.as("ref")).collect()
+    both.foreach { r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r") }
   }
 
   // ------------------------------------------------------------------------- IO
