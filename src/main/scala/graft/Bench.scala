@@ -22,6 +22,10 @@ object Bench {
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2fs rows=$n")
+      // drop this query's checkpointed/persisted blocks OUTSIDE the timed
+      // window: 57 queries' worth of retained blocks otherwise accumulate in
+      // the block manager and later queries pay eviction/GC stalls
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

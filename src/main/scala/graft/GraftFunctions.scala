@@ -81,6 +81,10 @@ object GraftFunctions {
       val seed = if (args.length > 3) longArg(args(3), "seed") else 42L
       SrpBands(args(0), intArg(args(1), "nBands"), intArg(args(2), "bitsPerBand"), seed)
     },
+    "srp_bands_md5" -> { args =>
+      require(args.length == 3, "srp_bands_md5(vec, nBands, bitsPerBand)")
+      SrpBandsMd5(args(0), intArg(args(1), "nBands"), intArg(args(2), "bitsPerBand"))
+    },
     "scrub_pii" -> { args =>
       require(args.length == 1, "scrub_pii(text)")
       import org.apache.spark.sql.catalyst.expressions.RegExpReplace

@@ -183,8 +183,9 @@ object SparkEntry {
     }),
 
     "q_embed_neardup_lsh" -> ((s, dir) => {
-      // approximate scale path; deterministic (fixed SRP seed) but not
-      // SQL-expressible -> rows-only oracle check
+      // approximate scale path; md5-hyperplane SRP bands (SrpBandsMd5) make
+      // the band keys — and hence the whole candidate/verify/CC pipeline —
+      // reproducible by the DuckDB oracle
       Dedup.embeddingNearDupLsh(ld(s, dir, "embeddings"), "vec_id", "embedding",
           tau = 0.8, nBands = 16, bitsPerBand = 8)
         .orderBy(col("id"))
@@ -452,6 +453,12 @@ object SparkEntry {
           unix_timestamp(col("session_end")).as("session_end_epoch"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy(col("user_id"), col("session_epoch"))
+    }),
+
+    "q_sample_deterministic" -> ((s, dir) => {
+      Sampling.deterministicSampleMd5(ld(s, dir, "orders"), "o_orderkey", 0.2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_orderkey"))
     }),
 
     // -------------------------------------- md5-kernel legs (SQL-oracled) + rows-only
@@ -1188,6 +1195,41 @@ object SparkEntry {
          |JOIN bs sb ON sb.doc_id = cand.benchmark_id
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
          |ORDER BY corpus_id, benchmark_id""".stripMargin,
+
+    "q_sample_deterministic" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |  % 1000000 < 200000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SRP-LSH with md5-derived hyperplanes (SrpBandsMd5 parity): band keys are
+    // MSB-first packed projection signs; candidates = pairs sharing any band,
+    // exact cosine >= tau verify, then connected components
+    "q_embed_neardup_lsh" ->
+      s"""WITH RECURSIVE hp AS (SELECT list_transform(generate_series(0, 127), bit ->
+         |    list_transform(generate_series(0, 63), d ->
+         |      CASE WHEN (CAST('0x' || substr(md5('graft-srp-' || CAST(bit AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) & 1) = 0
+         |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) AS w),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), b ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 7), r ->
+         |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_zip(w[b*8+r+1], v), z -> z[1]*z[2])), (p,q) -> p+q) > 0.0
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (p,q) -> p*2 + q)) AS bands
+         |  FROM e, hp),
+         |bb AS (SELECT vec_id, b, bands[b+1] AS key FROM sig, unnest(generate_series(0, 15)) AS u(b)),
+         |cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j FROM bb a
+         |         JOIN bb c ON a.b = c.b AND a.key = c.key AND a.vec_id < c.vec_id),
+         |ed AS (SELECT i, j FROM cand JOIN e ea ON ea.vec_id = cand.i JOIN e eb ON eb.vec_id = cand.j
+         |       WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8),
+         |e2 AS (SELECT i AS s, j AS d FROM ed UNION ALL SELECT j, i FROM ed),
+         |r(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+         |SELECT id, cluster, id = cluster AS is_representative
+         |FROM comp ORDER BY id""".stripMargin,
 
     // mergeKnn(k=3) retrieval + TokenOverlapJudge(0.3): tokens are the judge's
     // DISTINCT `\W+`-split lowercase sets; confidence round-trips through the

@@ -276,3 +276,86 @@ object MinHashSigMd5 {
   def minhashSigMd5(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigMd5(ColumnBridge.expression(shingles), numHashes))
 }
+
+/** SRP-LSH band signatures with md5-derived Rademacher hyperplanes — the
+  * oracle-expressible family of [[SrpBands]]. Hyperplane sign (bit, d) is the
+  * parity of md5("graft-srp-bit-d"); the per-(totalBits, dim) sign matrix is
+  * built once per JVM and cached (128 bits × dim doubles — 4 MB at dim 4096),
+  * so each row is one cached-array arithmetic pass like the splitmix kernel.
+  * [[SrpBands]] remains the constant-memory non-oracle variant.
+  */
+case class SrpBandsMd5(child: Expression, nBands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_bands_md5 needs array<double>, 1<=bitsPerBand<=64, nBands>=1; got $t / $nBands / $bitsPerBand")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SrpBandsMd5.compute(input.asInstanceOf[ArrayData], nBands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SrpBandsMd5.compute($a, $nBands, $bitsPerBand)")
+
+  override protected def withNewChildInternal(c: Expression): SrpBandsMd5 = copy(child = c)
+}
+
+object SrpBandsMd5 {
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]
+
+  /** Flat (totalBits × dim) sign matrix; w(bit, d) = +1 iff parity of
+    * md5("graft-srp-$bit-$d") is even — derivable in SQL.
+    */
+  def signs(totalBits: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((totalBits, dim), { case (tb, dm) =>
+      val w = new Array[Double](tb * dm)
+      var bit = 0
+      while (bit < tb) {
+        var d = 0
+        while (d < dm) {
+          w(bit * dm + d) = if ((Md5.hash32(s"graft-srp-$bit-$d") & 1L) == 0L) 1.0 else -1.0
+          d += 1
+        }
+        bit += 1
+      }
+      w
+    })
+
+  /** Static one-pass kernel (generated code calls it): same packing order as
+    * [[SrpBands.compute]] — per band, bits fold MSB-first `(packed<<1)|sign`.
+    */
+  def compute(vec: ArrayData, nBands: Int, bitsPerBand: Int): ArrayData = {
+    val dim = vec.numElements()
+    val w = signs(nBands * bitsPerBand, dim)
+    val out = new Array[Long](nBands)
+    var bit = 0
+    var b = 0
+    while (b < nBands) {
+      var packed = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        var s = 0.0
+        val base = bit * dim
+        var d = 0
+        while (d < dim) { s += w(base + d) * vec.getDouble(d); d += 1 }
+        packed = (packed << 1) | (if (s > 0.0) 1L else 0L)
+        r += 1
+        bit += 1
+      }
+      out(b) = packed
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def srpBandsMd5(vec: Column, nBands: Int, bitsPerBand: Int): Column =
+    ColumnBridge.column(SrpBandsMd5(ColumnBridge.expression(vec), nBands, bitsPerBand))
+}

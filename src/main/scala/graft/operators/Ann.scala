@@ -82,17 +82,28 @@ object Ann {
     * bucket equi-join (one shuffle on the band key) instead of the O(n²)
     * all-pairs scan; hot buckets are handled by AQE skew splitting.
     */
+  /** `hyperplanes` picks the projection family: `"md5"` (default; md5-derived
+    * signs the SQL oracle reproduces bit-exactly — see
+    * graft.functions.SrpBandsMd5) or `"splitmix"` (seeded, constant-memory —
+    * no sign matrix — for very high dims or when a different seed is wanted).
+    */
   def srpCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double,
-      nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    import graft.functions.SrpBands.srpBands
+      nBands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      hyperplanes: String = "md5"): DataFrame = {
     // norms once per point — inside the bucket join they would be recomputed
     // per (candidate pair × colliding band)
     val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__n", norm(col("v")))
+    val bandsCol = hyperplanes match {
+      case "md5" => graft.functions.SrpBandsMd5.srpBandsMd5(col("v"), nBands, bitsPerBand)
+      case "splitmix" => graft.functions.SrpBands.srpBands(col("v"), nBands, bitsPerBand, seed)
+      case f => throw new IllegalArgumentException(
+        s"unknown SRP hyperplane family: $f (expected md5 | splitmix)")
+    }
     val sigs = pts
-      .withColumn("__bands", srpBands(col("v"), nBands, bitsPerBand, seed))
+      .withColumn("__bands", bandsCol)
       .select(col("id"), col("v"), col("__n"), posexplode(col("__bands")).as(Seq("__band", "__key")))
     val a = sigs.select(col("id").as("i"), col("v").as("vi"), col("__n").as("ni"),
       col("__band"), col("__key"))

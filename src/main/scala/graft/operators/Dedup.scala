@@ -52,12 +52,14 @@ object Dedup extends Logging {
       .withColumn("sig", minhashSignature(col("sh"), numHashes, hashFamily))
       .localCheckpoint(true)
 
-  /** One narrow `(id, band, bucket)` row per band from the signature —
+  /** One narrow `(id, band, bucket, bkey)` row per band from the signature —
     * the SINGLE definition of the banding scheme, shared by the one-table
-    * ([[minhashLsh]]) and two-table ([[contamination]]) LSH paths. The bucket
-    * key is the band's signature slice itself (4 longs), not a hash of it:
-    * the equi-join is then collision-free by construction and the oracle can
-    * reproduce it as a plain list equality.
+    * ([[minhashLsh]]) and two-table ([[contamination]]) LSH paths. Candidate
+    * semantics are EXACT slice equality (`bucket`, oracle-reproducible as a
+    * plain list comparison); `bkey` is an 8-byte hash of the slice used only
+    * as the shuffle/join key so a sort-merge join at scale orders longs, not
+    * arrays — [[bandJoin]] re-checks the slices after the hash join, so hash
+    * collisions can never add candidates.
     */
   private def bandBuckets(base: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     base.select(
@@ -65,6 +67,23 @@ object Dedup extends Logging {
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         bnd => slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .withColumn("bkey", xxhash64(col("bucket")))
+
+  /** Equi-join two banded sides on `(band, bkey)` with the exact slice
+    * equality re-checked as a residual predicate, then `pairPred` on the two
+    * id columns. Returns distinct `(leftIdName, rightIdName)` pairs.
+    */
+  private def bandJoin(
+      left: DataFrame, leftIdName: String,
+      right: DataFrame, rightIdName: String,
+      pairPred: (Column, Column) => Column = (_, _) => lit(true)): DataFrame = {
+    val l = left.select(col("band"), col("bkey"), col("bucket").as("__bl"), col("id").as(leftIdName))
+    val r = right.select(col("band"), col("bkey"), col("bucket").as("__br"), col("id").as(rightIdName))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("__bl") === col("__br") && pairPred(col(leftIdName), col(rightIdName)))
+      .select(leftIdName, rightIdName)
+      .distinct()
+  }
 
   /** Exact shingle-set Jaccard; 0 when both sets are empty. */
   private def jaccardOf(a: Column, b: Column): Column = {
@@ -87,12 +106,7 @@ object Dedup extends Logging {
     // CC needs long node ids — cast here, not in the shared helper
     val base = shingleSig(df, col(idCol).cast("long"), col(textCol), shingleSize, numHashes, hashFamily)
     val banded = bandBuckets(base, numBands, rowsPerBand)
-
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("i"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("j")), Seq("band", "bucket"))
-      .filter(col("i") < col("j"))
-      .select("i", "j")
-      .distinct()
+    val candidates = bandJoin(banded, "i", banded, "j", (i, j) => i < j)
 
     // verify candidates with exact shingle-set Jaccard (arrays joined back in)
     val edges = candidates
@@ -213,12 +227,9 @@ object Dedup extends Logging {
     // corpora; no connected components here, so nothing needs a long)
     val c = shingleSig(corpus, col(corpusId), col(corpusText), shingleSize, numHashes, hashFamily)
     val b = shingleSig(benchmark, col(benchId), col(benchText), shingleSize, numHashes, hashFamily)
-    val candidates = bandBuckets(c, numBands, rowsPerBand)
-      .withColumnRenamed("id", "corpus_id")
-      .join(bandBuckets(b, numBands, rowsPerBand).withColumnRenamed("id", "benchmark_id"),
-        Seq("band", "bucket"))
-      .select("corpus_id", "benchmark_id")
-      .distinct()
+    val candidates = bandJoin(
+      bandBuckets(c, numBands, rowsPerBand), "corpus_id",
+      bandBuckets(b, numBands, rowsPerBand), "benchmark_id")
     candidates
       .join(c.select(col("id").as("corpus_id"), col("sh").as("cs")), "corpus_id")
       .join(b.select(col("id").as("benchmark_id"), col("sh").as("bs")), "benchmark_id")

@@ -35,4 +35,20 @@ object Sampling {
     df.filter(
       pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L)) < lit((fraction * 1e6).toLong))
   }
+
+  /** [[deterministicSample]] with an md5 bucket (`uint32(md5(key || '#' ||
+    * seed)) mod 1e6`): same reproducibility and co-sampling contract, but the
+    * verdict is recomputable by ANY engine with md5 — the cross-engine form a
+    * pipeline uses when Spark and a warehouse must agree on the sample, and
+    * the one the SQL oracle hash-checks.
+    */
+  def deterministicSampleMd5(
+      df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit("#" + seed))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    df.filter(bucket < lit((fraction * 1e6).toLong))
+  }
 }

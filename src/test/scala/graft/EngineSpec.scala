@@ -812,6 +812,14 @@ class EngineSpec extends AnyFunSuite {
     val other = df.withColumn("extra", lit("x"))
     val s3 = Sampling.deterministicSample(other, "id", 0.3).collect().map(_.getLong(0)).toSet
     assert(s3 == s1)
+    // md5 family: same invariants (partitioning-proof, co-sampling-safe)
+    val m1 = Sampling.deterministicSampleMd5(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val m2 = Sampling.deterministicSampleMd5(df.repartition(7), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(m1 == m2)
+    assert(m1.size > 10 && m1.size < 50)
+    assert(Sampling.deterministicSampleMd5(other, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet == m1)
   }
 
   // --- xlsx source ----------------------------------------------------------

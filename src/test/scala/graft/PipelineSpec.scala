@@ -587,6 +587,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("srp_bands_md5 matches projections rebuilt from Spark's md5") {
+    import spark.implicits._
+    val dim = 8
+    val nBands = 4
+    val bitsPerBand = 8
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 20).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val ref = array((0 until nBands).map { b =>
+      (0 until bitsPerBand).map { r =>
+        val bit = b * bitsPerBand + r
+        val proj = (0 until dim).map { d =>
+          val sign = when(
+            conv(substring(md5(lit(s"graft-srp-$bit-$d")), 1, 8), 16, 10).cast("long")
+              .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+          sign * col("v").getItem(d)
+        }.reduce(_ + _) // same d-ascending accumulation order as the kernel
+        when(proj > 0.0, lit(1L)).otherwise(lit(0L))
+      }.reduce((p, q) => shiftleft(p, 1).bitwiseOR(q))
+    }: _*)
+    val both = df.select(
+      graft.functions.SrpBandsMd5.srpBandsMd5(col("v"), nBands, bitsPerBand).as("native"),
+      ref.as("ref")).collect()
+    both.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r") }
+  }
+
   test("simhash64 matches a per-bit majority rebuilt from Spark's md5") {
     import spark.implicits._
     val df = Seq("the quick brown fox fox", "", "solo").toDF("t")
