@@ -461,6 +461,13 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_rebalance_sources" -> ((s, dir) => {
+      Sampling.rebalancePerKey(
+          ld(s, dir, "documents").select("doc_id", "source"),
+          keys = Seq("source"), idCol = "doc_id", targetPerKey = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // -------------------------------------- md5-kernel legs (SQL-oracled) + rows-only
     "q_simhash_dedup" -> ((s, dir) => {
       Dedup.simhashDedup(ld(s, dir, "documents"), "doc_id", "text")
@@ -1201,6 +1208,14 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
         |  % 1000000 < 200000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_rebalance_sources" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |    % 1000000
+        |  < least(1000000, (10 * 1000000) // cnt)
+        |ORDER BY doc_id""".stripMargin,
 
     // SRP-LSH with md5-derived hyperplanes (SrpBandsMd5 parity): band keys are
     // MSB-first packed projection signs; candidates = pairs sharing any band,

@@ -36,19 +36,47 @@ object Sampling {
       pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L)) < lit((fraction * 1e6).toLong))
   }
 
-  /** [[deterministicSample]] with an md5 bucket (`uint32(md5(key || '#' ||
-    * seed)) mod 1e6`): same reproducibility and co-sampling contract, but the
-    * verdict is recomputable by ANY engine with md5 — the cross-engine form a
-    * pipeline uses when Spark and a warehouse must agree on the sample, and
-    * the one the SQL oracle hash-checks.
+  /** md5 hash bucket in [0, 1e6): `uint32(md5(key || '#' || seed)) mod 1e6` —
+    * recomputable by ANY engine with md5 (the SQL oracle does).
+    */
+  private def md5Bucket(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(concat(key.cast("string"), lit("#" + seed))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+
+  /** [[deterministicSample]] with an md5 bucket: same reproducibility and
+    * co-sampling contract, but the verdict is recomputable by ANY engine with
+    * md5 — the cross-engine form a pipeline uses when Spark and a warehouse
+    * must agree on the sample, and the one the SQL oracle hash-checks.
     */
   def deterministicSampleMd5(
       df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
-    val bucket = pmod(
-      conv(substring(md5(concat(col(keyCol).cast("string"), lit("#" + seed))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(1000000L))
-    df.filter(bucket < lit((fraction * 1e6).toLong))
+    df.filter(md5Bucket(col(keyCol), seed) < lit((fraction * 1e6).toLong))
+  }
+
+  /** Rebalance a skewed corpus: downsample each key group (source, domain,
+    * language, ...) toward `targetPerKey` expected rows, leaving groups at or
+    * under the target untouched. Keep rate per group is the INTEGER-EXACT
+    * `min(1e6, targetPerKey·1e6 div count)` against the row's md5 bucket, so
+    * the kept set is deterministic, partition-invariant, and bit-reproducible
+    * by the SQL oracle (no float rate is ever computed).
+    *
+    * Scale: one partial-agg count per key, a key equi-join of the tiny count
+    * table back (Catalyst/AQE broadcasts it), and a codegen filter — no
+    * window, no per-group materialization, works on 100 TB with millions of
+    * distinct keys (the join simply stops being a broadcast).
+    */
+  def rebalancePerKey(
+      df: DataFrame, keys: Seq[String], idCol: String, targetPerKey: Long,
+      seed: Long = 42L): DataFrame = {
+    require(targetPerKey > 0, s"targetPerKey must be positive, got $targetPerKey")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val withThr = counts.withColumn("__thr",
+      least(lit(1000000L), expr(s"(${targetPerKey}L * 1000000L) div __cnt")))
+    df.join(withThr, keys)
+      .filter(md5Bucket(col(idCol), seed) < col("__thr"))
+      .select(df.columns.map(col): _*)
   }
 }

@@ -822,6 +822,28 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == m1)
   }
 
+  test("rebalancePerKey downsamples only over-represented keys, deterministically") {
+    import spark.implicits._
+    // skewed mix: big has 200 rows, mid 40, small 5 (target 20)
+    val df = ((1L to 200L).map(i => (i, "big")) ++
+      (201L to 240L).map(i => (i, "mid")) ++
+      (241L to 245L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Sampling.rebalancePerKey(df, Seq("src"), "id", targetPerKey = 20)
+    val byKey = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // under-target keys keep every row (rate floors at 1e6)
+    assert(byKey("small") == 5L)
+    // over-target keys land near the target (binomial around rate·n)
+    assert(byKey("big") >= 8 && byKey("big") <= 36, s"big=${byKey("big")}")
+    assert(byKey.getOrElse("mid", 0L) >= 8 && byKey("mid") <= 36, s"mid=${byKey("mid")}")
+    // deterministic and partition-invariant
+    val again = Sampling.rebalancePerKey(df.repartition(7), Seq("src"), "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+    // original column order survives the internal join
+    assert(out.columns.toSeq == Seq("id", "src"))
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
