@@ -28,6 +28,24 @@ object Clustering extends Logging {
     1.0 - math.pow(1.0 - math.pow(p, bitsPerBand), nBands)
   }
 
+  /** Smallest `nBands` whose [[srpRecallAtTau]] reaches `targetRecall` at
+    * `tau` — the sizing inverse, so callers state a recall budget instead of
+    * hand-picking band counts: `epsilonClusterLsh(df, id, vec, tau,
+    * nBands = nBandsForRecall(tau, 8, 0.95))`. Cost scales linearly in the
+    * result (one signature row per band), so the returned count is also the
+    * price tag of the recall target.
+    */
+  def nBandsForRecall(tau: Double, bitsPerBand: Int, targetRecall: Double): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val pBand = math.pow(p, bitsPerBand)
+    require(pBand > 0,
+      s"band collision probability is 0 at tau=$tau (opposite vectors) — no band count reaches recall $targetRecall")
+    if (pBand >= 1.0) 1
+    else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand)).toInt.max(1)
+  }
+
   /** Edge-count bound for the driver union-find fast path in
     * [[connectedComponents]] (~80 MB of collected longs at the limit).
     * Overridable via conf so tests can force the distributed iteration.

@@ -173,6 +173,18 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(srpRecallAtTau(1.0, 8, 8) - 1.0) < 1e-9)
   }
 
+  test("nBandsForRecall is the minimal band count reaching the target") {
+    import graft.operators.Clustering.{nBandsForRecall, srpRecallAtTau}
+    for (tau <- Seq(0.3, 0.5, 0.7, 0.9); bits <- Seq(4, 8); target <- Seq(0.5, 0.9, 0.99)) {
+      val n = nBandsForRecall(tau, bits, target)
+      assert(srpRecallAtTau(tau, n, bits) >= target - 1e-12,
+        s"tau=$tau bits=$bits target=$target n=$n misses the target")
+      assert(n == 1 || srpRecallAtTau(tau, n - 1, bits) < target,
+        s"tau=$tau bits=$bits target=$target n=$n is not minimal")
+    }
+    assert(nBandsForRecall(1.0, 8, 0.999) == 1) // identical vectors: one band suffices
+  }
+
   test("minhash signature: invariant under permutation and duplication (batch)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
