@@ -468,6 +468,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // salting changes only the partitioning of hot keys — the result is
+      // row-identical to the plain equi-join, which is exactly what the
+      // oracle checks
+      val li = ld(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = ld(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Skew.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // -------------------------------------- md5-kernel legs (SQL-oracled) + rows-only
     "q_simhash_dedup" -> ((s, dir) => {
       Dedup.simhashDedup(ld(s, dir, "documents"), "doc_id", "text")
@@ -1216,6 +1227,11 @@ object SparkEntry {
         |    % 1000000
         |  < least(1000000, (10 * 1000000) // cnt)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // SRP-LSH with md5-derived hyperplanes (SrpBandsMd5 parity): band keys are
     // MSB-first packed projection signs; candidates = pairs sharing any band,
