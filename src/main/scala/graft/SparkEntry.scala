@@ -468,6 +468,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       // salting changes only the partitioning of hot keys — the result is
       // row-identical to the plain equi-join, which is exactly what the
@@ -1232,6 +1237,17 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS term_count FROM t GROUP BY lang, term),
+        |r AS (SELECT lang, term, term_count,
+        |  row_number() OVER (PARTITION BY lang ORDER BY term_count DESC, term) AS rnk FROM c)
+        |SELECT lang, term, term_count, rnk FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     // SRP-LSH with md5-derived hyperplanes (SrpBandsMd5 parity): band keys are
     // MSB-first packed projection signs; candidates = pairs sharing any band,

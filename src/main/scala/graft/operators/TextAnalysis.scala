@@ -94,6 +94,31 @@ object TextAnalysis {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.MinHashSig.wordShingles(text, n)
 
+  /** Top `k` most frequent terms per key group (source, domain, language):
+    * vocabulary / heavy-hitter mining over a corpus — the census behind
+    * stopword lists, boilerplate detection, and per-source drift checks.
+    * Returns `(keys..., term, term_count, rnk)` with deterministic
+    * `(count desc, term asc)` ranking. Physically: explode → one partial-agg
+    * count (map-side combine absorbs the per-document term skew) → per-key
+    * window over the already-aggregated (distinct-term) rows — the window
+    * never sees raw tokens, so per-group fan-in is bounded by vocabulary, not
+    * corpus size.
+    */
+  def topTermsPerKey(
+      df: DataFrame, keys: Seq[String], textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(keys.map(col) :+
+      explode(filter(split(lower(trim(col(textCol))), "[ \\t\\n\\u000B\\f\\r]+"),
+        t => t =!= "")).as("term"): _*)
+    val counts = toks.groupBy((keys :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("term_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("term_count").desc, col("term"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word n-grams
     * (1 − distinct/total over [[wordShingles]]). Boilerplate- and
     * template-heavy documents score high; a standard pretraining-quality

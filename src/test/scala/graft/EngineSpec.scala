@@ -822,6 +822,19 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == m1)
   }
 
+  test("topTermsPerKey ranks by count desc then term asc, bounded at k") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x x x y y z"),
+      ("a", "y w"),
+      ("b", "")).toDF("src", "text")
+    val out = TextAnalysis.topTermsPerKey(df, Seq("src"), "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // src a: x=3, y=3 (tie -> term asc), w/z cut at k=2; src b: no tokens
+    assert(out.toSeq.sortBy(t => (t._1, t._4)) ==
+      Seq(("a", "x", 3L, 1L), ("a", "y", 3L, 2L)))
+  }
+
   test("rebalancePerKey downsamples only over-represented keys, deterministically") {
     import spark.implicits._
     // skewed mix: big has 200 rows, mid 40, small 5 (target 20)
