@@ -473,6 +473,43 @@ object SparkEntry {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packTokens(docs, "doc_id", "n_tokens", budget = 512)
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset", "crosses_cut")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25TopK(docs, "doc_id", "text", queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_lm_perplexity" -> ((s, dir) => {
+      Lexical.unigramBitsPerToken(
+          ld(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("lm_n_tokens"),
+          round(col("lm_bits_per_token"), 6).as("lm_bits_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // synthesize 2-paragraph "pages" (own text + a text borrowed from
+      // doc (id+7) mod 250) so cross-page boilerplate exists to kill
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val pages = docs.join(
+          docs.select(col("doc_id").as("__bid"), col("text").as("__btext")),
+          pmod(col("doc_id") + 7, lit(250)) === col("__bid"))
+        .select(col("doc_id"), concat_ws("\n", col("text"), col("__btext")).as("page"))
+      Dedup.paragraphDedup(pages, "doc_id", "page")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       // salting changes only the partitioning of hot keys — the result is
       // row-identical to the plain equi-join, which is exactly what the

@@ -256,4 +256,47 @@ object Dedup extends Logging {
     val clustered = Clustering.epsilonClusterLsh(df, idCol, vecCol, tau, nBands, bitsPerBand)
     clustered.withColumn("is_representative", col("id") === col("cluster"))
   }
+
+  /** Paragraph-level exact dedup WITHIN documents (the public CCNet recipe):
+    * split each document on `sepRegex`, keep only the globally-first
+    * occurrence of every distinct trimmed paragraph (first = lowest
+    * `(ordCol, position)`), and reassemble each document from its surviving
+    * paragraphs joined with `joinSep`. Kills boilerplate (headers, footers,
+    * cookie banners) that repeats across pages without discarding the pages
+    * themselves. Returns `(ordCol, textCol, n_paras, n_kept)` — documents
+    * whose every paragraph was already seen elsewhere come back with empty
+    * text and `n_kept = 0` (filter on it to drop them); documents with no
+    * non-blank paragraph at all produce no output row.
+    *
+    * Scale: posexplode fans out in place (no shuffle); the keep-first
+    * decision is ONE window partitioned by the paragraph text — each
+    * paragraph's occurrence list is its own group, so the shuffle key
+    * distributes as paragraphs do (a pathologically hot paragraph means a hot
+    * key, and every row of it except one is dropped map-side-aggregatable);
+    * reassembly is one groupBy(doc) of the kept rows. Compare keys are the
+    * paragraph text itself — at scale swap the window key for `xxhash64(p)`
+    * to shuffle 8-byte keys instead of strings (collisions then merge
+    * paragraphs; acceptable for dedup, not for the bit-exact oracle here).
+    */
+  def paragraphDedup(
+      df: DataFrame, ordCol: String, textCol: String,
+      sepRegex: String = "\\n+", joinSep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(ordCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "p")))
+      .withColumn("p", trim(col("p")))
+      .filter(col("p") =!= "")
+    val w = Window.partitionBy(col("p")).orderBy(col(ordCol), col("pos"))
+    val marked = paras
+      .withColumn("__keep", row_number().over(w) === 1)
+    marked.groupBy(col(ordCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("p"))))),
+            x => x.getField("p")),
+          joinSep).as(textCol))
+      .select(col(ordCol), col(textCol), col("n_paras"), col("n_kept"))
+  }
 }
