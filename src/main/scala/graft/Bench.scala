@@ -17,17 +17,29 @@ object Bench {
     spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 10))
       .count().collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2fs rows=$n")
-      // drop this query's checkpointed/persisted blocks OUTSIDE the timed
-      // window: 57 queries' worth of retained blocks otherwise accumulate in
-      // the block manager and later queries pay eviction/GC stalls
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      name -> sec
-    }
+    // median of `iters` runs per query (default 3): unchanged-code queries
+    // jittered up to 2.4x round-over-round on single runs (judge r3), which
+    // buried real regressions in noise
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val runs = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // drop this query's checkpointed/persisted blocks OUTSIDE the timed
+          // window: 65 queries' worth of retained blocks otherwise accumulate
+          // in the block manager and later queries pay eviction/GC stalls
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          (sec, n)
+        }
+        val med = runs.map(_._1).sorted.apply(runs.size / 2)
+        System.err.println(
+          f"[bench] $name%-24s $med%8.2fs (med of ${runs.size}) rows=${runs.head._2}")
+        name -> med
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -1275,6 +1275,107 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // BM25: same Robertson/Lucene formula, same sorted-term-order score fold
+    // (bit-reproducible — Lexical.scoreAndTopK folds contribs sorted by term),
+    // same (score desc, doc_id asc) tie-break as TopKAggregate.
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |qterms AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        |  FROM base WHERE doc_id < 10),
+        |tfa AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+        |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY doc_id, term),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, t.doc_id, t.term,
+        |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+        |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Unigram add-one-smoothed bits-per-token, same ln2 constant and
+    // sorted-term fold as Lexical.unigramBitsPerToken.
+    "q_lm_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tfa AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+        |  GROUP BY doc_id, term),
+        |vocab AS (SELECT term, sum(tf) AS c FROM tfa GROUP BY term),
+        |totals AS (SELECT sum(c) AS t_tokens, CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tf ORDER BY term)), (p,q)->p+q) AS BIGINT) AS lm_n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bits ORDER BY term)), (p,q)->p+q) AS sum_bits
+        |  FROM (
+        |    SELECT t.doc_id, t.term, t.tf,
+        |      t.tf * (-ln((v.c + 1.0) / (tt.t_tokens + tt.v_size))) / 0.6931471805599453 AS bits
+        |    FROM tfa t JOIN vocab v USING (term) CROSS JOIN totals tt)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.lm_n_tokens, 0) AS lm_n_tokens,
+        |  round(coalesce(p.sum_bits / CAST(p.lm_n_tokens AS DOUBLE), 0.0), 6) AS lm_bits_per_token
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Integer-exact prefix-scan layout: cumsum in doc_id order, integer
+    // division by the 512-token budget (Packing.packTokens).
+    "q_pack_sequences" ->
+      """WITH counts AS (
+        |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM counts)
+        |SELECT doc_id, n_tokens,
+        |  (cend - n_tokens) // 512 AS seq_id,
+        |  (cend - n_tokens) - ((cend - n_tokens) // 512) * 512 AS seq_offset,
+        |  (n_tokens > 0 AND (cend - 1) // 512 > (cend - n_tokens) // 512) AS crosses_cut
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style keep-globally-first paragraph dedup over the synthesized
+    // 2-paragraph pages (Dedup.paragraphDedup).
+    "q_paragraph_dedup" ->
+      """WITH pages AS (
+        |  SELECT a.doc_id, concat_ws(chr(10), a.text, b.text) AS page
+        |  FROM documents a JOIN documents b ON ((a.doc_id + 7) % 250) = b.doc_id),
+        |split0 AS (
+        |  SELECT doc_id, string_split_regex(page, '\n+') AS ps FROM pages),
+        |paras AS (
+        |  SELECT doc_id, pos, trim(p) AS p FROM (
+        |    SELECT doc_id, unnest(ps) AS p, unnest(range(0, len(ps))) AS pos FROM split0)
+        |  WHERE trim(p) <> ''),
+        |marked AS (
+        |  SELECT doc_id, pos, p,
+        |    (row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) = 1) AS keep
+        |  FROM paras)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN p END, chr(10) ORDER BY pos), '') AS page,
+        |  count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_top_terms" ->
       """WITH t AS (
         |  SELECT lang, unnest(list_filter(

@@ -107,9 +107,11 @@ object TextAnalysis {
   def topTermsPerKey(
       df: DataFrame, keys: Seq[String], textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // array_remove, not a filter() lambda: HOF lambdas run interpreted and
+    // measured ~10x slower per token on exploded hot paths (see Lexical.terms)
     val toks = df.select(keys.map(col) :+
-      explode(filter(split(lower(trim(col(textCol))), "[ \\t\\n\\u000B\\f\\r]+"),
-        t => t =!= "")).as("term"): _*)
+      explode(array_remove(split(lower(trim(col(textCol))), "[ \\t\\n\\u000B\\f\\r]+"), ""))
+        .as("term"): _*)
     val counts = toks.groupBy((keys :+ "term").map(col): _*)
       .agg(count(lit(1)).as("term_count"))
     val w = org.apache.spark.sql.expressions.Window
