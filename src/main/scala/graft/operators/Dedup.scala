@@ -269,14 +269,18 @@ object Dedup extends Logging {
     * non-blank paragraph at all produce no output row.
     *
     * Scale: posexplode fans out in place (no shuffle); the keep-first
-    * decision is ONE window partitioned by the paragraph text — each
-    * paragraph's occurrence list is its own group, so the shuffle key
-    * distributes as paragraphs do (a pathologically hot paragraph means a hot
-    * key, and every row of it except one is dropped map-side-aggregatable);
+    * decision is `groupBy(p).agg(min(struct(ord, pos)))` — a hash aggregate
+    * with PARTIAL (map-side) combine, so a cross-site boilerplate paragraph
+    * repeated a billion times collapses to one candidate row per map task
+    * before the shuffle (advisor r3: the previous row_number window funneled
+    * every occurrence of a hot paragraph into one task — a straggler/OOM
+    * hazard at 100 TB). The join back on `p` is first-row-vs-all, and AQE's
+    * skew-join split handles residual hot keys (windows get no such help);
     * reassembly is one groupBy(doc) of the kept rows. Compare keys are the
-    * paragraph text itself — at scale swap the window key for `xxhash64(p)`
-    * to shuffle 8-byte keys instead of strings (collisions then merge
-    * paragraphs; acceptable for dedup, not for the bit-exact oracle here).
+    * paragraph text itself — at scale swap the aggregate key for
+    * `xxhash64(p)` to shuffle 8-byte keys instead of strings (collisions
+    * then merge paragraphs; acceptable for dedup, not for the bit-exact
+    * oracle here).
     */
   def paragraphDedup(
       df: DataFrame, ordCol: String, textCol: String,
@@ -285,9 +289,11 @@ object Dedup extends Logging {
       .select(col(ordCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "p")))
       .withColumn("p", trim(col("p")))
       .filter(col("p") =!= "")
-    val w = Window.partitionBy(col("p")).orderBy(col(ordCol), col("pos"))
-    val marked = paras
-      .withColumn("__keep", row_number().over(w) === 1)
+    val firsts = paras.groupBy(col("p"))
+      .agg(min(struct(col(ordCol), col("pos"))).as("__first"))
+    val marked = paras.join(firsts, Seq("p"))
+      .withColumn("__keep", struct(col(ordCol), col("pos")) === col("__first"))
+      .drop("__first")
     marked.groupBy(col(ordCol))
       .agg(
         count(lit(1)).as("n_paras"),

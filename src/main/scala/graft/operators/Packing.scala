@@ -38,7 +38,16 @@ object Packing {
   def packTokens(
       df: DataFrame, ordCol: String, tokenCountCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val cum = Prefix.cumSums(df, Seq(col(ordCol)), Seq(tokenCountCol))
+    // reject null/negative counts up front (advisor r3): a null would be
+    // silently skipped by the prefix sum — shifting every later row's offsets
+    // — and a negative count corrupts the layout; both are data bugs the
+    // caller must see, not absorb
+    val n = col(tokenCountCol)
+    val checked = df.withColumn(tokenCountCol,
+      when(n.isNull || n < 0, raise_error(concat(
+        lit(s"packTokens: '$tokenCountCol' must be non-null and >= 0, got "),
+        coalesce(n.cast("string"), lit("null"))))).otherwise(n))
+    val cum = Prefix.cumSums(checked, Seq(col(ordCol)), Seq(tokenCountCol))
     val cumCol = s"__cum_$tokenCountCol"
     cum
       .withColumn("__end", col(cumCol).cast("long"))

@@ -1245,4 +1245,121 @@ class EngineSpec extends AnyFunSuite {
     assert(asMap(guarded) == asMap(forced))
     assert(asMap(forced).keySet.map(_._2) == Set(0L, 1L, 2L))
   }
+
+  // --- lexical / packing / paragraph dedup (round-3 operators) --------------
+
+  def lexDocs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown cat sleeps"),
+      (2L, "lazy dog lazy dog lazy dog"),
+      (3L, "an unrelated document about spark query engines"),
+      (4L, "   "),
+      (5L, "quick quick quick brown"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25TopK: self-query ranks itself first; ranks dense 1..k; k bound respected") {
+    val q = lexDocs.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val out = Lexical.bm25TopK(lexDocs, "doc_id", "text", q, "qid", "text", k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length <= 3)
+    assert(out.head.getAs[Long]("doc_id") == 0L) // its own text is the best match
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    // scores strictly ordered desc with doc_id tiebreak
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("bm25 buildIndex+searchIndex equals ad-hoc bm25TopK") {
+    val q = lexDocs.filter(col("doc_id") < 2L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val adhoc = Lexical.bm25TopK(lexDocs, "doc_id", "text", q, "qid", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val (postings, stats) = Lexical.bm25BuildIndex(lexDocs, "doc_id", "text")
+    val viaIndex = Lexical.bm25SearchIndex(postings, stats, q, "qid", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(adhoc == viaIndex)
+  }
+
+  test("bm25TopK: dlCol stats path equals recomputed stats; string ids rejected") {
+    val withDl = lexDocs.withColumn("dl", size(Lexical.terms(col("text"))))
+    val q = lexDocs.filter(col("doc_id") < 2L).select(col("doc_id").as("qid"), col("text"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Lexical.bm25TopK(withDl, "doc_id", "text", q, "qid", "text", k = 3)) ==
+      rows(Lexical.bm25TopK(withDl, "doc_id", "text", q, "qid", "text", k = 3, dlCol = Some("dl"))))
+    val strKeyed = lexDocs.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Lexical.bm25TopK(strKeyed, "doc_id", "text", q, "qid", "text", k = 3)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("unigramBitsPerToken: rare-token docs score higher; blank doc gets 0 tokens") {
+    val out = Lexical.unigramBitsPerToken(lexDocs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("lm_n_tokens"), r.getAs[Double]("lm_bits_per_token"))).toMap
+    assert(out(4L) == ((0L, 0.0))) // blank doc: no evidence
+    // doc 3 is all corpus-rare words; doc 2 is all repeated common words
+    assert(out(3L)._2 > out(2L)._2)
+    assert(out(0L)._1 == 9L) // token count preserved
+  }
+
+  test("packTokens: contiguous layout, budget respected, nulls/negatives rejected") {
+    import spark.implicits._
+    val df = Seq((0L, 300L), (1L, 300L), (2L, 10L), (3L, 0L), (4L, 600L))
+      .toDF("doc_id", "n")
+    val out = Packing.packTokens(df, "doc_id", "n", budget = 512)
+      .orderBy("doc_id").collect()
+    // doc0: [0,300) seq0; doc1: [300,600) starts seq0 crosses into seq1
+    assert(out(0).getAs[Long]("seq_id") == 0L && out(0).getAs[Long]("seq_offset") == 0L)
+    assert(out(1).getAs[Long]("seq_id") == 0L && out(1).getAs[Long]("seq_offset") == 300L
+      && out(1).getAs[Boolean]("crosses_cut"))
+    // zero-length doc sits at the current cursor without crossing
+    assert(!out(3).getAs[Boolean]("crosses_cut"))
+    val bad = Seq((0L, java.lang.Long.valueOf(5L)), (1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "n")
+    val err = intercept[Exception] {
+      Packing.packTokens(bad, "doc_id", "n", budget = 512).collect()
+    }
+    assert(err.getMessage.contains("packTokens"))
+  }
+
+  test("ivf recall@k vs brute force: quantified floor at sf0.001; nProbe=all is exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 30)
+    def ivf(np: Int) = Ann.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = np)
+    val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+    val rec = Ann.recallAtK(ivf(4), bf, 5)
+    val Array(mn, av) = rec.agg(min("recall"), avg("recall")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(av >= 0.5, s"avg recall@5 with half the lists probed should clear 0.5, got $av")
+    assert(mn >= 0.0 && av <= 1.0)
+    // probing every list = exact search: recall exactly 1 for every query
+    val exact = Ann.recallAtK(ivf(8), bf, 5)
+    assert(exact.filter(col("recall") < 1.0).count() == 0)
+  }
+
+  test("paragraphDedup keeps globally-first occurrence only; map-side aggregate shape") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha\nshared footer"),
+      (1L, "beta\nshared footer"),
+      (2L, "shared footer"),
+      (3L, "   \n  ")) // all-blank: no output row
+      .toDF("id", "txt")
+    val out = Dedup.paragraphDedup(df, "id", "txt").orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("txt") == "alpha\nshared footer" && out(0).getAs[Long]("n_kept") == 2L)
+    assert(out(1).getAs[String]("txt") == "beta" && out(1).getAs[Long]("n_kept") == 1L)
+    assert(out(2).getAs[String]("txt") == "" && out(2).getAs[Long]("n_kept") == 0L)
+    // the keep-first decision must be a partial-aggregatable groupBy, not a
+    // window (advisor r3: windows have no map-side combine)
+    val plan = Dedup.paragraphDedup(df, "id", "txt").queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") && !plan.toLowerCase.contains("window"))
+  }
 }
