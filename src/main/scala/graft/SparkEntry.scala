@@ -616,6 +616,36 @@ object SparkEntry {
         .orderBy(col("left_id"), col("rank"))
     }),
 
+    // Flagship composite pipeline (judge r3 task 7): BM25 candidate
+    // generation (Lexical) → md5-embedding cosine re-rank (functions kernels +
+    // bounded TopKAggregate) → pairwise judge adjudication (Llm) — the
+    // retrieve-rerank-judge / hard-negative-mining shape every training-data
+    // pipeline runs, hash-checked end-to-end through all three subsystems.
+    "q_retrieve_rerank" -> ((s, dir) => {
+      import graft.functions.{Md5EmbedExpr, VecExpressions, VectorOps}
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val cands = Lexical.bm25TopK(docs, "doc_id", "text", queries, "qid", "text", k = 20)
+        .select(col("query_id"), col("doc_id"))
+      val qtexts = queries.select(col("qid").as("query_id"), col("text").as("qtext"))
+      val dtexts = docs.select(col("doc_id"), col("text").as("dtext"))
+      val scored = cands.join(qtexts, Seq("query_id")).join(dtexts, Seq("doc_id"))
+        .withColumn("cos", VectorOps.cosine(
+          Md5EmbedExpr.md5Embed(col("qtext")), Md5EmbedExpr.md5Embed(col("dtext"))))
+      val top = scored.groupBy("query_id")
+        .agg(VecExpressions.topK(5, col("cos"), col("doc_id")).as("__t"))
+        .select(col("query_id"), posexplode(col("__t")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rerank"),
+          col("col.id").as("doc_id"), col("col.score").as("cos"))
+      Llm.judgePairs(
+          top.join(qtexts, Seq("query_id")).join(dtexts, Seq("doc_id")),
+          "qtext", "dtext", new Llm.TokenOverlapJudge(0.3))
+        .select(col("query_id"), col("rerank"), col("doc_id"),
+          round(col("cos"), 6).as("cos"), col("llm_is_match"), col("llm_confidence"))
+        .orderBy(col("query_id"), col("rerank"))
+    }),
+
     // IVF recall guarantee: emits only VIOLATIONS (per-query recall@5 under
     // 0.3, or corpus average under 0.7, as a left_id=-1 summary row) of the
     // nProbe=8/16 index against exact brute force. The oracle contract is
@@ -1372,6 +1402,64 @@ object SparkEntry {
         |  (cend - n_tokens) - ((cend - n_tokens) // 512) * 512 AS seq_offset,
         |  (n_tokens > 0 AND (cend - 1) // 512 > (cend - n_tokens) // 512) AS crosses_cut
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Composite retrieve→rerank→judge: the BM25 CTE chain (see q_bm25) at
+    // k=20, md5-vector cosine re-rank to top-5 with the (cos desc, doc_id)
+    // TopKAggregate tie-break, then the token-overlap judge columns (see
+    // q_merge_k_judge for the printf %.4f parity contract).
+    "q_retrieve_rerank" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |qterms AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+         |  FROM base WHERE doc_id < 10),
+         |tfa AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+         |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+         |  GROUP BY doc_id, term),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+         |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+         |contrib AS (
+         |  SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+         |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+         |bscored AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |cand AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |    FROM bscored) WHERE rnk <= 20),
+         |e AS (${md5Vec("doc_id, text", "text", "documents")}),
+         |rr AS (
+         |  SELECT c.query_id, c.doc_id, qe.text AS qtext, de.text AS dtext,
+         |    list_cosine_similarity(qe.v, de.v) AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, de.v) DESC, c.doc_id) AS rerank
+         |  FROM cand c
+         |  JOIN e qe ON qe.doc_id = c.query_id
+         |  JOIN e de ON de.doc_id = c.doc_id),
+         |top AS (SELECT * FROM rr WHERE rerank <= 5),
+         |tk AS (SELECT *,
+         |    list_distinct(list_filter(string_split_regex(lower(qtext), '[^a-zA-Z0-9_]+'), x -> x <> '')) AS ta,
+         |    list_distinct(list_filter(string_split_regex(lower(dtext), '[^a-zA-Z0-9_]+'), x -> x <> '')) AS tb
+         |  FROM top),
+         |j AS (SELECT *, CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 1.0
+         |    WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE) / len(list_distinct(ta || tb)) END AS jv
+         |  FROM tk)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rerank AS BIGINT) AS rerank,
+         |  CAST(doc_id AS BIGINT) AS doc_id, round(cos, 6) AS cos,
+         |  CASE WHEN jv >= 0.3 THEN 1 ELSE 0 END AS llm_is_match,
+         |  CAST(printf('%.4f', jv) AS DOUBLE) AS llm_confidence
+         |FROM j ORDER BY query_id, rerank""".stripMargin,
 
     // Contract-is-emptiness oracle: q_ann_recall outputs only recall-floor
     // VIOLATIONS (see the query comment), so the expected result is the empty

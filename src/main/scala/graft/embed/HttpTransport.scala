@@ -1,0 +1,205 @@
+package graft.embed
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** Minimal JSON codec for the embedding wire format — hand-rolled because the
+  * build is dependency-free by design (only Spark's jars). Covers exactly the
+  * JSON subset the OpenAI-style embeddings endpoint speaks: objects, arrays,
+  * strings (with escapes), numbers, booleans, null. Not a general-purpose
+  * parser; both ends of the contract live in this repo's tests plus any
+  * OpenAI-compatible server.
+  */
+private[graft] object MiniJson {
+
+  def escape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  sealed trait Value
+  final case class JObj(fields: Map[String, Value]) extends Value
+  final case class JArr(items: Vector[Value]) extends Value
+  final case class JStr(s: String) extends Value
+  final case class JNum(d: Double) extends Value
+  final case class JBool(b: Boolean) extends Value
+  case object JNull extends Value
+
+  def parse(s: String): Value = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing content at offset ${p.pos}")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at offset $pos")
+      pos += 1
+    }
+    def value(): Value = {
+      skipWs()
+      require(!eof, "unexpected end of input")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(str())
+        case 't' => lit("true", JBool(true))
+        case 'f' => lit("false", JBool(false))
+        case 'n' => lit("null", JNull)
+        case _ => num()
+      }
+    }
+    private def lit(word: String, v: Value): Value = {
+      require(s.regionMatches(pos, word, 0, word.length), s"bad literal at offset $pos")
+      pos += word.length; v
+    }
+    private def obj(): JObj = {
+      expect('{'); skipWs()
+      val b = Map.newBuilder[String, Value]
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return JObj(b.result()) }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = str()
+        skipWs(); expect(':')
+        b += (k -> value())
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect('}'); done = true }
+      }
+      JObj(b.result())
+    }
+    private def arr(): JArr = {
+      expect('['); skipWs()
+      val b = Vector.newBuilder[Value]
+      if (!eof && s.charAt(pos) == ']') { pos += 1; return JArr(b.result()) }
+      var done = false
+      while (!done) {
+        b += value()
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect(']'); done = true }
+      }
+      JArr(b.result())
+    }
+    private def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        s.charAt(pos) match {
+          case '\\' =>
+            pos += 1
+            s.charAt(pos) match {
+              case '"' => b.append('"'); case '\\' => b.append('\\')
+              case '/' => b.append('/'); case 'b' => b.append('\b')
+              case 'f' => b.append('\f'); case 'n' => b.append('\n')
+              case 'r' => b.append('\r'); case 't' => b.append('\t')
+              case 'u' =>
+                b.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+                pos += 4
+              case c => throw new IllegalArgumentException(s"bad escape \\$c at $pos")
+            }
+            pos += 1
+          case c => b.append(c); pos += 1
+        }
+      }
+      pos += 1
+      b.toString
+    }
+    private def num(): JNum = {
+      val start = pos
+      while (!eof && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      JNum(java.lang.Double.parseDouble(s.substring(start, pos)))
+    }
+  }
+}
+
+/** OpenAI-style embeddings wire client over plain JDK HTTP — the live
+  * counterpart of the test fakes behind [[EmbeddingTransport]], completing the
+  * reference's operational path (reference: src/linktransformer/utils.py:179-248
+  * posts packed text batches and reads one vector per text). Request:
+  * `{"model": ..., "input": [texts...]}`; response:
+  * `{"data": [{"embedding": [floats...]} ...]}` in input order. Any non-2xx
+  * status (429 rate limit, 5xx) throws, which [[HttpEmbedder]] turns into
+  * exponential-backoff retries (utils.py:366-369). Auth via bearer `apiKey`
+  * when provided.
+  */
+class JsonHttpTransport(
+    endpoint: String,
+    model: String,
+    apiKey: Option[String] = None,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends EmbeddingTransport {
+
+  override def request(texts: Seq[String]): Seq[Array[Double]] = {
+    val body = texts.map(t => "\"" + MiniJson.escape(Option(t).getOrElse("")) + "\"")
+      .mkString(s"""{"model":"${MiniJson.escape(model)}","input":[""", ",", "]}")
+    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      val payload = body.getBytes(StandardCharsets.UTF_8)
+      conn.setFixedLengthStreamingMode(payload.length)
+      val os = conn.getOutputStream
+      try os.write(payload) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(
+          s"embedding endpoint returned HTTP $code: ${readAll(conn.getErrorStream).take(200)}")
+      parseResponse(readAll(conn.getInputStream), texts.length)
+    } finally conn.disconnect()
+  }
+
+  private def readAll(in: InputStream): String = {
+    if (in == null) return ""
+    val buf = new ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  private def parseResponse(s: String, expected: Int): Seq[Array[Double]] = {
+    import MiniJson._
+    val data = parse(s) match {
+      case JObj(f) => f.get("data") match {
+        case Some(JArr(items)) => items
+        case _ => throw new IllegalArgumentException("response has no \"data\" array")
+      }
+      case _ => throw new IllegalArgumentException("response is not a JSON object")
+    }
+    require(data.length == expected,
+      s"endpoint returned ${data.length} embeddings for $expected texts")
+    data.map {
+      case JObj(f) => f.get("embedding") match {
+        case Some(JArr(nums)) => nums.map {
+          case JNum(d) => d
+          case v => throw new IllegalArgumentException(s"non-numeric embedding element: $v")
+        }.toArray
+        case _ => throw new IllegalArgumentException("data item has no \"embedding\" array")
+      }
+      case v => throw new IllegalArgumentException(s"data item is not an object: $v")
+    }
+  }
+}

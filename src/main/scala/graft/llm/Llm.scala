@@ -196,14 +196,35 @@ object Llm {
     val withPayload = candidates
       .withColumn("__lp", Serialize.serializeColumns(lCols.map(col), " "))
       .withColumn("__rp", Serialize.serializeColumns(rCols.map(col), " "))
+    val judged = judgePairs(withPayload, "__lp", "__rp", judge).drop("__lp", "__rp")
 
-    val schema = withPayload.schema
+    confidenceThreshold match {
+      case Some(t) => judged.filter(col("llm_confidence") >= t)
+      case None => judged
+    }
+  }
+
+  /** Adjudicate ALREADY-PAIRED rows — the judge stage alone, for pipelines
+    * whose candidate generation is not a semantic merge (e.g. BM25 retrieval
+    * → embedding re-rank → judge). Appends `llm_is_match` / `llm_confidence`
+    * / `llm_raw_response` from `judge` over the two payload string columns;
+    * [[mergeKJudge]] is this operator applied to its own kNN candidates.
+    * Executor-side `mapPartitions` (one serialization fence), never a
+    * driver-side loop — the reference iterates `candidates.iterrows()`
+    * single-process (infer.py:1148); here the judge runs where the rows are.
+    */
+  def judgePairs(
+      df: DataFrame, leftPayloadCol: String, rightPayloadCol: String,
+      judge: PairJudge): DataFrame = {
+    val schema = df.schema
       .add(StructField("llm_is_match", IntegerType, nullable = false))
       .add(StructField("llm_confidence", DoubleType, nullable = false))
       .add(StructField("llm_raw_response", StringType, nullable = true))
-    val lpIdx = withPayload.schema.fieldNames.indexOf("__lp")
-    val rpIdx = withPayload.schema.fieldNames.indexOf("__rp")
-    val judged = withPayload.mapPartitions { it =>
+    val lpIdx = df.schema.fieldNames.indexOf(leftPayloadCol)
+    val rpIdx = df.schema.fieldNames.indexOf(rightPayloadCol)
+    require(lpIdx >= 0, s"column $leftPayloadCol not found")
+    require(rpIdx >= 0, s"column $rightPayloadCol not found")
+    df.mapPartitions { it =>
       it.map { r =>
         val raw = judge.judge(
           Option(r.getString(lpIdx)).getOrElse(""),
@@ -211,12 +232,7 @@ object Llm {
         val (m, c) = parseJudgeResponse(raw)
         Row.fromSeq(r.toSeq ++ Seq(m, c, raw))
       }
-    }(RowEncoder.encoderFor(schema)).drop("__lp", "__rp")
-
-    confidenceThreshold match {
-      case Some(t) => judged.filter(col("llm_confidence") >= t)
-      case None => judged
-    }
+    }(RowEncoder.encoderFor(schema))
   }
 
   /** Backward-compat alias of [[mergeKJudge]] (reference: infer.py:1208-1254). */

@@ -634,6 +634,115 @@ class PipelineSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------------- IO
 
+  // -------------------------------------------------- live HTTP transport path
+
+  /** In-process OpenAI-style embeddings endpoint on the loopback interface —
+    * no egress. Returns a deterministic per-text vector [len, byteSum]; can
+    * fail the first `failFirst` requests with a given HTTP status to exercise
+    * the retry/backoff path (reference utils.py:366-369). Records each
+    * request's text count and the path hit.
+    */
+  private class LoopbackEmbeddingServer(failFirst: Int = 0, failStatus: Int = 500) {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requestTextCounts = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val pathsHit = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    private val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        pathsHit.add(ex.getRequestURI.getPath)
+        if (failures.getAndIncrement() < failFirst) {
+          ex.sendResponseHeaders(failStatus, -1); ex.close(); return
+        }
+        val texts = graft.embed.MiniJson.parse(body) match {
+          case graft.embed.MiniJson.JObj(f) =>
+            f("input").asInstanceOf[graft.embed.MiniJson.JArr].items
+              .map(_.asInstanceOf[graft.embed.MiniJson.JStr].s)
+          case _ => sys.error("bad request body")
+        }
+        requestTextCounts.add(texts.length)
+        val data = texts.map { t =>
+          val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          s"""{"embedding":[${bs.length}.0,${bs.map(_.toInt).sum}.0]}"""
+        }.mkString("""{"data":[""", ",", "]}")
+        val out = data.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    def url(path: String = "/v1/embeddings"): String =
+      s"http://127.0.0.1:${server.getAddress.getPort}$path"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HttpEmbedder over a real loopback transport: char-budget request packing") {
+    import spark.implicits._
+    val srv = new LoopbackEmbeddingServer()
+    try {
+      val transport = new graft.embed.JsonHttpTransport(srv.url(), "test-model")
+      // budget 10: "aaaa"(4)+"bbbb"(4) pack together, "cccc" starts pack 2,
+      // the 12-char text overflows any pack and must still ship alone
+      // (reference utils.py:215-229: every request carries >= 1 text)
+      val emb = new graft.embed.HttpEmbedder(
+        transport, dim = 2, charBudget = 10, maxRetries = 0, initialBackoffMs = 1L)
+      val df = Seq("aaaa", "bbbb", "cccc", "dddddddddddd").toDF("text").coalesce(1)
+      val out = emb.embed(df, "text", "vec").orderBy("text").collect()
+      assert(out.length == 4)
+      // vectors came from the SERVER's arithmetic, in input order
+      val vecA = out.find(_.getString(0) == "aaaa").get.getSeq[Double](1)
+      assert(vecA == Seq(4.0, 'a'.toInt * 4.0))
+      val v12 = out.find(_.getString(0).startsWith("d")).get.getSeq[Double](1)
+      assert(v12 == Seq(12.0, 'd'.toInt * 12.0))
+      assert(srv.requestTextCounts.toArray.toSeq == Seq(2, 1, 1))
+    } finally srv.stop()
+  }
+
+  test("HttpEmbedder retries with backoff through real 500s, then fails past maxRetries") {
+    val srv = new LoopbackEmbeddingServer(failFirst = 2)
+    try {
+      val transport = new graft.embed.JsonHttpTransport(srv.url(), "m")
+      val emb = new graft.embed.HttpEmbedder(
+        transport, dim = 2, charBudget = 1000, maxRetries = 3, initialBackoffMs = 1L)
+      val out = emb.embedBatch(Seq("xy"))
+      assert(out.length == 1 && out.head.toSeq == Seq(2.0, ('x'.toInt + 'y'.toInt).toDouble))
+      // 2 failed attempts + 1 success
+      assert(srv.pathsHit.size() == 3)
+    } finally srv.stop()
+    val srv2 = new LoopbackEmbeddingServer(failFirst = 100, failStatus = 429)
+    try {
+      val transport2 = new graft.embed.JsonHttpTransport(srv2.url(), "m")
+      val emb2 = new graft.embed.HttpEmbedder(
+        transport2, dim = 2, charBudget = 1000, maxRetries = 2, initialBackoffMs = 1L)
+      val e = intercept[java.io.IOException] { emb2.embedBatch(Seq("xy")) }
+      assert(e.getMessage.contains("429"))
+      assert(srv2.pathsHit.size() == 3) // initial + 2 retries, then surfaced
+    } finally srv2.stop()
+  }
+
+  test("provider routing drives the live transport: gemini-before-openai quirk end-to-end") {
+    val srv = new LoopbackEmbeddingServer()
+    try {
+      // "text-embedding-004" contains "text-embedding" but must route to
+      // gemini (reference utils.py:17-25 checks gemini first)
+      def endpointFor(model: String): String = Routing.embeddingProvider(model) match {
+        case Routing.Gemini => srv.url("/gemini/embed")
+        case Routing.OpenAi => srv.url("/openai/embed")
+        case Routing.Local => sys.error(s"$model should route to an API provider")
+      }
+      val quirky = new graft.embed.JsonHttpTransport(endpointFor("text-embedding-004"), "text-embedding-004")
+      quirky.request(Seq("hello"))
+      val openai = new graft.embed.JsonHttpTransport(endpointFor("text-embedding-3-small"), "text-embedding-3-small")
+      openai.request(Seq("hello"))
+      assert(srv.pathsHit.toArray.toSeq == Seq("/gemini/embed", "/openai/embed"))
+    } finally srv.stop()
+  }
+
   test("csv round-trip via Io preserves data; readAny routes on extension") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
