@@ -646,6 +646,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rerank"))
     }),
 
+    // HDBSCAN parity contract: emits only rows where the distributed
+    // Borůvka-MST path (exact candidate graph) and the driver Prim kernel
+    // disagree — the equal-weight-batched shared tail makes the labels
+    // MST-invariant, so the expected result is empty (see
+    // HierarchicalClustering.labelsFromMst). Capped at 1500 vectors to keep
+    // the all-pairs candidate stage bench-cheap.
+    "q_hdbscan_parity" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").filter(col("vec_id") < 1500)
+        .select("vec_id", "embedding")
+      val a = HierarchicalClustering.hdbscan(e, "vec_id", "embedding",
+          minClusterSize = 5, metric = "cosine")
+        .select(col("id"), col("cluster").as("c_driver"))
+      val b = HierarchicalClustering.hdbscanDistributed(e, "vec_id", "embedding",
+          minClusterSize = 5)
+        .select(col("id"), col("cluster").as("c_dist"))
+      a.join(b, Seq("id")).filter(col("c_driver") =!= col("c_dist"))
+    }),
+
     // IVF recall guarantee: emits only VIOLATIONS (per-query recall@5 under
     // 0.3, or corpus average under 0.7, as a left_id=-1 summary row) of the
     // nProbe=8/16 index against exact brute force. The oracle contract is
@@ -1460,6 +1478,14 @@ object SparkEntry {
          |  CASE WHEN jv >= 0.3 THEN 1 ELSE 0 END AS llm_is_match,
          |  CAST(printf('%.4f', jv) AS DOUBLE) AS llm_confidence
          |FROM j ORDER BY query_id, rerank""".stripMargin,
+
+    // Contract-is-emptiness oracle: q_hdbscan_parity outputs only ids where
+    // the distributed and driver HDBSCAN kernels disagree (see the query
+    // comment) — expected empty.
+    "q_hdbscan_parity" ->
+      """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS c_driver,
+        |  CAST(NULL AS BIGINT) AS c_dist
+        |WHERE FALSE""".stripMargin,
 
     // Contract-is-emptiness oracle: q_ann_recall outputs only recall-floor
     // VIOLATIONS (see the query comment), so the expected result is the empty

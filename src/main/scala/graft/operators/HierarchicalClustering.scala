@@ -3,23 +3,24 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-side hierarchical clusterers: agglomerative (NN-chain + Lance-Williams)
-  * and HDBSCAN (mutual-reachability MST → condensed tree → excess-of-mass).
+/** Hierarchical clusterers: agglomerative (NN-chain + Lance-Williams) and
+  * HDBSCAN (mutual-reachability MST → condensed tree → excess-of-mass).
   *
   * These mirror the reference's non-default clusterer branches
   * (reference: src/linktransformer/cluster_fns.py:8-78 — "agglomerative" via
   * sklearn AgglomerativeClustering with distance_threshold, "HDBScan" via the
-  * hdbscan library). Both are inherently global algorithms with no exact
-  * distributed formulation, so — like the reference, whose datasets for these
-  * paths are small — they collect the vectors to the driver behind explicit
-  * size guards (SURVEY §7.4 point 7: the two fenced exceptions). The
-  * distributed scale path for clustering remains [[Clustering.dbscanCosine]] /
-  * [[Clustering.epsilonCluster]].
+  * hdbscan library). Agglomerative (4 linkages) is inherently global with no
+  * exact distributed formulation and stays a guarded driver kernel; HDBSCAN
+  * has BOTH a guarded driver kernel ([[hdbscan]], Prim over the full matrix)
+  * and a distributed path ([[hdbscanDistributed]], Borůvka over Spark jobs)
+  * that is value-identical on the exact candidate graph — only the n-1 MST
+  * edges ever reach the driver. The fully-distributed flat-clustering
+  * alternative remains [[Clustering.dbscanCosine]] / [[Clustering.epsilonCluster]].
   *
   * Cluster labels follow the engine convention: label = min original id of the
   * cluster's members; HDBSCAN noise = -1.
   */
-object HierarchicalClustering {
+object HierarchicalClustering extends org.apache.spark.internal.Logging {
 
   /** Row guards: agglomerative holds an O(n²) double matrix (~800 MB at the
     * limit); HDBSCAN is O(n) memory but O(n²) time.
@@ -238,35 +239,83 @@ object HierarchicalClustering {
       inTree(next) = true; cur = next; e += 1
     }
 
-    // single-linkage dendrogram: process MST edges ascending; internal nodes
-    // n..2n-2 with (leftChild, rightChild, height, size)
-    val order = (0 until n - 1).sortBy(mstW)
-    val parent = Array.tabulate(2 * n - 1)(identity)
+    labelsFromMst(spark, ids, mstA, mstB, mstW, mcs)
+  }
+
+  /** Shared HDBSCAN tail: single-linkage dendrogram from MST edges → condensed
+    * tree at `mcs` → excess-of-mass selection → min-member-id labels (noise
+    * -1). Everything after the MST is O(n) driver work over the n-1 edges —
+    * this is what lets [[hdbscanDistributed]] raise the driver bound from
+    * O(n²) distance computation to just the edge list.
+    *
+    * Equal-weight edges are processed as ONE batch producing an n-ary
+    * dendrogram node. This is the graph-theoretic single-linkage tree — the
+    * components below each distinct height — which every MST of the same
+    * mutual-reachability graph induces identically, so Prim ([[hdbscan]]) and
+    * Borůvka ([[hdbscanDistributed]]) reach the SAME labels even though
+    * mutual-reachability weights tie constantly (w = max(core_a, core_b, d):
+    * one hot core distance ties every edge it dominates). A binary-merge tail
+    * would be edge-order-dependent under those ties (r4: 41/500 labels
+    * diverged before batching).
+    */
+  private def labelsFromMst(
+      spark: SparkSession, ids: Array[Long],
+      mstA: Array[Int], mstB: Array[Int], mstW: Array[Double],
+      mcs: Int): DataFrame = {
+    val n = ids.length
+    val m = mstW.length
+    // nodes: leaves 0..n-1 (size 1); internal nodes n.. appended per batch
+    val order = (0 until m).sortBy(mstW)
+    val parent = Array.tabulate(n)(identity)
     def find(x0: Int): Int = {
       var x = x0
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    val nodeOf = Array.tabulate(2 * n - 1)(identity) // root-rep -> dendrogram node
-    val left = new Array[Int](2 * n - 1); val right = new Array[Int](2 * n - 1)
-    val height = new Array[Double](2 * n - 1); val nsize = Array.fill(2 * n - 1)(1)
-    var nextNode = n
-    order.foreach { ei =>
-      val ra = find(mstA(ei)); val rb = find(mstB(ei))
-      val na = nodeOf(ra); val nb = nodeOf(rb)
-      left(nextNode) = na; right(nextNode) = nb
-      height(nextNode) = mstW(ei)
-      nsize(nextNode) = nsize(na) + nsize(nb)
-      parent(ra) = rb
-      nodeOf(find(rb)) = nextNode
-      nextNode += 1
+    val nodeOf = Array.tabulate(n)(identity) // leaf-root-rep -> dendrogram node
+    val childrenN = new scala.collection.mutable.ArrayBuffer[List[Int]]() // node-n
+    val heightN = new scala.collection.mutable.ArrayBuffer[Double]()      // node-n
+    val nsize = scala.collection.mutable.ArrayBuffer.fill(n)(1)
+    var gi = 0
+    while (gi < m) {
+      // batch = maximal run of exactly-equal weights
+      var ge = gi + 1
+      val w = mstW(order(gi))
+      while (ge < m && mstW(order(ge)) == w) ge += 1
+      // groupKids: root -> dendrogram nodes merged at this height
+      val groupKids = new java.util.HashMap[Int, List[Int]]()
+      var e = gi
+      while (e < ge) {
+        val ei = order(e)
+        val ra = find(mstA(ei)); val rb = find(mstB(ei))
+        if (ra != rb) {
+          val ka = Option(groupKids.remove(ra)).getOrElse(List(nodeOf(ra)))
+          val kb = Option(groupKids.remove(rb)).getOrElse(List(nodeOf(rb)))
+          parent(ra) = rb
+          groupKids.put(find(rb), ka ++ kb)
+        }
+        e += 1
+      }
+      {
+        import scala.jdk.CollectionConverters._
+        groupKids.entrySet().asScala.foreach { ent =>
+          val node = n + childrenN.length
+          childrenN += ent.getValue
+          heightN += w
+          nsize += ent.getValue.map(nsize).sum
+          nodeOf(ent.getKey) = node
+        }
+      }
+      gi = ge
     }
-    val root = 2 * n - 2
+    val root = nodeOf(find(0))
 
-    // condensed tree: split spawns two child clusters only when both sides have
-    // >= mcs points; smaller sides' points fall out of the current cluster at
-    // λ = 1/height
+    // condensed tree: a node is a TRUE split when >= 2 children reach mcs
+    // points (each such child becomes a new condensed cluster); children
+    // below mcs fall out of the current cluster point-by-point at λ = 1/height
     def lam(h: Double): Double = 1.0 / math.max(h, 1e-12)
+    def kidsOf(node: Int): List[Int] = childrenN(node - n)
+    def heightOf(node: Int): Double = heightN(node - n)
     val clParent = new scala.collection.mutable.ArrayBuffer[Int]()   // condensed parent
     val clBirth = new scala.collection.mutable.ArrayBuffer[Double]()
     val clStability = new scala.collection.mutable.ArrayBuffer[Double]()
@@ -281,7 +330,7 @@ object HierarchicalClustering {
       var todo = List(node0)
       while (todo.nonEmpty) {
         val x = todo.head; todo = todo.tail
-        if (x < n) out += x else todo = left(x) :: right(x) :: todo
+        if (x < n) out += x else todo = kidsOf(x) ::: todo
       }
       out.toSeq
     }
@@ -292,25 +341,26 @@ object HierarchicalClustering {
         // kept for safety
         ptCluster(node) = cl
       } else {
-        val l0 = left(node); val r0 = right(node)
-        val lSize = nsize(l0); val rSize = nsize(r0)
-        val lambda = lam(height(node))
-        if (lSize >= mcs && rSize >= mcs) {
-          // true split: two new condensed clusters born here
-          Seq(l0, r0).foreach { child =>
+        val kids = kidsOf(node)
+        val lambda = lam(heightOf(node))
+        val big = kids.filter(nsize(_) >= mcs)
+        if (big.length >= 2) {
+          // true split: each big child becomes a new condensed cluster
+          big.foreach { child =>
             val id = clParent.length
             clParent += cl; clBirth += lambda; clStability += 0.0
             clStability(cl) += nsize(child) * (lambda - clBirth(cl))
             stack += ((child, id))
           }
         } else {
-          // points of sub-mcs side(s) fall out at λ; a >=mcs side continues `cl`
-          Seq(l0, r0).foreach { child =>
-            if (nsize(child) >= mcs) stack += ((child, cl))
-            else leavesOf(child).foreach { p =>
-              ptCluster(p) = cl
-              clStability(cl) += lambda - clBirth(cl)
-            }
+          // a single >=mcs child continues `cl`
+          big.foreach(child => stack += ((child, cl)))
+        }
+        // sub-mcs children fall out of `cl` point-by-point at λ
+        kids.filterNot(nsize(_) >= mcs).foreach { child =>
+          leavesOf(child).foreach { p =>
+            ptCluster(p) = cl
+            clStability(cl) += lambda - clBirth(cl)
           }
         }
       }
@@ -342,7 +392,7 @@ object HierarchicalClustering {
 
     // each point: nearest selected ancestor-or-self of the cluster it fell from
     val label = new Array[Long](n)
-    i = 0
+    var i = 0
     while (i < n) {
       var cl = ptCluster(i)
       while (cl >= 0 && !selected(cl)) cl = clParent(cl)
@@ -363,6 +413,176 @@ object HierarchicalClustering {
       (ids(i), if (label(i) < 0) -1L else minId.get(java.lang.Long.valueOf(label(i))).longValue())
     }
     toAssignment(spark, out)
+  }
+
+  /** Distributed HDBSCAN (cosine metric): the O(n²) phases — core distances
+    * and the mutual-reachability MST — run as Spark jobs; the driver receives
+    * only the n-1 MST edges and runs the shared O(n) condensed-tree tail
+    * ([[labelsFromMst]]). This moves the practical bound from
+    * [[MaxHdbscanRows]] (30k, full distance matrix on the driver) to
+    * `maxDriverMstEdges` (default 5M — the same edge-list bound the
+    * union-find CC fast path uses).
+    *
+    * Phases:
+    *  1. core distance = 1 − rank-k cosine via [[SemanticJoin.knnJoinVec]]
+    *     (self included, like the hdbscan library) — broadcast-matrix scan
+    *     below the byte bound, bounded shuffle top-k above it;
+    *  2. candidate edges: complete graph (`rangeJoinVec`, tau=−1) while
+    *     n ≤ `exactPairBound`, else SRP-LSH bucket collisions
+    *     ([[Ann.srpCandidatePairs]]) with a logged escalation warning —
+    *     the MST over a candidate subgraph is approximate exactly where the
+    *     LSH recall is, mirroring [[Clustering.dbscanCosine]]'s escalation;
+    *  3. Borůvka rounds: every component picks its minimum incident edge
+    *     under the total order `(w, min_id, max_id)` (ties cannot cycle),
+    *     components merge via the distributed CC primitive — O(log n) rounds,
+    *     each one equi-join + partial-agg min, no windows, no driver state;
+    *  4. disconnected candidate graphs (possible under LSH) are bridged with
+    *     above-maximum-weight edges so every point keeps a label (bridged
+    *     components never merge below any real density threshold).
+    *
+    * With the complete candidate graph this is value-identical to [[hdbscan]]
+    * whenever MST weights are tie-free (any MST yields the same
+    * single-linkage component evolution; ties are implementation-defined in
+    * the driver kernel too — see [[labelsFromMst]]).
+    */
+  def hdbscanDistributed(
+      df: DataFrame, idCol: String, vecCol: String,
+      minClusterSize: Int = 5,
+      minSamples: Int = -1,
+      exactPairBound: Long = 20000,
+      nBands: Int = 16, bitsPerBand: Int = 8,
+      maxDriverMstEdges: Long = 5000000L): DataFrame = {
+    import graft.functions.VectorOps.asDouble
+    val mcs = math.max(2, minClusterSize)
+    val k = if (minSamples > 0) minSamples else mcs
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(true) // scanned by core-kNN, candidates, and output join
+    val n = pts.count()
+    if (n == 0) return emptyAssignment(spark)
+    require(n - 1 <= maxDriverMstEdges,
+      s"hdbscanDistributed collects the n-1 MST edges to the driver, guarded at " +
+        s"$maxDriverMstEdges edges (got n=$n); raise maxDriverMstEdges or use " +
+        "Clustering.dbscanCosine for fully-distributed density clustering")
+    if (n < mcs)
+      return toAssignment(spark, pts.collect().map(r => (r.getLong(0), -1L)).toSeq)
+
+    // 1. core distances (self included): value at rank min(k, n) of the
+    // cosine top-k — the same order statistic the driver kernel takes from
+    // its sorted distance row
+    val core = SemanticJoin.knnJoinVec(pts, "id", "v", pts, "id", "v", k = math.min(k, n.toInt))
+      .filter(col("rank") === math.min(k, n.toInt))
+      .select(col("left_id").as("id"), (lit(1.0) - col("score")).as("core"))
+
+    // 2. candidate pairs (a < b, cosine score)
+    val exact = n <= exactPairBound
+    val cand0 =
+      if (exact)
+        SemanticJoin.rangeJoinVec(pts, "id", "v", pts, "id", "v",
+            tau = -1.0, excludeSelf = true, keepUnmatched = false)
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id").as("a"), col("right_id").as("b"), col("score"))
+      else {
+        logWarning(s"hdbscanDistributed: n=$n exceeds exactPairBound=$exactPairBound; " +
+          s"escalating to SRP-LSH candidate edges ($nBands bands x $bitsPerBand bits) — " +
+          "MST (and labels) are approximate where LSH recall misses true neighbors")
+        Ann.srpCandidatePairs(pts, "id", "v", tau = -1.0, nBands, bitsPerBand)
+          .select(col("i").as("a"), col("j").as("b"), col("score"))
+      }
+
+    // mutual reachability: w = max(core_a, core_b, 1 - cos)
+    val edges = cand0
+      .join(core.select(col("id").as("a"), col("core").as("__ca")), Seq("a"))
+      .join(core.select(col("id").as("b"), col("core").as("__cb")), Seq("b"))
+      .select(col("a"), col("b"),
+        greatest(col("__ca"), col("__cb"), lit(1.0) - col("score")).as("w"))
+      .localCheckpoint(true)
+
+    // 3. Borůvka rounds. Each component selects its minimum incident edge
+    // under the strict total order (w, a, b) — selections under a total order
+    // cannot form a cycle, so each round's picks extend the forest. The
+    // per-round component merge runs driver-side over the just-collected
+    // selection edges (the driver holds the full MST at the end anyway, and
+    // round 1 is the largest at ≤ n/2 ≤ maxDriverMstEdges edges).
+    var comp = pts.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    val mstBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var done = false
+    var round = 0
+    while (!done && round < 64) {
+      round += 1
+      val labeled = edges
+        .join(comp.select(col("id").as("a"), col("comp").as("__pa")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("comp").as("__pb")), Seq("b"))
+        .filter(col("__pa") =!= col("__pb"))
+      val directed = labeled
+        .select(col("__pa").as("c"), col("a"), col("b"), col("w"), col("__pa"), col("__pb"))
+        .unionByName(labeled
+          .select(col("__pb").as("c"), col("a"), col("b"), col("w"), col("__pa"), col("__pb")))
+      val sel = directed.groupBy(col("c"))
+        .agg(min(struct(col("w"), col("a"), col("b"), col("__pa"), col("__pb"))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.w").as("w"),
+          col("__e.__pa").as("pa"), col("__e.__pb").as("pb"))
+        .distinct() // both endpoints' components may pick the same edge
+        .collect()
+      if (sel.isEmpty) done = true
+      else {
+        sel.foreach(r => mstBuf += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        // union the touched components; canonical label = min comp in group
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r0 = x
+          while (parent.getOrDefault(r0, r0) != r0) r0 = parent.getOrDefault(r0, r0)
+          var c0 = x
+          while (parent.getOrDefault(c0, c0) != c0) {
+            val nxt = parent.getOrDefault(c0, c0); parent.put(c0, r0); c0 = nxt
+          }
+          r0
+        }
+        sel.foreach { r =>
+          val (ra, rb) = (find(r.getLong(3)), find(r.getLong(4)))
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+        val remap = {
+          import scala.jdk.CollectionConverters._
+          parent.keySet().asScala.toArray
+            .map(c0 => (c0, find(c0))).filter { case (c0, r0) => c0 != r0 }
+        }
+        if (remap.nonEmpty) {
+          import spark.implicits._
+          val remapDf = spark.createDataset(remap.toSeq).toDF("comp", "__nc")
+          comp = comp.join(broadcast(remapDf), Seq("comp"), "left")
+            .select(col("id"), coalesce(col("__nc"), col("comp")).as("comp"))
+            .localCheckpoint(true)
+        } else done = true
+      }
+    }
+
+    // 4. bridge a disconnected candidate graph (LSH path only): chain the
+    // component representatives with an above-any-real-density weight so the
+    // dendrogram stays a single tree and every point keeps a label
+    if (mstBuf.length < n - 1) {
+      val reps = comp.groupBy(col("comp")).agg(min(col("id")).as("rep"))
+        .select(col("rep")).orderBy(col("rep")).collect().map(_.getLong(0))
+      val bridgeW = (mstBuf.iterator.map(_._3) ++ Iterator(2.0)).max * 2 + 1.0
+      reps.sliding(2).foreach {
+        case Array(x, y) => mstBuf += ((x, y, bridgeW))
+        case _ =>
+      }
+    }
+    require(mstBuf.length == n - 1,
+      s"internal: expected ${n - 1} MST edges, got ${mstBuf.length}")
+
+    // 5. shared O(n) driver tail over the edge list
+    val ids = pts.select(col("id")).orderBy(col("id")).collect().map(_.getLong(0))
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val mstA = new Array[Int](mstBuf.length)
+    val mstB = new Array[Int](mstBuf.length)
+    val mstW = new Array[Double](mstBuf.length)
+    mstBuf.zipWithIndex.foreach { case ((a, b, w), i) =>
+      mstA(i) = idx.get(a); mstB(i) = idx.get(b); mstW(i) = w
+    }
+    labelsFromMst(spark, ids, mstA, mstB, mstW, mcs)
   }
 
   private def toAssignment(spark: SparkSession, rows: Seq[(Long, Long)]): DataFrame = {

@@ -1344,6 +1344,33 @@ class EngineSpec extends AnyFunSuite {
     assert(exact.filter(col("recall") < 1.0).count() == 0)
   }
 
+  test("hdbscanDistributed (exact candidates) equals the driver Prim kernel") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val driver = asMap(HierarchicalClustering.hdbscan(e, "vec_id", "embedding",
+      minClusterSize = 4, metric = "cosine"))
+    val dist = asMap(HierarchicalClustering.hdbscanDistributed(e, "vec_id", "embedding",
+      minClusterSize = 4))
+    assert(dist.keySet == driver.keySet)
+    val diff = dist.keySet.filter(k => dist(k) != driver(k))
+    assert(diff.isEmpty,
+      s"labels differ for ${diff.size} ids, e.g. ${diff.take(5).map(k => (k, driver(k), dist(k)))}")
+  }
+
+  test("hdbscanDistributed LSH escalation path: full coverage, plausible clusters") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // force the SRP-LSH candidate path by setting the exact bound below n
+    val out = HierarchicalClustering.hdbscanDistributed(e, "vec_id", "embedding",
+      minClusterSize = 4, exactPairBound = 10, nBands = 16, bitsPerBand = 4)
+    assert(out.count() == n) // disconnected LSH graphs are bridged, nobody dropped
+    val labels = out.select("cluster").distinct().collect().map(_.getLong(0))
+    assert(labels.forall(l => l == -1L || l >= 0L))
+  }
+
   test("paragraphDedup keeps globally-first occurrence only; map-side aggregate shape") {
     import spark.implicits._
     val df = Seq(
