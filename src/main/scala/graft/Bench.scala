@@ -9,6 +9,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark's 128-key default turns every collect_list/typed aggregate with
+      // >128 groups per partition into a SORT-based aggregate (TimSort showed
+      // up in bm25's score-fold profile); spilling still bounds memory at the
+      // raised threshold, so hash aggregation stays hash
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // size file splits for the deployment: at production scale the 128 MB
+      // default yields full scan parallelism, but bench-scale parquet is
+      // 1-25 MB per table — one task per scan on a 32-core box without this
+      .config("spark.sql.files.maxPartitionBytes", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -650,10 +650,10 @@ object SparkEntry {
     // Borůvka-MST path (exact candidate graph) and the driver Prim kernel
     // disagree — the equal-weight-batched shared tail makes the labels
     // MST-invariant, so the expected result is empty (see
-    // HierarchicalClustering.labelsFromMst). Capped at 1500 vectors to keep
-    // the all-pairs candidate stage bench-cheap.
+    // HierarchicalClustering.labelsFromMst). Capped at 1000 vectors to keep
+    // the double run (driver Prim + distributed) bench-cheap.
     "q_hdbscan_parity" -> ((s, dir) => {
-      val e = ld(s, dir, "embeddings").filter(col("vec_id") < 1500)
+      val e = ld(s, dir, "embeddings").filter(col("vec_id") < 1000)
         .select("vec_id", "embedding")
       val a = HierarchicalClustering.hdbscan(e, "vec_id", "embedding",
           minClusterSize = 5, metric = "cosine")

@@ -681,6 +681,24 @@ class PipelineSpec extends AnyFunSuite {
     def stop(): Unit = server.stop(0)
   }
 
+  test("MiniJson: escapes, unicode, nesting round-trip through the wire codec") {
+    import graft.embed.MiniJson._
+    val tricky = "a\"b\\c\nd\teé"
+    val parsed = parse("\"" + escape(tricky) + "\"")
+    assert(parsed == JStr(tricky))
+    parse("""{"data":[{"embedding":[1.5,-2e3,0.0]},{"x":null,"y":true}]}""") match {
+      case JObj(f) =>
+        val JArr(items) = f("data"): @unchecked
+        val JObj(e0) = items(0): @unchecked
+        assert(e0("embedding") == JArr(Vector(JNum(1.5), JNum(-2000.0), JNum(0.0))))
+        val JObj(e1) = items(1): @unchecked
+        assert(e1("x") == JNull && e1("y") == JBool(true))
+      case v => fail(s"expected object, got $v")
+    }
+    intercept[Exception](parse("""{"a": }"""))
+    intercept[Exception](parse("""[1,2] trailing"""))
+  }
+
   test("HttpEmbedder over a real loopback transport: char-budget request packing") {
     import spark.implicits._
     val srv = new LoopbackEmbeddingServer()
