@@ -445,11 +445,16 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
     * single-linkage component evolution; ties are implementation-defined in
     * the driver kernel too — see [[labelsFromMst]]).
     */
+  /** `exactPairBound` also bounds the checkpointed candidate-edge table: the
+    * complete graph has n(n-1)/2 rows (~32M at the 8192 default, ~800 MB of
+    * executor storage with spill) — raise it only with the memory to match;
+    * the SRP-LSH path above the bound materializes only bucket collisions.
+    */
   def hdbscanDistributed(
       df: DataFrame, idCol: String, vecCol: String,
       minClusterSize: Int = 5,
       minSamples: Int = -1,
-      exactPairBound: Long = 20000,
+      exactPairBound: Long = 8192,
       nBands: Int = 16, bitsPerBand: Int = 8,
       maxDriverMstEdges: Long = 5000000L): DataFrame = {
     import graft.functions.VectorOps.asDouble

@@ -199,4 +199,35 @@ class PropertySpec extends AnyFunSuite {
       graft.operators.Dedup.minhashSignature(col("perm"), 16).as("b")).collect()
     out.foreach { r => assert(r.get(0) == r.get(1), s"signature not invariant: $r") }
   }
+
+  test("lexical/packing/paragraph operators are partition-invariant (bit-exact)") {
+    // the cross-engine-oracle claim rests on partition-independence: the same
+    // input under different partitionings must produce byte-identical results
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("")).sorted.toSeq
+    def under[A](parts: Int)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[String] =
+      canon(f(docs.repartition(parts)))
+    val queries = docs.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
+    def bm25(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Lexical.bm25TopK(d, "doc_id", "text",
+        queries, "qid", "text", k = 3)
+    assert(under(1)(bm25) == under(7)(bm25))
+    def lm(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Lexical.unigramBitsPerToken(d, "doc_id", "text")
+        .select("doc_id", "lm_n_tokens", "lm_bits_per_token")
+    assert(under(2)(lm) == under(11)(lm))
+    def pack(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.packTokens(
+        d.select(col("doc_id"), graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
+        "doc_id", "n", budget = 256)
+    assert(under(1)(pack) == under(13)(pack))
+    def para(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.paragraphDedup(
+        d.select(col("doc_id"), concat_ws("\n", col("text"), col("text")).as("pg")),
+        "doc_id", "pg")
+    assert(under(3)(para) == under(17)(para))
+  }
 }
