@@ -15,7 +15,8 @@ object PlanAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_join_revenue", "q_knn_join", "q_merge_1nn", "q_minhash_dedup",
-        "q_topk_per_group", "q_agg_pricing")
+        "q_topk_per_group", "q_agg_pricing", "q_bm25", "q_retrieve_rerank",
+        "q_corpus_pipeline")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -616,6 +616,27 @@ object SparkEntry {
         .orderBy(col("left_id"), col("rank"))
     }),
 
+    // Corpus-hygiene composite: the pretraining-corpus preparation shape —
+    // quality + language gate → exact dedup keep-first → per-source
+    // rebalancing → token-budget sequence packing — run as ONE dataflow and
+    // hash-checked against a single DuckDB query. Together with
+    // q_retrieve_rerank this covers both halves of a training-data pipeline
+    // (hygiene and retrieval) end-to-end.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      val gated = TextAnalysis.qualityScore(docs, "text")
+        .filter(col("q_n_tokens") >= 10 && col("q_punct_ratio") <= 0.2 &&
+          col("lang").isin("en", "de", "fr"))
+        .select("doc_id", "source", "text")
+      val deduped = Dedup.exact(gated, Seq("text"), "doc_id")
+      val balanced = Sampling.rebalancePerKey(deduped, Seq("source"), "doc_id", targetPerKey = 50)
+      val counted = balanced.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packTokens(counted, "doc_id", "n_tokens", budget = 512)
+        .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset", "crosses_cut")
+        .orderBy(col("doc_id"))
+    }),
+
     // Flagship composite pipeline (judge r3 task 7): BM25 candidate
     // generation (Lexical) → md5-embedding cosine re-rank (functions kernels +
     // bounded TopKAggregate) → pairwise judge adjudication (Llm) — the
@@ -1416,6 +1437,41 @@ object SparkEntry {
         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
         |  FROM counts)
         |SELECT doc_id, n_tokens,
+        |  (cend - n_tokens) // 512 AS seq_id,
+        |  (cend - n_tokens) - ((cend - n_tokens) // 512) * 512 AS seq_offset,
+        |  (n_tokens > 0 AND (cend - 1) // 512 > (cend - n_tokens) // 512) AS crosses_cut
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Corpus-hygiene composite: quality/lang gate (see q_text_quality),
+    // keep-first window (q_dedup_exact), md5-bucket rebalance
+    // (q_rebalance_sources), prefix-scan packing (q_pack_sequences) — the
+    // four proven pieces chained as one query.
+    "q_corpus_pipeline" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS punct_ratio
+        |  FROM documents WHERE lang IN ('en','de','fr')),
+        |gated AS (SELECT doc_id, source, text FROM g WHERE n_toks >= 10 AND punct_ratio <= 0.2),
+        |ex AS (SELECT doc_id, source, text FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gated)
+        |  WHERE rn = 1),
+        |cnt AS (SELECT source, count(*) AS c FROM ex GROUP BY source),
+        |reb AS (SELECT ex.doc_id, ex.source, ex.text FROM ex JOIN cnt USING (source)
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT) % 1000000
+        |    < least(1000000, (50 * 1000000) // c)),
+        |counts AS (SELECT doc_id, source, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
+        |  FROM reb),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM counts)
+        |SELECT doc_id, source, n_tokens,
         |  (cend - n_tokens) // 512 AS seq_id,
         |  (cend - n_tokens) - ((cend - n_tokens) // 512) * 512 AS seq_offset,
         |  (n_tokens > 0 AND (cend - 1) // 512 > (cend - n_tokens) // 512) AS crosses_cut
