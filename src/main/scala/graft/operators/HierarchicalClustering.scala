@@ -506,19 +506,46 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
     // 3. Borůvka rounds. Each component selects its minimum incident edge
     // under the strict total order (w, a, b) — selections under a total order
     // cannot form a cycle, so each round's picks extend the forest. The
-    // per-round component merge runs driver-side over the just-collected
-    // selection edges (the driver holds the full MST at the end anyway, and
-    // round 1 is the largest at ≤ n/2 ≤ maxDriverMstEdges edges).
-    var comp = pts.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    // component map lives on the DRIVER as a cumulative union-find (≤ n ≤
+    // maxDriverMstEdges entries — the driver holds the full n−1-edge MST at
+    // the end anyway, and round 1 already collects ≤ n/2 selection edges);
+    // each round broadcasts the flattened id→root remap into the edge
+    // labeling, so a round is ONE agg+collect job. The r4 shape — a
+    // distributed `comp` table re-joined, re-mapped, and re-checkpointed
+    // every round — made small-n walls pure job-scheduling overhead
+    // (q_hdbscan_parity: 57 jobs, wall ≈ 100 ms × jobs with taskSum under 5 s).
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r0 = x
+      while (parent.getOrDefault(r0, r0) != r0) r0 = parent.getOrDefault(r0, r0)
+      var c0 = x
+      while (parent.getOrDefault(c0, c0) != c0) {
+        val nxt = parent.getOrDefault(c0, c0); parent.put(c0, r0); c0 = nxt
+      }
+      r0
+    }
     val mstBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var done = false
     var round = 0
     while (!done && round < 64) {
       round += 1
-      val labeled = edges
-        .join(comp.select(col("id").as("a"), col("comp").as("__pa")), Seq("a"))
-        .join(comp.select(col("id").as("b"), col("comp").as("__pb")), Seq("b"))
-        .filter(col("__pa") =!= col("__pb"))
+      // flattened remap of every id whose root moved (roots map to themselves
+      // and stay out of the broadcast); a left join + coalesce labels the rest
+      val remapArr = parent.keySet().asScala.toArray
+        .map(c0 => (c0, find(c0))).filter { case (c0, r0) => c0 != r0 }.toSeq
+      val labeled = (if (remapArr.isEmpty) {
+        edges.select(col("a"), col("b"), col("w"),
+          col("a").as("__pa"), col("b").as("__pb"))
+      } else {
+        edges
+          .join(broadcast(spark.createDataset(remapArr).toDF("a", "__ra")), Seq("a"), "left")
+          .join(broadcast(spark.createDataset(remapArr).toDF("b", "__rb")), Seq("b"), "left")
+          .select(col("a"), col("b"), col("w"),
+            coalesce(col("__ra"), col("a")).as("__pa"),
+            coalesce(col("__rb"), col("b")).as("__pb"))
+      }).filter(col("__pa") =!= col("__pb"))
       val directed = labeled
         .select(col("__pa").as("c"), col("a"), col("b"), col("w"), col("__pa"), col("__pb"))
         .unionByName(labeled
@@ -527,47 +554,34 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
         .agg(min(struct(col("w"), col("a"), col("b"), col("__pa"), col("__pb"))).as("__e"))
         .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.w").as("w"),
           col("__e.__pa").as("pa"), col("__e.__pb").as("pb"))
-        .distinct() // both endpoints' components may pick the same edge
+        .distinct() // both endpoints' components pick the same min edge
         .collect()
       if (sel.isEmpty) done = true
       else {
         sel.foreach(r => mstBuf += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
         // union the touched components; canonical label = min comp in group
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r0 = x
-          while (parent.getOrDefault(r0, r0) != r0) r0 = parent.getOrDefault(r0, r0)
-          var c0 = x
-          while (parent.getOrDefault(c0, c0) != c0) {
-            val nxt = parent.getOrDefault(c0, c0); parent.put(c0, r0); c0 = nxt
-          }
-          r0
-        }
+        var merged = false
         sel.foreach { r =>
           val (ra, rb) = (find(r.getLong(3)), find(r.getLong(4)))
-          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+          if (ra != rb) {
+            merged = true
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
         }
-        val remap = {
-          import scala.jdk.CollectionConverters._
-          parent.keySet().asScala.toArray
-            .map(c0 => (c0, find(c0))).filter { case (c0, r0) => c0 != r0 }
-        }
-        if (remap.nonEmpty) {
-          import spark.implicits._
-          val remapDf = spark.createDataset(remap.toSeq).toDF("comp", "__nc")
-          comp = comp.join(broadcast(remapDf), Seq("comp"), "left")
-            .select(col("id"), coalesce(col("__nc"), col("comp")).as("comp"))
-            .localCheckpoint(true)
-        } else done = true
+        if (!merged) done = true
       }
     }
 
+    // shared by bridging and the driver tail
+    val ids = pts.select(col("id")).orderBy(col("id")).collect().map(_.getLong(0))
+
     // 4. bridge a disconnected candidate graph (LSH path only): chain the
     // component representatives with an above-any-real-density weight so the
-    // dendrogram stays a single tree and every point keeps a label
+    // dendrogram stays a single tree and every point keeps a label. Union
+    // roots are the min id of their component (unions parent the larger root
+    // under the smaller), so reps match the r4 distributed min(id)-per-comp.
     if (mstBuf.length < n - 1) {
-      val reps = comp.groupBy(col("comp")).agg(min(col("id")).as("rep"))
-        .select(col("rep")).orderBy(col("rep")).collect().map(_.getLong(0))
+      val reps = ids.map(find).distinct.sorted
       val bridgeW = (mstBuf.iterator.map(_._3) ++ Iterator(2.0)).max * 2 + 1.0
       reps.sliding(2).foreach {
         case Array(x, y) => mstBuf += ((x, y, bridgeW))
@@ -578,7 +592,6 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
       s"internal: expected ${n - 1} MST edges, got ${mstBuf.length}")
 
     // 5. shared O(n) driver tail over the edge list
-    val ids = pts.select(col("id")).orderBy(col("id")).collect().map(_.getLong(0))
     val idx = new java.util.HashMap[Long, Int](ids.length * 2)
     ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
     val mstA = new Array[Int](mstBuf.length)

@@ -32,6 +32,23 @@ object Lexical {
   def terms(text: Column): Column =
     array_remove(split(lower(trim(text)), "[ \\t\\n\\u000B\\f\\r]+"), "")
 
+  /** `(doc_id, dl, term)` token stream with `dl` evaluated on a MATERIALIZED
+    * token array. The array gets its own projection (and `dl` references that
+    * array column) because putting `size(terms(text))` in the same select as
+    * `explode(terms(text))` makes the optimizer hoist the `size` ABOVE the
+    * Generate — re-tokenizing once per OUTPUT TOKEN instead of once per doc.
+    * Measured (r5, sf0.1, jstack-confirmed in `UTF8String.split`): the hoisted
+    * form burned ~3.5 s single-task in every bm25 materialization; this form
+    * tokenizes each doc once (two-expression CollapseProject is blocked by the
+    * double reference to the non-cheap array).
+    */
+  private def tokensWithDl(docs: DataFrame, docId: String, docText: String): DataFrame =
+    docs.select(col(docId).cast("long").as("doc_id"), terms(col(docText)).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+
   /** Ids must be integral: a silent `cast("long")` would turn string keys into
     * nulls that vanish inside the top-k aggregate with no error (judge r3).
     */
@@ -98,10 +115,7 @@ object Lexical {
         explode(array_distinct(terms(col(queryText)))).as("term"))
       .localCheckpoint(false)
     val qset = qterms.select("term").distinct()
-    val tokens = docs.select(
-      col(docId).cast("long").as("doc_id"),
-      size(terms(col(docText))).cast("double").as("dl"),
-      explode(terms(col(docText))).as("term"))
+    val tokens = tokensWithDl(docs, docId, docText)
     val tf = tokens.join(broadcast(qset), Seq("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
@@ -127,10 +141,7 @@ object Lexical {
     */
   def bm25BuildIndex(docs: DataFrame, docId: String, docText: String): (DataFrame, DataFrame) = {
     requireIntegralId(docs, docId, "docs")
-    val tokens = docs.select(
-      col(docId).cast("long").as("doc_id"),
-      size(terms(col(docText))).cast("double").as("dl"),
-      explode(terms(col(docText))).as("term"))
+    val tokens = tokensWithDl(docs, docId, docText)
     val postings = tokens.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
     val stats = docs.agg(
