@@ -427,6 +427,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Real-decode image pipeline, hash-checked WITHOUT an oracle-side image
+    // library: each doc_id becomes a deterministic test-card PNG (pixel
+    // channels are a closed form of (id, x, y) — Multimodal.encodeTestCard),
+    // then javax.imageio DECODES the actual PNG bytes, a nearest-neighbor
+    // RESIZE resamples real pixels (8x6 from 16x12 picks the even
+    // coordinates), and 2x2 grid FEATURES average real brightnesses. The
+    // DuckDB oracle recomputes every output from the closed form — any
+    // decode/resample/feature bug breaks the hash.
+    "q_image_decode" -> ((s, dir) => {
+      val ids = ld(s, dir, "documents").select("doc_id")
+      val imgs = Multimodal.encodeTestCard(ids, "doc_id", w = 16, h = 12)
+      val dec = Multimodal.decodeImage(imgs, "img", "meta")
+      val small = Multimodal.resizeImageNearest(dec, "img", 8, 6, "small")
+      val sdec = Multimodal.decodeImage(small, "small", "smeta")
+      val feats = Multimodal.imageGridFeatures(sdec, "img", gx = 2, gy = 2, "q")
+      feats.select(
+          col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sum_r").as("sum_r"), col("meta.sum_g").as("sum_g"),
+          col("meta.sum_b").as("sum_b"),
+          col("smeta.sum_r").as("rs_sum_r"), col("smeta.sum_g").as("rs_sum_g"),
+          col("smeta.sum_b").as("rs_sum_b"),
+          round(element_at(col("q"), 1), 6).as("f_q00"),
+          round(element_at(col("q"), 2), 6).as("f_q01"),
+          round(element_at(col("q"), 3), 6).as("f_q10"),
+          round(element_at(col("q"), 4), 6).as("f_q11"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_event_window" -> ((s, dir) => {
       // batch execution of the streaming windowed-agg operator (watermark is a
       // no-op in batch; identical plan shape to the readStream path). The
@@ -1191,6 +1220,34 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form recomputation of the REAL javax.imageio pipeline: the test
+    // card's channels are (7id+3x+5y, 11id+x+2y, 13id+4x+y) mod 256 over a
+    // 16x12 grid (Multimodal.encodeTestCard; PNG is lossless so decode must
+    // reproduce them); the 8x6 nearest-neighbor resize reads source pixels
+    // (2x', 2y') = the even coordinates; 2x2 grid features average (r+g+b)/3
+    // over 8x6 = 48-pixel quadrant cells.
+    "q_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y
+        |  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(12) y),
+        |ch AS (
+        |  SELECT doc_id, x, y,
+        |    (7*doc_id + 3*x + 5*y) % 256 AS r,
+        |    (11*doc_id + x + 2*y) % 256 AS g,
+        |    (13*doc_id + 4*x + y) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r ELSE 0 END) AS BIGINT) AS rs_sum_r,
+        |  CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN g ELSE 0 END) AS BIGINT) AS rs_sum_g,
+        |  CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN b ELSE 0 END) AS BIGINT) AS rs_sum_b,
+        |  round(sum(CASE WHEN x < 8 AND y < 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q00,
+        |  round(sum(CASE WHEN x >= 8 AND y < 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q01,
+        |  round(sum(CASE WHEN x < 8 AND y >= 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q10,
+        |  round(sum(CASE WHEN x >= 8 AND y >= 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q11
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)

@@ -1,0 +1,224 @@
+package graft.llm
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.embed.MiniJson
+
+/** One chat turn on the wire: `{"role": ..., "content": ...}`. */
+final case class ChatMessage(role: String, content: String)
+
+/** A chat-completions round trip: messages in, assistant content out.
+  *
+  * This is the seam every LLM row operator plugs into: [[ChatPairJudge]],
+  * [[ChatRowClassifier]], and [[ChatBatchTransformer]] adapt it to the
+  * [[Llm.PairJudge]] / [[Llm.RowClassifier]] / [[Llm.BatchTransformer]]
+  * traits, so the same operators run against a deterministic stub in tests
+  * and a real endpoint in production. Implementations must be Serializable:
+  * they ship inside `mapPartitions` closures and are invoked executor-side,
+  * one instance per task (HTTP state is per-request, so sharing is safe).
+  */
+trait ChatTransport extends Serializable {
+  def complete(messages: Seq[ChatMessage]): String
+}
+
+/** OpenAI-style chat-completions client over plain JDK HTTP — the chat twin
+  * of [[graft.embed.JsonHttpTransport]], completing the reference's judge /
+  * classify / transform operational path (reference:
+  * src/linktransformer/utils.py:267-313 builds the messages+params request;
+  * infer.py:1165-1177 is the judge call with these exact five sampling
+  * params). Request:
+  * `{"model":..., "messages":[...], "temperature":..., "max_tokens":...,
+  * "top_p":..., "frequency_penalty":..., "presence_penalty":...}`;
+  * response: `choices[0].message.content`. Any non-2xx throws
+  * `IOException` — retry policy belongs to the wrapper/adapters
+  * ([[RetryingChatTransport]]), mirroring how [[graft.embed.HttpEmbedder]]
+  * owns retries around its transport.
+  */
+class ChatHttpTransport(
+    endpoint: String,
+    model: String,
+    apiKey: Option[String] = None,
+    temperature: Double = 0.0,
+    maxTokens: Int = 50,
+    topP: Double = 1.0,
+    frequencyPenalty: Double = 0.0,
+    presencePenalty: Double = 0.0,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends ChatTransport {
+
+  override def complete(messages: Seq[ChatMessage]): String = {
+    val msgs = messages.map(m =>
+      s"""{"role":"${MiniJson.escape(m.role)}","content":"${MiniJson.escape(m.content)}"}""")
+      .mkString("[", ",", "]")
+    val body =
+      s"""{"model":"${MiniJson.escape(model)}","messages":$msgs,""" +
+        s""""temperature":$temperature,"max_tokens":$maxTokens,"top_p":$topP,""" +
+        s""""frequency_penalty":$frequencyPenalty,"presence_penalty":$presencePenalty}"""
+    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      val payload = body.getBytes(StandardCharsets.UTF_8)
+      conn.setFixedLengthStreamingMode(payload.length)
+      val os = conn.getOutputStream
+      try os.write(payload) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(
+          s"chat endpoint returned HTTP $code: ${readAll(conn.getErrorStream).take(200)}")
+      parseContent(readAll(conn.getInputStream))
+    } finally conn.disconnect()
+  }
+
+  private def readAll(in: InputStream): String = {
+    if (in == null) return ""
+    val buf = new ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  private def parseContent(s: String): String = {
+    import MiniJson._
+    parse(s) match {
+      case JObj(f) => f.get("choices") match {
+        case Some(JArr(choice +: _)) => choice match {
+          case JObj(c) => c.get("message") match {
+            case Some(JObj(m)) => m.get("content") match {
+              case Some(JStr(content)) => content
+              case Some(JNull) | None => "" // reference: `content or ""` (infer.py:1177)
+              case v => throw new IllegalArgumentException(s"non-string content: $v")
+            }
+            case _ => throw new IllegalArgumentException("choice has no \"message\" object")
+          }
+          case v => throw new IllegalArgumentException(s"choice is not an object: $v")
+        }
+        case _ => throw new IllegalArgumentException("response has no non-empty \"choices\"")
+      }
+      case _ => throw new IllegalArgumentException("response is not a JSON object")
+    }
+  }
+}
+
+/** Exponential-backoff retry around any [[ChatTransport]]: sleep
+  * `initialBackoffMs * 2^attempt` between attempts, surface the last error
+  * past `maxRetries` — the reference's ratelimit loop verbatim
+  * (utils.py:366-369: `time.sleep(ratelimit_sleep_time * (2 ** num_retry))`;
+  * same policy in the judge loop, infer.py:1188-1191).
+  */
+class RetryingChatTransport(
+    inner: ChatTransport,
+    maxRetries: Int = 5,
+    initialBackoffMs: Long = 15000L) extends ChatTransport {
+  override def complete(messages: Seq[ChatMessage]): String = {
+    var attempt = 0
+    while (true) {
+      try return inner.complete(messages)
+      catch {
+        case e: Exception =>
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(initialBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** [[Llm.PairJudge]] over a chat endpoint: user content is the
+  * `{"left": ..., "right": ...}` JSON the reference judge sends
+  * (infer.py:1160: `json.dumps({"left": ..., "right": ...})` — payloads here
+  * are the already-serialized key columns), system content is the judge
+  * prompt. Returns the RAW assistant text; [[Llm.parseJudgeResponse]] owns
+  * the permissive parse, exactly as the reference separates the call
+  * (infer.py:1165) from `_coerce_llm_match_and_confidence` (infer.py:1194).
+  * Wrap the transport in [[RetryingChatTransport]] for the reference's
+  * retry-the-call-only semantics.
+  */
+class ChatPairJudge(transport: ChatTransport, systemPrompt: String) extends Llm.PairJudge {
+  override def judge(leftPayload: String, rightPayload: String): String = {
+    val user = s"""{"left":"${MiniJson.escape(leftPayload)}","right":"${MiniJson.escape(rightPayload)}"}"""
+    transport.complete(Seq(ChatMessage("system", systemPrompt), ChatMessage("user", user)))
+  }
+}
+
+/** [[Llm.RowClassifier]] over a chat endpoint: one call per text with the
+  * topic/system prompt, label decoded through `labelMap` (reference
+  * predict_rows_with_openai, utils.py:316-381; default label_dict
+  * `{"Yes": 1, "No": 0}`, utils.py:371). A response outside the map becomes
+  * `unknownLabel` (-1) — the reference keeps raw text labels and warns
+  * (utils.py:374-380), which an Int-typed column cannot represent; -1 is the
+  * engine's explicit "unmapped" marker and is filterable downstream.
+  */
+class ChatRowClassifier(
+    transport: ChatTransport,
+    systemPrompt: String,
+    labelMap: Map[String, Int] = Map("Yes" -> 1, "No" -> 0),
+    unknownLabel: Int = -1) extends Llm.RowClassifier {
+  override def classify(batch: Seq[String]): Seq[Int] = batch.map { text =>
+    val raw = transport.complete(
+      Seq(ChatMessage("system", systemPrompt), ChatMessage("user", text)))
+    labelMap.getOrElse(raw.trim, unknownLabel)
+  }
+}
+
+/** [[Llm.BatchTransformer]] over a chat endpoint: ships the whole chunk as a
+  * JSON array with the reference's appended same-order/JSON-only instruction,
+  * expects a JSON array of strings back, and retries (with the standard
+  * backoff) on transport errors AND malformed/wrong-length replies — the
+  * reference wraps parse+length-check inside its retry loop
+  * (utils.py:434-465: json.loads + isinstance + length check all inside
+  * `for attempt in range(retries)`), so a flaky model gets re-asked rather
+  * than failing the stage.
+  */
+class ChatBatchTransformer(
+    transport: ChatTransport,
+    prompt: String,
+    maxRetries: Int = 5,
+    initialBackoffMs: Long = 15000L) extends Llm.BatchTransformer {
+
+  override def transform(chunk: Seq[String]): Seq[String] = {
+    val jsonInstr = "\n\nPlease return only a JSON array of strings, " +
+      "one entry per input, in the same order, with no extra text."
+    val user = chunk.map(t => "\"" + MiniJson.escape(Option(t).getOrElse("")) + "\"")
+      .mkString("[", ",", "]")
+    val messages = Seq(ChatMessage("system", prompt + jsonInstr), ChatMessage("user", user))
+    var attempt = 0
+    while (true) {
+      try {
+        val raw = transport.complete(messages)
+        return parseArray(raw, chunk.length)
+      } catch {
+        case e: Exception =>
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(initialBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def parseArray(raw: String, expected: Int): Seq[String] = {
+    import MiniJson._
+    parse(raw) match {
+      case JArr(items) =>
+        require(items.length == expected,
+          s"transform endpoint returned ${items.length} items for $expected inputs")
+        items.map {
+          case JStr(s) => s
+          case JNull => null
+          case v => throw new IllegalArgumentException(s"non-string array element: $v")
+        }
+      case v => throw new IllegalArgumentException(s"expected a JSON array, got: $v")
+    }
+  }
+}

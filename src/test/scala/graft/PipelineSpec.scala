@@ -1,7 +1,7 @@
 package graft
 
 import graft.embed.HashEmbedder
-import graft.llm.Routing
+import graft.llm.{ChatBatchTransformer, ChatHttpTransport, ChatMessage, ChatPairJudge, ChatRowClassifier, Llm, RetryingChatTransport, Routing}
 import graft.operators.{Multimodal, SemanticJoin}
 import graft.sources.Io
 import graft.streaming.StreamOps
@@ -348,6 +348,40 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters(1L) == clusters(2L), s"identical media split: $clusters")
     assert(clusters(3L) != clusters(1L), s"distinct media merged: $clusters")
+  }
+
+  test("ImageCodec: PNG round-trip is pixel-exact; nearest resize; undecodable -> zeros") {
+    import spark.implicits._
+    import graft.operators.Multimodal.ImageCodec
+    // direct codec round-trip: arbitrary RGB pattern survives encode+decode
+    val rgb = (x: Int, y: Int) => ((x * 37 + 11) % 256 << 16) | ((y * 53) % 256 << 8) | ((x + y) % 256)
+    val png = ImageCodec.encodePng(5, 4, rgb)
+    val d = ImageCodec.decode(png).get
+    assert(d.width == 5 && d.height == 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((d.argb(y * 5 + x) & 0xffffff) == rgb(x, y), s"pixel ($x,$y)")
+    // nearest resize picks source (x*w/w2, y*h/h2)
+    val half = ImageCodec.resizeNearest(d, 2, 2)
+    assert((half.argb(0) & 0xffffff) == rgb(0, 0))
+    assert((half.argb(3) & 0xffffff) == rgb(2, 2))
+
+    // DataFrame plumbing: test card decode matches the closed form; garbage
+    // payloads get the zero struct / zero features, not an exception
+    val ids = Seq(0L, 3L).toDF("doc_id")
+    val imgs = Multimodal.encodeTestCard(ids, "doc_id", w = 4, h = 2)
+    val meta = Multimodal.decodeImage(imgs, "img").select("doc_id", "image_meta.*")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    def sumR(id: Long) = (for (y <- 0 until 2; x <- 0 until 4)
+      yield ((7 * id + 3 * x + 5 * y) % 256)).sum
+    assert(meta(0L) == ((4, 2, sumR(0))))
+    assert(meta(3L) == ((4, 2, sumR(3))))
+    val junk = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("id", "img")
+    val jm = Multimodal.decodeImage(junk, "img").select("image_meta.*").first()
+    assert(jm.getInt(0) == 0 && jm.getLong(2) == 0L)
+    assert(Multimodal.imageGridFeatures(junk, "img", 2, 2)
+      .select("features").first().getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(Multimodal.resizeImageNearest(junk, "img", 2, 2)
+      .select("resized").first().get(0) == null)
   }
 
   // ------------------------------------------------------------------ Streaming
@@ -758,6 +792,163 @@ class PipelineSpec extends AnyFunSuite {
       val openai = new graft.embed.JsonHttpTransport(endpointFor("text-embedding-3-small"), "text-embedding-3-small")
       openai.request(Seq("hello"))
       assert(srv.pathsHit.toArray.toSeq == Seq("/gemini/embed", "/openai/embed"))
+    } finally srv.stop()
+  }
+
+  /** In-process OpenAI-style chat-completions endpoint on loopback — the
+    * judge/classify/transform twin of [[LoopbackEmbeddingServer]]. Replies
+    * with `replyFor(messages)` wrapped in the chat response envelope; can
+    * fail the first `failFirst` requests to exercise retry/backoff. Records
+    * raw request bodies for payload-shape assertions.
+    */
+  private class LoopbackChatServer(
+      replyFor: Vector[(String, String)] => String,
+      failFirst: Int = 0, failStatus: Int = 429) {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requestBodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    private val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        requestBodies.add(body)
+        if (failures.getAndIncrement() < failFirst) {
+          ex.sendResponseHeaders(failStatus, -1); ex.close(); return
+        }
+        import graft.embed.MiniJson._
+        val msgs = parse(body) match {
+          case JObj(f) => f("messages").asInstanceOf[JArr].items.map {
+            case JObj(m) =>
+              (m("role").asInstanceOf[JStr].s, m("content").asInstanceOf[JStr].s)
+            case v => sys.error(s"bad message: $v")
+          }.toVector
+          case _ => sys.error("bad request body")
+        }
+        val reply =
+          s"""{"choices":[{"message":{"role":"assistant","content":"${escape(replyFor(msgs))}"}}]}"""
+        val out = reply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat/completions"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("ChatHttpTransport: payload shape (model, roles, sampling params) over loopback") {
+    val srv = new LoopbackChatServer(msgs => s"echo:${msgs.last._2}")
+    try {
+      val t = new ChatHttpTransport(srv.url, "judge-model", apiKey = Some("sk-test"),
+        temperature = 0.0, maxTokens = 50)
+      val out = t.complete(Seq(ChatMessage("system", "be terse"), ChatMessage("user", "hi \"q\"")))
+      assert(out == "echo:hi \"q\"")
+      import graft.embed.MiniJson._
+      val JObj(req) = parse(srv.requestBodies.get(0)): @unchecked
+      assert(req("model") == JStr("judge-model"))
+      assert(req("max_tokens") == JNum(50.0) && req("temperature") == JNum(0.0))
+      assert(req("top_p") == JNum(1.0)) // infer.py:1172 defaults top_p=1 for the judge
+      val JArr(ms) = req("messages"): @unchecked
+      assert(ms.length == 2)
+      assert(ms.head.asInstanceOf[JObj].fields("role") == JStr("system"))
+    } finally srv.stop()
+  }
+
+  test("RetryingChatTransport: 429s retried with backoff, then gives up past maxRetries") {
+    val srv = new LoopbackChatServer(_ => "ok", failFirst = 2)
+    try {
+      val t = new RetryingChatTransport(
+        new ChatHttpTransport(srv.url, "m"), maxRetries = 3, initialBackoffMs = 1L)
+      assert(t.complete(Seq(ChatMessage("user", "x"))) == "ok")
+      assert(srv.requestBodies.size() == 3) // 2 failures + 1 success
+    } finally srv.stop()
+    val srv2 = new LoopbackChatServer(_ => "ok", failFirst = 100, failStatus = 500)
+    try {
+      val t2 = new RetryingChatTransport(
+        new ChatHttpTransport(srv2.url, "m"), maxRetries = 2, initialBackoffMs = 1L)
+      val e = intercept[java.io.IOException] { t2.complete(Seq(ChatMessage("user", "x"))) }
+      assert(e.getMessage.contains("500"))
+      assert(srv2.requestBodies.size() == 3) // initial + 2 retries, then surfaced
+    } finally srv2.stop()
+  }
+
+  test("ChatBatchTransformer: JSON-array protocol, strict length, re-ask on bad reply") {
+    // first reply drops an item (wrong length), second is well-formed — the
+    // transformer must re-ask rather than fail (utils.py:453-465 retries
+    // parse/length errors inside the loop)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new LoopbackChatServer({ msgs =>
+      import graft.embed.MiniJson._
+      val JArr(items) = parse(msgs.last._2): @unchecked
+      val upper = items.map { case JStr(s) => s.toUpperCase; case v => sys.error(s"$v") }
+      val kept = if (attempts.getAndIncrement() == 0) upper.drop(1) else upper
+      kept.map(s => "\"" + escape(s) + "\"").mkString("[", ",", "]")
+    })
+    try {
+      val t = new ChatBatchTransformer(new ChatHttpTransport(srv.url, "m"),
+        "Uppercase each entry.", maxRetries = 2, initialBackoffMs = 1L)
+      assert(t.transform(Seq("ab", "cd")) == Seq("AB", "CD"))
+      assert(srv.requestBodies.size() == 2) // short reply + successful re-ask
+      // the system prompt carries the reference's appended JSON-only instruction
+      assert(srv.requestBodies.get(0).contains("JSON array of strings"))
+      // wired through the row operator: strict length holds end-to-end
+      import spark.implicits._
+      val df = Seq("x y", "z").toDF("text")
+      val out = Llm.transformRows(df, Seq("text"), t).orderBy("text").collect()
+      assert(out.map(_.getString(1)).toSeq == Seq("X Y", "Z"))
+    } finally srv.stop()
+  }
+
+  test("mergeKJudge end-to-end against a live loopback chat judge") {
+    import spark.implicits._
+    // server-side judge: match iff the left payload string appears in the
+    // right one (deterministic, checkable below); confidence from length
+    val srv = new LoopbackChatServer({ msgs =>
+      import graft.embed.MiniJson._
+      val JObj(pair) = parse(msgs.last._2): @unchecked
+      val (l, r) = (pair("left").asInstanceOf[JStr].s, pair("right").asInstanceOf[JStr].s)
+      val m = r.contains(l.take(4))
+      s"""{"is_match": $m, "confidence": ${if (m) "0.9" else "0.1"}}"""
+    })
+    try {
+      val judge = new ChatPairJudge(
+        new RetryingChatTransport(new ChatHttpTransport(srv.url, "judge-m"),
+          maxRetries = 2, initialBackoffMs = 1L),
+        "You compare records. Reply with JSON {\"is_match\": bool, \"confidence\": float}.")
+      val left = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+      val right = Seq((10L, "alphabet soup"), (20L, "unrelated")).toDF("rid", "rtext")
+      val out = Llm.mergeKJudge(left, right,
+          leftOn = Seq("text"), rightOn = Seq("rtext"),
+          embedder = new graft.embed.HashEmbedder(16), judge = judge, k = 2)
+        .select("id", "rid", "llm_is_match", "llm_confidence")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+        .toMap
+      assert(out.size == 4) // 2 left x k=2
+      assert(out((1L, 10L)) == ((1, 0.9))) // "alph" appears in "alphabet soup"
+      assert(out((1L, 20L)) == ((0, 0.1)))
+      assert(out((2L, 10L)) == ((0, 0.1)) && out((2L, 20L)) == ((0, 0.1)))
+      // the payload on the wire is the reference's {"left":..,"right":..} shape
+      assert(srv.requestBodies.toArray.exists(_.toString.contains("\\\"left\\\"")))
+    } finally srv.stop()
+  }
+
+  test("ChatRowClassifier: label map decode, unknown label -> -1, via classifyRows") {
+    import spark.implicits._
+    val srv = new LoopbackChatServer({ msgs =>
+      val text = msgs.last._2
+      if (text.contains("good")) "Yes" else if (text.contains("bad")) "No" else "Maybe?"
+    })
+    try {
+      val clf = new ChatRowClassifier(
+        new ChatHttpTransport(srv.url, "clf-m"), "Is this text positive? Yes/No:")
+      val df = Seq((1L, "good stuff"), (2L, "bad stuff"), (3L, "odd stuff")).toDF("id", "text")
+      val out = Llm.classifyRows(df, Seq("text"), clf)
+        .select("id", "clf_preds").orderBy("id").collect()
+      assert(out.map(_.getInt(1)).toSeq == Seq(1, 0, -1))
     } finally srv.stop()
   }
 
