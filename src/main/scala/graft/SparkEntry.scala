@@ -519,6 +519,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The persistent-index BM25 regime end-to-end: build the full-vocabulary
+    // postings once, WRITE them term-bucketed to parquet (+ stats + modulus
+    // meta), reopen from disk, and search with bucket pruning — hash-checked
+    // equal to q_bm25's ad-hoc output (same oracle SQL), which proves the
+    // "pay the vocabulary aggregate once" path returns identical scores.
+    "q_bm25_index" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25_index"
+      Lexical.bm25WriteIndex(postings, stats, idxDir, nBuckets = 16)
+      val index = Lexical.bm25OpenIndex(s, idxDir)
+      Lexical.bm25SearchIndex(index, queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_lm_perplexity" -> ((s, dir) => {
       Lexical.unigramBitsPerToken(
           ld(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
@@ -863,6 +881,42 @@ object SparkEntry {
         |UNION ALL SELECT * FROM r_euclidean UNION ALL SELECT * FROM r_dot
         |ORDER BY score_fn""".stripMargin
   }
+
+  /** The BM25 CTE chain shared by q_bm25 (ad-hoc plan) and q_bm25_index
+    * (persisted-index plan): both must hash-match this exact relation.
+    */
+  private val Bm25OracleSql: String =
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |qterms AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        |  FROM base WHERE doc_id < 10),
+        |tfa AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+        |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY doc_id, term),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, t.doc_id, t.term,
+        |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+        |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -1425,38 +1479,11 @@ object SparkEntry {
     // BM25: same Robertson/Lucene formula, same sorted-term-order score fold
     // (bit-reproducible — Lexical.scoreAndTopK folds contribs sorted by term),
     // same (score desc, doc_id asc) tie-break as TopKAggregate.
-    "q_bm25" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |qterms AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-        |  FROM base WHERE doc_id < 10),
-        |tfa AS (
-        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
-        |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
-        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
-        |  GROUP BY doc_id, term),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
-        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
-        |contrib AS (
-        |  SELECT q.query_id, t.doc_id, t.term,
-        |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
-        |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
-        |scored AS (
-        |  SELECT query_id, doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
-        |  FROM contrib GROUP BY query_id, doc_id),
-        |ranked AS (
-        |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
-        |    doc_id, score
-        |  FROM scored)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bm25" -> Bm25OracleSql,
+
+    // The persisted-index search must return EXACTLY the ad-hoc plan's rows —
+    // one oracle text serves both regimes.
+    "q_bm25_index" -> Bm25OracleSql,
 
     // Unigram add-one-smoothed bits-per-token, same ln2 constant and
     // sorted-term fold as Lexical.unigramBitsPerToken.

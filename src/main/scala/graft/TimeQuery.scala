@@ -27,12 +27,22 @@ object TimeQuery {
     @volatile var stages = 0
     @volatile var tasks = 0L
     @volatile var shuffleBytes = 0L
+    // TIMEQUERY_STAGES=1: per-stage taskSum/cpu lines for everything over
+    // 100 ms — pinpoints the hot stage (wall ≈ taskSum on few tasks = a
+    // serialized stage; taskSum ≫ wall = per-task overhead). This is how the
+    // r5 tokenize-per-output-row plan bug was isolated before jstack
+    // confirmed it (see Lexical.tokensWithDl).
+    val stageDetail = sys.env.contains("TIMEQUERY_STAGES")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
         shuffleBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        if (stageDetail && s.stageInfo.taskMetrics.executorRunTime > 100)
+          println(f"  [stage ${s.stageInfo.stageId}%4d] tasks=${s.stageInfo.numTasks}%-4d " +
+            f"runMs=${s.stageInfo.taskMetrics.executorRunTime}%-6d " +
+            f"cpuMs=${s.stageInfo.taskMetrics.executorCpuTime / 1000000}%-6d")
       }
     })
 

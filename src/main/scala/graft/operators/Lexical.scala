@@ -150,9 +150,92 @@ object Lexical {
     (postings, stats)
   }
 
-  /** Search a [[bm25BuildIndex]] index: same output contract as [[bm25TopK]].
-    * The postings restriction is a broadcast semi-join on the query vocabulary
-    * — with term-bucketed parquet postings it prunes at the scan.
+  /** A persisted BM25 index opened from disk: term-hash-bucketed postings
+    * (partition column `__bkt = pmod(xxhash64(term), nBuckets)`), the one-row
+    * stats table, and the bucket modulus from the index's own meta file — the
+    * modulus travels WITH the layout because pruning with a mismatched
+    * modulus would silently drop valid postings.
+    */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int)
+
+  /** Persist a [[bm25BuildIndex]] index: postings land term-hash-bucketed as
+    * `nBuckets` parquet partitions so a search reads only the buckets its
+    * query vocabulary hashes into; the one-row stats table and a meta file
+    * recording the modulus sit alongside. This is the "pay the vocabulary
+    * aggregate once" regime: the corpus text is never read again — every
+    * later search starts from these files.
+    */
+  def bm25WriteIndex(
+      postings: DataFrame, stats: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    postings
+      .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      // cluster rows by bucket before the partitioned write: without this,
+      // every upstream task opens a writer per bucket it touches (tasks ×
+      // nBuckets small files — 512 at bench scale, measured 5.6 s); with it,
+      // each shuffle partition holds whole buckets (hash on __bkt) and AQE
+      // sizes the task count to the data
+      .repartition(col("__bkt"))
+      .write.mode("overwrite").partitionBy("__bkt").parquet(s"$path/postings")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "bm25_meta.json")
+    val fs = metaPath.getFileSystem(
+      postings.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"type": "bm25", "n_buckets": $nBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Open a [[bm25WriteIndex]] directory. */
+  def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "bm25_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no BM25 index at $path (missing bm25_meta.json)")
+    val in = fs.open(metaPath)
+    val metaStr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
+    require(Option(node.get("type")).exists(_.asText() == "bm25"),
+      s"$path/bm25_meta.json is not a bm25 index meta file")
+    Bm25Index(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"),
+      node.get("n_buckets").asInt())
+  }
+
+  /** Search a persisted index with partition pruning: the scan is first
+    * restricted to the query vocabulary's bucket set — the collected literal
+    * list is bounded by the DISTINCT BUCKET count (≤ nBuckets values, never
+    * vocabulary-sized), so the `isin` reaches the reader as partition pruning
+    * and untouched buckets are never read. Output contract = [[bm25TopK]].
+    */
+  def bm25SearchIndex(
+      index: Bm25Index,
+      queries: DataFrame, queryId: String, queryText: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(queries, queryId, "queries")
+    val qterms = queries.select(
+        col(queryId).cast("long").as("query_id"),
+        explode(array_distinct(terms(col(queryText)))).as("term"))
+      .localCheckpoint(false)
+    val qset = qterms.select("term").distinct()
+    val qb = qset
+      .select(pmod(xxhash64(col("term")), lit(index.nBuckets)).cast("int").as("__bkt"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned = index.postings.filter(col("__bkt").isin(qb.toSeq: _*)).drop("__bkt")
+    val tf = pruned.join(broadcast(qset), Seq("term"))
+    scoreAndTopK(tf, qterms, index.stats, k, k1, b)
+  }
+
+  /** [[bm25SearchIndex]] over a persisted index with default BM25 params. */
+  def bm25SearchIndex(index: Bm25Index, queries: DataFrame, queryId: String,
+      queryText: String, k: Int): DataFrame =
+    bm25SearchIndex(index, queries, queryId, queryText, k, k1 = 1.2, b = 0.75)
+
+  /** Search an in-memory `(postings, stats)` pair from [[bm25BuildIndex]]
+    * (no bucket layout → no pruning): same output contract as [[bm25TopK]].
+    * The postings restriction is a broadcast semi-join on the query
+    * vocabulary.
     */
   def bm25SearchIndex(
       postings: DataFrame, stats: DataFrame,

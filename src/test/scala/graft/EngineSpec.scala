@@ -1284,6 +1284,31 @@ class EngineSpec extends AnyFunSuite {
     assert(adhoc == viaIndex)
   }
 
+  test("bm25 persisted index: write/open/search equals ad-hoc; scan prunes to query buckets") {
+    val q = lexDocs.filter(col("doc_id") < 2L)
+      .select(col("doc_id").as("qid"), col("text"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val adhoc = rows(Lexical.bm25TopK(lexDocs, "doc_id", "text", q, "qid", "text", k = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    val (postings, stats) = Lexical.bm25BuildIndex(lexDocs, "doc_id", "text")
+    Lexical.bm25WriteIndex(postings, stats, dir, nBuckets = 8)
+    val idx = Lexical.bm25OpenIndex(spark, dir)
+    assert(idx.nBuckets == 8) // modulus travels with the layout, not a conf
+    val search = Lexical.bm25SearchIndex(idx, q, "qid", "text", k = 4)
+    assert(rows(search) == adhoc)
+    // the bucket restriction reaches the postings scan as PARTITION pruning:
+    // the physical scan node carries an `isin` partition filter on __bkt
+    val scan = search.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("__bkt"),
+      s"expected a partition filter on __bkt in:\n$scan")
+    // a corrupt/missing index dir fails fast rather than scanning nothing
+    val e = intercept[IllegalArgumentException] {
+      Lexical.bm25OpenIndex(spark, dir + "/nope")
+    }
+    assert(e.getMessage.contains("no BM25 index"))
+  }
+
   test("bm25TopK: dlCol stats path equals recomputed stats; string ids rejected") {
     val withDl = lexDocs.withColumn("dl", size(Lexical.terms(col("text"))))
     val q = lexDocs.filter(col("doc_id") < 2L).select(col("doc_id").as("qid"), col("text"))

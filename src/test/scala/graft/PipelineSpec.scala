@@ -350,6 +350,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters(3L) != clusters(1L), s"distinct media merged: $clusters")
   }
 
+  test("ModelEmbedder: artifact round-trip, ONE model init per executor, exact projection") {
+    import spark.implicits._
+    import graft.embed.{HashEmbedder => HE, LinearModel, ModelEmbedder}
+    val dir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    val w = LinearModel.seeded(dimIn = 32, dimOut = 8, seed = 7L)
+    LinearModel.save(spark, dir, dimIn = 32, w)
+
+    val emb = ModelEmbedder.load(spark, dir)
+    assert(emb.dim == 8)
+    val texts = (0 until 64).map(i => s"text number $i")
+    val before = LinearModel.initCount.get()
+    // 8 partitions, many batches — still exactly one assembly in this JVM
+    val out = emb.embed(texts.toDF("t").repartition(8), "t", "v")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(LinearModel.initCount.get() == before + 1,
+      "model must assemble exactly once per executor JVM")
+
+    // exact projection: out == normalize(W · hashFeat(text))
+    val feat = HE.embedText("text number 3", 32, tokenMix = true)
+    val expect = w.map(row => row.lazyZip(feat).map(_ * _).sum)
+    val n = math.sqrt(expect.map(x => x * x).sum)
+    assert(out("text number 3").lazyZip(expect.map(_ / n))
+      .forall((a, b) => math.abs(a - b) < 1e-12))
+
+    // a semantic query runs on the loaded model: identical text is its 1-NN
+    val left = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+    val right = Seq((10L, "alpha beta"), (20L, "epsilon zeta")).toDF("rid", "rtext")
+    val m = SemanticJoin.merge(left, right,
+        leftOn = Seq("text"), rightOn = Seq("rtext"), embedder = emb)
+      .select("id", "rid", "score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 10L && m(1L)._2 > 0.999999, s"exact text must be its own 1-NN: $m")
+
+    // reload cache key is per artifact; corrupt meta fails fast
+    val e = intercept[IllegalArgumentException] {
+      LinearModel.load(spark, dir + "/nope")
+    }
+    assert(e.getMessage.contains("no linear model artifact"))
+  }
+
   test("ImageCodec: PNG round-trip is pixel-exact; nearest resize; undecodable -> zeros") {
     import spark.implicits._
     import graft.operators.Multimodal.ImageCodec
