@@ -164,6 +164,128 @@ case class TopKAggregate(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Growable parallel (key bytes, value) buffer for [[OrderedSumAggregate]]. */
+final class OrderedSumBuffer {
+  var n: Int = 0
+  var keys: Array[Array[Byte]] = new Array[Array[Byte]](16)
+  var vals: Array[Double] = new Array[Double](16)
+
+  def add(k: Array[Byte], v: Double): Unit = {
+    if (n == keys.length) {
+      keys = java.util.Arrays.copyOf(keys, n * 2)
+      vals = java.util.Arrays.copyOf(vals, n * 2)
+    }
+    keys(n) = k; vals(n) = v; n += 1
+  }
+}
+
+/** Key-ordered double sum as a native TypedImperativeAggregate: accumulates
+  * `(key, value)` pairs in primitive-ish parallel buffers and, at eval time,
+  * sums the values in ascending UNSIGNED-LEXICOGRAPHIC key-byte order
+  * (= `UTF8String` ordering = DuckDB binary collation), ties broken by value
+  * — exactly the accumulation order of
+  * `aggregate(sort_array(collect_list(struct(key, value))), 0.0, _+_)` and of
+  * DuckDB's `list_reduce(list(value ORDER BY key), ...)`, so scores stay
+  * bit-reproducible across engines and partitionings.
+  *
+  * Exists because the three-layer form it replaces ran the fold INTERPRETED
+  * (HOF lambdas never enter codegen) and allocated a struct per input row
+  * inside the partial aggregate — measured r5 as the dominant CPU of the
+  * bm25 scoring stage (~2-3 s per query at sf0.1). Same partial-aggregation
+  * contract as [[TopKAggregate]]: buffers merge map-side, only per-group
+  * buffers cross the shuffle.
+  */
+case class OrderedSumAggregate(
+    keyExpr: Expression,
+    valExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[OrderedSumBuffer] {
+
+  override def children: Seq[Expression] = Seq(keyExpr, valExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ordered_sum"
+
+  override def createAggregationBuffer(): OrderedSumBuffer = new OrderedSumBuffer
+
+  override def update(buf: OrderedSumBuffer, input: InternalRow): OrderedSumBuffer = {
+    val k = keyExpr.eval(input)
+    val v = valExpr.eval(input)
+    if (k != null && v != null) {
+      // copy: UTF8String bytes may alias a reused row buffer
+      buf.add(k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes.clone(),
+        v.asInstanceOf[Double])
+    }
+    buf
+  }
+
+  override def merge(buf: OrderedSumBuffer, other: OrderedSumBuffer): OrderedSumBuffer = {
+    var i = 0
+    while (i < other.n) { buf.add(other.keys(i), other.vals(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: OrderedSumBuffer): Any = {
+    val boxed: Array[Integer] = Array.tabulate(buf.n)(Integer.valueOf)
+    val ord = new java.util.Comparator[Integer] {
+      override def compare(ai: Integer, bi: Integer): Int = {
+        val (ka, kb) = (buf.keys(ai), buf.keys(bi))
+        val lim = math.min(ka.length, kb.length)
+        var i = 0
+        while (i < lim) {
+          val c = java.lang.Integer.compare(ka(i) & 0xff, kb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        val c = java.lang.Integer.compare(ka.length, kb.length)
+        if (c != 0) c else java.lang.Double.compare(buf.vals(ai), buf.vals(bi))
+      }
+    }
+    java.util.Arrays.sort(boxed, ord)
+    var s = 0.0
+    var i = 0
+    while (i < boxed.length) { s += buf.vals(boxed(i)); i += 1 }
+    s
+  }
+
+  override def serialize(buf: OrderedSumBuffer): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buf.n) { bytes += 4 + buf.keys(i).length + 8; i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putInt(buf.keys(i).length).put(buf.keys(i)).putDouble(buf.vals(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): OrderedSumBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new OrderedSumBuffer
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val k = new Array[Byte](bb.getInt())
+      bb.get(k)
+      buf.add(k, bb.getDouble())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): OrderedSumAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): OrderedSumAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): OrderedSumAggregate =
+    copy(keyExpr = newChildren(0), valExpr = newChildren(1))
+}
+
 object VecExpressions {
   /** Codegen'd dot product over two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
@@ -173,4 +295,9 @@ object VecExpressions {
   def topK(k: Int, score: Column, id: Column): Column =
     ColumnBridge.column(TopKAggregate(
       ColumnBridge.expression(score), ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** Key-ordered double-sum aggregate column (bit-reproducible fold). */
+  def orderedSum(key: Column, value: Column): Column =
+    ColumnBridge.column(OrderedSumAggregate(
+      ColumnBridge.expression(key), ColumnBridge.expression(value)).toAggregateExpression())
 }

@@ -271,11 +271,12 @@ object Lexical {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     // fold the per-pair sum in sorted term order: partition-invariant and
     // bit-identical across engines (a plain sum(double) is accumulation-order
-    // dependent)
+    // dependent). Native OrderedSumAggregate, not collect_list → sort_array →
+    // aggregate(...): the HOF fold ran interpreted and the struct-per-row
+    // partial agg dominated the scoring stage's CPU (r5, sf0.1)
     val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("__cs"))
-      .withColumn("score",
-        aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .agg(graft.functions.VecExpressions
+        .orderedSum(col("term"), col("contrib")).as("score"))
     scored.groupBy("query_id")
       .agg(graft.functions.VecExpressions.topK(k, col("score"), col("doc_id")).as("__t"))
       .select(col("query_id"), posexplode(col("__t")))

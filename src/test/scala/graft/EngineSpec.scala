@@ -1284,6 +1284,32 @@ class EngineSpec extends AnyFunSuite {
     assert(adhoc == viaIndex)
   }
 
+  test("OrderedSumAggregate: bit-equal to the sort_array+HOF fold, partition-invariant") {
+    import spark.implicits._
+    // adversarial keys: shared prefixes, multi-byte UTF-8, empty string —
+    // the byte comparator must match UTF8String/sort_array ordering exactly
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "ab", "b", "", "é", "é", "zz", "a b", "Z", "0")
+    val rows = (0 until 4000).map { i =>
+      (i % 7L, keys(rnd.nextInt(keys.length)) + rnd.nextInt(3), rnd.nextDouble() * 2 - 1)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "k", "v").repartition(parts)
+      val viaHof = df.groupBy("g")
+        .agg(aggregate(sort_array(collect_list(struct(col("k"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaAgg = df.groupBy("g")
+        .agg(graft.functions.VecExpressions.orderedSum(col("k"), col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // bit-identical, not approximately equal: same accumulation order
+      viaHof.foreach { case (g, s) =>
+        assert(java.lang.Double.doubleToLongBits(s) ==
+          java.lang.Double.doubleToLongBits(viaAgg(g)), s"group $g at $parts partitions")
+      }
+    }
+  }
+
   test("bm25 persisted index: write/open/search equals ad-hoc; scan prunes to query buckets") {
     val q = lexDocs.filter(col("doc_id") < 2L)
       .select(col("doc_id").as("qid"), col("text"))
