@@ -624,6 +624,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Exact-substring duplication signal at a 5-token window: documents
+    // sharing any 5-gram span get it counted; exact-duplicate texts (the
+    // corpus has them — see q_dedup_exact) score dup_frac = 1.
+    "q_span_dup" -> ((s, dir) => {
+      Dedup.spanDupStats(
+          ld(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", window = 5)
+        .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // "benchmark" = every 10th doc; those docs must flag themselves (J=1)
       val docs = ld(s, dir, "documents")
@@ -1456,6 +1467,31 @@ object SparkEntry {
          |JOIN bs sb ON sb.doc_id = cand.benchmark_id
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
          |ORDER BY corpus_id, benchmark_id""".stripMargin,
+
+    // Same tokenize/shingle construction as the minhash oracle, at window 5
+    // (short docs emit one whole-text shingle — WordShinglesExpr parity);
+    // df counts per-doc-distinct spans across the corpus.
+    "q_span_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))),
+        |      '[ \t\n\x0b\f\r]+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS span
+        |  FROM toks),
+        |dfreq AS (SELECT span, count(*) AS df FROM sh GROUP BY span),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+        |  FROM sh JOIN dfreq USING (span) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(dup_spans, 0) AS dup_spans,
+        |  round(CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+        |    ELSE CAST(dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) END, 6) AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_sample_deterministic" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1440,4 +1440,28 @@ class EngineSpec extends AnyFunSuite {
     val plan = Dedup.paragraphDedup(df, "id", "txt").queryExecution.executedPlan.toString
     assert(!plan.contains("RunningWindowFunction") && !plan.toLowerCase.contains("window"))
   }
+
+  test("spanDupStats: exact copies score 1.0, partial overlap counted, null text zeroed") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),            // spans (w=3): "a b c","b c d","c d e","d e f"
+      (1L, "a b c d e f"),            // exact copy of 0 -> every span duplicated
+      (2L, "x y z a b c"),            // shares exactly "a b c" with 0/1
+      (3L, "unique words only here"),
+      (4L, "hi"),                     // shorter than window -> one whole-text span
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    val out = Dedup.spanDupStats(df, "id", "txt", window = 3)
+      .select("id", "n_spans", "dup_spans", "dup_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 4L, 1.0)))
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    assert(out(5L) == ((0L, 0L, 0.0))) // null text: zeros, not a dropped row
+    // duplication signal shape: one partial-agg frequency pass, no windows
+    val plan = Dedup.spanDupStats(df, "id", "txt", 3).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"))
+  }
 }
