@@ -18,6 +18,15 @@ object Bench {
       // default yields full scan parallelism, but bench-scale parquet is
       // 1-25 MB per table — one task per scan on a 32-core box without this
       .config("spark.sql.files.maxPartitionBytes", "1048576")
+      // AQE coalesces post-shuffle partitions by BYTES (1 MB floor by
+      // default), but this engine's hot stages are CPU-dense per byte —
+      // 5000 doc vectors coalesce to 2 partitions and a 25M-pair cosine
+      // scan runs on 2 of 32 cores. A 64k floor keeps those stages
+      // parallel at bench scale; production data clears the 1 MB floor
+      // naturally, so this is the same small-input calibration as
+      // maxPartitionBytes above (measured r5: q_bm25 2.19→1.63 s,
+      // q_dedup_rows_docs 2.27→1.53 s, no query regressed)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
