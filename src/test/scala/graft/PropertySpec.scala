@@ -229,5 +229,17 @@ class PropertySpec extends AnyFunSuite {
         d.select(col("doc_id"), concat_ws("\n", col("text"), col("text")).as("pg")),
         "doc_id", "pg")
     assert(under(3)(para) == under(17)(para))
+    // r5 operators inherit the same contract: the span-df census and the
+    // key-ordered sum must not depend on which partition saw a row first
+    def span(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.spanDupStats(d, "doc_id", "text", window = 4)
+        .select("doc_id", "n_spans", "dup_spans", "dup_frac")
+    assert(under(1)(span) == under(19)(span))
+    def osum(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id") % 13 as "g",
+          substring(col("text"), 1, 5).as("k"), (col("doc_id") * 0.37).as("v"))
+        .groupBy("g")
+        .agg(graft.functions.VecExpressions.orderedSum(col("k"), col("v")).as("s"))
+    assert(under(1)(osum) == under(23)(osum))
   }
 }
