@@ -529,7 +529,9 @@ object SparkEntry {
       val queries = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text"))
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25_index"
+      // per-process dir: a concurrently running Verify/Bench JVM must never
+      // read an index this one is mid-overwrite on
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25_index_${ProcessHandle.current().pid()}"
       Lexical.bm25WriteIndex(postings, stats, idxDir, nBuckets = 16)
       val index = Lexical.bm25OpenIndex(s, idxDir)
       Lexical.bm25SearchIndex(index, queries, "qid", "text", k = 5)

@@ -415,6 +415,22 @@ class PipelineSpec extends AnyFunSuite {
       yield ((7 * id + 3 * x + 5 * y) % 256)).sum
     assert(meta(0L) == ((4, 2, sumR(0))))
     assert(meta(3L) == ((4, 2, sumR(3))))
+    // non-PNG JDK readers: BMP round-trips pixel-exact (also lossless);
+    // JPEG is lossy so only dims + successful decode are contractual
+    val bimg = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) bimg.setRGB(x, y, rgb(x, y))
+    def enc(fmt: String): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bimg, fmt, o), s"no $fmt writer")
+      o.toByteArray
+    }
+    val bmp = ImageCodec.decode(enc("bmp")).get
+    assert(bmp.width == 3 && bmp.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((bmp.argb(y * 3 + x) & 0xffffff) == rgb(x, y), s"bmp pixel ($x,$y)")
+    val jpg = ImageCodec.decode(enc("jpg")).get
+    assert(jpg.width == 3 && jpg.height == 2)
+
     val junk = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("id", "img")
     val jm = Multimodal.decodeImage(junk, "img").select("image_meta.*").first()
     assert(jm.getInt(0) == 0 && jm.getLong(2) == 0L)
