@@ -73,11 +73,14 @@ object Bench {
     // 4-decimal (0.1 ms) per-query values: the driver parses the LAST few KB
     // of stdout, and r4's full-precision line (~4.5 KB) was front-truncated
     // past parseability ("parsed": null) — precision below 0.1 ms is jitter
-    // anyway (see median-of-3 note above)
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    // anyway (see median-of-3 note above). Locale.ROOT, not the f
+    // interpolator: default-locale formatting would print decimal COMMAS on
+    // e.g. a de_DE JVM and break the JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -530,8 +530,23 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text"))
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
       // per-process dir: a concurrently running Verify/Bench JVM must never
-      // read an index this one is mid-overwrite on
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25_index_${ProcessHandle.current().pid()}"
+      // read an index this one is mid-overwrite on. Dead siblings from
+      // FINISHED processes are reaped here (best-effort) so repeated runs
+      // don't accumulate index copies in tmp
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val pid = ProcessHandle.current().pid()
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_bm25_index_") &&
+          f.getName != s"graft_bm25_index_$pid" &&
+          !f.getName.stripPrefix("graft_bm25_index_").toLongOption
+            .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+      val idxDir = s"${tmp.getAbsolutePath}/graft_bm25_index_$pid"
       Lexical.bm25WriteIndex(postings, stats, idxDir, nBuckets = 16)
       val index = Lexical.bm25OpenIndex(s, idxDir)
       Lexical.bm25SearchIndex(index, queries, "qid", "text", k = 5)

@@ -73,23 +73,13 @@ class HttpEmbedder(
     HttpEmbedder.packByCharBudget(texts, charBudget)
       .flatMap(pack => requestWithRetry(pack))
 
-  private def requestWithRetry(pack: Seq[String]): Seq[Array[Double]] = {
-    var attempt = 0
-    while (true) {
-      try {
-        val out = transport.request(pack)
-        require(out.length == pack.length,
-          s"transport returned ${out.length} vectors for ${pack.length} texts")
-        return out
-      } catch {
-        case e: Exception =>
-          if (attempt >= maxRetries) throw e
-          Thread.sleep(initialBackoffMs * (1L << attempt))
-          attempt += 1
-      }
+  private def requestWithRetry(pack: Seq[String]): Seq[Array[Double]] =
+    HttpWire.withBackoff(maxRetries, initialBackoffMs) { () =>
+      val out = transport.request(pack)
+      require(out.length == pack.length,
+        s"transport returned ${out.length} vectors for ${pack.length} texts")
+      out
     }
-    throw new IllegalStateException("unreachable")
-  }
 }
 
 object HttpEmbedder {

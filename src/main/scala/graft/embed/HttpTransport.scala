@@ -129,6 +129,67 @@ private[graft] object MiniJson {
   }
 }
 
+/** Shared JDK-HTTP JSON POST plumbing for the API transports: one wire
+  * skeleton (timeouts, fixed-length streaming, bearer auth, non-2xx →
+  * IOException with a truncated error body) serving both the embeddings
+  * ([[JsonHttpTransport]]) and chat ([[graft.llm.ChatHttpTransport]]) wires,
+  * plus the reference's exponential-backoff retry loop (utils.py:366-369:
+  * `sleep(base * 2^attempt)`), shared by every retrying caller.
+  */
+private[graft] object HttpWire {
+
+  def postJson(
+      endpoint: String, body: String, apiKey: Option[String],
+      connectTimeoutMs: Int, readTimeoutMs: Int, what: String): String = {
+    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      val payload = body.getBytes(StandardCharsets.UTF_8)
+      conn.setFixedLengthStreamingMode(payload.length)
+      val os = conn.getOutputStream
+      try os.write(payload) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(
+          s"$what endpoint returned HTTP $code: ${readAll(conn.getErrorStream).take(200)}")
+      readAll(conn.getInputStream)
+    } finally conn.disconnect()
+  }
+
+  private def readAll(in: InputStream): String = {
+    if (in == null) return ""
+    val buf = new ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** Run `thunk`, sleeping `baseMs * 2^attempt` between attempts and
+    * surfacing the last error past `maxRetries`.
+    */
+  def withBackoff[T](maxRetries: Int, baseMs: Long)(thunk: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return thunk()
+      catch {
+        case e: Exception =>
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(baseMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** OpenAI-style embeddings wire client over plain JDK HTTP — the live
   * counterpart of the test fakes behind [[EmbeddingTransport]], completing the
   * reference's operational path (reference: src/linktransformer/utils.py:179-248
@@ -149,35 +210,9 @@ class JsonHttpTransport(
   override def request(texts: Seq[String]): Seq[Array[Double]] = {
     val body = texts.map(t => "\"" + MiniJson.escape(Option(t).getOrElse("")) + "\"")
       .mkString(s"""{"model":"${MiniJson.escape(model)}","input":[""", ",", "]}")
-    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod("POST")
-      conn.setRequestProperty("Content-Type", "application/json")
-      apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
-      conn.setDoOutput(true)
-      val payload = body.getBytes(StandardCharsets.UTF_8)
-      conn.setFixedLengthStreamingMode(payload.length)
-      val os = conn.getOutputStream
-      try os.write(payload) finally os.close()
-      val code = conn.getResponseCode
-      if (code < 200 || code >= 300)
-        throw new java.io.IOException(
-          s"embedding endpoint returned HTTP $code: ${readAll(conn.getErrorStream).take(200)}")
-      parseResponse(readAll(conn.getInputStream), texts.length)
-    } finally conn.disconnect()
-  }
-
-  private def readAll(in: InputStream): String = {
-    if (in == null) return ""
-    val buf = new ByteArrayOutputStream()
-    try {
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-    } finally in.close()
-    new String(buf.toByteArray, StandardCharsets.UTF_8)
+    parseResponse(
+      HttpWire.postJson(endpoint, body, apiKey, connectTimeoutMs, readTimeoutMs, "embedding"),
+      texts.length)
   }
 
   private def parseResponse(s: String, expected: Int): Seq[Array[Double]] = {

@@ -158,7 +158,13 @@ object ModelEmbedder {
     */
   def load(spark: SparkSession, dir: String, batchSize: Int = 128): ModelEmbedder = {
     val (dimIn, dimOut, rows) = LinearModel.load(spark, dir)
-    new ModelEmbedder(s"$dir#${dimOut}x$dimIn", dimIn, dimOut,
+    // content fingerprint in the cache key: re-saving NEW weights to the SAME
+    // directory must not serve a stale cached assembly on executors that
+    // already built the old model
+    val fp = rows.foldLeft(0L) { case (acc, (i, v)) =>
+      acc + 31L * (i + 1) * java.util.Arrays.hashCode(v)
+    }
+    new ModelEmbedder(s"$dir#${dimOut}x$dimIn#$fp", dimIn, dimOut,
       spark.sparkContext.broadcast(rows), batchSize)
   }
 }

@@ -185,8 +185,9 @@ final class OrderedSumBuffer {
   * (= `UTF8String` ordering = DuckDB binary collation), ties broken by value
   * — exactly the accumulation order of
   * `aggregate(sort_array(collect_list(struct(key, value))), 0.0, _+_)` and of
-  * DuckDB's `list_reduce(list(value ORDER BY key), ...)`, so scores stay
-  * bit-reproducible across engines and partitionings.
+  * DuckDB's `list_reduce(list(value ORDER BY key), ...)` over NON-NULL pairs,
+  * so scores stay bit-reproducible across engines and partitionings (null
+  * keys/values are dropped — see [[createAggregationBuffer]]'s note).
   *
   * Exists because the three-layer form it replaces ran the fold INTERPRETED
   * (HOF lambdas never enter codegen) and allocated a struct per input row
@@ -207,6 +208,19 @@ case class OrderedSumAggregate(
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_ordered_sum"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (keyExpr.dataType, valExpr.dataType) match {
+      case (StringType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (kt, vt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ordered_sum needs (string key, double value), got ($kt, $vt)")
+    }
+
+  // null key or value: the pair carries no orderable contribution and is
+  // dropped, like sum() drops nulls (the BM25/perplexity call sites never
+  // produce one — terms come from explode, contribs from arithmetic over
+  // non-null columns)
   override def createAggregationBuffer(): OrderedSumBuffer = new OrderedSumBuffer
 
   override def update(buf: OrderedSumBuffer, input: InternalRow): OrderedSumBuffer = {

@@ -1,10 +1,6 @@
 package graft.llm
 
-import java.io.{ByteArrayOutputStream, InputStream}
-import java.net.{HttpURLConnection, URI}
-import java.nio.charset.StandardCharsets
-
-import graft.embed.MiniJson
+import graft.embed.{HttpWire, MiniJson}
 
 /** One chat turn on the wire: `{"role": ..., "content": ...}`. */
 final case class ChatMessage(role: String, content: String)
@@ -56,35 +52,8 @@ class ChatHttpTransport(
       s"""{"model":"${MiniJson.escape(model)}","messages":$msgs,""" +
         s""""temperature":$temperature,"max_tokens":$maxTokens,"top_p":$topP,""" +
         s""""frequency_penalty":$frequencyPenalty,"presence_penalty":$presencePenalty}"""
-    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod("POST")
-      conn.setRequestProperty("Content-Type", "application/json")
-      apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
-      conn.setDoOutput(true)
-      val payload = body.getBytes(StandardCharsets.UTF_8)
-      conn.setFixedLengthStreamingMode(payload.length)
-      val os = conn.getOutputStream
-      try os.write(payload) finally os.close()
-      val code = conn.getResponseCode
-      if (code < 200 || code >= 300)
-        throw new java.io.IOException(
-          s"chat endpoint returned HTTP $code: ${readAll(conn.getErrorStream).take(200)}")
-      parseContent(readAll(conn.getInputStream))
-    } finally conn.disconnect()
-  }
-
-  private def readAll(in: InputStream): String = {
-    if (in == null) return ""
-    val buf = new ByteArrayOutputStream()
-    try {
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-    } finally in.close()
-    new String(buf.toByteArray, StandardCharsets.UTF_8)
+    parseContent(
+      HttpWire.postJson(endpoint, body, apiKey, connectTimeoutMs, readTimeoutMs, "chat"))
   }
 
   private def parseContent(s: String): String = {
@@ -119,19 +88,8 @@ class RetryingChatTransport(
     inner: ChatTransport,
     maxRetries: Int = 5,
     initialBackoffMs: Long = 15000L) extends ChatTransport {
-  override def complete(messages: Seq[ChatMessage]): String = {
-    var attempt = 0
-    while (true) {
-      try return inner.complete(messages)
-      catch {
-        case e: Exception =>
-          if (attempt >= maxRetries) throw e
-          Thread.sleep(initialBackoffMs * (1L << attempt))
-          attempt += 1
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  override def complete(messages: Seq[ChatMessage]): String =
+    HttpWire.withBackoff(maxRetries, initialBackoffMs)(() => inner.complete(messages))
 }
 
 /** [[Llm.PairJudge]] over a chat endpoint: user content is the
@@ -192,19 +150,12 @@ class ChatBatchTransformer(
     val user = chunk.map(t => "\"" + MiniJson.escape(Option(t).getOrElse("")) + "\"")
       .mkString("[", ",", "]")
     val messages = Seq(ChatMessage("system", prompt + jsonInstr), ChatMessage("user", user))
-    var attempt = 0
-    while (true) {
-      try {
-        val raw = transport.complete(messages)
-        return parseArray(raw, chunk.length)
-      } catch {
-        case e: Exception =>
-          if (attempt >= maxRetries) throw e
-          Thread.sleep(initialBackoffMs * (1L << attempt))
-          attempt += 1
-      }
+    // parse + length check sit INSIDE the retried thunk (utils.py:434-465) —
+    // pass a raw transport here, not a RetryingChatTransport, or the two
+    // loops multiply into maxRetries² calls per chunk
+    HttpWire.withBackoff(maxRetries, initialBackoffMs) { () =>
+      parseArray(transport.complete(messages), chunk.length)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def parseArray(raw: String, expected: Int): Seq[String] = {

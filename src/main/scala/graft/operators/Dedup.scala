@@ -282,43 +282,6 @@ object Dedup extends Logging {
     * then merge paragraphs; acceptable for dedup, not for the bit-exact
     * oracle here).
     */
-  /** Per-document duplicated-span statistics — the exact-substring-dedup
-    * signal (public "Deduplicating Training Data Makes Language Models
-    * Better" recipe, windowed form): a span is a `window`-token shingle
-    * ([[TextAnalysis.wordShingles]]); a span is DUPLICATED when it occurs in
-    * ≥ 2 documents (or twice in one — df counts per-doc-distinct occurrences
-    * across the corpus). Appends per document `n_spans` (distinct spans),
-    * `dup_spans`, and `dup_frac = dup_spans / n_spans` — filter on
-    * `dup_frac` to drop documents that are mostly copied spans, or join the
-    * flagged spans back to excise them. Documents with null text get zeros.
-    *
-    * Scale: explode → one span-frequency aggregate (vocabulary-of-spans
-    * rows, partial combine absorbs hot spans) → join back on span (the df
-    * side is UNIQUE per span, so hot spans cannot fan out) → per-doc
-    * aggregate. Same shape as [[Lexical.unigramBitsPerToken]]; no windows,
-    * no driver state. At 100 TB swap the join key for `xxhash64(span)` to
-    * shuffle 8-byte keys (collisions only overcount duplication — same trade
-    * as [[paragraphDedup]]'s note).
-    */
-  def spanDupStats(
-      df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val spans = df.select(col(idCol).as("__id"),
-      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), window))).as("span"))
-    val dfreq = spans.groupBy("span").agg(count(lit(1)).as("__df"))
-    val perDoc = spans.join(dfreq, Seq("span"))
-      .groupBy("__id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
-    df.join(perDoc, df(idCol) === perDoc("__id"), "left")
-      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
-      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
-      .withColumn("dup_frac",
-        when(col("n_spans") === 0, lit(0.0))
-          .otherwise(col("dup_spans").cast("double") / col("n_spans").cast("double")))
-      .drop("__id")
-  }
-
   def paragraphDedup(
       df: DataFrame, ordCol: String, textCol: String,
       sepRegex: String = "\\n+", joinSep: String = "\n"): DataFrame = {
@@ -341,5 +304,47 @@ object Dedup extends Logging {
             x => x.getField("p")),
           joinSep).as(textCol))
       .select(col(ordCol), col(textCol), col("n_paras"), col("n_kept"))
+  }
+
+  /** Per-document duplicated-span statistics — the exact-substring-dedup
+    * signal (public "Deduplicating Training Data Makes Language Models
+    * Better" recipe, windowed form): a span is a `window`-token shingle
+    * ([[TextAnalysis.wordShingles]]); a span is DUPLICATED when it occurs in
+    * ≥ 2 documents (or twice in one — df counts per-doc-distinct occurrences
+    * across the corpus). Appends per document `n_spans` (distinct spans),
+    * `dup_spans`, and `dup_frac = dup_spans / n_spans` — filter on
+    * `dup_frac` to drop documents that are mostly copied spans, or join the
+    * flagged spans back to excise them. Documents with null text get zeros.
+    *
+    * Scale: explode → one span-frequency aggregate (vocabulary-of-spans
+    * rows, partial combine absorbs hot spans) → join back on span (the df
+    * side is UNIQUE per span, so hot spans cannot fan out) → per-doc
+    * aggregate. Same shape as [[Lexical.unigramBitsPerToken]]; no windows,
+    * no driver state. At 100 TB swap the join key for `xxhash64(span)` to
+    * shuffle 8-byte keys (collisions only overcount duplication — same trade
+    * as [[paragraphDedup]]'s note).
+    */
+  def spanDupStats(
+      df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // `spans` feeds both the frequency census and the per-doc join, so the
+    // tokenize+shingle+explode pipeline runs twice — DELIBERATE: it is
+    // map-only (no shuffle re-runs), and pinning the exploded span stream
+    // would cache a LARGER-than-corpus projection (same trade as bm25TopK's
+    // stats pass; contrast bm25SearchIndex, which pins post-aggregate rows)
+    val spans = df.select(col(idCol).as("__id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), window))).as("span"))
+    val dfreq = spans.groupBy("span").agg(count(lit(1)).as("__df"))
+    val perDoc = spans.join(dfreq, Seq("span"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    df.join(perDoc, df(idCol) === perDoc("__id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("dup_spans").cast("double") / col("n_spans").cast("double")))
+      .drop("__id")
   }
 }
