@@ -18,19 +18,18 @@ import org.apache.spark.sql.functions._
 object Lexical {
 
   /** ASCII-whitespace tokenizer (lowercased, blanks dropped) shared by every
-    * lexical operator AND the SQL oracles. The explicit character class — not
-    * `\s` — because Java's `\s` includes vertical tab while RE2-style engines'
-    * does not; the explicit class means any engine reproduces the tokens.
+    * lexical operator AND the SQL oracles. The delimiter set is the explicit
+    * ASCII class `[ \t\n\x0B\f\r]` — not `\s` — because Java's `\s` includes
+    * vertical tab while RE2-style engines' does not; the explicit class means
+    * any engine reproduces the tokens.
     *
-    * `array_remove(..., "")` and not a higher-order `filter(...)` lambda:
-    * HOF lambdas evaluate interpreted (outside whole-stage codegen) and
-    * measured ~10x slower per token on the exploded hot path; the only empty
-    * element `split` can produce after `trim` is the all-blank case, which
-    * `array_remove` drops identically (profiled r4: value-equal on the full
-    * corpus, 6.9s -> 0.7s on the bm25 token-filter stage).
+    * Since r5 a native single-byte-scan kernel ([[graft.functions.TermsExpr]],
+    * codegen, no per-row regex) — value-identical to the previous
+    * `array_remove(split(lower(trim(text)), ...), "")` built-in composition
+    * (equivalence property-tested each build and hash-checked by every
+    * lexical oracle query).
     */
-  def terms(text: Column): Column =
-    array_remove(split(lower(trim(text)), "[ \\t\\n\\u000B\\f\\r]+"), "")
+  def terms(text: Column): Column = graft.functions.TermsExpr.terms(text)
 
   /** `(doc_id, dl, term)` token stream with `dl` evaluated on a MATERIALIZED
     * token array. The array gets its own projection (and `dl` references that

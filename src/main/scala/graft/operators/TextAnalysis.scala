@@ -107,11 +107,10 @@ object TextAnalysis {
   def topTermsPerKey(
       df: DataFrame, keys: Seq[String], textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // array_remove, not a filter() lambda: HOF lambdas run interpreted and
-    // measured ~10x slower per token on exploded hot paths (see Lexical.terms)
+    // the shared native tokenizer (one byte scan, no per-row regex — see
+    // Lexical.terms), so per-key term censuses tokenize exactly like BM25
     val toks = df.select(keys.map(col) :+
-      explode(array_remove(split(lower(trim(col(textCol))), "[ \\t\\n\\u000B\\f\\r]+"), ""))
-        .as("term"): _*)
+      explode(Lexical.terms(col(textCol))).as("term"): _*)
     val counts = toks.groupBy((keys :+ "term").map(col): _*)
       .agg(count(lit(1)).as("term_count"))
     val w = org.apache.spark.sql.expressions.Window

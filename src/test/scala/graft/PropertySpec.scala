@@ -200,6 +200,26 @@ class PropertySpec extends AnyFunSuite {
     out.foreach { r => assert(r.get(0) == r.get(1), s"signature not invariant: $r") }
   }
 
+  test("TermsExpr equals the regex tokenizer composition on corpus + adversarial strings") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "", "   ", "\t\n\f\r", "a", " a ", "a  b", "\ta\rb\ncd\fe ",
+      "MiXeD CaSe WORDS", "İstanbul STRASSE ĳ", "héllo wörld 中文 分词",
+      "a b", // NBSP is NOT a delimiter — must stay one token
+      "ends with tab\t", "\nstarts with newline", "double  space\t\ttab")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (adversarial ++ corpus).toDF("t")
+    val both = df.select(
+      graft.operators.Lexical.terms(col("t")).as("native"),
+      array_remove(split(lower(trim(col("t"))), "[ \\t\\n\\u000B\\f\\r]+"), "").as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"tokenizer divergence: native=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
+
   test("lexical/packing/paragraph operators are partition-invariant (bit-exact)") {
     // the cross-engine-oracle claim rests on partition-independence: the same
     // input under different partitionings must produce byte-identical results
