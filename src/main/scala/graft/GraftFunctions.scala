@@ -95,6 +95,14 @@ object GraftFunctions {
     "word_shingle_rep_ratio" -> { args =>
       require(args.length == 2, "word_shingle_rep_ratio(text, n)")
       WordShinglesExpr.repRatio(args(0), intArg(args(1), "n"))
+    },
+    "graft_terms" -> { args =>
+      require(args.length == 1, "graft_terms(text)")
+      TermsExpr(args(0))
+    },
+    "graft_ordered_sum" -> { args =>
+      require(args.length == 2, "graft_ordered_sum(key, value)")
+      OrderedSumAggregate(args(0), args(1)).toAggregateExpression()
     })
 
   /** Register all functions on a live session's catalog. */

@@ -308,6 +308,14 @@ class EngineSpec extends AnyFunSuite {
         |       word_shingle_rep_ratio('spam spam spam', 2) AS r""".stripMargin).first()
     assert(q.getString(0) == "mail <EMAIL> see <URL> ref <NUM>")
     assert(q.getDouble(1) == 0.5) // bigrams: [spam spam, spam spam] → 1 - 1/2
+    // r5 kernels on the SQL surface: tokenizer + key-ordered sum aggregate
+    val t = spark.sql(
+      """SELECT graft_terms(concat('  MiXeD', char(9), 'case  WORDS ')) AS toks,
+        |       (SELECT graft_ordered_sum(k, v)
+        |        FROM VALUES ('b', 2.0D), ('a', 1.0D), ('c', 0.5D) AS p(k, v)) AS s""".stripMargin)
+      .first()
+    assert(t.getSeq[String](0) == Seq("mixed", "case", "words"))
+    assert(t.getDouble(1) == 3.5)
   }
 
   test("saltedJoin result-identical to plain join on skewed keys") {
