@@ -2,6 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Whole-process CPU seconds (user+sys, all threads incl. GC/JIT) — lets
+    * debug output split a slow run into "burned more CPU" (real extra work)
+    * vs "same CPU, longer wall" (scheduling / IO stall / lost parallelism).
+    */
+  private def procCpuSec: Double = {
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val fields = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+      val hz = 100.0 // USER_HZ: 100 on every mainstream linux
+      (fields(11).toLong + fields(12).toLong) / hz
+    } catch { case _: Throwable => 0.0 }
+  }
+
+  /** Debug-mode task accounting: tasks finished, summed executor run time,
+    * and summed in-task JVM GC time since construction — splits a slow run
+    * into "ran more task-seconds" (plan/AQE difference) vs "same tasks,
+    * CPU went elsewhere" (GC / JIT / driver overhead).
+    */
+  private final class TaskTally extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = e.taskMetrics
+      if (m != null) { runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime) }
+    }
+    def snap(): (Long, Long, Long) = (tasks.get, runMs.get, gcMs.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +70,15 @@ object Bench {
     // jittered up to 2.4x round-over-round on single runs (judge r3), which
     // buried real regressions in noise
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    // untimed per-query warmup runs (default 1, SPARK_GRAFT_WARMUP=0 to
+    // disable): every query's whole-stage-codegen classes are unique, so each
+    // query pays its own JIT warmup — debug task-tally showed the SAME 88
+    // tasks costing 41 task-sec on a query's first run vs 7 once C2 compiles
+    // the generated loops, which is a 5x swing that has nothing to do with
+    // the plan. One untimed run triggers codegen + compilation so the timed
+    // medians measure steady-state execution — the regime a 1000-executor
+    // job spending hours in the same generated code actually runs in.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(0)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // between-query GC (off with SPARK_GRAFT_GC=0): Spark frees shuffle files
     // and broadcast blocks only when ContextCleaner sees their handles get
@@ -48,26 +88,41 @@ object Bench {
     // q_bm25 15.9s in-session vs 7.8s isolated). One System.gc() per query,
     // OUTSIDE the timed window, keeps the session near isolated-run state.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0"
+    val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+    val tally = new TaskTally
+    if (debug) spark.sparkContext.addSparkListener(tally)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        (1 to warmups).foreach { _ =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        }
         val runs = (1 to iters).map { _ =>
+          val c0 = procCpuSec
+          val s0 = tally.snap()
           val t0 = System.nanoTime()
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           val sec = (System.nanoTime() - t0) / 1e9
+          val cpuSec = procCpuSec - c0
+          val s1 = tally.snap()
+          val taskStats = (s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)
           // drop this query's checkpointed/persisted blocks OUTSIDE the timed
           // window: 65 queries' worth of retained blocks otherwise accumulate
           // in the block manager and later queries pay eviction/GC stalls
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-          (sec, n)
+          (sec, n, cpuSec, taskStats)
         }
         if (gcBetween) {
           System.gc()
           Thread.sleep(50) // let ContextCleaner drain its reference queue
         }
         val med = runs.map(_._1).sorted.apply(runs.size / 2)
+        val detail = if (debug)
+          runs.map(r => f"${r._1}%.2f/${r._3}%.1fc/${r._4._1}t/${r._4._2 / 1000.0}%.1fr/${r._4._3 / 1000.0}%.1fg")
+            .mkString(" runs=[", ",", "]") else ""
         System.err.println(
-          f"[bench] $name%-24s $med%8.2fs (med of ${runs.size}) rows=${runs.head._2}")
+          f"[bench] $name%-24s $med%8.2fs (med of ${runs.size}) rows=${runs.head._2}$detail")
         name -> med
       }
     // 4-decimal (0.1 ms) per-query values: the driver parses the LAST few KB
