@@ -114,13 +114,20 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: scalar functions, the
+  * `graft_knn_join` table function, the [[graft.plans.GraftStrategy]]
+  * planner strategy, and the left-id pushdown optimizer rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    graft.plans.GraftPlans.tableFunctions.foreach(ext.injectTableFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughSemanticTopKJoin)
+  }
 }

@@ -131,6 +131,21 @@ object SparkEntry {
         .orderBy(col("left_id"), col("rnk"))
     }),
 
+    // The Catalyst-native SQL surface for the same operator: `graft_knn_join`
+    // table function → SemanticTopKJoin logical node → GraftStrategy →
+    // broadcast physical exec (plans/SemanticTopKJoin*.scala). Same oracle as
+    // q_knn_join — proves the planned path is value-identical to the
+    // DataFrame composition through the full SQL → analyze → optimize →
+    // execute stack.
+    "q_knn_sql" -> ((s, dir) => {
+      ld(s, dir, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
+      graft.plans.GraftPlans.install(s)
+      s.sql("""SELECT left_id, right_id, score, CAST(rank AS BIGINT) AS rnk
+              |FROM graft_knn_join('graft_sql_embeddings', 'graft_sql_embeddings',
+              |  'vec_id', 'embedding', 'vec_id', 'embedding', 3, true)
+              |ORDER BY left_id, rnk""".stripMargin)
+    }),
+
     "q_merge_1nn" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       SemanticJoin.knnJoinVec(
@@ -1001,6 +1016,16 @@ object SparkEntry {
         |ORDER BY mode, doc_id""".stripMargin,
 
     "q_knn_join" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT left_id, right_id, score,
+         |  row_number() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rnk FROM s)
+         |SELECT left_id, right_id, score, rnk FROM r WHERE rnk <= 3
+         |ORDER BY left_id, rnk""".stripMargin,
+
+    // same contract as q_knn_join: the planned/TVF path must be value-identical
+    "q_knn_sql" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
          |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),

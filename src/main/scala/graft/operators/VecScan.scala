@@ -36,7 +36,7 @@ object VecScan {
   def maxBroadcastBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(MaxBroadcastBytesKey).map(_.toLong).getOrElse(DefaultMaxBroadcastBytes)
 
-  private[operators] final case class Mat(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
+  private[graft] final case class Mat(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
 
   private def collectMat(df: DataFrame, idCol: String, vecCol: String): Mat = {
     val spark = df.sparkSession
@@ -56,7 +56,7 @@ object VecScan {
     Mat(ids, vecs, norms)
   }
 
-  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[graft] def dot(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0
     var i = 0
@@ -65,7 +65,7 @@ object VecScan {
   }
 
   /** Same clamp as VectorOps.cosine: least(greatest(d/(na*nb), -1), 1). */
-  @inline private def cosine(d: Double, na: Double, nb: Double): Double =
+  @inline private[graft] def cosine(d: Double, na: Double, nb: Double): Double =
     math.min(math.max(d / (na * nb), -1.0), 1.0)
 
   /** True if the right side is small enough (rows × dim × 8 bytes). One job:

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.SemanticJoin
+import graft.plans.{GraftPlans, SemanticTopKJoin, SemanticTopKJoinExec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst-native semantic join: logical node → strategy → physical
+  * broadcast exec, the SQL table function, and the left-id pushdown rule.
+  */
+class PlansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def vecs(n: Int, dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    // deterministic, varied directions; a few exact ties via duplicates
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim)(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def collectSorted(df: DataFrame): Seq[(Long, Long, Double, Int)] = {
+    import spark.implicits._
+    df.select(col("left_id"), col("right_id"), col("score"), col("rank").cast("int"))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+  }
+
+  test("planned knn join is bit-identical to knnJoinVec") {
+    val e = vecs(120)
+    val a = collectSorted(SemanticJoin.knnJoinVec(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3, excludeSelf = true))
+    val b = collectSorted(GraftPlans.knnJoin(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3, excludeSelf = true))
+    assert(a.size == b.size && a.size == 360)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && x._4 == y._4)
+      assert(java.lang.Double.doubleToLongBits(x._3) == java.lang.Double.doubleToLongBits(y._3),
+        s"score mismatch at ${x._1}/${x._4}")
+    }
+  }
+
+  test("physical plan: custom exec over a broadcast exchange, no shuffle") {
+    val e = vecs(50)
+    val planned = GraftPlans.knnJoin(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 2)
+    val phys = planned.queryExecution.executedPlan.toString
+    assert(phys.contains("SemanticTopKJoin"), phys)
+    assert(phys.contains("BroadcastExchange"), phys)
+    assert(!phys.contains("ShuffleExchange"), phys)
+  }
+
+  test("SQL table function graft_knn_join over temp views") {
+    val e = vecs(80)
+    e.createOrReplaceTempView("plans_spec_emb")
+    GraftPlans.install(spark)
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_knn_join('plans_spec_emb', 'plans_spec_emb',
+        |  'vec_id', 'embedding', 'vec_id', 'embedding', 3, true)""".stripMargin)
+    val direct = SemanticJoin.knnJoinVec(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3, excludeSelf = true)
+    assert(collectSorted(viaSql) == collectSorted(direct))
+  }
+
+  test("left_id predicate is pushed below the join; score predicate is not") {
+    val e = vecs(100)
+    val planned = GraftPlans.knnJoin(e, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 2, excludeSelf = true)
+      .filter(col("left_id") < 10 && col("score") > -2.0)
+    val opt = planned.queryExecution.optimizedPlan
+    // the join node's left child must carry the pushed filter
+    val joinNode = opt.collectFirst { case j: SemanticTopKJoin => j }
+    assert(joinNode.isDefined, opt.toString)
+    assert(joinNode.get.left.toString.contains("vec_id"), joinNode.get.left.toString)
+    assert(joinNode.get.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isDefined,
+      s"expected pushed filter below join:\n$opt")
+    // and the result is the filtered subset of the unpushed result
+    val expected = collectSorted(SemanticJoin.knnJoinVec(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 2, excludeSelf = true).filter(col("left_id") < 10))
+    assert(collectSorted(planned) == expected)
+  }
+
+  test("pushed left_id predicate reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plans_spec").toString
+    vecs(60).write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val e = spark.read.parquet(s"$dir/emb.parquet")
+    val planned = GraftPlans.knnJoin(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 2)
+      .filter(col("left_id") <= 5)
+    val formatted = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [LessThanOrEqual(vec_id,5)]"), formatted)
+    assert(formatted.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), formatted)
+    assert(collectSorted(planned).forall(_._1 <= 5))
+    assert(collectSorted(planned).map(_._1).distinct.size == 6)
+  }
+
+  test("unresolvable column or bad type fails analysis") {
+    val e = vecs(10)
+    intercept[Exception] {
+      GraftPlans.knnJoin(e, "nope", "embedding", e, "vec_id", "embedding", k = 1).collect()
+    }
+    intercept[Exception] {
+      // id column where a vector is expected → unresolved node
+      GraftPlans.knnJoin(e, "vec_id", "vec_id", e, "vec_id", "embedding", k = 1).collect()
+    }
+  }
+
+  test("planned join is partition-invariant") {
+    val e = vecs(90)
+    val one = collectSorted(GraftPlans.knnJoin(e.coalesce(1), "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3, excludeSelf = true))
+    val many = collectSorted(GraftPlans.knnJoin(e.repartition(7), "vec_id", "embedding",
+      e.repartition(5), "vec_id", "embedding", k = 3, excludeSelf = true))
+    assert(one == many)
+  }
+
+  test("self-join via the TVF keeps both sides independently bound") {
+    // regression guard for the duplicate-exprId self-join hazard: both sides
+    // read the SAME view; by-name binding must keep left/right separate
+    val e = vecs(40)
+    e.createOrReplaceTempView("plans_spec_self")
+    GraftPlans.install(spark)
+    val out = spark.sql(
+      """SELECT * FROM graft_knn_join('plans_spec_self', 'plans_spec_self',
+        |  'vec_id', 'embedding', 'vec_id', 'embedding', 1, false)""".stripMargin)
+    val rows = collectSorted(out)
+    assert(rows.size == 40)
+    // without excludeSelf, every row's 1-NN is itself at score 1.0
+    assert(rows.forall(r => r._1 == r._2 && math.abs(r._3 - 1.0) < 1e-12))
+  }
+}
