@@ -4,7 +4,7 @@ import graft.embed.HashEmbedder
 import graft.functions.VectorOps._
 import graft.llm.Llm
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,21 @@ object SparkEntry {
 
   private def ld(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Deterministic prose structure for the corpus-gate queries: the synthetic
+    * documents are single-line punctuation-free word soup, so sentence ends
+    * ('line.'/'query!'), ellipses ('slow...'), and line breaks (after [.!]
+    * + space) are derived from frequent corpus words — identical 4-step
+    * transform in the DuckDB oracles (RE2 `\1` for Java `$1`).
+    */
+  private def derivedProse(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "\\bline\\b", "line."),
+          "\\bquery\\b", "query!"),
+        "\\bslow\\b", "slow..."),
+      "([.!]) ", "$1\n")
 
   private val embedder = new HashEmbedder(64)
 
@@ -255,6 +270,32 @@ object SparkEntry {
       TextAnalysis.qualityScore(ld(s, dir, "documents"), "text")
         .select("doc_id", "q_n_tokens", "q_mean_word_len", "q_punct_ratio",
           "q_stopword_ratio", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher document-quality gates (published thresholds) over the corpus.
+    // The synthetic corpus is single-line, punctuation-free word soup, so
+    // sentence punctuation and line structure are derived DETERMINISTICALLY
+    // from frequent corpus words (same 4-step transform in the oracle) —
+    // every gate then fires on real variation; crafted-input rule coverage
+    // (bullets, javascript/lorem lines, braces) lives in EngineSpec.
+    "q_gopher_gates" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        derivedProse(col("text")).as("text"))
+      CorpusGates.gopherGates(docs, "text")
+        .select("doc_id", "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+          "g_bullet_line_frac", "g_ellipsis_line_frac", "g_alpha_word_frac",
+          "g_stop_hits", "g_dup_line_frac", "gopher_pass")
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 line-level cleaning over the same derived lines: kept-line counts,
+    // the cleaned text itself, and the >=3-sentences page gate.
+    "q_c4_clean" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        derivedProse(col("text")).as("text"))
+      CorpusGates.c4Clean(docs, "text")
+        .select("doc_id", "c4_total_lines", "c4_kept_lines", "c4_keep", "c4_text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1154,6 +1195,79 @@ object SparkEntry {
         |    + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
         |    + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // explicit ws class = Java \s (RE2 \s lacks \x0b) — repo oracle convention
+    "q_gopher_gates" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\bline\b', 'line.', 'g'), '\bquery\b', 'query!', 'g'), '\bslow\b', 'slow...', 'g'),
+        |    '([.!]) ', '\1' || chr(10), 'g') AS text FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS ws,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |  FROM base),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS g_n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS word_chars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS sym_cnt,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '•') OR starts_with(l, '-') OR starts_with(l, '*'))) AS BIGINT) AS bullet_cnt,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ell_cnt,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+        |    CAST(list_contains(list_transform(ws, w -> lower(w)), 'the') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'be') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'to') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'of') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'and') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'that') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'have') AS INT)
+        |      + CAST(list_contains(list_transform(ws, w -> lower(w)), 'with') AS INT) AS stop_hits,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_cnt
+        |  FROM b2),
+        |r AS (
+        |  SELECT doc_id, g_n_words,
+        |    CASE WHEN g_n_words > 0 THEN CAST(word_chars AS DOUBLE) / CAST(g_n_words AS DOUBLE) ELSE 0.0 END AS g_mean_word_len,
+        |    CASE WHEN g_n_words > 0 THEN CAST(sym_cnt AS DOUBLE) / CAST(g_n_words AS DOUBLE) ELSE 0.0 END AS g_symbol_ratio,
+        |    CASE WHEN n_lines > 0 THEN CAST(bullet_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS g_bullet_line_frac,
+        |    CASE WHEN n_lines > 0 THEN CAST(ell_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS g_ellipsis_line_frac,
+        |    CASE WHEN g_n_words > 0 THEN CAST(alpha_cnt AS DOUBLE) / CAST(g_n_words AS DOUBLE) ELSE 0.0 END AS g_alpha_word_frac,
+        |    CAST(stop_hits AS BIGINT) AS g_stop_hits,
+        |    CASE WHEN n_lines > 0 THEN CAST(dup_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS g_dup_line_frac
+        |  FROM m)
+        |SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_line_frac,
+        |  g_ellipsis_line_frac, g_alpha_word_frac, g_stop_hits, g_dup_line_frac,
+        |  (g_n_words BETWEEN 50 AND 100000) AND (g_mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND g_symbol_ratio <= 0.1 AND g_bullet_line_frac <= 0.9
+        |    AND g_ellipsis_line_frac <= 0.3 AND g_alpha_word_frac >= 0.8
+        |    AND g_stop_hits >= 2 AND g_dup_line_frac <= 0.3 AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\bline\b', 'line.', 'g'), '\bquery\b', 'query!', 'g'), '\bslow\b', 'slow...', 'g'),
+        |    '([.!]) ', '\1' || chr(10), 'g') AS text FROM documents),
+        |b2 AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |  FROM base),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?"'']$')
+        |      AND len(list_filter(string_split_regex(l, '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS kept
+        |  FROM b2)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS c4_total_lines,
+        |  CAST(len(kept) AS BIGINT) AS c4_kept_lines,
+        |  len(kept) >= 3 AS c4_keep,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS c4_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

@@ -1478,4 +1478,46 @@ class EngineSpec extends AnyFunSuite {
     val plan = Dedup.spanDupStats(df, "id", "txt", 3).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("window"))
   }
+
+  test("gopher gates: every rule fires on crafted inputs") {
+    import spark.implicits._
+    val good = (("the be of and that with data " * 10).trim + ".")  // 71 words, all gates pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),                                             // word-count floor
+      (3L, ("a " * 60).trim),                                       // mean word len < 3, no stop hits
+      (4L, ("the be ### ## # " * 20).trim),                         // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- bullet $i the be").mkString("\n")),     // bullets > 0.9
+      (6L, (1 to 10).map(i => s"line $i trails the be...").mkString("\n")), // ellipsis > 0.3
+      (7L, ("42 17 99 3 8 " * 20).trim + " the be"),                // alpha-word frac < 0.8
+      (8L, Seq.fill(10)("the same line be here").mkString("\n")))   // dup lines > 0.3
+      .toDF("doc_id", "txt")
+    val out = CorpusGates.gopherGates(docs, "txt", minWords = 5)
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "clean doc must pass")
+    (2L to 8L).foreach(id => assert(!out(id), s"doc $id must fail its gate"))
+  }
+
+  test("c4 cleaning: line rules on crafted inputs") {
+    import spark.implicits._
+    val text = Seq(
+      "This line survives the filter.",        // kept
+      "Short one.",                            // < 3 words → dropped
+      "no terminal punctuation here",          // dropped
+      "Enable javascript to continue please.", // dropped (javascript)
+      "Lorem Ipsum dolor sit amet etc.",       // dropped (lorem ipsum)
+      "function f() { return 1; }",            // dropped (brace + no terminal punct)
+      "Another good sentence stays here!",     // kept
+      "And a third keeps the page?").mkString("\n") // kept → 3 kept = page keep
+    val out = CorpusGates.c4Clean(Seq((1L, text)).toDF("doc_id", "txt"), "txt")
+      .select("c4_total_lines", "c4_kept_lines", "c4_keep", "c4_text").head()
+    assert(out.getLong(0) == 8 && out.getLong(1) == 3 && out.getBoolean(2))
+    assert(out.getString(3) ==
+      "This line survives the filter.\nAnother good sentence stays here!\nAnd a third keeps the page?")
+    // empty doc: zero lines, keep=false, empty cleaned text
+    val empty = CorpusGates.c4Clean(Seq((1L, "")).toDF("doc_id", "txt"), "txt")
+      .select("c4_total_lines", "c4_kept_lines", "c4_keep", "c4_text").head()
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 && !empty.getBoolean(2)
+      && empty.getString(3) == "")
+  }
 }
