@@ -127,7 +127,9 @@ object Lexical {
         count(lit(1)).cast("double").as("n_docs"),
         avg(size(terms(col(docText))).cast("double")).as("avgdl"))
     }
-    scoreAndTopK(tf, qterms, stats, k, k1, b)
+    // one-row collect — same driver traffic as the broadcast it replaces
+    val sr = stats.head()
+    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b)
   }
 
   /** Build a persistent BM25 inverted index: `(postings, stats)` where
@@ -155,7 +157,17 @@ object Lexical {
     * modulus travels WITH the layout because pruning with a mismatched
     * modulus would silently drop valid postings.
     */
-  final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int)
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int) {
+    /** The one-row corpus stats collected ONCE per open and reused by every
+      * search — a per-search `crossJoin(broadcast(stats))` re-ran the stats
+      * scan as its own job each time, which is pure overhead in the
+      * many-searches regime this index exists for.
+      */
+    lazy val statsRow: (Double, Double) = {
+      val r = stats.select(col("n_docs"), col("avgdl")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+  }
 
   /** Persist a [[bm25BuildIndex]] index: postings land term-hash-bucketed as
     * `nBuckets` parquet partitions so a search reads only the buckets its
@@ -167,7 +179,16 @@ object Lexical {
   def bm25WriteIndex(
       postings: DataFrame, stats: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    postings
+    // bake per-term document frequency into the persisted postings (what a
+    // real inverted index stores): df is a corpus stat, so paying one
+    // term-keyed aggregate+join at BUILD time deletes the df aggregate, its
+    // broadcast, and the tf re-use checkpoint from EVERY search — the regime
+    // this layout exists for. Values are identical to the search-side
+    // computation it replaces (every doc containing a term is present in the
+    // full postings). AQE picks the join: dfc is vocabulary-sized, broadcast
+    // at bench scale, shuffle join on a 100 TB corpus.
+    val dfc = postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    postings.join(dfc, Seq("term"))
       .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       // cluster rows by bucket before the partitioned write: without this,
       // every upstream task opens a writer per bucket it touches (tasks ×
@@ -213,21 +234,43 @@ object Lexical {
       k: Int, k1: Double, b: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     requireIntegralId(queries, queryId, "queries")
-    val qterms = queries.select(
+    val spark = queries.sparkSession
+    // ONE action collects the exploded (query_id, term) pairs — bounded by
+    // the QUERY side, which is small by this operator's regime contract
+    // (queries ≪ corpus), and no more driver traffic than before: the
+    // scoring join's `broadcast(qterms)` shipped the same rows through the
+    // driver anyway. Everything query-sided then becomes a LocalRelation —
+    // no checkpoint job, no distinct shuffle, no re-scan of the query input
+    // — which matters in the regime this index exists for: many small
+    // searches, each dominated by fixed job overhead, not data.
+    val qtRows = queries.select(
         col(queryId).cast("long").as("query_id"),
         explode(array_distinct(terms(col(queryText)))).as("term"))
-      .localCheckpoint(false)
-    val qset = qterms.select("term").distinct()
-    val qb = qset
-      .select(pmod(xxhash64(col("term")), lit(index.nBuckets)).cast("int").as("__bkt"))
-      .distinct().collect().map(_.getInt(0))
-    val pruned = index.postings.filter(col("__bkt").isin(qb.toSeq: _*)).drop("__bkt")
-    // pin the query-restricted tf exactly like the ad-hoc path: scoreAndTopK
-    // consumes it from two subtrees (the df(t) aggregate and the scoring
-    // join), which would otherwise re-run the pruned scan + vocabulary join
-    // per subtree (measured r5: the scan stage ran 2-3x per search)
-    val tf = pruned.join(broadcast(qset), Seq("term")).localCheckpoint(false)
-    scoreAndTopK(tf, qterms, index.stats, k, k1, b)
+      .collect()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val qterms = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*),
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("term", StringType, nullable = true))))
+    val distinctTerms = qtRows.map(_.getString(1)).distinct
+    // bucket via the SAME Catalyst xxhash64 the writer used (evaluated
+    // driver-side, seed and all): pruning with a reimplemented hash that
+    // drifted would silently drop valid postings
+    val qb = distinctTerms.map { t =>
+      // seed 42L = what the SQL `xxhash64(...)` function constructs
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType)),
+        42L).eval(null).asInstanceOf[Long]
+      (((h % index.nBuckets) + index.nBuckets) % index.nBuckets).toInt
+    }.distinct.toSeq
+    val pruned = index.postings.filter(col("__bkt").isin(qb: _*)).drop("__bkt")
+    // no checkpoint and no separate vocabulary semi-join here: with df baked
+    // into the index, scoreAndTopK consumes the pruned scan exactly ONCE —
+    // its broadcast join against the local-relation qterms both restricts to
+    // the query vocabulary and attaches query_id in the same operator
+    val (nDocs, avgdl) = index.statsRow
+    scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b)
   }
 
   /** [[bm25SearchIndex]] over a persisted index with default BM25 params. */
@@ -251,7 +294,8 @@ object Lexical {
         explode(array_distinct(terms(col(queryText)))).as("term"))
       .localCheckpoint(false)
     val tf = postings.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-    scoreAndTopK(tf, qterms, stats, k, k1, b)
+    val sr = stats.head()
+    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b)
   }
 
   /** Shared BM25 scoring tail over a query-vocabulary-restricted tf table:
@@ -260,24 +304,49 @@ object Lexical {
     * sorted-term-order score fold (bit-reproducible), bounded top-k.
     */
   private def scoreAndTopK(
-      tf: DataFrame, qterms: DataFrame, stats: DataFrame,
+      tf: DataFrame, qterms: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double): DataFrame = {
-    val dfCounts = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfCounts), Seq("term"))
-      .crossJoin(broadcast(stats))
+    // tf may already carry per-term df (the persisted-index path bakes it in
+    // at build time); otherwise compute it from the restricted postings —
+    // same values, since for every query term ALL docs containing it are
+    // present in tf
+    val withDf =
+      if (tf.columns.contains("df")) tf
+      else {
+        val dfCounts = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfCounts), Seq("term"))
+      }
+    // contrib(d,t) does not depend on the query, so evaluate it per POSTING
+    // and only then fan out with the query join: joining qterms first
+    // multiplied every posting by the queries sharing its term and ran the
+    // log()/division chain once per COPY (measured sf0.1: 116k postings →
+    // ~1M contrib evals with 10 queries). Same expressions on the same
+    // columns — scores bit-identical
+    val contrib = withDf
       .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("contrib",
         col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .select("doc_id", "term", "contrib")
+      .join(broadcast(qterms), Seq("term"))
     // fold the per-pair sum in sorted term order: partition-invariant and
     // bit-identical across engines (a plain sum(double) is accumulation-order
     // dependent). Native OrderedSumAggregate, not collect_list → sort_array →
     // aggregate(...): the HOF fold ran interpreted and the struct-per-row
-    // partial agg dominated the scoring stage's CPU (r5, sf0.1)
-    val scored = contrib.groupBy("query_id", "doc_id")
+    // partial agg dominated the scoring stage's CPU (r5, sf0.1).
+    // The explicit group-key repartition BEFORE the aggregate is deliberate:
+    // orderedSum is a collect-style aggregate, so its map-side partial phase
+    // reduces nothing — it just builds and reserializes the same pairs at
+    // the SCAN's parallelism (13 file-bound tasks at sf0.1, measured 4.1
+    // task-sec). Shuffling the raw codegen rows first lets the whole
+    // build+merge+fold run in one stage at the session's shuffle
+    // parallelism; the explicit partition count keeps AQE's 64 MB advisory
+    // target from coalescing a CPU-dense aggregate onto one core.
+    val scored = contrib
+      .repartition(tf.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"), col("doc_id"))
+      .groupBy("query_id", "doc_id")
       .agg(graft.functions.VecExpressions
         .orderedSum(col("term"), col("contrib")).as("score"))
     scored.groupBy("query_id")

@@ -73,7 +73,10 @@ case class SemanticTopKJoin(
     find(right, rightIdCol).exists(a => idOk(a.dataType)) &&
     find(right, rightVecCol).exists(a => vecOk(a.dataType))
 
-  override def maxRows: Option[Long] = left.maxRows.map(_ * k)
+  // saturating multiply: a huge left estimate times k must not wrap negative
+  // and mislead limit-elimination rules that trust maxRows
+  override def maxRows: Option[Long] =
+    left.maxRows.map(m => if (m > Long.MaxValue / k) Long.MaxValue else m * k)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): SemanticTopKJoin =
@@ -100,8 +103,14 @@ object SemanticTopKJoin {
 private[plans] object MatCache {
   private val cache = new java.util.WeakHashMap[AnyRef, VecScan.Mat]
 
+  // One lock for the whole cache, not per broadcast-array key: WeakHashMap
+  // mutates internally even on get() (stale-entry expunge), so two tasks
+  // unpacking DIFFERENT broadcasts under per-key locks would still race the
+  // shared table (lost entries / corrupted resize / a spinning reader).
+  // Coarse locking is cheap here — a build happens once per broadcast per
+  // executor and a hit is a hash probe.
   def get(rows: Array[InternalRow], idOrd: Int, idType: DataType,
-      vecOrd: Int, vecElemType: DataType): VecScan.Mat = rows.synchronized {
+      vecOrd: Int, vecElemType: DataType): VecScan.Mat = cache.synchronized {
     val hit = cache.get(rows)
     if (hit != null) hit
     else {
