@@ -553,6 +553,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Real-decode audio pipeline, hash-checked WITHOUT an oracle-side audio
+    // library (the q_image_decode move applied to sound): each doc_id becomes
+    // a deterministic 16-bit PCM mono WAV whose samples are the integer
+    // sawtooth ((2469*id + 303*i) mod 65536) - 32768 (Multimodal
+    // .encodeTestTone), then javax.sound.sampled DECODES the actual WAV
+    // bytes (container meta + every sample) and 4-window RMS features
+    // average real sample energy. The DuckDB oracle recomputes everything
+    // from the closed form — any header/endianness/sample-decode bug breaks
+    // the hash.
+    "q_audio_decode" -> ((s, dir) => {
+      val ids = ld(s, dir, "documents").select("doc_id")
+      val wavs = Multimodal.encodeTestTone(ids, "doc_id", sampleRate = 8000, nSamples = 256)
+      val dec = Multimodal.decodeAudio(wavs, "wav", "meta")
+      val feats = Multimodal.audioWindowFeatures(dec, "wav", n = 4, "rms")
+      feats.select(
+          col("doc_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.peak").as("peak"),
+          col("meta.sum_abs").as("sum_abs"),
+          round(element_at(col("rms"), 1), 6).as("rms_w0"),
+          round(element_at(col("rms"), 2), 6).as("rms_w1"),
+          round(element_at(col("rms"), 3), 6).as("rms_w2"),
+          round(element_at(col("rms"), 4), 6).as("rms_w3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_event_window" -> ((s, dir) => {
       // batch execution of the streaming windowed-agg operator (watermark is a
       // no-op in batch; identical plan shape to the readStream path). The
@@ -1527,6 +1555,26 @@ object SparkEntry {
         |  round(sum(CASE WHEN x < 8 AND y >= 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q10,
         |  round(sum(CASE WHEN x >= 8 AND y >= 6 THEN r+g+b ELSE 0 END) / (3.0*48), 6) AS f_q11
         |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Closed-form recomputation of the REAL javax.sound.sampled pipeline:
+    // sample i of clip id is ((2469*id + 303*i) mod 65536) - 32768 over 256
+    // mono frames at 8 kHz (Multimodal.encodeTestTone; PCM WAV is lossless
+    // so decode must reproduce them); window w covers samples [64w, 64w+64);
+    // RMS doubles match bitwise because the squared sums are integer-exact
+    // and IEEE division/sqrt are correctly rounded (rounded to 6 anyway).
+    "q_audio_decode" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, i.range AS i,
+        |    (2469 * d.doc_id + 303 * i.range) % 65536 - 32768 AS s
+        |  FROM documents d CROSS JOIN range(256) i)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(256 AS BIGINT) AS n_frames,
+        |  CAST(max(abs(s)) AS INTEGER) AS peak, CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  round(sqrt(sum(CASE WHEN i < 64 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w0,
+        |  round(sqrt(sum(CASE WHEN i >= 64 AND i < 128 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w1,
+        |  round(sqrt(sum(CASE WHEN i >= 128 AND i < 192 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w2,
+        |  round(sqrt(sum(CASE WHEN i >= 192 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w3
+        |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)

@@ -12,8 +12,12 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/BMP/GIF readers ship with the JRE — no external media libs
   * needed), so [[decodeImage]], [[resizeImageNearest]] and
   * [[imageGridFeatures]] operate on actual pixels and are hash-checked
-  * against a closed-form oracle (q_image_decode). Audio/video readers do NOT
-  * ship with the JDK, so their codec step stays a clearly-marked
+  * against a closed-form oracle (q_image_decode). AUDIO decodes for real
+  * too: [[AudioCodec]] wraps `javax.sound.sampled` (WAV/PCM readers also
+  * ship with every JRE), so [[decodeAudio]] and [[audioWindowFeatures]]
+  * operate on actual samples and are hash-checked the same way
+  * (q_audio_decode, closed-form sawtooth fixture). Video readers do NOT
+  * ship with the JDK, so that codec step stays a clearly-marked
   * DETERMINISTIC STUB ([[MediaCodec.decodeStub]], byte-level container
   * sniff) behind the same batch shape — swapping in a real decoder replaces
   * only that function.
@@ -105,6 +109,183 @@ object Multimodal {
       }
       Decoded(w2, h2, out)
     }
+  }
+
+  /** REAL audio codec over `javax.sound.sampled` (JDK built-in WAV/AU/AIFF
+    * readers — PCM WAV is in every JRE). Samples are normalized to signed
+    * Ints (16-bit as-is, 8-bit unsigned recentered by −128), interleaved
+    * across channels in frame order, so sample arithmetic downstream is
+    * integer-exact regardless of the container's byte order.
+    */
+  object AudioCodec extends Serializable {
+    import javax.sound.sampled._
+
+    final case class Decoded(
+        sampleRate: Int, channels: Int, frames: Long, samples: Array[Int])
+
+    /** None for null/empty/non-audio payloads and for encodings other than
+      * integer PCM (the JRE can report ULAW/ALAW/float frames; supporting
+      * exactly 8/16-bit PCM keeps every returned sample bit-faithful).
+      */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val ok = (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+            f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (f.getSampleSizeInBits == 16 || f.getSampleSizeInBits == 8)
+          if (!ok) None
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPerSample = f.getSampleSizeInBits / 8
+            val n = raw.length / bytesPerSample
+            val out = new Array[Int](n)
+            var i = 0
+            if (bytesPerSample == 1) {
+              val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+              while (i < n) {
+                out(i) = if (unsigned) (raw(i) & 0xff) - 128 else raw(i).toInt
+                i += 1
+              }
+            } else {
+              val big = f.isBigEndian
+              while (i < n) {
+                val b0 = raw(2 * i); val b1 = raw(2 * i + 1)
+                out(i) = if (big) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
+                i += 1
+              }
+            }
+            Some(Decoded(f.getSampleRate.round, f.getChannels,
+              n.toLong / f.getChannels, out))
+          }
+        } finally ais.close()
+      } catch { case _: UnsupportedAudioFileException | _: java.io.IOException => None }
+    }
+
+    /** Lossless 16-bit signed little-endian PCM mono WAV of `sample(i)`
+      * values (callers must keep them in [-32768, 32767]).
+      */
+    def encodeWav(sampleRate: Int, n: Int, sample: Int => Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(i)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out) finally ais.close()
+      out.toByteArray
+    }
+  }
+
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /** Decode a binary audio column for real and append
+    * `(sample_rate, channels, n_frames, peak, sum_abs)` — container facts
+    * plus max |sample| and Σ|sample| over all interleaved samples, the
+    * properties a closed-form oracle can recompute without an audio library.
+    * Null/undecodable payloads get a zero struct (sample_rate = 0 flags
+    * them). Whole-partition pass, same shape as [[decodeImage]].
+    */
+  def decodeAudio(df: DataFrame, binCol: String, outCol: String = "audio_meta"): DataFrame = {
+    val outSchema = df.schema.add(outCol, AudioMetaSchema, nullable = false)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = AudioCodec.decode(row.getAs[Array[Byte]](binIdx)) match {
+          case None => Row(0, 0, 0L, 0, 0L)
+          case Some(d) =>
+            var peak = 0; var sumAbs = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              val a = math.abs(d.samples(i))
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            Row(d.sampleRate, d.channels, d.frames, peak, sumAbs)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Real sample features: `n` per-window RMS values over the decoded
+    * interleaved samples — the classic audio energy profile, closed-form
+    * checkable. Sample i belongs to window `i*n/total` (the [[imageGridFeatures]]
+    * cell convention); RMS = sqrt(Σs²/count) — the integer sum is exact and
+    * IEEE sqrt is correctly rounded, so any engine reproduces the doubles
+    * bit-for-bit. Undecodable payloads yield an all-zero vector so media
+    * rows never drop out of downstream similarity joins.
+    */
+  def audioWindowFeatures(
+      df: DataFrame, binCol: String, n: Int,
+      outCol: String = "audio_features"): DataFrame = {
+    require(n >= 1, s"need a positive window count, got $n")
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType, containsNull = false), nullable = false)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val feats = AudioCodec.decode(row.getAs[Array[Byte]](binIdx)) match {
+          case None => Array.fill(n)(0.0)
+          case Some(d) =>
+            val sums = new Array[Long](n)
+            val counts = new Array[Long](n)
+            val total = d.samples.length
+            var i = 0
+            while (i < total) {
+              val w = (i.toLong * n / total).toInt
+              val s = d.samples(i).toLong
+              sums(w) += s * s
+              counts(w) += 1
+              i += 1
+            }
+            Array.tabulate(n)(w =>
+              if (counts(w) == 0) 0.0 else math.sqrt(sums(w).toDouble / counts(w)))
+        }
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic "test tone" WAV per id: sample `i` of clip `id`
+    * is the sawtooth `((2469·id + 303·i) mod 65536) − 32768` — integer-exact
+    * closed form (no trig, so a SQL oracle recomputes it without float
+    * parity concerns), full 16-bit swing, different phase per id. PCM WAV is
+    * lossless, so decode must reproduce exactly these values. Fixture
+    * generator for the hash-checked audio queries and specs, mirroring
+    * [[encodeTestCard]].
+    */
+  def encodeTestTone(
+      df: DataFrame, idCol: String, sampleRate: Int, nSamples: Int,
+      outCol: String = "wav"): DataFrame = {
+    require(sampleRate > 0 && nSamples > 0,
+      s"need positive rate/length, got $sampleRate/$nSamples")
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val wav = AudioCodec.encodeWav(sampleRate, nSamples, i =>
+          java.lang.Math.floorMod(2469L * id + 303L * i, 65536L).toInt - 32768)
+        Row.fromSeq(row.toSeq :+ wav)
+      }
+    }(enc)
   }
 
   val ImageMetaSchema: StructType = StructType(Seq(

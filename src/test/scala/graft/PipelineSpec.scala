@@ -440,6 +440,53 @@ class PipelineSpec extends AnyFunSuite {
       .select("resized").first().get(0) == null)
   }
 
+  test("AudioCodec: WAV round-trip is sample-exact; window RMS; undecodable -> zeros") {
+    import spark.implicits._
+    import graft.operators.Multimodal.AudioCodec
+    // direct codec round-trip: arbitrary 16-bit pattern (incl. extremes)
+    // survives encode+decode
+    val pat = (i: Int) => Seq(-32768, 32767, 0, -1, 12345, -9876)(i % 6)
+    val wav = AudioCodec.encodeWav(sampleRate = 8000, n = 48, pat)
+    val d = AudioCodec.decode(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.frames == 48L)
+    (0 until 48).foreach(i => assert(d.samples(i) == pat(i), s"sample $i"))
+
+    // DataFrame plumbing: test tone decode matches the closed form
+    val ids = Seq(0L, 3L).toDF("doc_id")
+    val wavs = Multimodal.encodeTestTone(ids, "doc_id", sampleRate = 8000, nSamples = 64)
+    def tone(id: Long, i: Int): Long = (2469L * id + 303L * i) % 65536L - 32768L
+    val meta = Multimodal.decodeAudio(wavs, "wav").select("doc_id", "audio_meta.*")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3), r.getLong(5)))).toMap
+    def sumAbs(id: Long) = (0 until 64).map(i => math.abs(tone(id, i))).sum
+    assert(meta(0L) == ((8000, 64L, sumAbs(0))))
+    assert(meta(3L) == ((8000, 64L, sumAbs(3))))
+    // window RMS = sqrt of the integer-exact squared sum / count
+    val rms = Multimodal.audioWindowFeatures(wavs, "wav", n = 2)
+      .filter($"doc_id" === 3L).select("audio_features").first().getSeq[Double](0)
+    def expRms(id: Long, lo: Int, hi: Int) =
+      math.sqrt((lo until hi).map(i => { val s = tone(id, i); s * s }).sum.toDouble / (hi - lo))
+    assert(rms == Seq(expRms(3, 0, 32), expRms(3, 32, 64)))
+
+    // 8-bit unsigned PCM decodes recentered; garbage payloads get the zero
+    // struct / zero features, not an exception
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 4000f, 8, 1, 1, 4000f, false)
+    val raw8 = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, 4L)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val d8 = AudioCodec.decode(out8.toByteArray).get
+    assert(d8.samples.toSeq == Seq(-128, -1, 0, 127))
+
+    val junk = Seq((1L, "not audio".getBytes("UTF-8"))).toDF("id", "wav")
+    val jm = Multimodal.decodeAudio(junk, "wav").select("audio_meta.*").first()
+    assert(jm.getInt(0) == 0 && jm.getLong(2) == 0L)
+    assert(Multimodal.audioWindowFeatures(junk, "wav", 3)
+      .select("audio_features").first().getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
+  }
+
   // ------------------------------------------------------------------ Streaming
 
   test("windowedEventCounts over a memory stream matches batch result") {
