@@ -128,6 +128,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     graft.plans.GraftPlans.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughSemanticTopKJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughSemanticVecJoin)
   }
 }

@@ -218,6 +218,21 @@ object SparkEntry {
         .orderBy(col("left_id"), desc_nulls_last("score"), col("right_id"))
     }),
 
+    // The Catalyst-native SQL surface for merge_range: `graft_range_join`
+    // table function → SemanticRangeJoin logical node → GraftStrategy →
+    // broadcast physical exec with in-scan left-outer null extension
+    // (plans/SemanticRangeJoin.scala). Same oracle as q_range_join — proves
+    // the planned θ-join is value-identical to the DataFrame composition
+    // through the full SQL → analyze → optimize → execute stack.
+    "q_range_sql" -> ((s, dir) => {
+      ld(s, dir, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
+      graft.plans.GraftPlans.install(s)
+      s.sql("""SELECT left_id, right_id, score
+              |FROM graft_range_join('graft_sql_embeddings', 'graft_sql_embeddings',
+              |  'vec_id', 'embedding', 'vec_id', 'embedding', 0.3, true, true)
+              |ORDER BY left_id, score DESC NULLS LAST, right_id""".stripMargin)
+    }),
+
     "q_blocking_1nn" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("left_id"), col("label"), asDouble(col("embedding")).as("va"))
@@ -1170,6 +1185,16 @@ object SparkEntry {
          |SELECT left_id, right_id, score FROM r WHERE rnk = 1 ORDER BY left_id""".stripMargin,
 
     "q_range_join" ->
+      s"""WITH m AS (
+         |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id AND $CosSelf >= 0.3)
+         |SELECT e.vec_id AS left_id, m.right_id, m.score
+         |FROM embeddings e LEFT JOIN m ON m.left_id = e.vec_id
+         |ORDER BY left_id, score DESC NULLS LAST, right_id""".stripMargin,
+
+    // same contract as q_range_join: the planned/TVF path must be value-identical
+    "q_range_sql" ->
       s"""WITH m AS (
          |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
          |  FROM embeddings a, embeddings b

@@ -34,6 +34,50 @@ object GraftPlans {
       leftId, leftVec, rightId, rightVec, k, excludeSelf))
   }
 
+  /** Build the planned similarity range join (cosine ≥ `tau`, optionally
+    * left-outer) over two DataFrames. Same output contract as
+    * [[graft.operators.SemanticJoin.rangeJoinVec]].
+    */
+  def rangeJoin(
+      left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String,
+      tau: Double, excludeSelf: Boolean = false,
+      keepUnmatched: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    def proj(df: DataFrame, cols: Seq[String]): LogicalPlan =
+      Project(cols.map(UnresolvedAttribute(_)), ColumnBridge.analyzedPlan(df))
+    ColumnBridge.ofRows(spark, SemanticRangeJoin(
+      proj(left, Seq(leftId, leftVec)), proj(right, Seq(rightId, rightVec)),
+      leftId, leftVec, rightId, rightVec, tau, excludeSelf, keepUnmatched))
+  }
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+  private def int(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private def bool(e: Expression, what: String): Boolean = e match {
+    case Literal(b: Boolean, _) => b
+    case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+  }
+  // SQL fractional literals parse as DecimalType by default, so a threshold
+  // arrives as Decimal unless the user casts — accept every numeric literal
+  private def dbl(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+  private def rel(table: String, cols: Seq[String]): LogicalPlan =
+    Project(cols.map(UnresolvedAttribute(_)),
+      UnresolvedRelation(table.split('.').toIndexedSeq))
+
   /** `graft_knn_join('l_tbl','r_tbl','lid','lvec','rid','rvec', k[, excludeSelf])`
     * table-function builder: table names resolve through the session catalog
     * (temp views included), children are pre-projected to the two used
@@ -42,35 +86,42 @@ object GraftPlans {
   private def knnJoinBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 7 || args.length == 8,
       "graft_knn_join(leftTable, rightTable, leftId, leftVec, rightId, rightVec, k[, excludeSelf])")
-    def str(e: Expression, what: String): String = e match {
-      case Literal(s: UTF8String, _) => s.toString
-      case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
-    }
-    def int(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
-    }
-    def bool(e: Expression, what: String): Boolean = e match {
-      case Literal(b: Boolean, _) => b
-      case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
-    }
     val Seq(lt, rt) = args.take(2).zip(Seq("leftTable", "rightTable")).map((str _).tupled)
     val Seq(lid, lvec, rid, rvec) =
       args.slice(2, 6).zip(Seq("leftId", "leftVec", "rightId", "rightVec")).map((str _).tupled)
     val k = int(args(6), "k")
     val excludeSelf = args.length > 7 && bool(args(7), "excludeSelf")
-    def rel(table: String, cols: Seq[String]): LogicalPlan =
-      Project(cols.map(UnresolvedAttribute(_)),
-        UnresolvedRelation(table.split('.').toIndexedSeq))
     SemanticTopKJoin(rel(lt, Seq(lid, lvec)), rel(rt, Seq(rid, rvec)),
       lid, lvec, rid, rvec, k, excludeSelf)
   }
 
+  /** `graft_range_join('l_tbl','r_tbl','lid','lvec','rid','rvec', tau[, excludeSelf[, keepUnmatched]])`
+    * — the θ-join sibling (cosine ≥ tau; keepUnmatched defaults true for the
+    * reference's left-outer `merge_range` contract).
+    */
+  private def rangeJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 7 && args.length <= 9,
+      "graft_range_join(leftTable, rightTable, leftId, leftVec, rightId, rightVec, " +
+        "tau[, excludeSelf[, keepUnmatched]])")
+    val Seq(lt, rt) = args.take(2).zip(Seq("leftTable", "rightTable")).map((str _).tupled)
+    val Seq(lid, lvec, rid, rvec) =
+      args.slice(2, 6).zip(Seq("leftId", "leftVec", "rightId", "rightVec")).map((str _).tupled)
+    val tau = dbl(args(6), "tau")
+    val excludeSelf = args.length > 7 && bool(args(7), "excludeSelf")
+    val keepUnmatched = args.length <= 8 || bool(args(8), "keepUnmatched")
+    SemanticRangeJoin(rel(lt, Seq(lid, lvec)), rel(rt, Seq(rid, rvec)),
+      lid, lvec, rid, rvec, tau, excludeSelf, keepUnmatched)
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
-    Seq((FunctionIdentifier("graft_knn_join"),
-      new ExpressionInfo("graft", "graft_knn_join"),
-      knnJoinBuilder _))
+    Seq(
+      (FunctionIdentifier("graft_knn_join"),
+        new ExpressionInfo("graft", "graft_knn_join"),
+        knnJoinBuilder _),
+      (FunctionIdentifier("graft_range_join"),
+        new ExpressionInfo("graft", "graft_range_join"),
+        rangeJoinBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.
@@ -79,9 +130,9 @@ object GraftPlans {
     if (!spark.experimental.extraStrategies.contains(GraftStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GraftStrategy
     }
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughSemanticTopKJoin)) {
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughSemanticVecJoin)) {
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughSemanticTopKJoin
+        spark.experimental.extraOptimizations :+ PushFilterThroughSemanticVecJoin
     }
     tableFunctions.foreach { case (ident, info, builder) =>
       spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)

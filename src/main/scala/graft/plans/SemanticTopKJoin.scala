@@ -33,21 +33,20 @@ import org.apache.spark.sql.types._
   * preserve expression ids; regenerating them per copy would orphan every
   * reference above this node.
   */
-case class SemanticTopKJoin(
-    left: LogicalPlan,
-    right: LogicalPlan,
-    leftIdCol: String,
-    leftVecCol: String,
-    rightIdCol: String,
-    rightVecCol: String,
-    k: Int,
-    excludeSelf: Boolean,
-    output: Seq[Attribute] = SemanticTopKJoin.freshOutput())
-  extends BinaryNode {
+/** Shared by-name column binding + validation for the semantic vector join
+  * family ([[SemanticTopKJoin]], [[SemanticRangeJoin]]): each node names the
+  * id/vec columns of each side and resolves them against that child's own
+  * output independently (see [[SemanticTopKJoin]]'s scaladoc for why
+  * by-name, not by-Expression). All members output `left_id` first, which
+  * [[PushFilterThroughSemanticVecJoin]] relies on.
+  */
+trait SemanticVecJoin extends BinaryNode {
+  def leftIdCol: String
+  def leftVecCol: String
+  def rightIdCol: String
+  def rightVecCol: String
 
-  require(k >= 1, s"k must be >= 1, got $k")
-
-  private def find(child: LogicalPlan, name: String): Option[Attribute] =
+  protected def find(child: LogicalPlan, name: String): Option[Attribute] =
     child.output.find(a => conf.resolver(a.name, name))
 
   /** The child columns this node consumes — lets ColumnPruning strip every
@@ -72,6 +71,21 @@ case class SemanticTopKJoin(
     find(left, leftVecCol).exists(a => vecOk(a.dataType)) &&
     find(right, rightIdCol).exists(a => idOk(a.dataType)) &&
     find(right, rightVecCol).exists(a => vecOk(a.dataType))
+}
+
+case class SemanticTopKJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftIdCol: String,
+    leftVecCol: String,
+    rightIdCol: String,
+    rightVecCol: String,
+    k: Int,
+    excludeSelf: Boolean,
+    output: Seq[Attribute] = SemanticTopKJoin.freshOutput())
+  extends SemanticVecJoin {
+
+  require(k >= 1, s"k must be >= 1, got $k")
 
   // saturating multiply: a huge left estimate times k must not wrap negative
   // and mislead limit-elimination rules that trust maxRows
@@ -156,17 +170,19 @@ private[plans] object RowVec {
   }
 }
 
-/** Optimizer rule: push a deterministic predicate on `left_id` below the
-  * semantic join, onto the left child's id column. Sound because each left
-  * row's top-k depends only on that row and the right table — dropping left
-  * rows first cannot change any surviving row's neighbors or ranks (unlike a
-  * filter on `right_id`/`score`/`rank`, which this rule must and does leave
-  * above). At scale this turns "kNN then keep 1% of queries" into "read 1%
-  * of queries" — the predicate lands in the parquet scan's PushedFilters.
+/** Optimizer rule: push a deterministic predicate on `left_id` below a
+  * semantic vector join, onto the left child's id column. Sound for every
+  * [[SemanticVecJoin]] member because each left row's output (its top-k, or
+  * its τ-matches, or its unmatched left-outer row) depends only on that row
+  * and the right table — dropping left rows first cannot change any
+  * surviving row's neighbors, ranks, or match set (unlike a filter on
+  * `right_id`/`score`/`rank`, which this rule must and does leave above).
+  * At scale this turns "join then keep 1% of queries" into "read 1% of
+  * queries" — the predicate lands in the parquet scan's PushedFilters.
   */
-object PushFilterThroughSemanticTopKJoin extends Rule[LogicalPlan] with PredicateHelper {
+object PushFilterThroughSemanticVecJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, j: SemanticTopKJoin) =>
+    case f @ Filter(cond, j: SemanticVecJoin) =>
       val leftIdOut = j.output.head
       j.left.output.find(a => conf.resolver(a.name, j.leftIdCol)) match {
         case Some(childId) =>

@@ -103,9 +103,9 @@ case class SemanticTopKJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy lowering [[SemanticTopKJoin]] to its broadcast physical
-  * form — registered by [[graft.GraftExtensions]] (config path) or
-  * [[GraftPlans.install]] (live session).
+/** Planner strategy lowering the semantic vector join nodes to their
+  * broadcast physical forms — registered by [[graft.GraftExtensions]]
+  * (config path) or [[GraftPlans.install]] (live session).
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -113,6 +113,11 @@ object GraftStrategy extends SparkStrategy {
       SemanticTopKJoinExec(
         j.leftIdCol, j.leftVecCol, j.rightIdCol, j.rightVecCol,
         j.k, j.excludeSelf, j.output, planLater(j.left), planLater(j.right)) :: Nil
+    case j: SemanticRangeJoin =>
+      SemanticRangeJoinExec(
+        j.leftIdCol, j.leftVecCol, j.rightIdCol, j.rightVecCol,
+        j.tau, j.excludeSelf, j.keepUnmatched, j.output,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

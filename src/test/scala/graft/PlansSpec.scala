@@ -121,6 +121,69 @@ class PlansSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  private def collectRange(df: DataFrame): Seq[(Long, Option[Long], Option[Double])] = {
+    import spark.implicits._
+    df.select(col("left_id"), col("right_id"), col("score"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .sortBy(r => (r._1, r._2.getOrElse(Long.MinValue))).toSeq
+  }
+
+  test("planned range join is bit-identical to rangeJoinVec, incl. left-outer nulls") {
+    import spark.implicits._
+    // the sin-family vectors alias at lag ~9 (cos > 0.999), so matches exist
+    // at tau = 0.98; the lone axis vector can reach at most ~0.5 cosine with
+    // any of them -> guaranteed unmatched, exercising the null-extension path
+    val e = vecs(120).unionByName(
+      Seq((999L, Array.tabulate(8)(d => if (d == 0) 1f else 0f))).toDF("vec_id", "embedding"))
+    val a = collectRange(SemanticJoin.rangeJoinVec(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", tau = 0.98, excludeSelf = true, keepUnmatched = true))
+    val b = collectRange(GraftPlans.rangeJoin(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", tau = 0.98, excludeSelf = true, keepUnmatched = true))
+    assert(a.size == b.size)
+    assert(a.exists(_._2.isEmpty), "fixture should produce unmatched left rows")
+    assert(a.exists(_._2.isDefined), "fixture should produce matched pairs")
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2)
+      assert(x._3.map(java.lang.Double.doubleToLongBits) ==
+        y._3.map(java.lang.Double.doubleToLongBits), s"score mismatch at ${x._1}")
+    }
+    // inner semantics drop the unmatched rows
+    val inner = collectRange(GraftPlans.rangeJoin(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", tau = 0.98, excludeSelf = true, keepUnmatched = false))
+    assert(inner == a.filter(_._2.isDefined))
+  }
+
+  test("range join physical plan: broadcast exec, no shuffle; SQL TVF matches") {
+    val e = vecs(60)
+    val planned = GraftPlans.rangeJoin(e, "vec_id", "embedding", e, "vec_id", "embedding",
+      tau = 0.5, excludeSelf = true)
+    val phys = planned.queryExecution.executedPlan.toString
+    assert(phys.contains("SemanticRangeJoin"), phys)
+    assert(phys.contains("BroadcastExchange"), phys)
+    assert(!phys.contains("ShuffleExchange"), phys)
+    e.createOrReplaceTempView("plans_spec_range")
+    GraftPlans.install(spark)
+    // 0.5 parses as a DECIMAL literal — the builder must accept it
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_range_join('plans_spec_range', 'plans_spec_range',
+        |  'vec_id', 'embedding', 'vec_id', 'embedding', 0.5, true, true)""".stripMargin)
+    assert(collectRange(viaSql) == collectRange(planned))
+  }
+
+  test("range join: pushed left_id predicate reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plans_spec_rj").toString
+    vecs(60).write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val e = spark.read.parquet(s"$dir/emb.parquet")
+    val planned = GraftPlans.rangeJoin(e, "vec_id", "embedding", e, "vec_id", "embedding",
+        tau = 0.5, excludeSelf = true)
+      .filter(col("left_id") <= 5)
+    val formatted = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [LessThanOrEqual(vec_id,5)]"), formatted)
+    assert(collectRange(planned).forall(_._1 <= 5))
+    assert(collectRange(planned).map(_._1).distinct.size == 6)
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
