@@ -937,6 +937,43 @@ object SparkEntry {
           .filter(col("recall") < 0.7)
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
+
+    // ------------------------------------------------------------ scale stress
+    // The 100 TB posture exercised instead of argued: each leg multiplies the
+    // bench tables in-plan (operators/Stress.scala — salted ids over a
+    // broadcast replica cross join) and runs a flagship kernel at 10-50x its
+    // base-query scale (sf0.1: 100k-row broadcast kNN scan = 0.5G candidate
+    // pairs streamed; 60M materialized pairs through the shuffled top-k;
+    // 50k-doc LSH/BM25/ε-graph legs). Rows-only CORRECTNESS entries by
+    // design: value semantics are hash-checked by each operator's base query
+    // at 1x, these measure that the PLAN survives the multiplier (no
+    // broadcast-bound trips, no driver collects, shuffles stay bounded —
+    // spec-asserted in EngineSpec's stress plan-shape test).
+
+    "q_stress_knn_broadcast" -> ((s, dir) => {
+      Stress.knnBroadcastSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 20)
+    }),
+
+    "q_stress_knn_shuffle" -> ((s, dir) => {
+      Stress.knnShuffleSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 3)
+    }),
+
+    // m=5 for the text legs: the synthetic corpus is a ~30-word vocabulary,
+    // so EVERY query term matches EVERY doc (the adversarial worst case for
+    // both kernels — measured m=10: 225-340 task-sec, 10-17 s wall). m=5
+    // keeps each leg a real multi-million-pair stress without devoting half
+    // the bench session to two queries.
+    "q_stress_minhash" -> ((s, dir) => {
+      Stress.minhashSummary(ld(s, dir, "documents"), "doc_id", "text", m = 5)
+    }),
+
+    "q_stress_bm25" -> ((s, dir) => {
+      Stress.bm25Summary(ld(s, dir, "documents"), "doc_id", "text", m = 5, nQueries = 5)
+    }),
+
+    "q_stress_dbscan" -> ((s, dir) => {
+      Stress.dbscanSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 10)
+    }),
   )
 
   // ---------------------------------------------------------------------------

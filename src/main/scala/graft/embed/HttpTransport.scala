@@ -140,7 +140,8 @@ private[graft] object HttpWire {
 
   def postJson(
       endpoint: String, body: String, apiKey: Option[String],
-      connectTimeoutMs: Int, readTimeoutMs: Int, what: String): String = {
+      connectTimeoutMs: Int, readTimeoutMs: Int, what: String,
+      extraHeaders: Seq[(String, String)] = Nil): String = {
     val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setConnectTimeout(connectTimeoutMs)
@@ -148,6 +149,7 @@ private[graft] object HttpWire {
       conn.setRequestMethod("POST")
       conn.setRequestProperty("Content-Type", "application/json")
       apiKey.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       conn.setDoOutput(true)
       val payload = body.getBytes(StandardCharsets.UTF_8)
       conn.setFixedLengthStreamingMode(payload.length)
@@ -235,6 +237,58 @@ class JsonHttpTransport(
         case _ => throw new IllegalArgumentException("data item has no \"embedding\" array")
       }
       case v => throw new IllegalArgumentException(s"data item is not an object: $v")
+    }
+  }
+}
+
+/** Gemini-wire embeddings client — the other half of the provider matrix
+  * whose routing quirks [[graft.llm.Routing]] preserves. The reference's
+  * gemini path is a PER-STRING request loop with task type
+  * "retrieval_document" and model names normalized to a `models/` prefix
+  * (reference: src/linktransformer/utils.py:28-65) — both preserved here
+  * over the public `embedContent` REST wire. Request, one per text:
+  * `{"model":"models/X","content":{"parts":[{"text":...}]},
+  * "taskType":"retrieval_document"}`; response:
+  * `{"embedding":{"values":[floats...]}}`. Auth via the `x-goog-api-key`
+  * header (this wire's key carrier — not `Authorization: Bearer`). A
+  * batch-level caller ([[HttpEmbedder]]) still packs texts per call; this
+  * transport unrolls each pack into single-text requests, exactly like the
+  * reference loop it mirrors.
+  */
+class GeminiHttpTransport(
+    endpoint: String,
+    model: String,
+    apiKey: Option[String] = None,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends EmbeddingTransport {
+
+  // _normalize_gemini_model_name (utils.py:28-32)
+  private val modelName = if (model.startsWith("models/")) model else s"models/$model"
+  private val headers = apiKey.map(k => "x-goog-api-key" -> k).toSeq
+
+  override def request(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
+    val body =
+      s"""{"model":"${MiniJson.escape(modelName)}","content":{"parts":[{"text":"${
+        MiniJson.escape(Option(t).getOrElse(""))}"}]},"taskType":"retrieval_document"}"""
+    parseOne(HttpWire.postJson(
+      endpoint, body, None, connectTimeoutMs, readTimeoutMs, "gemini embedding", headers))
+  }
+
+  private def parseOne(s: String): Array[Double] = {
+    import MiniJson._
+    parse(s) match {
+      case JObj(f) => f.get("embedding") match {
+        case Some(JObj(e)) => e.get("values") match {
+          case Some(JArr(nums)) => nums.map {
+            case JNum(d) => d
+            case v => throw new IllegalArgumentException(s"non-numeric embedding element: $v")
+          }.toArray
+          case _ => throw new IllegalArgumentException("embedding has no \"values\" array")
+        }
+        // reference: `response["embedding"]` missing → error (utils.py:58-60)
+        case _ => throw new IllegalArgumentException("Gemini embedding response missing \"embedding\"")
+      }
+      case _ => throw new IllegalArgumentException("response is not a JSON object")
     }
   }
 }

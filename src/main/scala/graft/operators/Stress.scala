@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: multiplies the bench tables 10-50x IN-PLAN (salted
+  * ids via a broadcast replica cross join — no synthetic files, no driver
+  * materialization) and runs the flagship kernels over the result, so the
+  * bench exercises the shapes the 100 TB posture argues by construction:
+  * the broadcast kNN scan, the shuffled crossJoin+top-k fallback, LSH
+  * candidate generation, the BM25 semi-join-before-aggregate plan, and the
+  * ε-graph clustering path, at millions of rows/pairs instead of thousands.
+  *
+  * Every leg returns a SMALL deterministic summary (counts, extrema,
+  * low-precision means), not the blown-up relation: the stress queries are
+  * rows-only CORRECTNESS entries (their value semantics are hash-checked by
+  * the operators' base queries at 1x), and a bench iteration must measure
+  * the operator, not a giant result write.
+  */
+object Stress {
+
+  /** `m` salted replicas of every row: id' = id·m + rep, so replica ids stay
+    * disjoint and dense. The replica range rides a broadcast nested-loop
+    * join (no shuffle of the base table); the base is repartitioned FIRST so
+    * the multiply inherits real scan parallelism — bench-scale parquet is a
+    * single 1 MB split, and a 50x multiply inside one task would serialize
+    * the whole leg on one core (the opposite of the 100 TB shape, where the
+    * input arrives in thousands of splits).
+    */
+  def multiplied(df: DataFrame, idCol: String, m: Int, parallelism: Int = 32): DataFrame = {
+    require(m >= 1, s"multiplier must be >= 1, got $m")
+    val reps = df.sparkSession.range(m).toDF("__rep")
+    df.repartition(parallelism)
+      .crossJoin(broadcast(reps))
+      .withColumn(idCol, col(idCol).cast("long") * m + col("__rep"))
+      .drop("__rep")
+  }
+
+  /** Broadcast kNN at `m`x left rows through the Catalyst exec
+    * ([[graft.plans.SemanticTopKJoinExec]]): left streams, right broadcasts
+    * once, zero shuffle until the 5-row summary aggregate. Summary: per-rank
+    * row counts plus exact score extrema (doubles rounded coarsely — the
+    * only order-sensitive reduction is the sum behind avg, rounded to 3).
+    */
+  def knnBroadcastSummary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 5): DataFrame = {
+    val left = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    graft.plans.GraftPlans.knnJoin(left, idCol, vecCol, emb, idCol, vecCol, k = k)
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(avg(col("score")), 3).as("avg_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** The same kNN at `m`x left rows FORCED onto the shuffled
+    * crossJoin + partial-agg top-k fallback (the over-broadcast-bound path):
+    * every candidate pair becomes a row, the bounded TopKAggregate prunes
+    * map-side, ≤k rows per left key shuffle.
+    */
+  def knnShuffleSummary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 5): DataFrame = {
+    val left = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    SemanticJoin.knnJoinVec(left, idCol, vecCol, emb, idCol, vecCol,
+        k = k, broadcastRight = false)
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(avg(col("score")), 3).as("avg_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** MinHash+LSH dedup over an `m`x corpus whose replicas get a per-replica
+    * text suffix — a realistic near-dup mix (replicas of a doc share almost
+    * every shingle but are not byte-identical), so band buckets, the
+    * candidate equi-join, exact-Jaccard verification, and connected
+    * components all run at the multiplied scale. Summary: cluster census.
+    */
+  def minhashSummary(docs: DataFrame, idCol: String, textCol: String, m: Int): DataFrame = {
+    val big = multiplied(docs.select(col(idCol), col(textCol)), idCol, m)
+      .withColumn(textCol,
+        concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
+    Dedup.minhashLsh(big, idCol, textCol)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(when(col("cluster") =!= col("id"), 1L).otherwise(0L)).as("n_dups"))
+  }
+
+  /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
+    * corpus-side tokenize → query-vocab semi-join → partial aggregate plan
+    * (the corpus vocabulary must still never reach a shuffle). Summary: the
+    * top-k result census (ranks × queries, score extrema).
+    */
+  def bm25Summary(docs: DataFrame, idCol: String, textCol: String,
+      m: Int, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = multiplied(docs.select(col(idCol), col(textCol)), idCol, m)
+    val queries = docs.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col(textCol))
+    Lexical.bm25TopK(corpus, idCol, textCol, queries, "qid", textCol, k = k)
+      .agg(count(lit(1)).as("n_results"),
+        countDistinct(col("query_id")).as("n_queries"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+  }
+
+  /** ε-graph clustering (minSamples=2 DBSCAN = dedup_rows' default path) at
+    * `m`x points: exact replicas form ε-cliques, so candidate generation
+    * (broadcast scan under the bound, SRP-LSH bucket join above it), edge
+    * dedup, and iterative components all run at the multiplied scale.
+    * Summary: cluster census + noise count.
+    */
+  def dbscanSummary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, eps: Double = 0.05): DataFrame = {
+    val pts = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    Clustering.dbscanCosine(pts, idCol, vecCol, eps = eps, minSamples = 2)
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
+        sum(when(col("cluster") === -1L, 1L).otherwise(0L)).as("n_noise"))
+  }
+}

@@ -898,6 +898,78 @@ class PipelineSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  /** In-process Gemini-wire embedContent endpoint on loopback: expects the
+    * single-text `{"model","content":{"parts":[{"text"}]},"taskType"}`
+    * request shape, replies `{"embedding":{"values":[len, byteSum]}}` (the
+    * same arithmetic as [[LoopbackEmbeddingServer]] so cross-wire tests can
+    * compare vectors), and records each request's model, task type, text,
+    * and api-key header.
+    */
+  private class LoopbackGeminiServer {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.embed.MiniJson._
+    val requests = new java.util.concurrent.CopyOnWriteArrayList[(String, String, String, String)]()
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val JObj(f) = parse(body): @unchecked
+        val JStr(model) = f("model"): @unchecked
+        val JStr(task) = f("taskType"): @unchecked
+        val JObj(content) = f("content"): @unchecked
+        val JArr(parts) = content("parts"): @unchecked
+        val JObj(part) = parts.head: @unchecked
+        val JStr(text) = part("text"): @unchecked
+        requests.add((model, task, text,
+          Option(ex.getRequestHeaders.getFirst("x-goog-api-key")).getOrElse("")))
+        val bs = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = s"""{"embedding":{"values":[${bs.length}.0,${bs.map(_.toInt).sum}.0]}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    def url(): String = s"http://127.0.0.1:${server.getAddress.getPort}/v1beta/embedContent"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("GeminiHttpTransport over loopback: per-string loop, models/ prefix, key header") {
+    val srv = new LoopbackGeminiServer()
+    try {
+      val transport = new graft.embed.GeminiHttpTransport(
+        srv.url(), "gemini-embedding-001", apiKey = Some("test-key"))
+      // one BATCH call -> one request PER STRING (the reference's gemini loop,
+      // utils.py:52-61), model name normalized to models/... (utils.py:28-32)
+      val vecs = transport.request(Seq("ab", "wxyz"))
+      assert(vecs.length == 2)
+      assert(vecs(0).toSeq == Seq(2.0, ('a'.toInt + 'b'.toInt).toDouble))
+      assert(vecs(1).toSeq == Seq(4.0, "wxyz".map(_.toInt).sum.toDouble))
+      val reqs = srv.requests.toArray.toSeq.map(_.asInstanceOf[(String, String, String, String)])
+      assert(reqs.map(_._3) == Seq("ab", "wxyz"))
+      assert(reqs.forall(_._1 == "models/gemini-embedding-001"))
+      assert(reqs.forall(_._2 == "retrieval_document"))
+      assert(reqs.forall(_._4 == "test-key"))
+      // an already-prefixed name is not double-prefixed
+      new graft.embed.GeminiHttpTransport(srv.url(), "models/embedding-001").request(Seq("q"))
+      assert(srv.requests.toArray.last.asInstanceOf[(String, String, String, String)]
+        ._1 == "models/embedding-001")
+
+      // the full embedder stack runs over this wire too: packing happens at
+      // the batch layer, the gemini transport unrolls each pack per string
+      val emb = new graft.embed.HttpEmbedder(
+        new graft.embed.GeminiHttpTransport(srv.url(), "gemini-embedding-001"),
+        dim = 2, charBudget = 6, maxRetries = 0, initialBackoffMs = 1L)
+      val out = emb.embedBatch(Seq("aaaa", "bb", "c"))
+      assert(out.map(_.toSeq) == Seq(
+        Seq(4.0, 'a'.toInt * 4.0), Seq(2.0, 'b'.toInt * 2.0), Seq(1.0, 'c'.toInt.toDouble)))
+    } finally srv.stop()
+  }
+
   /** In-process OpenAI-style chat-completions endpoint on loopback — the
     * judge/classify/transform twin of [[LoopbackEmbeddingServer]]. Replies
     * with `replyFor(messages)` wrapped in the chat response envelope; can

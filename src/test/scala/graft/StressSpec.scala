@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Stress
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-stress harness: the in-plan multiplier, each leg's summary
+  * semantics at a scale where the expected answer is countable by hand, and
+  * the plan-shape contracts the stress queries exist to prove (broadcast leg
+  * stays shuffle-free up to the summary; no leg collects the multiplied
+  * relation to the driver).
+  */
+class StressSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb(n: Int): DataFrame = {
+    import spark.implicits._
+    // well-separated directions: distinct axes of an n-dim space, so exact
+    // replicas are each other's only ε-neighbors
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(math.max(n, 8))(d => if (d == i) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    // distinct vocabularies per doc -> no cross-doc near-dups
+    (0 until n).map(i => (i.toLong,
+      (0 until 12).map(t => s"w${i}_$t").mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("multiplied: disjoint dense salted ids, m x rows, no driver materialization") {
+    val big = Stress.multiplied(emb(7), "vec_id", m = 6, parallelism = 3)
+    assert(big.count() == 42)
+    val ids = big.select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(ids.toSeq == (0L until 42L))
+    assert(big.rdd.getNumPartitions == 3)
+  }
+
+  test("knn broadcast leg: per-rank census, shuffle-free join, exec plan shape") {
+    val e = emb(10)
+    val sum = Stress.knnBroadcastSummary(e, "vec_id", "embedding", m = 4, k = 2)
+    val phys = sum.queryExecution.executedPlan.toString
+    assert(phys.contains("SemanticTopKJoin"), phys)
+    assert(phys.contains("BroadcastExchange"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+    val rows = sum.collect()
+    // every one of the 40 multiplied left rows has a full top-2
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 40L), (2, 40L)))
+  }
+
+  test("knn shuffle leg: same census through the crossJoin + partial top-k path") {
+    val e = emb(10)
+    val sum = Stress.knnShuffleSummary(e, "vec_id", "embedding", m = 4, k = 2)
+    // candidate generation materializes pairs, the bounded top-k aggregate
+    // prunes them map-side before the only wide shuffle (assert on the
+    // optimized logical plan — AQE's physical toString elides the aggregate
+    // function names)
+    val opt = sum.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("graft_top_k"), opt)
+    assert(!sum.queryExecution.executedPlan.toString.toLowerCase
+      .contains("semantictopkjoin"))
+    val rows = sum.collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 40L), (2, 40L)))
+  }
+
+  test("minhash leg: replicas of each doc collapse to one cluster") {
+    val d = docs(6)
+    val r = Stress.minhashSummary(d, "doc_id", "text", m = 4).collect().head
+    assert(r.getLong(0) == 24) // n_rows
+    assert(r.getLong(1) == 6)  // n_clusters: one per base doc
+    assert(r.getLong(2) == 18) // n_dups: (m-1) per base doc
+  }
+
+  test("bm25 leg: every query answered with a full top-k from the multiplied corpus") {
+    val d = docs(8)
+    val r = Stress.bm25Summary(d, "doc_id", "text", m = 3, nQueries = 4, k = 2)
+      .collect().head
+    assert(r.getLong(0) == 8) // 4 queries x top-2
+    assert(r.getLong(1) == 4)
+  }
+
+  test("dbscan leg: exact replicas form one cluster per base point, no noise") {
+    val e = emb(5)
+    val r = Stress.dbscanSummary(e, "vec_id", "embedding", m = 4).collect().head
+    assert(r.getLong(0) == 20) // n_points
+    assert(r.getLong(1) == 5)  // n_clusters
+    assert(r.getLong(2) == 0)  // n_noise
+  }
+}
