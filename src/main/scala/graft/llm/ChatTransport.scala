@@ -78,6 +78,61 @@ class ChatHttpTransport(
   }
 }
 
+/** Gemini-wire chat client over the public `generateContent` REST shape —
+  * the judge-side counterpart of [[graft.embed.GeminiHttpTransport]],
+  * completing the provider matrix [[Routing.judgeProvider]] routes into.
+  * Request: `{"contents":[{"role":"user"|"model","parts":[{"text":...}]}]}`
+  * (the assistant role maps to this wire's "model"); response:
+  * `candidates[0].content.parts[*].text` concatenated, empty when absent —
+  * the reference's `getattr(response, "text", None) or ""`
+  * (infer.py:1184-1186). Auth via `x-goog-api-key`, like the embeddings
+  * wire. The reference sends its judge call as ONE flattened user prompt —
+  * that shaping lives in [[GeminiPairJudge]], not here.
+  */
+class GeminiChatTransport(
+    endpoint: String,
+    apiKey: Option[String] = None,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends ChatTransport {
+
+  private val headers = apiKey.map(k => "x-goog-api-key" -> k).toSeq
+
+  override def complete(messages: Seq[ChatMessage]): String = {
+    val contents = messages.map { m =>
+      val role = if (m.role == "assistant") "model" else "user"
+      s"""{"role":"$role","parts":[{"text":"${MiniJson.escape(m.content)}"}]}"""
+    }.mkString("[", ",", "]")
+    parseText(graft.embed.HttpWire.postJson(
+      endpoint, s"""{"contents":$contents}""", None,
+      connectTimeoutMs, readTimeoutMs, "gemini chat", headers))
+  }
+
+  private def parseText(s: String): String = {
+    import MiniJson._
+    parse(s) match {
+      case JObj(f) => f.get("candidates") match {
+        case Some(JArr(cand +: _)) => cand match {
+          case JObj(c) => c.get("content") match {
+            case Some(JObj(content)) => content.get("parts") match {
+              case Some(JArr(parts)) => parts.collect {
+                case JObj(p) => p.get("text") match {
+                  case Some(JStr(t)) => t
+                  case _ => ""
+                }
+              }.mkString
+              case _ => "" // no parts -> the reference's `or ""`
+            }
+            case _ => ""
+          }
+          case _ => ""
+        }
+        case _ => "" // blocked/empty candidates -> ""
+      }
+      case _ => throw new IllegalArgumentException("response is not a JSON object")
+    }
+  }
+}
+
 /** Exponential-backoff retry around any [[ChatTransport]]: sleep
   * `initialBackoffMs * 2^attempt` between attempts, surface the last error
   * past `maxRetries` — the reference's ratelimit loop verbatim
@@ -106,6 +161,22 @@ class ChatPairJudge(transport: ChatTransport, systemPrompt: String) extends Llm.
   override def judge(leftPayload: String, rightPayload: String): String = {
     val user = s"""{"left":"${MiniJson.escape(leftPayload)}","right":"${MiniJson.escape(rightPayload)}"}"""
     transport.complete(Seq(ChatMessage("system", systemPrompt), ChatMessage("user", user)))
+  }
+}
+
+/** The gemini judge SHAPE: where the openai path sends system+user chat
+  * messages, the reference's gemini path flattens everything into one user
+  * prompt with fixed glue text (infer.py:1180-1184:
+  * `f"{llm_prompt}\n\nCompare the following pair payload and return JSON
+  * only.\n{user_content}"`) — preserved verbatim so a prompt tuned against
+  * the reference behaves identically here. Same raw-text-out contract as
+  * [[ChatPairJudge]]; [[Llm.parseJudgeResponse]] owns the permissive parse.
+  */
+class GeminiPairJudge(transport: ChatTransport, systemPrompt: String) extends Llm.PairJudge {
+  override def judge(leftPayload: String, rightPayload: String): String = {
+    val user = s"""{"left":"${MiniJson.escape(leftPayload)}","right":"${MiniJson.escape(rightPayload)}"}"""
+    val prompt = s"$systemPrompt\n\nCompare the following pair payload and return JSON only.\n$user"
+    transport.complete(Seq(ChatMessage("user", prompt)))
   }
 }
 

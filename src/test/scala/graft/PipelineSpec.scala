@@ -1,7 +1,7 @@
 package graft
 
 import graft.embed.HashEmbedder
-import graft.llm.{ChatBatchTransformer, ChatHttpTransport, ChatMessage, ChatPairJudge, ChatRowClassifier, Llm, RetryingChatTransport, Routing}
+import graft.llm.{ChatBatchTransformer, ChatHttpTransport, ChatMessage, ChatPairJudge, ChatRowClassifier, GeminiChatTransport, GeminiPairJudge, Llm, RetryingChatTransport, Routing}
 import graft.operators.{Multimodal, SemanticJoin}
 import graft.sources.Io
 import graft.streaming.StreamOps
@@ -1030,6 +1030,86 @@ class PipelineSpec extends AnyFunSuite {
       val JArr(ms) = req("messages"): @unchecked
       assert(ms.length == 2)
       assert(ms.head.asInstanceOf[JObj].fields("role") == JStr("system"))
+    } finally srv.stop()
+  }
+
+  /** In-process Gemini-wire generateContent endpoint on loopback: parses the
+    * `{"contents":[{"role","parts":[{"text"}]}]}` shape, replies with the
+    * candidates envelope (text split across two parts to exercise the
+    * concatenating parse), records bodies + key headers.
+    */
+  private class LoopbackGeminiChatServer(replyFor: Vector[(String, String)] => String) {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requestBodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val keyHeaders = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        requestBodies.add(body)
+        keyHeaders.add(Option(ex.getRequestHeaders.getFirst("x-goog-api-key")).getOrElse(""))
+        import graft.embed.MiniJson._
+        val contents = parse(body) match {
+          case JObj(f) => f("contents").asInstanceOf[JArr].items.map {
+            case JObj(c) =>
+              val JArr(parts) = c("parts"): @unchecked
+              (c("role").asInstanceOf[JStr].s,
+                parts.map(_.asInstanceOf[JObj].fields("text").asInstanceOf[JStr].s).mkString)
+            case v => sys.error(s"bad content: $v")
+          }.toVector
+          case _ => sys.error("bad request body")
+        }
+        val full = replyFor(contents)
+        val (a, b) = full.splitAt(full.length / 2)
+        val reply = s"""{"candidates":[{"content":{"parts":[{"text":"${escape(a)}"},""" +
+          s"""{"text":"${escape(b)}"}]}}]}"""
+        val out = reply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1beta/generateContent"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("GeminiChatTransport + GeminiPairJudge: flattened single-prompt judge over loopback") {
+    // judge replies are keyed on the payload so the parse is end-to-end real
+    val srv = new LoopbackGeminiChatServer(msgs =>
+      if (msgs.head._2.contains("\"alpha\"")) """{"is_match": 1, "confidence": 0.9}"""
+      else """{"is_match": 0, "confidence": 0.2}""")
+    try {
+      val t = new GeminiChatTransport(srv.url, apiKey = Some("gk-test"))
+      val judge = new GeminiPairJudge(t, "You are a record-linkage judge.")
+      val raw = judge.judge("alpha", "beta")
+      // the two-part candidates reply concatenates back to the full text
+      assert(raw == """{"is_match": 1, "confidence": 0.9}""")
+      assert(Llm.parseJudgeResponse(raw) == ((1, 0.9)))
+      assert(Llm.parseJudgeResponse(judge.judge("gamma", "delta")) == ((0, 0.2)))
+      // wire shape: ONE user content carrying the reference's exact glue
+      // (infer.py:1180-1184), key via x-goog-api-key
+      import graft.embed.MiniJson._
+      val JObj(req) = parse(srv.requestBodies.get(0)): @unchecked
+      val JArr(contents) = req("contents"): @unchecked
+      assert(contents.length == 1)
+      assert(contents.head.asInstanceOf[JObj].fields("role") == JStr("user"))
+      val JArr(parts) = contents.head.asInstanceOf[JObj].fields("parts"): @unchecked
+      val text = parts.head.asInstanceOf[JObj].fields("text").asInstanceOf[JStr].s
+      assert(text == "You are a record-linkage judge.\n\n" +
+        "Compare the following pair payload and return JSON only.\n" +
+        """{"left":"alpha","right":"beta"}""")
+      assert(srv.keyHeaders.get(0) == "gk-test")
+      // assistant turns map to this wire's "model" role
+      new GeminiChatTransport(srv.url).complete(Seq(
+        ChatMessage("user", "u1"), ChatMessage("assistant", "a1"), ChatMessage("user", "u2")))
+      val JObj(req2) = parse(srv.requestBodies.get(2)): @unchecked
+      val roles = req2("contents").asInstanceOf[JArr].items
+        .map(_.asInstanceOf[JObj].fields("role").asInstanceOf[JStr].s)
+      assert(roles == Vector("user", "model", "user"))
     } finally srv.stop()
   }
 
