@@ -637,6 +637,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-flattened language mix at α = 0.5 (shares ∝ sqrt(count) —
+    // the IEEE-exact temperature, see Sampling.temperatureMix): keyed on
+    // `lang` because the synthetic corpus is lang-skewed (en ≈ 3.4x fr) while
+    // sources are uniform — the dominant language actually gets downsampled
+    // by the md5 bucket against an integer-millionths threshold the oracle
+    // recomputes exactly; the smallest keeps every row.
+    "q_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(
+          ld(s, dir, "documents").select("doc_id", "lang"),
+          keys = Seq("lang"), idCol = "doc_id", alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -1829,6 +1842,22 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
         |    % 1000000
         |  < least(1000000, (10 * 1000000) // cnt)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same double expression tree as Sampling.temperatureMix: sqrt is
+    // IEEE-correctly-rounded in both engines, ((minr * w) / cnt) * 1e6
+    // floored to integer millionths
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt / sqrt(cnt)) AS minr FROM c),
+        |t AS (
+        |  SELECT lang,
+        |    least(1000000, CAST(floor(((m.minr * sqrt(cnt)) / cnt) * 1000000.0) AS BIGINT)) AS thr
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |    % 1000000 < thr
         |ORDER BY doc_id""".stripMargin,
 
     "q_salted_join" ->

@@ -79,4 +79,45 @@ object Sampling {
       .filter(md5Bucket(col(idCol), seed) < col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Temperature-flattened source mixing — the standard multilingual-LM
+    * resampling where source `s`'s share of the mix is `c_s^α / Σ c_t^α`
+    * (α = 1 natural distribution, α = 0 uniform, α ≈ 0.3-0.7 the usual
+    * flattening range). Realized DOWNSAMPLE-ONLY at the maximum feasible
+    * size: the group minimizing `c/c^α` (the smallest, for α < 1) keeps all
+    * its rows and every other group keeps the md5-bucket fraction
+    * `floor(1e6 · min_t(c_t/c_t^α) · c_s^α / c_s)` — deterministic,
+    * partition-invariant, co-sampling-safe, upsampling left to an explicit
+    * repeat op.
+    *
+    * Cross-engine exactness: α = 0.5 is computed via `sqrt` (IEEE requires
+    * CORRECT rounding for sqrt, so Spark and any SQL engine produce
+    * bit-identical doubles — `pow(x, 0.5)` carries no such guarantee), and
+    * the keep threshold is floored to integer millionths before the bucket
+    * comparison; the α = 0.5 query is hash-checked against DuckDB. Other α
+    * use `pow` (Java and C libm agree in practice; spec-tested in-engine).
+    *
+    * Scale shape = [[rebalancePerKey]]: one partial-agg count per key, one
+    * scalar min broadcast, a tiny threshold table joined back, a codegen
+    * filter — no window, no driver state.
+    */
+  def temperatureMix(
+      df: DataFrame, keys: Seq[String], idCol: String, alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    def weight(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val withW = counts.withColumn("__w", weight(col("__cnt")))
+    val minRatio = withW.agg(min(col("__cnt") / col("__w")).as("__minr"))
+    // expression tree mirrored verbatim in the SQL oracle: ((minr * w) / cnt)
+    // * 1e6, floored — identical doubles in, identical threshold out
+    val withThr = withW.crossJoin(broadcast(minRatio))
+      .withColumn("__thr", least(lit(1000000L),
+        floor(col("__minr") * col("__w") / col("__cnt") * lit(1000000.0)).cast("long")))
+    df.join(withThr, keys)
+      .filter(md5Bucket(col(idCol), seed) < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

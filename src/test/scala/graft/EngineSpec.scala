@@ -830,6 +830,36 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == m1)
   }
 
+  test("temperatureMix: alpha=1 is identity, alpha=0 is uniform-at-max, flattening is monotone") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "mid")) ++
+      (501L to 525L).map(i => (i, "small"))).toDF("id", "src")
+    def byKey(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMix(df, Seq("src"), "id", alpha)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: natural distribution -> every row kept
+    assert(byKey(1.0) == Map("big" -> 400L, "mid" -> 100L, "small" -> 25L))
+    // alpha = 0: uniform target at max size -> smallest kept whole, others
+    // binomial around 25 (keep rate = c_min/c_s against the md5 bucket)
+    val u = byKey(0.0)
+    assert(u("small") == 25L)
+    assert(u("big") >= 10 && u("big") <= 45, s"big=${u("big")}")
+    assert(u("mid") >= 10 && u("mid") <= 45, s"mid=${u("mid")}")
+    // alpha = 0.5: between natural and uniform — big flattened toward
+    // sqrt-share (expected 400·sqrt(25/400) = 100), smallest still whole
+    val h = byKey(0.5)
+    assert(h("small") == 25L)
+    assert(h("big") > u("big") && h("big") < 400L, s"big=${h("big")}")
+    assert(h("big") >= 70 && h("big") <= 135, s"big=${h("big")}")
+    // deterministic and partition-invariant
+    val a = Sampling.temperatureMix(df, Seq("src"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(7), Seq("src"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("topTermsPerKey ranks by count desc then term asc, bounded at k") {
     import spark.implicits._
     val df = Seq(

@@ -37,6 +37,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("AudioCodec: WAV encode/decode round-trips any 16-bit sample sequence") {
+    import graft.operators.Multimodal.AudioCodec
+    val gen = for {
+      rate <- Gen.oneOf(4000, 8000, 16000, 44100)
+      samples <- Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, samples)
+    check(Prop.forAll(gen) { case (rate, samples) =>
+      val wav = AudioCodec.encodeWav(rate, samples.length, samples(_))
+      val d = AudioCodec.decode(wav).get
+      d.sampleRate == rate && d.channels == 1 &&
+        d.frames == samples.length.toLong && d.samples.toSeq == samples
+    }, minTests = 50)
+  }
+
   test("TopKBuffer equals sort-take reference for random inputs") {
     // distinct ids, like real kNN candidates (ids are row ids)
     val gen = for {
