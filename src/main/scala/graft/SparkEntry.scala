@@ -650,6 +650,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The upsampling dual at the same α: the dominant language stays at
+    // factor exactly 1 while every other language is replicated by
+    // sqrt(c_max/c_s) — floor copies for every row plus one md5-bucket
+    // fractional copy, copy index exposed as `rep`. The oracle recomputes
+    // the exact doubles and expands with unnest(range(n)).
+    "q_temperature_upsample" -> ((s, dir) => {
+      Sampling.temperatureUpsample(
+          ld(s, dir, "documents").select("doc_id", "lang"),
+          keys = Seq("lang"), idCol = "doc_id", alpha = 0.5)
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -1859,6 +1871,24 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
         |    % 1000000 < thr
         |ORDER BY doc_id""".stripMargin,
+
+    // same double expression tree as Sampling.temperatureUpsample:
+    // r = sqrt(cmax/cnt) (correctly-rounded divide + sqrt), floor(r) full
+    // copies, fractional copy iff md5 bucket < floor((r-floor(r))*1e6)
+    "q_temperature_upsample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT max(cnt) AS cmax FROM c),
+        |t AS (
+        |  SELECT lang, CAST(floor(sqrt(m.cmax / cnt)) AS BIGINT) AS bfull,
+        |    CAST(floor((sqrt(m.cmax / cnt) - floor(sqrt(m.cmax / cnt))) * 1000000.0) AS BIGINT) AS frac
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang,
+        |  unnest(range(t.bfull + CASE WHEN
+        |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |      % 1000000 < t.frac THEN 1 ELSE 0 END)) AS rep
+        |FROM documents d JOIN t USING (lang)
+        |ORDER BY doc_id, rep""".stripMargin,
 
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey

@@ -120,4 +120,49 @@ object Sampling {
       .filter(md5Bucket(col(idCol), seed) < col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** The upsampling dual of [[temperatureMix]]: flatten the mix toward
+    * `share ∝ count^α` by REPLICATING under-represented groups instead of
+    * dropping rows — the regime used when the corpus is the bottleneck and
+    * epochs-per-source is the knob. The largest group stays at its natural
+    * size (factor exactly 1) and every other group is repeated by
+    * `r_s = (c_max/c_s)^(1-α)` ≥ 1: each row emits `floor(r_s)` copies plus
+    * one more iff its md5 bucket clears the fractional millionths
+    * `floor((r_s - floor(r_s))·1e6)` — deterministic, partition-invariant,
+    * and bit-reproducible by the SQL oracle. Copies are distinguished by a
+    * 0-based `repCol` so downstream shuffles/dedups see distinct rows.
+    *
+    * Cross-engine exactness mirrors [[temperatureMix]]: for α = 0.5 the
+    * factor is `sqrt(c_max/c_s)` — one correctly-rounded IEEE divide and one
+    * correctly-rounded sqrt, so any engine reproduces the exact double;
+    * other α route through `pow` (in-engine spec only).
+    *
+    * Scale: one partial-agg count per key, one scalar max broadcast, a tiny
+    * factor table joined back, and a codegen `explode(sequence(...))` whose
+    * blow-up is bounded by `(c_max/c_min)^(1-α)` — no window, no driver
+    * state; output size is known from the count table before running.
+    */
+  def temperatureUpsample(
+      df: DataFrame, keys: Seq[String], idCol: String, alpha: Double,
+      seed: Long = 42L, repCol: String = "rep"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val maxC = counts.agg(max(col("__cnt")).as("__cmax"))
+    val ratio = col("__cmax") / col("__cnt")
+    // expression tree mirrored verbatim in the SQL oracle: r, floor(r), and
+    // floor((r - floor(r))·1e6) — identical doubles in, identical copies out
+    val r =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val withT = counts.crossJoin(broadcast(maxC))
+      .withColumn("__full", floor(r).cast("long"))
+      .withColumn("__frac", floor((r - floor(r)) * lit(1000000.0)).cast("long"))
+    df.join(withT, keys)
+      .withColumn(repCol, explode(sequence(lit(0L),
+        col("__full") - 1L +
+          when(md5Bucket(col(idCol), seed) < col("__frac"), 1L).otherwise(0L))))
+      .select(df.columns.map(col) :+ col(repCol): _*)
+  }
 }

@@ -860,6 +860,38 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureUpsample: alpha=1 identity, largest group never replicated, alpha=0 reaches uniform scale") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "mid")) ++
+      (501L to 525L).map(i => (i, "small"))).toDF("id", "src")
+    def byKey(alpha: Double): Map[String, Long] =
+      Sampling.temperatureUpsample(df, Seq("src"), "id", alpha)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: factor 1 everywhere -> every row exactly once, rep = 0
+    val one = Sampling.temperatureUpsample(df, Seq("src"), "id", 1.0)
+    assert(one.count() == 525L && one.agg(max("rep")).head.getLong(0) == 0L)
+    // largest group has factor exactly 1.0 at every alpha
+    assert(byKey(0.5)("big") == 400L && byKey(0.0)("big") == 400L)
+    // alpha = 0: every group scaled to ~c_max; full copies alone give
+    // floor(400/25)=16x small -> exactly 400; mid gets 4x full = 400 exact
+    val u = byKey(0.0)
+    assert(u("small") == 400L, s"small=${u("small")}")
+    assert(u("mid") == 400L, s"mid=${u("mid")}")
+    // alpha = 0.5: small scaled by sqrt(16)=4 exactly, mid by 2 exactly
+    val h = byKey(0.5)
+    assert(h("small") == 100L && h("mid") == 200L, s"$h")
+    // copy indexes are dense 0..n-1 per row, deterministic, partition-invariant
+    val a = Sampling.temperatureUpsample(df, Seq("src"), "id", 0.3)
+      .groupBy("id").agg(count(lit(1)).as("n"), max("rep").as("mx"), min("rep").as("mn"))
+    assert(a.filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0).count() == 0)
+    val s1 = Sampling.temperatureUpsample(df, Seq("src"), "id", 0.3)
+      .select("id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = Sampling.temperatureUpsample(df.repartition(7), Seq("src"), "id", 0.3)
+      .select("id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+  }
+
   test("topTermsPerKey ranks by count desc then term asc, bounded at k") {
     import spark.implicits._
     val df = Seq(
