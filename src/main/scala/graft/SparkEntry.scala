@@ -22,6 +22,21 @@ object SparkEntry {
   private def ld(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Events table with `ts` normalized to TIMESTAMP regardless of how the
+    * generator wrote it: epoch-nanos INT64 (read via nanosAsLong — Spark's
+    * reader rejects TIMESTAMP(NANOS) otherwise) or a real parquet timestamp.
+    * With the UTC session timezone both paths yield the same instants.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = ld(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** Per-process temp dir `prefix_$pid` for persisted-index queries: a
     * concurrently running Verify/Bench JVM must never read an index this one
     * is mid-overwrite on. Dead siblings left by FINISHED processes are reaped
@@ -598,13 +613,10 @@ object SparkEntry {
 
     "q_event_window" -> ((s, dir) => {
       // batch execution of the streaming windowed-agg operator (watermark is a
-      // no-op in batch; identical plan shape to the readStream path). The
-      // events table stores TIMESTAMP(NANOS) which Spark's reader rejects by
-      // default → read nanos as long and convert; emit epoch seconds (a
-      // parquet TIMESTAMP output round-trips as tz-aware and breaks compares).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = ld(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // no-op in batch; identical plan shape to the readStream path). Emit
+      // epoch seconds (a parquet TIMESTAMP output round-trips as tz-aware and
+      // breaks compares).
+      val events = loadEvents(s, dir)
       graft.streaming.StreamOps.windowedEventCounts(events, windowLen = "1 hour")
         .select(unix_timestamp(col("window_start")).as("window_epoch"),
           col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -613,9 +625,7 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, dir) => {
       // session_window in batch form; oracle = gaps-and-islands SQL
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = ld(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val events = loadEvents(s, dir)
       graft.streaming.StreamOps.sessionize(events, "user_id", "ts", gap = "30 minutes")
         .select(col("user_id"),
           unix_timestamp(col("session_start")).as("session_epoch"),
@@ -821,6 +831,15 @@ object SparkEntry {
       Dedup.minhashLsh(ld(s, dir, "documents"), "doc_id", "text",
           shingleSize = 3, jaccardThreshold = 0.4)
         .orderBy(col("id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs: the no-sketch reference point for
+    // q_minhash_dedup — inverted-shingle-index candidate generation
+    // (hot-shingle df cap 100), full-set Jaccard verify, same 0.4 threshold.
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.4, maxShingleDf = 100)
+        .orderBy(col("i"), col("j"))
     }),
 
     // Exact-substring duplication signal at a 5-token window: documents
@@ -1058,6 +1077,18 @@ object SparkEntry {
     * component j = min over shingles of `(a_j·h + b_j) mod 4294967291` with
     * 30-bit md5-derived coefficients (a_j odd).
     */
+  /** DuckDB mirror of `TextAnalysis.wordShingles` + `array_distinct`:
+    * `(idCol, sh)` with sh the distinct 3-gram word shingle list.
+    */
+  private def shinglesSql(idCol: String, textExpr: String, from: String): String =
+    s"""SELECT $idCol, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END) AS sh
+       |  FROM (SELECT $idCol,
+       |      string_split_regex(lower(trim($textExpr, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))),
+       |        '[ \\t\\n\\x0b\\f\\r]+') AS toks
+       |    FROM $from)""".stripMargin
+
   private def minhashSig(idCol: String, textExpr: String, from: String): String =
     s"""SELECT $idCol, sh, list_transform(range(0, 32), j ->
        |    list_min(list_transform(sh, s ->
@@ -1065,13 +1096,7 @@ object SparkEntry {
        |         * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
        |       + (CAST('0x' || substr(md5('graft-mh-b' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) & 1073741823)
        |      ) % 4294967291))) AS sig
-       |FROM (SELECT $idCol, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-       |    END) AS sh
-       |  FROM (SELECT $idCol,
-       |      string_split_regex(lower(trim($textExpr, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))),
-       |        '[ \\t\\n\\x0b\\f\\r]+') AS toks
-       |    FROM $from))""".stripMargin
+       |FROM (${shinglesSql(idCol, textExpr, from)})""".stripMargin
 
   /** Exact shingle-set Jaccard in DuckDB (Dedup.jaccardOf parity). */
   private def jaccardSql(a: String, b: String): String =
@@ -1781,6 +1806,20 @@ object SparkEntry {
          |SELECT f.doc_id AS id, c.cluster
          |FROM fps f JOIN repr rp ON rp.fp = f.fp JOIN comp c ON c.id = rp.rid
          |ORDER BY id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH sh AS (${shinglesSql("doc_id", "text", "documents")}),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+         |ek AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM ek a JOIN ek b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |SELECT i, j, jaccard FROM (
+         |  SELECT cand.i, cand.j, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.i
+         |  JOIN sh sb ON sb.doc_id = cand.j)
+         |WHERE jaccard >= 0.4 ORDER BY i, j""".stripMargin,
 
     "q_minhash_dedup" ->
       s"""WITH RECURSIVE ms AS (${minhashSig("doc_id", "text", "documents")}),

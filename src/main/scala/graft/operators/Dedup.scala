@@ -119,6 +119,69 @@ object Dedup extends Logging {
       .withColumnRenamed("component", "cluster")
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs — the no-sketch reference point
+    * for [[minhashLsh]] (same shingles, same verify, but candidate generation
+    * by inverted shingle index instead of LSH bands, so no probabilistic
+    * recall loss). Returns `(i, j, jaccard)` for all pairs with
+    * `jaccard >= threshold` (i < j).
+    *
+    * Candidate generation is EXACT for any threshold > 0 when
+    * `maxShingleDf == 0`: two docs with non-zero Jaccard share at least one
+    * shingle, so the shingle-key self-equi-join finds every qualifying pair.
+    * At corpus scale that join is quadratic in the document frequency of the
+    * hottest shingle, so `maxShingleDf > 0` drops shingles appearing in more
+    * than that many docs from candidate generation (fan-out per shingle key
+    * is then bounded by maxShingleDf², and AQE skew-split handles the rest).
+    * The only pairs that can be missed are those sharing NOTHING but
+    * ultra-common boilerplate shingles — which near-always sit far below any
+    * useful threshold. The verify step always uses the FULL shingle sets, so
+    * reported Jaccard values are exact either way.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .localCheckpoint(true) // branches: inverted index + both verify join-backs
+    // inverted index: one (shingle, id) posting per distinct shingle per doc
+    val postings = base.select(col("id"), explode(col("sh")).as("s"))
+    val kept =
+      if (maxShingleDf <= 0) postings
+      else {
+        // df per shingle is a map-side-combinable count over the postings;
+        // the semi-join back is an equi-join on the same key (one shuffle,
+        // reused by the candidate join below)
+        val rare = postings.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("s")
+        postings.join(rare, Seq("s"), "left_semi")
+      }
+    val cand = kept.as("a").join(kept.as("b"), "s")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("i"), col("sh").as("si")), "i")
+      .join(base.select(col("id").as("j"), col("sh").as("sj")), "j")
+      .select(col("i"), col("j"), jaccardOf(col("si"), col("sj")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard dedup: [[ngramJaccardPairs]] edges → connected
+    * components → `(id, cluster)` with cluster = min doc id of the duplicate
+    * group (keep-first then = `filter(id === cluster)`). Same output contract
+    * as [[minhashLsh]]; use this when exact recall at the threshold matters
+    * more than the LSH path's immunity to hot shingles.
+    */
+  def ngramJaccardDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+    val edges = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxShingleDf)
+      .select("i", "j")
+    Clustering.connectedComponents(df.select(col(idCol).cast("long")), edges)
+      .withColumnRenamed("component", "cluster")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the sign
     * of sum over tokens of (+1 if bit b of md5-hash64(token) else -1). A native
     * codegen expression (graft.functions.SimHash64Expr); md5 token hashes make

@@ -428,6 +428,37 @@ class EngineSpec extends AnyFunSuite {
     assert(out(3L) != out(1L) && out(4L) != out(1L) && out(3L) != out(4L))
   }
 
+  test("ngramJaccardPairs: exact candidates, exact scores, df cap drops hot shingles") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val df = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "completely unrelated content about databases and query optimization plans"),
+      (4L, "yet another separate text mentioning mountains oceans forests deserts")
+    ).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", shingleSize = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    // 12 shingles each, 11 shared (the last differs) -> J = 11/13 exactly
+    assert(math.abs(pairs.head._3 - 11.0 / 13.0) < 1e-15)
+    // threshold = 0 with no cap still finds only pairs sharing >= 1 shingle
+    val all = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L)))
+    // a df cap of 1 drops every shared shingle -> no candidates at all
+    assert(Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.3, maxShingleDf = 1)
+      .count() == 0)
+    // dedup variant clusters the near-dup pair and leaves singletons alone
+    val clusters = Dedup.ngramJaccardDedup(df, "id", "text", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L) && clusters(1L) == 1L)
+    assert(clusters(3L) == 3L && clusters(4L) == 4L)
+    // empty input: no pairs, no crash
+    val emptyTexts = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.ngramJaccardPairs(emptyTexts, "id", "text").count() == 0)
+  }
+
   test("simhash: near-identical texts within small hamming distance") {
     import spark.implicits._
     val df = Seq(
