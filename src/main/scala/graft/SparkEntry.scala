@@ -292,6 +292,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // SemDeDup-style centroid-blocked near-dup: same tau as q_embed_neardup so
+    // the two results expose exactly the blocking recall loss; 16 deterministic
+    // md5-picked centroids (the oracle replays the pick bit-for-bit)
+    "q_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(ld(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.8, nCentroids = 16)
+        .orderBy(col("id"))
+    }),
+
     "q_cluster_agglom" -> ((s, dir) => {
       // single-linkage agglomerative cut at distance 0.65 == connected
       // components of the strict cos > 0.35 graph (oracle below relies on this)
@@ -1335,6 +1344,29 @@ object SparkEntry {
       s"""WITH RECURSIVE e AS (
          |  SELECT a.vec_id AS s, b.vec_id AS d FROM embeddings a, embeddings b
          |  WHERE a.vec_id <> b.vec_id AND $CosSelf >= 0.8),
+         |r(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id)
+         |SELECT id, min(lbl) AS cluster, id = min(lbl) AS is_representative
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM pts
+         |          ORDER BY md5('graft-sd-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |scored AS (SELECT p.vec_id AS id, c.cid, list_cosine_similarity(p.v, c.cv) AS cs
+         |           FROM pts p, cents c),
+         |asg AS (SELECT id, cid FROM (
+         |          SELECT id, cid,
+         |            row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+         |          FROM scored) WHERE rn = 1),
+         |e AS (SELECT a.id AS s, b.id AS d
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.id <> b.id
+         |      JOIN pts pa ON pa.vec_id = a.id
+         |      JOIN pts pb ON pb.vec_id = b.id
+         |      WHERE list_cosine_similarity(pa.v, pb.v) >= 0.8),
          |r(id, lbl) AS (
          |  SELECT vec_id, vec_id FROM embeddings
          |  UNION

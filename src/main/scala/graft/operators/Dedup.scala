@@ -320,6 +320,61 @@ object Dedup extends Logging {
     clustered.withColumn("is_representative", col("id") === col("cluster"))
   }
 
+  /** SemDeDup-style centroid-blocked embedding near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus by nearest centroid, run the
+    * cosine>=tau near-dup graph WITHIN each centroid cell only, cluster, keep
+    * the min-id representative. The k-means cells play the blocking role SRP
+    * bands play in [[embeddingNearDupLsh]] — pairwise work drops from O(n²)
+    * to Σ|cell|², and the only recall loss is pairs straddling a cell
+    * boundary (the paper's accepted trade).
+    *
+    * Centroids here are a deterministic md5-ordered pick of `nCentroids`
+    * corpus rows — bit-stable across engines and partitionings, which is what
+    * lets the DuckDB oracle replay the whole pipeline value-for-value. Pass
+    * the pick through [[Ann.refineCentroids]] (Lloyd rounds on a sample) when
+    * cell quality matters more than cross-engine parity; every downstream
+    * stage is centroid-agnostic.
+    *
+    * Scale: assignment is one broadcast nested-loop scan against the
+    * ≤nCentroids centroid table + a per-id argmax window whose fan-in is
+    * bounded by nCentroids (never by data); the within-cell join is an
+    * equi-join on `cid` (AQE skew-split absorbs hot cells — and a hot cell
+    * means nCentroids is too small for the corpus). Vectors travel through
+    * the narrow (id, cid, score) shuffle only once each via the two verify
+    * join-backs. Returns `(id, cluster, is_representative)`, same contract as
+    * [[embeddingNearDup]].
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nCentroids: Int = 64): DataFrame = {
+    import graft.functions.VectorOps._
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    val pts = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(true) // branches: centroid pick + scoring + 2 join-backs
+    val cents = pts
+      .orderBy(md5(concat(lit("graft-sd-"), col("id").cast("string"))), col("id"))
+      .limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // nearest-centroid assignment; ties broken toward the lowest centroid id
+    // (row_number over <= nCentroids rows per id — bounded fan-in by design)
+    val scored = pts.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("cs"))
+    val w = Window.partitionBy("id").orderBy(col("cs").desc, col("cid"))
+    val assigned = scored
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("id", "cid")
+    val edges = assigned.select(col("cid"), col("id").as("i"))
+      .join(assigned.select(col("cid"), col("id").as("j")), "cid")
+      .filter(col("i") < col("j"))
+      .join(pts.select(col("id").as("i"), col("v").as("vi")), "i")
+      .join(pts.select(col("id").as("j"), col("v").as("vj")), "j")
+      .filter(cosine(col("vi"), col("vj")) >= tau)
+      .select("i", "j")
+    Clustering.connectedComponents(pts.select("id"), edges)
+      .withColumnRenamed("component", "cluster")
+      .withColumn("is_representative", col("id") === col("cluster"))
+  }
+
   /** Paragraph-level exact dedup WITHIN documents (the public CCNet recipe):
     * split each document on `sepRegex`, keep only the globally-first
     * occurrence of every distinct trimmed paragraph (first = lowest

@@ -736,6 +736,34 @@ class EngineSpec extends AnyFunSuite {
 
   // --- over-bound clustering escalation -------------------------------------
 
+  test("semanticDedup: blocks by centroid cell; one cell == the exact near-dup graph") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(1.0, 0.0, 0.0)), // exact dups
+      (3L, Array(0.0, 1.0, 0.0)), (4L, Array(0.0, 0.9995, 0.0316)), // near dups
+      (5L, Array(0.0, 0.0, 1.0))
+    ).toDF("id", "vec")
+    // exact dups always share a cell (identical vectors -> identical argmax)
+    val out = Dedup.semanticDedup(vs, "id", "vec", tau = 0.95, nCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(5L) == 5L)
+    // a single cell removes the blocking entirely -> identical to the exact path
+    val exact = Dedup.embeddingNearDup(vs, "id", "vec", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val oneCell = Dedup.semanticDedup(vs, "id", "vec", tau = 0.95, nCentroids = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(oneCell == exact)
+    // one centroid per point: distinct points get singleton cells (no pairs),
+    // but exact dups tie to the same cell (lowest-cid tie-break) and still merge
+    val allCells = Dedup.semanticDedup(vs, "id", "vec", tau = 0.95, nCentroids = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allCells(1L) == 1L && allCells(2L) == 1L)
+    assert(Seq(3L, 4L, 5L).forall(id => allCells(id) == id))
+    assert(Dedup.semanticDedup(
+      Seq.empty[(Long, Array[Double])].toDF("id", "vec"), "id", "vec", 0.9).count() == 0)
+  }
+
   test("epsilonCluster escalates to the LSH bucket join above the broadcast bound") {
     import spark.implicits._
     // three exact-duplicate groups; identical vectors collide in every SRP
