@@ -134,37 +134,69 @@ object Dedup extends Logging {
     * is then bounded by maxShingleDf², and AQE skew-split handles the rest).
     * The only pairs that can be missed are those sharing NOTHING but
     * ultra-common boilerplate shingles — which near-always sit far below any
-    * useful threshold. The verify step always uses the FULL shingle sets, so
-    * reported Jaccard values are exact either way.
+    * useful threshold. Reported Jaccard values are exact either way: uncapped,
+    * the shared-posting count IS the intersection size (pure count algebra, no
+    * arrays shuffled); capped, an upper-bound prune runs first and only the
+    * surviving pairs pay the full-set verify.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+    // pin the shingle projection: four branches read it (postings twice via
+    // the self-join, sizes, survivor verify) and re-shingling costs ~1ms/doc
+    // of CPU per branch — measured 3-4x the one-time checkpoint write
     val base = df.select(
       col(idCol).cast("long").as("id"),
       array_distinct(TextAnalysis.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .localCheckpoint(true) // branches: inverted index + both verify join-backs
+      .localCheckpoint(true)
     // inverted index: one (shingle, id) posting per distinct shingle per doc
     val postings = base.select(col("id"), explode(col("sh")).as("s"))
-    val kept =
-      if (maxShingleDf <= 0) postings
-      else {
-        // df per shingle is a map-side-combinable count over the postings;
-        // the semi-join back is an equi-join on the same key (one shuffle,
-        // reused by the candidate join below)
-        val rare = postings.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("s")
-        postings.join(rare, Seq("s"), "left_semi")
-      }
-    val cand = kept.as("a").join(kept.as("b"), "s")
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    cand
-      .join(base.select(col("id").as("i"), col("sh").as("si")), "i")
-      .join(base.select(col("id").as("j"), col("sh").as("sj")), "j")
-      .select(col("i"), col("j"), jaccardOf(col("si"), col("sj")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+    if (maxShingleDf <= 0) {
+      // uncapped: the per-pair count of shared postings IS |A ∩ B|, so
+      // J = c/(|A|+|B|-c) exactly — counts only, the shingle arrays are
+      // never shuffled and no per-pair set intersection ever runs
+      val shared = postings.as("a").join(postings.as("b"), "s")
+        .filter(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      shared
+        .join(sizes.select(col("id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("id").as("j"), col("n").as("nj")), "j")
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // capped: c counts shared RARE shingles, so c <= |A ∩ B| <= c + min(h_i,
+      // h_j) with h = per-doc hot-shingle count. Prune candidates whose
+      // Jaccard UPPER bound misses the threshold (J is increasing in |A ∩ B|),
+      // then verify only the survivors against the full shingle sets — the
+      // exact-score contract costs one array join-back sized by the output,
+      // not by the candidate set.
+      val dfs = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val kept = postings.join(
+        dfs.filter(col("df") <= maxShingleDf).select("s"), Seq("s"), "left_semi")
+      val hot = kept.groupBy("id").agg(count(lit(1)).as("nk"))
+        .join(sizes, "id")
+        .select(col("id"), (col("n") - col("nk")).as("h"))
+      val shared = kept.as("a").join(kept.as("b"), "s")
+        .filter(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      val bounded = shared
+        .join(sizes.select(col("id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("id").as("j"), col("n").as("nj")), "j")
+        .join(hot.select(col("id").as("i"), col("h").as("hi")), "i")
+        .join(hot.select(col("id").as("j"), col("h").as("hj")), "j")
+        .withColumn("__m", col("c") + least(col("hi"), col("hj")))
+        .filter(col("__m").cast("double") / (col("ni") + col("nj") - col("__m"))
+          >= threshold)
+      bounded.select("i", "j")
+        .join(base.select(col("id").as("i"), col("sh").as("si")), "i")
+        .join(base.select(col("id").as("j"), col("sh").as("sj")), "j")
+        .select(col("i"), col("j"), jaccardOf(col("si"), col("sj")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Exact n-gram Jaccard dedup: [[ngramJaccardPairs]] edges → connected
