@@ -1020,6 +1020,13 @@ object SparkEntry {
       Stress.minhashSummary(ld(s, dir, "documents"), "doc_id", "text", m = 5)
     }),
 
+    // m=3 (not the family's 5): candidate fan-out grows with m^2·Σdf^2 — the
+    // quadratic the op exists to bound — and m=3 already runs ~11M candidate
+    // pairs while keeping the leg inside the stress family's time budget
+    "q_stress_jaccard" -> ((s, dir) => {
+      Stress.jaccardSummary(ld(s, dir, "documents"), "doc_id", "text", m = 3)
+    }),
+
     "q_stress_bm25" -> ((s, dir) => {
       Stress.bm25Summary(ld(s, dir, "documents"), "doc_id", "text", m = 5, nQueries = 5)
     }),

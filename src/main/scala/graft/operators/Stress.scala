@@ -88,6 +88,25 @@ object Stress {
         sum(when(col("cluster") =!= col("id"), 1L).otherwise(0L)).as("n_dups"))
   }
 
+  /** Exact n-gram Jaccard near-dup over the same `m`x suffixed-replica mix as
+    * [[minhashSummary]]: the inverted-index candidate join, the count-algebra
+    * scoring, the upper-bound prune, and the survivor verify all run at the
+    * multiplied scale. Summary: qualifying-pair census + score extrema (the
+    * only order-sensitive reduction — the avg's sum — rounded to 3).
+    */
+  def jaccardSummary(docs: DataFrame, idCol: String, textCol: String,
+      m: Int, threshold: Double = 0.5, maxShingleDf: Int = 200): DataFrame = {
+    val big = multiplied(docs.select(col(idCol), col(textCol)), idCol, m)
+      .withColumn(textCol,
+        concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
+    Dedup.ngramJaccardPairs(big, idCol, textCol,
+        threshold = threshold, maxShingleDf = maxShingleDf)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"),
+        round(avg(col("jaccard")), 3).as("avg_jaccard"))
+  }
+
   /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
     * corpus-side tokenize → query-vocab semi-join → partial aggregate plan
     * (the corpus vocabulary must still never reach a shuffle). Summary: the

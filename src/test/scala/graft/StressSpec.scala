@@ -71,6 +71,18 @@ class StressSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 40L), (2, 40L)))
   }
 
+  test("jaccard leg: every replica pair of a base doc qualifies, none cross bases") {
+    // 12-token bases + 1 rep token -> 11 shingles per replica, 10 shared
+    // between any two replicas of a base: J = 10/12 exactly; distinct
+    // per-base vocabularies mean no cross-base shingle ever collides
+    val d = docs(6)
+    val r = Stress.jaccardSummary(d, "doc_id", "text", m = 4).collect().head
+    assert(r.getLong(0) == 36) // C(4,2) pairs per base doc x 6 bases
+    assert(math.abs(r.getDouble(1) - 0.833333) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 0.833333) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.833) < 1e-9)
+  }
+
   test("minhash leg: replicas of each doc collapse to one cluster") {
     val d = docs(6)
     val r = Stress.minhashSummary(d, "doc_id", "text", m = 4).collect().head
