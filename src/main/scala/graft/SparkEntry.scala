@@ -842,6 +842,14 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Levenshtein fuzzy self-pairs via symmetric-deletion blocking: customer
+    // names differ only in digit positions — exactly the shared-prefix regime
+    // where q-gram blocking degenerates and deletion variants stay exact
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      Fuzzy.fuzzyPairs(ld(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs: the no-sketch reference point for
     // q_minhash_dedup — inverted-shingle-index candidate generation
     // (hot-shingle df cap 100), full-set Jaccard verify, same 0.4 threshold.
@@ -1845,6 +1853,13 @@ object SparkEntry {
          |SELECT f.doc_id AS id, c.cluster
          |FROM fps f JOIN repr rp ON rp.fp = f.fp JOIN comp c ON c.id = rp.rid
          |ORDER BY id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY i, j""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH sh AS (${shinglesSql("doc_id", "text", "documents")}),

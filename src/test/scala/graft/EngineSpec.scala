@@ -459,6 +459,46 @@ class EngineSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(emptyTexts, "id", "text").count() == 0)
   }
 
+  test("fuzzy: symmetric-deletion blocking finds exactly the <=k edit pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smyth"), // 1 substitution
+      (3L, "jonathan smithe"), // 1 insertion vs 1, 2 edits vs 2
+      (4L, "dave jones"), (5L, "dave jones"), // exact dup (dist 0)
+      (6L, "completely different")
+    ).toDF("id", "name")
+    val p1 = Fuzzy.fuzzyPairs(df, "id", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(p1 == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (4L, 5L) -> 0))
+    // k=2 adds the substitution+insertion pair (2,3)
+    val p2 = Fuzzy.fuzzyPairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(p2((2L, 3L)) == 2 && p2((1L, 2L)) == 1 && p2.size == 4)
+    // exhaustive cross-check: blocking+verify == naive all-pairs levenshtein
+    val naive = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(p2 == naive)
+    // two-table join + dedup clustering contracts
+    val right = Seq((10L, "jonathan smith"), (11L, "nobody")).toDF("rid", "rname")
+    val j = Fuzzy.fuzzyJoin(df, "id", "name", right, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(j == Set((1L, 10L, 0), (2L, 10L, 1), (3L, 10L, 1)))
+    val clusters = Fuzzy.fuzzyDedup(df, "id", "name", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L && clusters(5L) == 4L && clusters(6L) == 6L)
+    // nulls never match; over-long strings fail loudly
+    val withNull = Seq((1L, "ab"), (2L, null.asInstanceOf[String])).toDF("id", "name")
+    assert(Fuzzy.fuzzyPairs(withNull, "id", "name", maxDist = 1).count() == 0)
+    val long = Seq((1L, "x" * 65)).toDF("id", "name")
+    assertThrows[Exception] {
+      Fuzzy.fuzzyPairs(long, "id", "name", maxDist = 1).count()
+    }
+  }
+
   test("simhash: near-identical texts within small hamming distance") {
     import spark.implicits._
     val df = Seq(
