@@ -51,6 +51,29 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 50)
   }
 
+  test("Fuzzy: deletion blocking finds every <=k pair on random small-alphabet strings") {
+    // one-job batch check (per-case Spark jobs would be 100x slower): random
+    // strings over {a,b,c} collide constantly, the adversarial regime for any
+    // blocking scheme; blocking+verify must equal naive all-pairs levenshtein
+    import spark.implicits._
+    import graft.operators.Fuzzy
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(8))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+    }
+    val df = rows.toDF("id", "s").repartition(7) // partitioning must not matter
+    for (k <- Seq(1, 2)) {
+      val blocked = Fuzzy.fuzzyPairs(df, "id", "s", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val naive = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")).as("d"))
+        .filter(col("d") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(blocked == naive, s"k=$k: blocked ${blocked.size} vs naive ${naive.size}")
+    }
+  }
+
   test("TopKBuffer equals sort-take reference for random inputs") {
     // distinct ids, like real kNN candidates (ids are row ids)
     val gen = for {
