@@ -96,6 +96,10 @@ object GraftFunctions {
       require(args.length == 2, "word_shingle_rep_ratio(text, n)")
       WordShinglesExpr.repRatio(args(0), intArg(args(1), "n"))
     },
+    "jaro_winkler" -> { args =>
+      require(args.length == 2, "jaro_winkler(a, b)")
+      JaroWinklerExpr(args(0), args(1))
+    },
     "graft_terms" -> { args =>
       require(args.length == 1, "graft_terms(text)")
       TermsExpr(args(0))

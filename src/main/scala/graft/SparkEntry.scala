@@ -850,6 +850,21 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Fuzzy candidates re-scored with the native Jaro-Winkler kernel: the
+    // classic two-stage linkage scorer (cheap exact blocking -> a similarity
+    // the blocking scheme can't index), value-parity with DuckDB's
+    // jaro_winkler_similarity on every surviving pair
+    "q_fuzzy_rescore" -> ((s, dir) => {
+      val c = ld(s, dir, "customer")
+      Fuzzy.fuzzyPairs(c, "c_custkey", "c_name", maxDist = 1)
+        .join(c.select(col("c_custkey").as("i"), col("c_name").as("__a")), "i")
+        .join(c.select(col("c_custkey").as("j"), col("c_name").as("__b")), "j")
+        .select(col("i"), col("j"), col("dist"),
+          round(graft.functions.JaroWinklerExpr.jaroWinkler(col("__a"), col("__b")), 6)
+            .as("jw"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs: the no-sketch reference point for
     // q_minhash_dedup — inverted-shingle-index candidate generation
     // (hot-shingle df cap 100), full-set Jaccard verify, same 0.4 threshold.
@@ -1853,6 +1868,14 @@ object SparkEntry {
          |SELECT f.doc_id AS id, c.cluster
          |FROM fps f JOIN repr rp ON rp.fp = f.fp JOIN comp c ON c.id = rp.rid
          |ORDER BY id""".stripMargin,
+
+    "q_fuzzy_rescore" ->
+      """SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY i, j""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """SELECT a.c_custkey AS i, b.c_custkey AS j,

@@ -499,6 +499,36 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("jaroWinkler: textbook values, DuckDB parity semantics, codegen kernel") {
+    import spark.implicits._
+    import graft.functions.JaroWinklerExpr.jaroWinkler
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111), // classic Winkler example
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no shared prefix
+      ("Customer#000000001", "Customer#000000002", 0.9777777777777777),
+      ("aaxxxx", "aayyyy", 0.5555555555555555), // jaro <= 0.7: no boost
+      ("aaaax", "aaaay", 0.92), // boosted (prefix capped at 4)
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0), // window 0: no matches
+      ("apple", "", 0.0), // DuckDB convention: empty side scores 0
+      ("", "", 0.0)
+    )
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jw($a, $b): got $g want $want") // bitwise, not approx
+    }
+    // symmetric, and null-safe through the expression contract
+    val sym = Seq(("MARHTA", "MARTHA"), (null, "x")).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect()
+    assert(sym(0).getDouble(0) == 0.9611111111111111 && sym(1).isNullAt(0))
+    // SQL surface
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
+      .head().getDouble(0) == 0.9611111111111111)
+  }
+
   test("simhash: near-identical texts within small hamming distance") {
     import spark.implicits._
     val df = Seq(
