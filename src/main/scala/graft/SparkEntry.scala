@@ -850,6 +850,23 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Token-sort similarity over attribute-blocked part pairs: word-order
+    // permutations score 1.0, the (brand, size) equi-join is the blocking,
+    // and every similarity is a small-integer rational both engines compute
+    // bit-identically (64 pairs sit EXACTLY on the 0.5 threshold at sf0.01 —
+    // the filter still agrees)
+    "q_token_sort" -> ((s, dir) => {
+      val p = ld(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      p.as("a").join(p.as("b"), Seq("p_brand", "p_size"))
+        .filter(col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("i"), col("b.p_partkey").as("j"),
+          Fuzzy.tokenSortSimilarity(col("a.p_name"), col("b.p_name")).as("sim"))
+        .filter(col("sim") >= 0.5)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Fuzzy candidates re-scored with the native Jaro-Winkler kernel: the
     // classic two-stage linkage scorer (cheap exact blocking -> a similarity
     // the blocking scheme can't index), value-parity with DuckDB's
@@ -1868,6 +1885,18 @@ object SparkEntry {
          |SELECT f.doc_id AS id, c.cluster
          |FROM fps f JOIN repr rp ON rp.fp = f.fp JOIN comp c ON c.id = rp.rid
          |ORDER BY id""".stripMargin,
+
+    "q_token_sort" ->
+      """WITH k AS (SELECT p_partkey, p_brand, p_size,
+        |    array_to_string(list_sort(string_split_regex(trim(p_name), '\s+')), ' ') AS sk
+        |  FROM part),
+        |p AS (SELECT a.p_partkey AS i, b.p_partkey AS j,
+        |    CASE WHEN greatest(len(a.sk), len(b.sk)) = 0 THEN 1.0
+        |         ELSE 1.0 - CAST(levenshtein(a.sk, b.sk) AS DOUBLE)
+        |                    / greatest(len(a.sk), len(b.sk)) END AS sim
+        |  FROM k a JOIN k b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT i, j, round(sim, 6) AS sim FROM p WHERE sim >= 0.5 ORDER BY i, j""".stripMargin,
 
     "q_fuzzy_rescore" ->
       """SELECT a.c_custkey AS i, b.c_custkey AS j,

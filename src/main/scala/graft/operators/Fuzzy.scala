@@ -98,6 +98,28 @@ object Fuzzy {
       .filter(col("dist") >= 0)
   }
 
+  /** Word-order-insensitive match key: tokens sorted and re-joined —
+    * `"ring small"` and `"small ring"` collapse to the same key.
+    */
+  def tokenSortKey(s: Column): Column =
+    concat_ws(" ", array_sort(split(trim(s), "\\s+")))
+
+  /** Token-sort similarity (the public fuzzywuzzy `token_sort_ratio` shape):
+    * normalized edit similarity `1 - lev(sa, sb) / max(|sa|, |sb|)` over the
+    * [[tokenSortKey]] forms, so word-order permutations score 1.0 and the
+    * residual measures real character difference. Both-empty scores 1.0.
+    * Pure Spark/DuckDB builtins on each side — every value the DuckDB oracle
+    * recomputes is bit-identical (small-integer rationals through identical
+    * IEEE ops), so threshold filters agree even on boundary-exact pairs.
+    */
+  def tokenSortSimilarity(a: Column, b: Column): Column = {
+    val sa = tokenSortKey(a)
+    val sb = tokenSortKey(b)
+    val m = greatest(length(sa), length(sb))
+    when(m === 0, lit(1.0))
+      .otherwise(lit(1.0) - levenshtein(sa, sb).cast("double") / m.cast("double"))
+  }
+
   /** Fuzzy dedup: [[fuzzyPairs]] edges → connected components →
     * `(id, cluster)`, cluster = min id of the group — linear output even on
     * duplicate-heavy inputs (same contract as [[Dedup.minhashLsh]]).

@@ -499,6 +499,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenSortSimilarity: order-insensitive, exact small-integer rationals") {
+    import spark.implicits._
+    import graft.operators.Fuzzy.tokenSortSimilarity
+    val got = Seq(
+      ("small ring", "ring  small"), // permutation (and ws runs collapse) -> 1.0
+      ("small ring", "small ring"),
+      ("blue bolt", "blue ring"), // sorted keys differ in 4 of 9 chars
+      ("", ""),
+      ("abc", "")
+    ).toDF("a", "b").select(tokenSortSimilarity(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0 && got(1) == 1.0)
+    assert(got(2) == 1.0 - 4.0 / 9.0) // bitwise: exact rational both engines
+    assert(got(3) == 1.0)
+    assert(got(4) == 0.0)
+  }
+
   test("jaroWinkler: textbook values, DuckDB parity semantics, codegen kernel") {
     import spark.implicits._
     import graft.functions.JaroWinklerExpr.jaroWinkler
