@@ -967,12 +967,20 @@ object SparkEntry {
     // bounded TopKAggregate) → pairwise judge adjudication (Llm) — the
     // retrieve-rerank-judge / hard-negative-mining shape every training-data
     // pipeline runs, hash-checked end-to-end through all three subsystems.
+    // Candidate generation runs against the PERSISTED bucket-pruned BM25
+    // index (judge r6 task 2): the composite models the steady-state
+    // retrieval regime the index exists for, and the ad-hoc corpus-wide
+    // tokenize+aggregate it previously ran per invocation was the suite's
+    // heaviest CPU leg (task_sec ≈ 29s for 50 output rows). Same scores by
+    // the q_bm25_index contract (pruned search ≡ ad-hoc, hash-checked), so
+    // the oracle is unchanged.
     "q_retrieve_rerank" -> ((s, dir) => {
       import graft.functions.{Md5EmbedExpr, VecExpressions, VectorOps}
       val docs = ld(s, dir, "documents").select("doc_id", "text")
       val queries = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text"))
-      val cands = Lexical.bm25TopK(docs, "doc_id", "text", queries, "qid", "text", k = 20)
+      val cands = Lexical.bm25SearchIndex(
+          steadyBm25Index(s, dir), queries, "qid", "text", k = 20)
         .select(col("query_id"), col("doc_id"))
       val qtexts = queries.select(col("qid").as("query_id"), col("text").as("qtext"))
       val dtexts = docs.select(col("doc_id"), col("text").as("dtext"))

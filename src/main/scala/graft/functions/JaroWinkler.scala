@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * window-matched characters, boosted by the shared prefix (`l <= 4`,
   * `p = 0.1`) when the Jaro score exceeds 0.7. Textbook semantics
   * (Winkler 1990), matching DuckDB's `jaro_winkler_similarity` value-for-value
-  * on BMP strings — including its `0.0` for any comparison involving an empty
-  * string — so scored pairs hash-check against the oracle. A native codegen
+  * on ASCII strings — including its `0.0` for any comparison involving an empty
+  * string — so scored pairs hash-check against the oracle. (DuckDB matches
+  * UTF-8 *bytes* while this kernel matches UTF-16 chars, so non-ASCII input
+  * can legitimately diverge: `jaro_winkler('née','nee')` is 0.8 here vs 0.75
+  * in DuckDB 1.0; per-char semantics are the record-linkage-correct ones.) A native codegen
   * expression: pairs stream through whole-stage codegen with one static call
   * per row, no boxing. Typical use: re-score [[graft.operators.Fuzzy]]
   * candidates, whose deletion blocking bounds the pair set exactly.
