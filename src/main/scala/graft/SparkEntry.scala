@@ -620,6 +620,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Real-decode video pipeline, hash-checked WITHOUT an oracle-side video
+    // library (the q_image_decode/q_audio_decode move applied to moving
+    // pictures): each doc_id becomes a deterministic uncompressed AVI whose
+    // frame-f pixel channels are the test-card closed form extended with a
+    // frame term (Multimodal.encodeTestClip, 10x6 @ 5fps x 8 frames — width
+    // 10 forces a padded 32-byte DIB row stride, so the stride arithmetic is
+    // inside the hash), then VideoCodec parses the actual RIFF container
+    // (avih/strh/strf headers, 00db chunks, bottom-up BGR rows) and 4-window
+    // frame features average real pixel brightness per 2-frame window. The
+    // DuckDB oracle recomputes everything from the closed form — any
+    // chunk-walk/stride/channel-order/frame-order bug breaks the hash.
+    "q_video_decode" -> ((s, dir) => {
+      val ids = ld(s, dir, "documents").select("doc_id")
+      val clips = Multimodal.encodeTestClip(ids, "doc_id", w = 10, h = 6, fps = 5, nFrames = 8)
+      val dec = Multimodal.decodeVideo(clips, "avi", "meta")
+      val feats = Multimodal.videoFrameFeatures(dec, "avi", n = 4, "fb")
+      feats.select(
+          col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("meta.fps").as("fps"),
+          col("meta.sum_r").as("sum_r"), col("meta.sum_g").as("sum_g"),
+          col("meta.sum_b").as("sum_b"),
+          round(element_at(col("fb"), 1), 6).as("fb_w0"),
+          round(element_at(col("fb"), 2), 6).as("fb_w1"),
+          round(element_at(col("fb"), 3), 6).as("fb_w2"),
+          round(element_at(col("fb"), 4), 6).as("fb_w3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_event_window" -> ((s, dir) => {
       // batch execution of the streaming windowed-agg operator (watermark is a
       // no-op in batch; identical plan shape to the readStream path). Emit
@@ -1774,6 +1803,34 @@ object SparkEntry {
         |  round(sqrt(sum(CASE WHEN i >= 128 AND i < 192 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w2,
         |  round(sqrt(sum(CASE WHEN i >= 192 THEN s*s ELSE 0 END) / 64.0), 6) AS rms_w3
         |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Closed-form recomputation of the REAL AVI pipeline: pixel (x, y) of
+    // frame f of clip id has channels (7id+3x+5y+11f, 11id+x+2y+7f,
+    // 13id+4x+y+3f) mod 256 over a 10x6 grid and 8 frames (Multimodal
+    // .encodeTestClip; uncompressed DIB is lossless so decode must reproduce
+    // them); window w covers frames [2w, 2w+2), each window's feature is the
+    // mean of (r+g+b)/3 over its 2x60 pixels — integer-exact numerators, so
+    // the doubles match bitwise (rounded to 6 anyway).
+    "q_video_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y, f.range AS f
+        |  FROM documents d CROSS JOIN range(10) x CROSS JOIN range(6) y
+        |    CROSS JOIN range(8) f),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    (7*doc_id + 3*x + 5*y + 11*f) % 256 AS r,
+        |    (11*doc_id + x + 2*y + 7*f) % 256 AS g,
+        |    (13*doc_id + 4*x + y + 3*f) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(10 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS n_frames, CAST(5 AS INTEGER) AS fps,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  round(sum(CASE WHEN f < 2 THEN r+g+b ELSE 0 END) / (3.0*120), 6) AS fb_w0,
+        |  round(sum(CASE WHEN f >= 2 AND f < 4 THEN r+g+b ELSE 0 END) / (3.0*120), 6) AS fb_w1,
+        |  round(sum(CASE WHEN f >= 4 AND f < 6 THEN r+g+b ELSE 0 END) / (3.0*120), 6) AS fb_w2,
+        |  round(sum(CASE WHEN f >= 6 THEN r+g+b ELSE 0 END) / (3.0*120), 6) AS fb_w3
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)

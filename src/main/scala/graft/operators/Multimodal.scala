@@ -6,21 +6,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
-  * columns with a typed metadata struct.
+  * columns with a typed metadata struct — and ALL THREE modalities decode
+  * for real with JDK-only codecs.
   *
-  * IMAGES decode for real: [[ImageCodec]] wraps the JDK's `javax.imageio`
-  * (PNG/JPEG/BMP/GIF readers ship with the JRE — no external media libs
-  * needed), so [[decodeImage]], [[resizeImageNearest]] and
-  * [[imageGridFeatures]] operate on actual pixels and are hash-checked
-  * against a closed-form oracle (q_image_decode). AUDIO decodes for real
-  * too: [[AudioCodec]] wraps `javax.sound.sampled` (WAV/PCM readers also
-  * ship with every JRE), so [[decodeAudio]] and [[audioWindowFeatures]]
-  * operate on actual samples and are hash-checked the same way
-  * (q_audio_decode, closed-form sawtooth fixture). Video readers do NOT
-  * ship with the JDK, so that codec step stays a clearly-marked
-  * DETERMINISTIC STUB ([[MediaCodec.decodeStub]], byte-level container
-  * sniff) behind the same batch shape — swapping in a real decoder replaces
-  * only that function.
+  * IMAGES: [[ImageCodec]] wraps the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+  * readers ship with the JRE — no external media libs needed), so
+  * [[decodeImage]], [[resizeImageNearest]] and [[imageGridFeatures]] operate
+  * on actual pixels and are hash-checked against a closed-form oracle
+  * (q_image_decode). AUDIO: [[AudioCodec]] wraps `javax.sound.sampled`
+  * (WAV/PCM readers also ship with every JRE), so [[decodeAudio]] and
+  * [[audioWindowFeatures]] operate on actual samples and are hash-checked
+  * the same way (q_audio_decode, closed-form sawtooth fixture). VIDEO: the
+  * JDK ships no compressed-video reader, but uncompressed RIFF/AVI (raw
+  * bottom-up DIB frames, the pre-codec interchange layout) needs only byte
+  * arithmetic — [[VideoCodec]] parses the real container (RIFF chunk walk,
+  * `avih`/`strh`/`strf` headers, `00db` frame chunks, row stride padding,
+  * BGR→RGB) so [[decodeVideo]], [[videoFrameFeatures]] and [[sampleFrames]]
+  * operate on actual frame pixels, hash-checked against a closed-form
+  * oracle too (q_video_decode). A production deployment swaps each codec
+  * object for a hardware-accelerated one; every operator's batch shape,
+  * schema, and partitioning stay as tested here.
   */
 object Multimodal {
 
@@ -29,29 +34,37 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("checksum", LongType, nullable = false)))
 
-  /** STUB codec: byte-level inspection standing in for image/audio decode. */
-  object MediaCodec extends Serializable {
-    private val Magic: Seq[(Array[Byte], String)] = Seq(
-      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) -> "png",
-      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte) -> "jpeg",
-      Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte) -> "wav",
-      Array('I'.toByte, 'D'.toByte, '3'.toByte) -> "mp3")
+  /** Container dispatch: identify which REAL codec owns a payload from its
+    * container magic — the routing step in front of [[ImageCodec]] /
+    * [[AudioCodec]] / [[VideoCodec]] (a RIFF header is disambiguated by its
+    * form type at offset 8: `WAVE` → audio, `AVI ` → video). Plus a rolling
+    * payload checksum (base-31 mod 1e9+7) as the integrity fingerprint that
+    * travels with the bytes through shuffles and sinks.
+    */
+  object ContainerSniff extends Serializable {
+    def format(bytes: Array[Byte]): String = {
+      def at(i: Int, c: Char): Boolean = bytes(i) == c.toByte
+      if (bytes.length >= 4 && bytes(0) == 0x89.toByte && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
+      else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+        bytes(2) == 0xFF.toByte) "jpeg"
+      else if (bytes.length >= 4 && at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) "gif"
+      else if (bytes.length >= 2 && at(0, 'B') && at(1, 'M')) "bmp"
+      else if (bytes.length >= 12 && at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) {
+        if (at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "wav"
+        else if (at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "avi"
+        else null
+      }
+      else if (bytes.length >= 3 && at(0, 'I') && at(1, 'D') && at(2, '3')) "mp3"
+      else null
+    }
 
-    /** Deterministic stand-in for a real decode: sniffs container magic and
-      * computes a rolling checksum. A real implementation would decode pixels /
-      * samples here — batch shape and output schema would not change.
-      */
-    def decodeStub(bytes: Array[Byte]): Row = {
+    def sniff(bytes: Array[Byte]): Row = {
       if (bytes == null) Row(0L, null, 0L)
       else {
-        val fmt = Magic.collectFirst {
-          case (magic, name) if bytes.length >= magic.length &&
-            magic.indices.forall(i => bytes(i) == magic(i)) => name
-        }.orNull
         var h = 0L
         var i = 0
         while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-        Row(bytes.length.toLong, fmt, h)
+        Row(bytes.length.toLong, format(bytes), h)
       }
     }
   }
@@ -185,6 +198,193 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for uncompressed RIFF/AVI — the raw-interchange layout
+    * every capture/edit toolchain can emit (`-c:v rawvideo` in common
+    * encoders): a RIFF container whose `movi` list carries one `00db` chunk
+    * per frame of bottom-up 24-bit BGR DIB rows, each row padded to a 4-byte
+    * stride. No JDK media API covers video, but this container needs only
+    * byte arithmetic, so the parse is exact and dependency-free: walk the
+    * chunk tree (word-aligned per RIFF), take stream geometry from the
+    * `vids` stream's `strh` (rate/scale → fps) and `strf`
+    * (BITMAPINFOHEADER: dims, 24-bit, BI_RGB), then convert each frame chunk
+    * to top-down packed-RGB ints. Compressed streams (`biCompression != 0`),
+    * non-24-bit depths, and malformed containers return None — the honest
+    * "this codec doesn't own the payload" signal, same contract as
+    * [[AudioCodec.decode]].
+    */
+  object VideoCodec extends Serializable {
+
+    final case class Decoded(width: Int, height: Int, fps: Int, frames: Array[Array[Int]])
+
+    private def stride(w: Int): Int = (w * 3 + 3) / 4 * 4
+
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.length < 12) return None
+      def u32(o: Int): Int = ((bytes(o) & 0xff) | (bytes(o + 1) & 0xff) << 8 |
+        (bytes(o + 2) & 0xff) << 16 | (bytes(o + 3) & 0xff) << 24)
+      def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var width = 0; var height = 0; var fps = 0
+      var ok = false // a vids strh+24-bit-BI_RGB strf pair was seen
+      var compressed = false // any '##dc' frame chunk voids the whole clip
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+
+      // one stream-definition list: strh declares the stream type, the strf
+      // that FOLLOWS it in the same list describes that stream's format —
+      // only the first video stream's geometry is captured
+      def parseStrl(start: Int, end: Int): Unit = {
+        var o = start
+        var isVids = false
+        while (o + 8 <= end) {
+          val id = fourcc(o); val sz = u32(o + 4); val body = o + 8
+          if (sz < 0 || body + sz > end) return
+          id match {
+            case "strh" if sz >= 28 =>
+              isVids = fourcc(body) == "vids"
+              if (isVids && !ok) {
+                val scale = u32(body + 20); val rate = u32(body + 24)
+                fps = if (scale > 0) rate / scale else 0
+              }
+            case "strf" if isVids && !ok && sz >= 40 =>
+              // BITMAPINFOHEADER: width @4, height @8, bitCount @14 (u16),
+              // compression @16 (0 = BI_RGB)
+              val bitCount = (bytes(body + 14) & 0xff) | (bytes(body + 15) & 0xff) << 8
+              if (bitCount == 24 && u32(body + 16) == 0) {
+                width = u32(body + 4); height = u32(body + 8)
+                ok = width > 0 && height > 0
+              }
+            case _ => ()
+          }
+          o = body + sz + (sz & 1)
+        }
+      }
+
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(o); val sz = u32(o + 4); val body = o + 8
+          if (sz < 0 || body + sz > end) return
+          if (id == "LIST" && sz >= 4) {
+            fourcc(body) match {
+              case "strl" => parseStrl(body + 4, body + sz)
+              case lt     => walk(body + 4, body + sz, inMovi = lt == "movi")
+            }
+          } else if (inMovi && id.length == 4 && id.endsWith("dc") &&
+            id(0).isDigit && id(1).isDigit) {
+            // '##dc' = a COMPRESSED frame — this codec does not own the
+            // clip, so the whole decode reports None rather than a partial
+            // frame list
+            compressed = true
+          } else if (inMovi && ok && id.length == 4 && id.endsWith("db") &&
+            id(0).isDigit && id(1).isDigit) {
+            // '##db' = uncompressed DIB frame for stream ##
+            val st = stride(width)
+            if (sz >= st * height) {
+              val px = new Array[Int](width * height)
+              var y = 0
+              while (y < height) {
+                val src = body + (height - 1 - y) * st // bottom-up rows
+                var x = 0
+                while (x < width) {
+                  val b = bytes(src + 3 * x) & 0xff
+                  val g = bytes(src + 3 * x + 1) & 0xff
+                  val r = bytes(src + 3 * x + 2) & 0xff
+                  px(y * width + x) = (r << 16) | (g << 8) | b
+                  x += 1
+                }
+                y += 1
+              }
+              frames += px
+            }
+          }
+          o = body + sz + (sz & 1)
+        }
+      }
+
+      walk(12, bytes.length, inMovi = false)
+      if (ok && !compressed && frames.nonEmpty)
+        Some(Decoded(width, height, fps, frames.toArray))
+      else None
+    }
+
+    /** Lossless uncompressed AVI of `nFrames` frames where pixel (x, y) of
+      * frame f has packed RGB `rgb(f, x, y)` — the full real container
+      * (avih/strh/strf headers, bottom-up padded BGR DIB rows), so
+      * [[decode]] must reproduce exactly these values.
+      */
+    def encodeAvi(w: Int, h: Int, fps: Int, nFrames: Int,
+        rgb: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0 && nFrames > 0,
+        s"need positive dims/fps/frames, got ${w}x$h@$fps x$nFrames")
+      val st = stride(w)
+      val frameSz = st * h
+      val strlSz = 4 + (8 + 56) + (8 + 40)
+      val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+      val moviSz = 4 + nFrames * (8 + frameSz) // frameSz is even (stride % 4 == 0)
+      val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+      val out = java.nio.ByteBuffer.allocate(8 + riffSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); out.putInt(riffSz); cc("AVI ")
+      cc("LIST"); out.putInt(hdrlSz); cc("hdrl")
+      cc("avih"); out.putInt(56)
+      out.putInt(1000000 / fps) // dwMicroSecPerFrame
+      out.putInt(frameSz * fps) // dwMaxBytesPerSec
+      out.putInt(0)             // dwPaddingGranularity
+      out.putInt(0)             // dwFlags
+      out.putInt(nFrames)       // dwTotalFrames
+      out.putInt(0)             // dwInitialFrames
+      out.putInt(1)             // dwStreams
+      out.putInt(frameSz)       // dwSuggestedBufferSize
+      out.putInt(w); out.putInt(h)
+      (0 until 4).foreach(_ => out.putInt(0)) // dwReserved
+      cc("LIST"); out.putInt(strlSz); cc("strl")
+      cc("strh"); out.putInt(56)
+      cc("vids"); cc("DIB ")
+      out.putInt(0)             // dwFlags
+      out.putInt(0)             // wPriority + wLanguage
+      out.putInt(0)             // dwInitialFrames
+      out.putInt(1)             // dwScale
+      out.putInt(fps)           // dwRate (fps = rate / scale)
+      out.putInt(0)             // dwStart
+      out.putInt(nFrames)       // dwLength
+      out.putInt(frameSz)       // dwSuggestedBufferSize
+      out.putInt(0)             // dwQuality
+      out.putInt(0)             // dwSampleSize
+      out.putShort(0); out.putShort(0) // rcFrame left, top
+      out.putShort(w.toShort); out.putShort(h.toShort)
+      cc("strf"); out.putInt(40)
+      out.putInt(40)            // biSize
+      out.putInt(w); out.putInt(h)
+      out.putShort(1)           // biPlanes
+      out.putShort(24)          // biBitCount
+      out.putInt(0)             // biCompression = BI_RGB
+      out.putInt(frameSz)       // biSizeImage
+      out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+      cc("LIST"); out.putInt(moviSz); cc("movi")
+      var f = 0
+      while (f < nFrames) {
+        cc("00db"); out.putInt(frameSz)
+        var y = h - 1 // bottom-up rows
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val p = rgb(f, x, y)
+            out.put((p & 0xff).toByte)         // B
+            out.put(((p >> 8) & 0xff).toByte)  // G
+            out.put(((p >> 16) & 0xff).toByte) // R
+            x += 1
+          }
+          var pad = st - 3 * w
+          while (pad > 0) { out.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+        f += 1
+      }
+      out.array()
+    }
+  }
+
   val AudioMetaSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
@@ -284,6 +484,154 @@ object Multimodal {
         val wav = AudioCodec.encodeWav(sampleRate, nSamples, i =>
           java.lang.Math.floorMod(2469L * id + 303L * i, 65536L).toInt - 32768)
         Row.fromSeq(row.toSeq :+ wav)
+      }
+    }(enc)
+  }
+
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Decode a binary video column for real and append
+    * `(width, height, n_frames, fps, sum_r, sum_g, sum_b)` — container facts
+    * plus per-channel pixel sums over ALL frames, the properties a
+    * closed-form oracle can recompute without a video library.
+    * Null/undecodable payloads get a zero struct (width = 0 flags them).
+    * Whole-partition pass, same shape as [[decodeImage]].
+    */
+  def decodeVideo(df: DataFrame, binCol: String, outCol: String = "video_meta"): DataFrame = {
+    val outSchema = df.schema.add(outCol, VideoMetaSchema, nullable = false)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = VideoCodec.decode(row.getAs[Array[Byte]](binIdx)) match {
+          case None => Row(0, 0, 0, 0, 0L, 0L, 0L)
+          case Some(d) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var f = 0
+            while (f < d.frames.length) {
+              val px = d.frames(f)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                i += 1
+              }
+              f += 1
+            }
+            Row(d.width, d.height, d.frames.length, d.fps, sr, sg, sb)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Real frame features: `n` per-window mean brightnesses over the decoded
+    * frames — the temporal energy profile of the clip, closed-form
+    * checkable. Frame f belongs to window `f*n/total` (the
+    * [[imageGridFeatures]] cell convention); each window's value is the mean
+    * of (r+g+b)/3 over every pixel of its frames — the integer channel sum
+    * is exact and IEEE division is correctly rounded, so any engine
+    * reproduces the doubles bit-for-bit. Undecodable payloads yield an
+    * all-zero vector so media rows never drop out of downstream similarity
+    * joins.
+    */
+  def videoFrameFeatures(
+      df: DataFrame, binCol: String, n: Int,
+      outCol: String = "video_features"): DataFrame = {
+    require(n >= 1, s"need a positive window count, got $n")
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType, containsNull = false), nullable = false)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val feats = VideoCodec.decode(row.getAs[Array[Byte]](binIdx)) match {
+          case None => Array.fill(n)(0.0)
+          case Some(d) =>
+            val sums = new Array[Long](n)
+            val counts = new Array[Long](n)
+            val total = d.frames.length
+            var f = 0
+            while (f < total) {
+              val w = (f.toLong * n / total).toInt
+              val px = d.frames(f)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sums(w) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                i += 1
+              }
+              counts(w) += px.length
+              f += 1
+            }
+            Array.tabulate(n)(w =>
+              if (counts(w) == 0) 0.0 else sums(w) / (3.0 * counts(w)))
+        }
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Real frame sampling: decode the clip, pick `n` evenly spaced frames
+    * (frame `i*total/n` — integer division, deterministic), and re-encode
+    * each as a lossless PNG, so sampled frames feed directly into the image
+    * operators ([[decodeImage]], [[imageGridFeatures]]) and from there into
+    * the similarity/dedup stack. This is the real replacement for byte-level
+    * [[sampleChunks]] on video payloads. Undecodable payloads yield null.
+    */
+  def sampleFrames(
+      df: DataFrame, binCol: String, n: Int,
+      outCol: String = "frames"): DataFrame = {
+    require(n >= 1, s"need a positive sample count, got $n")
+    val outSchema = df.schema.add(outCol,
+      ArrayType(BinaryType, containsNull = false), nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val sampled = VideoCodec.decode(row.getAs[Array[Byte]](binIdx)).map { d =>
+          val total = d.frames.length
+          Array.tabulate(math.min(n, total)) { i =>
+            val px = d.frames(i * total / n)
+            ImageCodec.encodePng(d.width, d.height, (x, y) => px(y * d.width + x))
+          }
+        }.orNull
+        Row.fromSeq(row.toSeq :+ sampled)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic "test clip" AVI per id: pixel (x, y) of frame f
+    * of clip `id` has channels `r = (7·id + 3x + 5y + 11f) mod 256`,
+    * `g = (11·id + x + 2y + 7f) mod 256`, `b = (13·id + 4x + y + 3f) mod 256`
+    * — [[encodeTestCard]]'s closed form extended with a frame term, so each
+    * frame differs and temporal windows have distinct means. Uncompressed
+    * DIB frames are lossless, so decode must reproduce exactly these values.
+    * Fixture generator for the hash-checked video queries and specs,
+    * mirroring [[encodeTestTone]].
+    */
+  def encodeTestClip(
+      df: DataFrame, idCol: String, w: Int, h: Int, fps: Int, nFrames: Int,
+      outCol: String = "avi"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val avi = VideoCodec.encodeAvi(w, h, fps, nFrames, { (f, x, y) =>
+          val r = java.lang.Math.floorMod(7 * id + 3 * x + 5 * y + 11 * f, 256L).toInt
+          val g = java.lang.Math.floorMod(11 * id + x + 2 * y + 7 * f, 256L).toInt
+          val b = java.lang.Math.floorMod(13 * id + 4 * x + y + 3 * f, 256L).toInt
+          (r << 16) | (g << 8) | b
+        })
+        Row.fromSeq(row.toSeq :+ avi)
       }
     }(enc)
   }
@@ -414,18 +762,19 @@ object Multimodal {
     }(enc)
   }
 
-  /** Attach decoded metadata for a binary media column. Executed as a
-    * whole-partition pass (`mapPartitions` via the typed API) so a real codec
-    * pays its init cost once per partition, not once per row.
+  /** Attach container metadata (size, sniffed format, payload checksum) for
+    * a binary media column — the dispatch step in front of the typed decode
+    * operators ([[decodeImage]] / [[decodeAudio]] / [[decodeVideo]]).
+    * Executed as a whole-partition pass (`mapPartitions` via the typed API)
+    * so codec init cost is paid once per partition, not once per row.
     */
   def withMediaMeta(df: DataFrame, binCol: String, outCol: String = "media_meta"): DataFrame = {
     val outSchema = df.schema.add(outCol, MetaSchema, nullable = false)
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // per-partition codec init would go here (model/library handle)
       rows.map { row =>
-        val meta = MediaCodec.decodeStub(row.getAs[Array[Byte]](binIdx))
+        val meta = ContainerSniff.sniff(row.getAs[Array[Byte]](binIdx))
         Row.fromSeq(row.toSeq :+ meta)
       }
     }(enc)
@@ -476,9 +825,10 @@ object Multimodal {
     df.withColumn(outCol, fx(col(binCol)))
   }
 
-  /** Deterministic frame/chunk sampling: split the payload into `n` evenly
-    * spaced fixed-size chunks (a real video path would seek keyframes; the
-    * partitioning/UDF shape is identical).
+  /** Deterministic byte-chunk sampling: split an OPAQUE payload into `n`
+    * evenly spaced fixed-size chunks — the format-agnostic fallback for
+    * containers no codec owns. For video payloads, [[sampleFrames]] is the
+    * real path (decoded evenly-spaced frames re-encoded as PNGs).
     */
   def sampleChunks(df: DataFrame, binCol: String, n: Int, chunkBytes: Int = 64,
       outCol: String = "chunks"): DataFrame = {

@@ -487,6 +487,74 @@ class PipelineSpec extends AnyFunSuite {
       .select("audio_features").first().getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("VideoCodec: AVI round-trip is pixel-exact; frame features; real frame sampling") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{ImageCodec, VideoCodec}
+    // direct codec round-trip: arbitrary per-frame RGB pattern survives
+    // encode+decode — width 5 forces a padded row stride (15 -> 16 bytes),
+    // so stride arithmetic and the bottom-up row order are both exercised
+    val rgb = (f: Int, x: Int, y: Int) =>
+      (((f * 41 + x * 37 + 11) % 256) << 16) | (((y * 53 + f) % 256) << 8) | ((x + y + 2 * f) % 256)
+    val avi = VideoCodec.encodeAvi(w = 5, h = 4, fps = 10, nFrames = 3, rgb)
+    assert(graft.operators.Multimodal.ContainerSniff.format(avi) == "avi")
+    val d = VideoCodec.decode(avi).get
+    assert(d.width == 5 && d.height == 4 && d.fps == 10 && d.frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 5)
+      assert((d.frames(f)(y * 5 + x) & 0xffffff) == rgb(f, x, y), s"frame $f pixel ($x,$y)")
+
+    // DataFrame plumbing: test clip decode matches the closed form
+    val ids = Seq(0L, 3L).toDF("doc_id")
+    val clips = Multimodal.encodeTestClip(ids, "doc_id", w = 4, h = 2, fps = 5, nFrames = 4)
+    def chR(id: Long, f: Int, x: Int, y: Int): Long = (7 * id + 3 * x + 5 * y + 11 * f) % 256
+    val meta = Multimodal.decodeVideo(clips, "avi").select("doc_id", "video_meta.*")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    def sumR(id: Long) = (for (f <- 0 until 4; y <- 0 until 2; x <- 0 until 4)
+      yield chR(id, f, x, y)).sum
+    assert(meta(0L) == ((4, 2, 4, 5, sumR(0))))
+    assert(meta(3L) == ((4, 2, 4, 5, sumR(3))))
+
+    // per-window brightness means match the closed form (2 frames/window)
+    def ch(id: Long, f: Int, x: Int, y: Int): Long =
+      chR(id, f, x, y) + (11 * id + x + 2 * y + 7 * f) % 256 + (13 * id + 4 * x + y + 3 * f) % 256
+    val fb = Multimodal.videoFrameFeatures(clips, "avi", n = 2)
+      .filter($"doc_id" === 3L).select("video_features").first().getSeq[Double](0)
+    def expMean(id: Long, lo: Int, hi: Int) =
+      (for (f <- lo until hi; y <- 0 until 2; x <- 0 until 4) yield ch(id, f, x, y)).sum /
+        (3.0 * (hi - lo) * 8)
+    assert(fb == Seq(expMean(3, 0, 2), expMean(3, 2, 4)))
+
+    // real frame sampling: 2 of 4 frames (0 and 2), PNG-encoded losslessly —
+    // decoding the sampled PNG reproduces the clip's exact frame pixels
+    val frames = Multimodal.sampleFrames(clips, "avi", n = 2)
+      .filter($"doc_id" === 3L).select("frames").first().getSeq[Array[Byte]](0)
+    assert(frames.length == 2)
+    val f2 = ImageCodec.decode(frames(1)).get
+    assert(f2.width == 4 && f2.height == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = f2.argb(y * 4 + x) & 0xffffff
+      val exp = (chR(3, 2, x, y).toInt << 16) |
+        (((11 * 3 + x + 2 * y + 7 * 2) % 256) << 8) | ((13 * 3 + 4 * x + y + 3 * 2) % 256)
+      assert(p == exp, s"sampled frame pixel ($x,$y)")
+    }
+
+    // compressed streams ('00dc'), truncated containers, and garbage all
+    // yield None / the zero struct, never an exception
+    val dcAvi = avi.clone()
+    val idx = { // flip the first '00db' fourcc to '00dc'
+      val s = new String(dcAvi, "ISO-8859-1"); s.indexOf("00db")
+    }
+    assert(idx > 0); dcAvi(idx + 3) = 'c'.toByte
+    assert(VideoCodec.decode(dcAvi).isEmpty)
+    assert(VideoCodec.decode(java.util.Arrays.copyOf(avi, 40)).isEmpty)
+    val junkV = Seq((1L, "not a video".getBytes("UTF-8"))).toDF("id", "avi")
+    val jv = Multimodal.decodeVideo(junkV, "avi").select("video_meta.*").first()
+    assert(jv.getInt(0) == 0 && jv.getInt(2) == 0)
+    assert(Multimodal.videoFrameFeatures(junkV, "avi", 3)
+      .select("video_features").first().getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
+    assert(Multimodal.sampleFrames(junkV, "avi", 2).select("frames").first().get(0) == null)
+  }
+
   // ------------------------------------------------------------------ Streaming
 
   test("windowedEventCounts over a memory stream matches batch result") {
