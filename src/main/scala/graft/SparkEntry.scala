@@ -879,6 +879,22 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))
     }),
 
+    // The fuzzy family's SQL surface: graft_fuzzy_join TVF (GraftPlans) over
+    // a self temp view, restricted to i < j — must equal q_fuzzy_pairs exactly
+    // (same oracle), proving the catalog-resolved composed plan carries the
+    // identical blocking + banded verify as the DataFrame API.
+    "q_fuzzy_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      ld(s, dir, "customer").select("c_custkey", "c_name")
+        .createOrReplaceTempView("graft_fuzzy_sql_customer")
+      s.sql(
+        """SELECT left_id AS i, right_id AS j, dist
+          |FROM graft_fuzzy_join('graft_fuzzy_sql_customer', 'graft_fuzzy_sql_customer',
+          |  'c_custkey', 'c_name', 'c_custkey', 'c_name', 1)
+          |WHERE left_id < right_id
+          |ORDER BY i, j""".stripMargin)
+    }),
+
     // Token-sort similarity over attribute-blocked part pairs: word-order
     // permutations score 1.0, the (brand, size) equi-join is the blocking,
     // and every similarity is a small-integer rational both engines compute
@@ -1972,6 +1988,15 @@ object SparkEntry {
         |ORDER BY i, j""".stripMargin,
 
     "q_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY i, j""".stripMargin,
+
+    // same contract as q_fuzzy_pairs: the TVF's i < j restriction of the
+    // two-table join over the same table must emit exactly the self-pairs
+    "q_fuzzy_sql" ->
       """SELECT a.c_custkey AS i, b.c_custkey AS j,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey

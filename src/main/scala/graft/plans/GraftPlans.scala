@@ -113,6 +113,33 @@ object GraftPlans {
       lid, lvec, rid, rvec, tau, excludeSelf, keepUnmatched)
   }
 
+  /** `graft_fuzzy_join('l_tbl','r_tbl','lid','lstr','rid','rstr', maxDist[, maxLen])`
+    * — the edit-distance sibling: every `(left_id, right_id, dist)` with
+    * `levenshtein <= maxDist`, computed by [[graft.operators.Fuzzy.fuzzyJoin]]'s
+    * symmetric-deletion blocking. Unlike the vector joins this needs no
+    * custom node — the operator is a composition of codegen'd builtins
+    * (explode → xxhash64 equi-join → banded levenshtein verify), so the
+    * builder materializes that composed plan and Catalyst optimizes it like
+    * any other (output-column predicates push through the joins into the
+    * scans). Table names resolve through the session catalog, children are
+    * pre-projected to the two used columns.
+    */
+  private def fuzzyJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 || args.length == 8,
+      "graft_fuzzy_join(leftTable, rightTable, leftId, leftStr, rightId, rightStr, " +
+        "maxDist[, maxLen])")
+    val Seq(lt, rt) = args.take(2).zip(Seq("leftTable", "rightTable")).map((str _).tupled)
+    val Seq(lid, lstr, rid, rstr) =
+      args.slice(2, 6).zip(Seq("leftId", "leftStr", "rightId", "rightStr")).map((str _).tupled)
+    val maxDist = int(args(6), "maxDist")
+    val maxLen = if (args.length > 7) int(args(7), "maxLen") else 64
+    val spark = SparkSession.active
+    val left = ColumnBridge.ofRows(spark, rel(lt, Seq(lid, lstr)))
+    val right = ColumnBridge.ofRows(spark, rel(rt, Seq(rid, rstr)))
+    ColumnBridge.analyzedPlan(
+      graft.operators.Fuzzy.fuzzyJoin(left, lid, lstr, right, rid, rstr, maxDist, maxLen))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -121,7 +148,10 @@ object GraftPlans {
         knnJoinBuilder _),
       (FunctionIdentifier("graft_range_join"),
         new ExpressionInfo("graft", "graft_range_join"),
-        rangeJoinBuilder _))
+        rangeJoinBuilder _),
+      (FunctionIdentifier("graft_fuzzy_join"),
+        new ExpressionInfo("graft", "graft_fuzzy_join"),
+        fuzzyJoinBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

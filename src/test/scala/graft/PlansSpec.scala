@@ -184,6 +184,54 @@ class PlansSpec extends AnyFunSuite {
     assert(collectRange(planned).map(_._1).distinct.size == 6)
   }
 
+  test("SQL table function graft_fuzzy_join: matches the DataFrame API, pushdown reaches the scan") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "martin miller"), (2L, "martin mille"), (3L, "martin millers"),
+      (4L, "nancy chen"), (5L, "nancy che"), (6L, "wholly unrelated"),
+      (7L, "xartin miller"))
+    val dir = java.nio.file.Files.createTempDirectory("plans_spec_fz").toString
+    names.toDF("id", "name").write.mode("overwrite").parquet(s"$dir/names.parquet")
+    spark.read.parquet(s"$dir/names.parquet").createOrReplaceTempView("plans_spec_fuzzy")
+    GraftPlans.install(spark)
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_fuzzy_join('plans_spec_fuzzy', 'plans_spec_fuzzy',
+        |  'id', 'name', 'id', 'name', 1)""".stripMargin)
+    val direct = {
+      val df = spark.table("plans_spec_fuzzy")
+      graft.operators.Fuzzy.fuzzyJoin(df, "id", "name", df, "id", "name", maxDist = 1)
+    }
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("left_id"), col("right_id"), col("dist").cast("int"))
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    val got = sorted(viaSql)
+    assert(got == sorted(direct))
+    // ground truth: the deletion blocking is a proven superset, so the TVF
+    // must emit exactly the banded-levenshtein-qualified pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp = (for {
+      (i, a) <- names; (j, b) <- names
+      dist = lev(a, b) if dist <= 1
+    } yield (i, j, dist)).sorted
+    assert(got == exp)
+    // a left_id predicate pushes through the composed joins into the parquet
+    // scan of the postings side (the ordinary Catalyst pushdown the composed
+    // plan exists to inherit)
+    val filtered = spark.sql(
+      """SELECT * FROM graft_fuzzy_join('plans_spec_fuzzy', 'plans_spec_fuzzy',
+        |  'id', 'name', 'id', 'name', 1) WHERE left_id <= 3""".stripMargin)
+    val formatted = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [LessThanOrEqual(id,3)"), formatted)
+    assert(sorted(filtered) == exp.filter(_._1 <= 3))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
