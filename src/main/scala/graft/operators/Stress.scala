@@ -93,13 +93,36 @@ object Stress {
     * scoring, the upper-bound prune, and the survivor verify all run at the
     * multiplied scale. Summary: qualifying-pair census + score extrema (the
     * only order-sensitive reduction — the avg's sum — rounded to 3).
+    *
+    * Shingles once on the BASE table, before the multiply (judge r6 task 7:
+    * checkpointing the multiplied corpus pinned m copies of every shingle
+    * array — 5.9s of GC under a 4.8s wall). Appending the one replica token
+    * to a text with >= 3 tokens adds exactly one tail shingle
+    * `"t_{n-1} t_n rep<r>"` to an otherwise-identical shingle set, so the
+    * replica arrays are built in-plan from the pinned 1x arrays by one
+    * array concat — no re-tokenize, no m x materialization. Texts shorter
+    * than 3 tokens (where the whole-text shingle itself changes) fall back
+    * to really shingling the suffixed text, keeping the census bit-identical
+    * to the naive shape on any input.
     */
   def jaccardSummary(docs: DataFrame, idCol: String, textCol: String,
       m: Int, threshold: Double = 0.5, maxShingleDf: Int = 200): DataFrame = {
-    val big = multiplied(docs.select(col(idCol), col(textCol)), idCol, m)
-      .withColumn(textCol,
-        concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
-    Dedup.ngramJaccardPairs(big, idCol, textCol,
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val baseSh = docs.select(
+        col(idCol).cast("long").as("id"),
+        array_distinct(TextAnalysis.wordShingles(col(textCol), 3)).as("__bsh"),
+        concat_ws(" ", slice(toks, -2, 2)).as("__tail2"),
+        size(toks).as("__ntok"),
+        col(textCol).as("__text"))
+      .localCheckpoint(true)
+    val rep = pmod(col("id"), lit(m.toLong)).cast("string")
+    val sh = when(col("__ntok") >= 3,
+        array_distinct(concat(col("__bsh"),
+          array(concat_ws(" ", col("__tail2"), concat(lit("rep"), rep))))))
+      .otherwise(array_distinct(TextAnalysis.wordShingles(
+        concat(col("__text"), lit(" rep"), rep), 3)))
+    val shingled = multiplied(baseSh, "id", m).select(col("id"), sh.as("sh"))
+    Dedup.ngramJaccardPairsFromShingles(shingled,
         threshold = threshold, maxShingleDf = maxShingleDf)
       .agg(count(lit(1)).as("n_pairs"),
         round(min(col("jaccard")), 6).as("min_jaccard"),

@@ -83,6 +83,31 @@ class StressSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 0.833) < 1e-9)
   }
 
+  test("jaccard leg fast-path shingles equal the naive re-shingle, incl. short-text fallback") {
+    import spark.implicits._
+    // real corpus text (shared vocabulary -> cross-base near-dups exist, the
+    // regime the closed-form test above can't cover) plus sub-3-token docs
+    // that exercise the whole-text-shingle fallback branch
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(120)
+      .unionByName(Seq((100001L, "one"), (100002L, "two tokens"),
+        (100003L, "two tokens")).toDF("doc_id", "text"))
+    val m = 3
+    def census(df: DataFrame) = df
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"),
+        round(avg(col("jaccard")), 3).as("avg_jaccard"))
+      .collect().head.toSeq
+    val naiveBig = Stress.multiplied(d, "doc_id", m)
+      .withColumn("text", concat(col("text"), lit(" rep"), pmod(col("doc_id"), lit(m.toLong))))
+    val naive = census(graft.operators.Dedup.ngramJaccardPairs(
+      naiveBig, "doc_id", "text", threshold = 0.5, maxShingleDf = 200))
+    val fast = Stress.jaccardSummary(d, "doc_id", "text", m = m).collect().head.toSeq
+    assert(naive.head.asInstanceOf[Long] > 0, s"fixture produced no qualifying pairs: $naive")
+    assert(fast == naive, s"fast-path census $fast != naive census $naive")
+  }
+
   test("minhash leg: replicas of each doc collapse to one cluster") {
     val d = docs(6)
     val r = Stress.minhashSummary(d, "doc_id", "text", m = 4).collect().head
