@@ -1127,6 +1127,33 @@ object SparkEntry {
     "q_stress_dbscan" -> ((s, dir) => {
       Stress.dbscanSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 10)
     }),
+
+    // maxDist=2 is the family's real scale risk: ~L²/2 deletion variants per
+    // string (~190 for 19-char customer names vs ~20 at maxDist=1), and a
+    // per-qualifying-pair candidate multiplicity that grows the same way. On
+    // a 1/5 base slice at m=3 the leg still pushes ~10x q_fuzzy_pairs'
+    // posting count through the variant equi-join (the full base at m=3
+    // measured 597 task-sec — cross-base qualifying pairs grow quadratically
+    // in the slice, so the slice, not the multiplier, is the right budget
+    // knob)
+    "q_stress_fuzzy" -> ((s, dir) => {
+      Stress.fuzzySummary(
+        ld(s, dir, "customer").filter(pmod(col("c_custkey"), lit(5)) === 0),
+        "c_custkey", "c_name", m = 3)
+    }),
+
+    // m=5 doubles-and-more the per-cell population (Σ|cell|² grows ~m²):
+    // the quantity centroid blocking exists to bound
+    "q_stress_semantic_dedup" -> ((s, dir) => {
+      Stress.semanticDedupSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 5)
+    }),
+
+    // m=20 mirrors q_stress_knn_broadcast: 100k-row stream against the
+    // broadcast right through SemanticRangeJoinExec, incl. the left-outer
+    // null extension for the 20% of bases sliced out of the right side
+    "q_stress_range" -> ((s, dir) => {
+      Stress.rangeSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 20)
+    }),
   )
 
   // ---------------------------------------------------------------------------

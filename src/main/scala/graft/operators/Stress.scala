@@ -130,6 +130,65 @@ object Stress {
         round(avg(col("jaccard")), 3).as("avg_jaccard"))
   }
 
+  /** SymSpell fuzzy pairs over `m`x rows whose replicas get a one-character
+    * suffix (the appended digit `id mod m`, so same-base replicas sit at
+    * edit distance exactly 1 from each other) — the family's real scale risk
+    * is the deletion-posting blow-up at maxDist=2 (~L²/2 variants per
+    * string), so the leg runs the full posting build, the xxhash64 variant
+    * equi-join, and the banded verify at the multiplied posting count.
+    * Summary: qualifying-pair census + per-distance histogram.
+    */
+  def fuzzySummary(df: DataFrame, idCol: String, strCol: String,
+      m: Int, maxDist: Int = 2): DataFrame = {
+    require(m <= 10, s"replica suffix is one digit, so m must be <= 10, got $m")
+    val big = multiplied(df.select(col(idCol), col(strCol)), idCol, m)
+      .withColumn(strCol, concat(col(strCol), pmod(col(idCol), lit(m.toLong))))
+    Fuzzy.fuzzyPairs(big, idCol, strCol, maxDist)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_d0"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2"))
+  }
+
+  /** SemDeDup centroid-blocked dedup at `m`x vectors: exact replicas land in
+    * the same centroid cell by construction (identical assignment scores,
+    * identical tie-break), so centroid broadcast, the per-id argmax window,
+    * the within-cell pair join, and connected components all run at the
+    * multiplied cell sizes — Σ|cell|² is the quantity the blocking exists to
+    * bound, and the multiplier scales it quadratically. Summary: cluster
+    * census (replicas of a base must collapse; representatives = clusters).
+    */
+  def semanticDedupSummary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, tau: Double = 0.95, nCentroids: Int = 64): DataFrame = {
+    val pts = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    Dedup.semanticDedup(pts, idCol, vecCol, tau = tau, nCentroids = nCentroids)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(when(!col("is_representative"), 1L).otherwise(0L)).as("n_dups"))
+  }
+
+  /** The Catalyst range join ([[graft.plans.SemanticRangeJoinExec]]) at `m`x
+    * left rows: left streams against the broadcast right with the in-scan
+    * left-outer null extension, zero shuffle until the summary aggregate —
+    * the same posture proof as [[knnBroadcastSummary]] for the θ-join
+    * sibling. The right side keeps only `rightFrac` of the base rows so a
+    * deterministic slice of the multiplied left exercises the null-extension
+    * path at scale. Summary: matched/unmatched census + score extrema.
+    */
+  def rangeSummary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, tau: Double = 0.95, rightFrac: Double = 0.8): DataFrame = {
+    val left = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    val right = emb.select(col(idCol), col(vecCol))
+      .filter(pmod(col(idCol), lit(10)) < lit((rightFrac * 10).toInt))
+    graft.plans.GraftPlans.rangeJoin(left, idCol, vecCol, right, idCol, vecCol,
+        tau = tau, excludeSelf = false, keepUnmatched = true)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("right_id")).as("n_matched"),
+        sum(when(col("right_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+  }
+
   /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
     * corpus-side tokenize → query-vocab semi-join → partial aggregate plan
     * (the corpus vocabulary must still never reach a shuffle). Summary: the

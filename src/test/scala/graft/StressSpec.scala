@@ -131,4 +131,44 @@ class StressSpec extends AnyFunSuite {
     assert(r.getLong(1) == 5)  // n_clusters
     assert(r.getLong(2) == 0)  // n_noise
   }
+
+  test("fuzzy leg: same-base replicas pair at distance 1, distinct bases never pair") {
+    import spark.implicits._
+    // base names differ in >2 positions, so even at maxDist=2 the only
+    // qualifying pairs are same-base replicas, whose one-digit suffixes
+    // differ by exactly one substitution
+    val d = (0 until 6).map(i => (i.toLong, s"name_${i}${i}${i}_xyz")).toDF("id", "name")
+    val r = Stress.fuzzySummary(d, "id", "name", m = 4, maxDist = 2).collect().head
+    assert(r.getLong(0) == 36) // 6 bases x C(4,2)
+    assert(r.getLong(1) == 0)  // n_d0: no byte-identical pair
+    assert(r.getLong(2) == 36) // n_d1: every pair is one substitution apart
+    assert(r.getLong(3) == 0)  // n_d2
+  }
+
+  test("semantic dedup leg: identical replicas collapse within their cell, axes never merge") {
+    val e = emb(5)
+    // nCentroids < bases forces multi-base cells: the within-cell join must
+    // still separate orthogonal axes (cos 0 < tau) while collapsing replicas
+    val r = Stress.semanticDedupSummary(e, "vec_id", "embedding", m = 4,
+      tau = 0.9, nCentroids = 3).collect().head
+    assert(r.getLong(0) == 20) // n_rows
+    assert(r.getLong(1) == 5)  // n_clusters: one per base point
+    assert(r.getLong(2) == 15) // n_dups: (m-1) per base
+  }
+
+  test("range leg: broadcast exec plan, every replica matches only its base, sliced bases go unmatched") {
+    val e = emb(10)
+    // rightFrac = 0.8 keeps ids 0-7; replicas of bases 8,9 must null-extend
+    val sum = Stress.rangeSummary(e, "vec_id", "embedding", m = 3, tau = 0.9)
+    val phys = sum.queryExecution.executedPlan.toString
+    assert(phys.contains("SemanticRangeJoin"), phys)
+    assert(phys.contains("BroadcastExchange"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+    val r = sum.collect().head
+    assert(r.getLong(0) == 30) // n_rows: every multiplied left row appears
+    assert(r.getLong(1) == 24) // n_matched: replicas of the 8 retained bases
+    assert(r.getLong(2) == 6)  // n_unmatched: replicas of bases 8, 9
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12) // only exact-replica matches
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
 }
