@@ -1526,6 +1526,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("MultiOrderedSumAggregate: per-set folds bit-equal to joined orderedSum; no-hit sets omitted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "ab", "b", "", "é", "zz", "a b", "Z", "0", "q1", "q2")
+    val rows = (0 until 3000).map { i =>
+      (i % 11L, keys(rnd.nextInt(keys.length)) + rnd.nextInt(3), rnd.nextDouble() * 2 - 1)
+    }
+    val sets: Seq[(Long, Seq[String])] = Seq(
+      (10L, Seq("a0", "ab1", "é2", "q10")),
+      (20L, Seq("b0", "zz1", "", "Z2", "0")),
+      (30L, Seq("no_such_key"))) // must be omitted from every group's output
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("g", "k", "v").repartition(parts)
+      // reference: join each set's keys in, then the proven single-set fold
+      val setDf = sets.flatMap { case (sid, ks) => ks.map(k => (sid, k)) }
+        .toDF("set_id", "k")
+      val viaJoin = df.join(setDf, Seq("k"))
+        .groupBy("g", "set_id")
+        .agg(graft.functions.VecExpressions.orderedSum(col("k"), col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val viaMulti = df.groupBy("g")
+        .agg(graft.functions.VecExpressions
+          .multiOrderedSum(col("k"), col("v"), sets).as("qs"))
+        .select(col("g"), explode(col("qs")).as("q"))
+        .select(col("g"), col("q.set_id"), col("q.score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(viaMulti.keySet == viaJoin.keySet, s"at $parts partitions")
+      assert(viaMulti.keys.forall(_._2 != 30L), "no-hit set leaked into output")
+      viaJoin.foreach { case (gk, s) =>
+        assert(java.lang.Double.doubleToLongBits(s) ==
+          java.lang.Double.doubleToLongBits(viaMulti(gk)), s"$gk at $parts partitions")
+      }
+    }
+  }
+
   test("bm25 persisted index: write/open/search equals ad-hoc; scan prunes to query buckets") {
     val q = lexDocs.filter(col("doc_id") < 2L)
       .select(col("doc_id").as("qid"), col("text"))
