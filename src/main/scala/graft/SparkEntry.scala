@@ -78,6 +78,24 @@ object SparkEntry {
       Lexical.bm25OpenIndex(s, sub)
     })
 
+  /** Steady-state ANN index over `dir`'s embeddings: built + written ONCE
+    * per (process, sf dir), then served cell-partition-pruned — the vector
+    * sibling of [[steadyBm25Index]] (same build-once / search-many regime).
+    */
+  private val steadyAnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.AnnIndex]
+  private def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
+    steadyAnnCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/ann_meta.json").exists()) {
+        val (cells, cents) = graft.operators.Ann.annBuildIndex(
+          ld(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+        graft.operators.Ann.annWriteIndex(cells, cents, sub)
+      }
+      graft.operators.Ann.annOpenIndex(s, sub)
+    })
+
   /** The search legs' 10-row query set as a per-process LocalRelation: in
     * the steady-search regime the queries arrive from the application, not
     * from a corpus re-scan, so the repeated parquet read to build them was
@@ -1103,6 +1121,34 @@ object SparkEntry {
         .unionByName(rec.agg(avg(col("recall")).as("recall"))
           .filter(col("recall") < 0.7)
           .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
+    // Persisted-IVF recall contract (the q_ann_recall move applied to the
+    // disk layout): searching the steady cell-partitioned index must clear
+    // the same floors as the in-memory IVF — per-query recall@5 >= 0.3,
+    // corpus average >= 0.7 — against exact brute force. Emits violations
+    // only; the oracle is the empty relation. Any bug in the cell layout,
+    // partition pruning, probe collection, or parquet vector round-trip
+    // surfaces as rows here.
+    "q_ann_index_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val viaIndex = Ann.annSearchIndex(
+        steadyAnnIndex(s, dir), q, "vec_id", "embedding", k = 5, nProbe = 8)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(viaIndex, bf, 5).localCheckpoint(true) // branches below
+      rec.filter(col("recall") < 0.3)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.7)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
+    // Steady-state ANN search timing leg (rows-only; value semantics gated
+    // by hash-green q_ann_index_recall): probe -> pruned cell scan -> top-5
+    // for 100 queries from an already-written index.
+    "q_ann_index_search" -> ((s, dir) => {
+      val q = ld(s, dir, "embeddings").filter(col("vec_id") < 100)
+      Ann.annSearchIndex(steadyAnnIndex(s, dir), q, "vec_id", "embedding", k = 5, nProbe = 8)
     }),
 
     // ------------------------------------------------------------ scale stress
@@ -2355,6 +2401,11 @@ object SparkEntry {
     // relation with the matching schema — any IVF recall regression surfaces
     // as a row-count/hash mismatch here.
     "q_ann_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE FALSE""".stripMargin,
+
+    // same emptiness contract for the persisted cell-partitioned index
+    "q_ann_index_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
 

@@ -146,6 +146,125 @@ object Ann {
     * partial-agg top-k — no all-pairs shuffle; the candidate scoring join is an
     * equi-join on centroid_id.
     */
+  /** A persisted IVF index opened from disk: `cells` is the corpus stored
+    * cell-partitioned (`corpus_id`, `cv` double vector, `__cell` = assigned
+    * centroid id as a parquet partition column), `centroids` the small
+    * centroid table. The vector sibling of [[Lexical.Bm25Index]]: centroid
+    * refinement AND the corpus-wide nearest-centroid assignment are paid
+    * once at build, so a search is probe (tiny broadcast 1-NN against the
+    * centroid table) → partition-pruned scan of the probed cells → score →
+    * bounded top-k.
+    */
+  final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int)
+
+  /** Build the IVF structures: refined centroids + the cell-assigned corpus
+    * (`corpus_id`, `cv`, `__cell`). Same quantizer and assignment as
+    * [[ivfTopK]] (same seed → same cells), returned as frames for
+    * [[annWriteIndex]] or direct in-memory use.
+    */
+  def annBuildIndex(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCentroids: Int = 16, seed: Long = 42L,
+      refineRounds: Int = 1, refineFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    val cents0 = centroids(corpus, cId, cVec, nCentroids, seed)
+    val cents =
+      if (refineRounds <= 0) cents0.localCheckpoint(true)
+      else refineCentroids(corpus, cId, cVec, cents0, refineRounds, refineFraction, seed)
+    val assign = SemanticJoin.knnJoinVec(
+      corpus, cId, cVec,
+      cents, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
+      .select(col("left_id").as("corpus_id"), col("right_id").as("__cell"))
+    val cells = corpus
+      .select(col(cId).cast("long").as("corpus_id"), asDouble(col(cVec)).as("cv"))
+      .join(assign, "corpus_id")
+    (cells, cents)
+  }
+
+  /** Persist an [[annBuildIndex]] pair: cells land cell-partitioned (one
+    * parquet partition per centroid cell, rows clustered before the write so
+    * tasks hold whole cells — the [[Lexical.bm25WriteIndex]] move), plus the
+    * centroid table and a meta file carrying the cell count.
+    */
+  def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val n = centroids.count().toInt
+    cells.repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "ann_meta.json")
+    val fs = metaPath.getFileSystem(
+      cells.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"type": "ann_ivf", "n_centroids": $n}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Open an [[annWriteIndex]] directory. */
+  def annOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "ann_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no ANN index at $path (missing ann_meta.json)")
+    val in = fs.open(metaPath)
+    val metaStr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
+    require(Option(node.get("type")).exists(_.asText() == "ann_ivf"),
+      s"$path/ann_meta.json is not an ann_ivf index meta file")
+    AnnIndex(
+      spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"),
+      node.get("n_centroids").asInt())
+  }
+
+  /** Search a persisted index with cell pruning: queries probe their
+    * `nProbe` nearest centroids (broadcast 1-NN against the ≤nCentroids
+    * centroid table), the collected probe set — bounded by the QUERY side,
+    * small by this operator's regime contract — restricts the cell scan as
+    * parquet partition pruning, and only the probed cells are scored.
+    * Output contract = [[ivfTopK]] (bit-identical scores for the same build
+    * parameters: same quantizer, same assignment, same cosine expression).
+    */
+  def annSearchIndex(
+      index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
+    val spark = queries.sparkSession
+    val probeRows = SemanticJoin.knnJoinVec(
+      queries, qId, qVec,
+      index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
+      .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
+      .collect()
+    val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("__cell", LongType, nullable = false))))
+    // literal type must MATCH the partition column's inferred type (parquet
+    // partition dirs with small values read back as int): a long literal
+    // against an int column would cast the COLUMN and silently defeat
+    // partition pruning — the property the layout exists for
+    val cellLits: Seq[Any] = index.cells.schema("__cell").dataType match {
+      case IntegerType => wantedCells.map(_.toInt)
+      case _ => wantedCells
+    }
+    val pruned = index.cells.filter(col("__cell").isin(cellLits: _*))
+    val queriesExp = queries
+      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
+      .join(broadcast(probes), "query_id")
+    val scored = queriesExp
+      .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col("query_id").as("left_id"),
+        col("__s.id").as("right_id"),
+        col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   def ivfTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,

@@ -605,6 +605,35 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("ANN persisted index: write/open/search bit-equals ivfTopK; scan prunes to probed cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).sortBy(x => (x._1, x._4)).toSeq
+    val direct = rows(Ann.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val (cells, cents) = Ann.annBuildIndex(e, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, dir)
+    val idx = Ann.annOpenIndex(spark, dir)
+    assert(idx.nCentroids == 8) // cell count travels with the layout
+    val search = Ann.annSearchIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    // same quantizer + assignment + cosine expression -> bit-identical output
+    val got = rows(search)
+    assert(got.size == direct.size && got.nonEmpty)
+    got.zip(direct).foreach { case (g, d) =>
+      assert(g._1 == d._1 && g._2 == d._2 && g._4 == d._4, s"$g != $d")
+      assert(java.lang.Double.doubleToLongBits(g._3) == java.lang.Double.doubleToLongBits(d._3),
+        s"score drift at ${g._1}/${g._4}")
+    }
+    // the probed-cell restriction must reach the reader as PARTITION pruning
+    // (cells are a partition column, so untouched cells are never read)
+    val formatted = search.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters") && formatted.contains("__cell"), formatted)
+  }
+
   test("IVF at sf0.1: recall beats the scan-fraction bound on unclustered testdata") {
     // the synthetic sf0.1 embeddings are uniform random (within-label cosine ≈
     // cross-label ≈ 0), so ANY inverted-file index is information-theoretically
