@@ -66,17 +66,18 @@ object SparkEntry {
     */
   private val steadyIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, Lexical.Bm25Index]
+  private def steadyBm25Dir(s: SparkSession, dir: String): String = {
+    val sub = s"${perProcessTmpDir("graft_bm25_steady")}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
+      val (postings, stats) =
+        Lexical.bm25BuildIndex(ld(s, dir, "documents"), "doc_id", "text")
+      Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
+    }
+    sub
+  }
   private def steadyBm25Index(s: SparkSession, dir: String): Lexical.Bm25Index =
-    steadyIdxCache.computeIfAbsent(dir, _ => {
-      val sub = s"${perProcessTmpDir("graft_bm25_steady")}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
-        val (postings, stats) =
-          Lexical.bm25BuildIndex(ld(s, dir, "documents"), "doc_id", "text")
-        Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
-      }
-      Lexical.bm25OpenIndex(s, sub)
-    })
+    steadyIdxCache.computeIfAbsent(dir, _ => Lexical.bm25OpenIndex(s, steadyBm25Dir(s, dir)))
 
   /** Steady-state ANN index over `dir`'s embeddings: built + written ONCE
     * per (process, sf dir), then served cell-partition-pruned — the vector
@@ -821,6 +822,19 @@ object SparkEntry {
       // latency-sensitive steady-search regime this leg times
       Lexical.bm25SearchIndex(index, steadyQueries(s, dir), "qid", "text", k = 5)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // The lexical family's SQL surface: graft_bm25_search TVF over the
+    // steady persisted index — must equal q_bm25/q_bm25_index_search exactly
+    // (same oracle), proving the catalog-resolved SQL path carries the
+    // identical pruned-scan + batch-fold + top-k plan as the DataFrame API.
+    "q_bm25_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val p = steadyBm25Dir(s, dir)
+      steadyQueries(s, dir).createOrReplaceTempView("graft_bm25_sql_queries")
+      s.sql(
+        s"""SELECT query_id, rank, doc_id, round(score, 6) AS score
+           |FROM graft_bm25_search('$p', 'graft_bm25_sql_queries', 'qid', 'text', 5)""".stripMargin)
     }),
 
     "q_lm_perplexity" -> ((s, dir) => {
@@ -2235,6 +2249,7 @@ object SparkEntry {
 
     // search-from-persisted-index leg: identical relation to the ad-hoc plan
     "q_bm25_index_search" -> Bm25OracleSql,
+    "q_bm25_sql" -> Bm25OracleSql,
 
     // build leg: the persisted postings read back from the bucketed layout
     // must equal the (doc_id, term) tf/dl aggregate computed from scratch

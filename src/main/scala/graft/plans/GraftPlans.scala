@@ -140,6 +140,47 @@ object GraftPlans {
       graft.operators.Fuzzy.fuzzyJoin(left, lid, lstr, right, rid, rstr, maxDist, maxLen))
   }
 
+  /** `graft_bm25_search('index_path','queries_tbl','qid','qtext', k)` —
+    * bucket-pruned BM25 search of a [[graft.operators.Lexical.bm25WriteIndex]]
+    * directory from SQL. The index is opened and the query vocabulary
+    * collected at resolution time (bounded by the query side — the
+    * operator's regime contract), so the returned plan is the same
+    * partition-pruned scan → batch-fold → top-k the DataFrame API builds.
+    */
+  private def bm25SearchBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "graft_bm25_search(indexPath, queriesTable, queryId, queryText, k)")
+    val path = str(args(0), "indexPath")
+    val qt = str(args(1), "queriesTable")
+    val qid = str(args(2), "queryId")
+    val qtext = str(args(3), "queryText")
+    val k = int(args(4), "k")
+    val spark = SparkSession.active
+    val queries = ColumnBridge.ofRows(spark, rel(qt, Seq(qid, qtext)))
+    ColumnBridge.analyzedPlan(graft.operators.Lexical.bm25SearchIndex(
+      graft.operators.Lexical.bm25OpenIndex(spark, path), queries, qid, qtext, k))
+  }
+
+  /** `graft_ann_search('index_path','queries_tbl','qid','qvec', k[, nProbe])`
+    * — cell-partition-pruned vector search of a
+    * [[graft.operators.Ann.annWriteIndex]] directory from SQL; same
+    * resolution-time probe collection as the BM25 sibling.
+    */
+  private def annSearchBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5 || args.length == 6,
+      "graft_ann_search(indexPath, queriesTable, queryId, queryVec, k[, nProbe])")
+    val path = str(args(0), "indexPath")
+    val qt = str(args(1), "queriesTable")
+    val qid = str(args(2), "queryId")
+    val qvec = str(args(3), "queryVec")
+    val k = int(args(4), "k")
+    val nProbe = if (args.length > 5) int(args(5), "nProbe") else 4
+    val spark = SparkSession.active
+    val queries = ColumnBridge.ofRows(spark, rel(qt, Seq(qid, qvec)))
+    ColumnBridge.analyzedPlan(graft.operators.Ann.annSearchIndex(
+      graft.operators.Ann.annOpenIndex(spark, path), queries, qid, qvec, k, nProbe))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -151,7 +192,13 @@ object GraftPlans {
         rangeJoinBuilder _),
       (FunctionIdentifier("graft_fuzzy_join"),
         new ExpressionInfo("graft", "graft_fuzzy_join"),
-        fuzzyJoinBuilder _))
+        fuzzyJoinBuilder _),
+      (FunctionIdentifier("graft_bm25_search"),
+        new ExpressionInfo("graft", "graft_bm25_search"),
+        bm25SearchBuilder _),
+      (FunctionIdentifier("graft_ann_search"),
+        new ExpressionInfo("graft", "graft_ann_search"),
+        annSearchBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

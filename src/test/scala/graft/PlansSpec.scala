@@ -232,6 +232,43 @@ class PlansSpec extends AnyFunSuite {
     assert(sorted(filtered) == exp.filter(_._1 <= 3))
   }
 
+  test("SQL table functions graft_bm25_search / graft_ann_search match their DataFrame APIs") {
+    import spark.implicits._
+    import graft.operators.{Ann, Lexical}
+    // tiny corpus with distinct vocabularies so top-k is unambiguous
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 8).map(t => s"w${i % 5}_$t").mkString(" ") + s" only$i")).toDF("doc_id", "text")
+    val q = docs.filter($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
+    val bmDir = java.nio.file.Files.createTempDirectory("plans_bm25").toString
+    val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+    Lexical.bm25WriteIndex(postings, stats, bmDir, nBuckets = 4)
+    q.createOrReplaceTempView("plans_spec_bm25_q")
+    GraftPlans.install(spark)
+    def bmRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_bm25_search('$bmDir', 'plans_spec_bm25_q', 'qid', 'text', 3)")
+    val direct = Lexical.bm25SearchIndex(
+      Lexical.bm25OpenIndex(spark, bmDir), q, "qid", "text", k = 3)
+    assert(bmRows(viaSql) == bmRows(direct) && bmRows(viaSql).nonEmpty)
+
+    val e = vecs(80)
+    val annDir = java.nio.file.Files.createTempDirectory("plans_ann").toString
+    val (cells, cents) = Ann.annBuildIndex(e, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, annDir)
+    e.filter(col("vec_id") < 5).createOrReplaceTempView("plans_spec_ann_q")
+    def annRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Int]("rank"), java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSet
+    val annSql = spark.sql(
+      s"SELECT * FROM graft_ann_search('$annDir', 'plans_spec_ann_q', 'vec_id', 'embedding', 3, 4)")
+    val annDirect = Ann.annSearchIndex(
+      Ann.annOpenIndex(spark, annDir), e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(annRows(annSql) == annRows(annDirect) && annRows(annSql).nonEmpty)
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
