@@ -1010,6 +1010,27 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("benchmark_id"))
     }),
 
+    // Exact n-gram membership contamination (the decontamination gate GPT-3/
+    // Pile-style pipelines actually use): per corpus doc, how many of its
+    // distinct 3-grams appear anywhere in the benchmark slice.
+    "q_contamination_ngram" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      Dedup.ngramContamination(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+        .orderBy(col("corpus_id"))
+    }),
+
+    // The same contract through the Bloom pre-filter: a codegen'd
+    // might_contain probe prunes corpus grams inside the scan stage, the
+    // exact verify removes the fpp share — hash-equal to q_contamination_ngram
+    // by the same oracle, which proves the Bloom path end-to-end exact.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      Dedup.ngramContaminationBloom(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+        .orderBy(col("corpus_id"))
+    }),
+
     "q_simhash" -> ((s, dir) => {
       ld(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
@@ -1297,6 +1318,19 @@ object SparkEntry {
   /** DuckDB mirror of `TextAnalysis.wordShingles` + `array_distinct`:
     * `(idCol, sh)` with sh the distinct 3-gram word shingle list.
     */
+  /** Oracle for the n-gram membership contamination pair: distinct 3-grams
+    * per corpus doc intersected with the benchmark slice's global gram set,
+    * counted per doc (same shingle construction as the minhash oracle).
+    */
+  private lazy val NgramContaminationOracleSql: String =
+    s"""WITH cs AS (${shinglesSql("doc_id", "text", "documents")}),
+       |bs AS (${shinglesSql("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
+       |bg AS (SELECT DISTINCT unnest(sh) AS g FROM bs),
+       |ce AS (SELECT doc_id, unnest(sh) AS g FROM cs)
+       |SELECT ce.doc_id AS corpus_id, count(*) AS n_hits
+       |FROM ce JOIN bg USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def shinglesSql(idCol: String, textExpr: String, from: String): String =
     s"""SELECT $idCol, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -2159,6 +2193,13 @@ object SparkEntry {
          |JOIN bs sb ON sb.doc_id = cand.benchmark_id
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
          |ORDER BY corpus_id, benchmark_id""".stripMargin,
+
+    // Membership-overlap contamination: per corpus doc, the count of its
+    // distinct 3-grams present anywhere in the benchmark slice's gram set.
+    // Shared by the exact path and the Bloom path — identical results is the
+    // Bloom path's exactness proof.
+    "q_contamination_ngram" -> NgramContaminationOracleSql,
+    "q_contamination_bloom" -> NgramContaminationOracleSql,
 
     // Same tokenize/shingle construction as the minhash oracle, at window 5
     // (short docs emit one whole-text shingle — WordShinglesExpr parity);

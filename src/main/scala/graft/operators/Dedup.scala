@@ -361,6 +361,60 @@ object Dedup extends Logging {
       .select("corpus_id", "benchmark_id", "jaccard")
   }
 
+  /** Exact n-gram benchmark contamination (the public GPT-3/Pile
+    * decontamination shape, at word n-grams): for every corpus document, how
+    * many of its DISTINCT n-grams appear anywhere in the benchmark set.
+    * Returns `(corpus_id, n_hits)` — rows only for contaminated documents;
+    * filter `n_hits >= threshold` (or any hit) and drop. Complements
+    * [[contamination]]'s Jaccard-similarity view with the
+    * membership-overlap view decontamination pipelines actually gate on.
+    *
+    * Scale: corpus grams explode in place; the benchmark gram SET is
+    * vocabulary-sized (benchmarks are small by definition), so the semi-join
+    * broadcasts and the only shuffle is the per-doc hit count's partial agg.
+    */
+  def ngramContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchText: String, n: Int = 3): DataFrame = {
+    val cg = corpus.select(col(corpusId).as("corpus_id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(corpusText), n))).as("g"))
+    val bg = benchmark.select(
+      explode(array_distinct(TextAnalysis.wordShingles(col(benchText), n))).as("g"))
+      .distinct()
+    cg.join(bg, Seq("g"), "left_semi")
+      .groupBy("corpus_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[ngramContamination]] with a Bloom pre-filter — the 100 TB plan: the
+    * benchmark grams fold into a kilobytes-sized [[org.apache.spark.util.sketch.BloomFilter]]
+    * on the driver, and the corpus grams are pruned by a codegen'd
+    * `might_contain` probe INSIDE the scan stage
+    * ([[graft.functions.BloomMightContainExpr]]), so ~everything
+    * uncontaminated dies before any join machinery runs. Survivors (true
+    * hits + the fpp share of false positives) still pass the exact semi-join
+    * verify, so the output is IDENTICAL to [[ngramContamination]] — the
+    * filter only bounds how many rows reach the verify, never what it
+    * returns.
+    */
+  def ngramContaminationBloom(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchText: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val bg = benchmark.select(
+      explode(array_distinct(TextAnalysis.wordShingles(col(benchText), n))).as("g"))
+      .distinct()
+      .localCheckpoint(true) // read thrice: count, bloom fold, exact verify
+    val expected = math.max(bg.count(), 1L)
+    val bloom = bg.select(xxhash64(col("g")).as("gh")).stat
+      .bloomFilter("gh", expected, fpp)
+    val cg = corpus.select(col(corpusId).as("corpus_id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(corpusText), n))).as("g"))
+      .filter(graft.functions.BloomMightContainExpr.mightContain(
+        xxhash64(col("g")), bloom))
+    cg.join(bg, Seq("g"), "left_semi")
+      .groupBy("corpus_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding-cosine near-dup representatives: ε-cluster then keep min id per
     * cluster. Returns the deduplicated id set as (id, cluster, is_representative).
     */

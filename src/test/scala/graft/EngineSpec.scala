@@ -1555,6 +1555,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom decontamination: identical to the exact path; the scan-stage probe actually prunes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // disjoint per-doc vocabularies: only the docs copied into the benchmark
+    // can share grams, and each shares exactly its own 10 distinct 3-grams
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(t => s"w${i}_$t").mkString(" "))).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" % 8 === 0).select("text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows(Dedup.ngramContamination(corpus, "doc_id", "text", bench, "text"))
+    assert(exact == (0 until 40).filter(_ % 8 == 0).map(i => i.toLong -> 10L).toMap)
+    val bloomed = rows(Dedup.ngramContaminationBloom(corpus, "doc_id", "text", bench, "text"))
+    assert(bloomed == exact)
+    // the pre-filter must kill ~all uncontaminated grams before the verify:
+    // 40 docs x 10 grams = 400, of which 50 are benchmark grams; at fpp=0.01
+    // false positives are a handful, never the majority
+    val bg = bench.select(explode(array_distinct(
+      graft.operators.TextAnalysis.wordShingles($"text", 3))).as("g")).distinct()
+    val bloom = bg.select(xxhash64($"g").as("gh")).stat.bloomFilter("gh", 50, 0.01)
+    val survivors = corpus.select(explode(array_distinct(
+        graft.operators.TextAnalysis.wordShingles($"text", 3))).as("g"))
+      .filter(graft.functions.BloomMightContainExpr.mightContain(xxhash64($"g"), bloom))
+      .count()
+    assert(survivors >= 50 && survivors < 100, s"bloom pruned to $survivors of 400 grams")
+  }
+
   test("MultiOrderedSumAggregate: per-set folds bit-equal to joined orderedSum; no-hit sets omitted") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
