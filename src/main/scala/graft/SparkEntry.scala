@@ -1024,6 +1024,9 @@ object SparkEntry {
     // might_contain probe prunes corpus grams inside the scan stage, the
     // exact verify removes the fpp share — hash-equal to q_contamination_ngram
     // by the same oracle, which proves the Bloom path end-to-end exact.
+    // (At bench scale the filter BUILD dominates — two extra small jobs — so
+    // this leg reads slower than the exact one; the filter's win is on the
+    // corpus side, where pruning happens before any join at 100 TB.)
     "q_contamination_bloom" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
       Dedup.ngramContaminationBloom(docs, "doc_id", "text",
