@@ -86,6 +86,11 @@ object Fuzzy {
   def fuzzyPairs(
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxLen: Int = 64): DataFrame = {
+    // NOT pinned, deliberately (r7 measured): regenerating the deletion
+    // neighborhoods for both sides of the self-join is cheap codegen CPU,
+    // while checkpointing the postings materializes n*O(L^k) rows — at the
+    // stress leg's scale the checkpoint writeback quadrupled task time and
+    // saturated the box, and at 1x it bought nothing (1.53s vs 1.55s)
     val p = postings(df, idCol, strCol, maxDist, maxLen)
     val cand = p.select(col("vkey"), col("id").as("i"))
       .join(p.select(col("vkey"), col("id").as("j")), "vkey")
