@@ -404,15 +404,49 @@ object Dedup extends Logging {
       explode(array_distinct(TextAnalysis.wordShingles(col(benchText), n))).as("g"))
       .distinct()
       .localCheckpoint(true) // read thrice: count, bloom fold, exact verify
-    val expected = math.max(bg.count(), 1L)
-    val bloom = bg.select(xxhash64(col("g")).as("gh")).stat
-      .bloomFilter("gh", expected, fpp)
+    val bloom = gramBloom(bg, fpp)
     val cg = corpus.select(col(corpusId).as("corpus_id"),
       explode(array_distinct(TextAnalysis.wordShingles(col(corpusText), n))).as("g"))
       .filter(graft.functions.BloomMightContainExpr.mightContain(
         xxhash64(col("g")), bloom))
     cg.join(bg, Seq("g"), "left_semi")
       .groupBy("corpus_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Fold a benchmark's distinct word n-grams into a driver-side Bloom
+    * filter — the reusable artifact behind [[ngramContaminationBloom]] and
+    * [[contaminationGate]]; build once, gate many batches/streams.
+    */
+  def benchmarkGramBloom(
+      benchmark: DataFrame, benchText: String, n: Int = 3,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    gramBloom(benchmark.select(
+      explode(array_distinct(TextAnalysis.wordShingles(col(benchText), n))).as("g"))
+      .distinct(), fpp)
+
+  private def gramBloom(
+      distinctGrams: DataFrame, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val expected = math.max(distinctGrams.count(), 1L)
+    distinctGrams.select(xxhash64(col("g")).as("gh")).stat
+      .bloomFilter("gh", expected, fpp)
+  }
+
+  /** STATELESS contamination gate: keep only documents NONE of whose word
+    * n-grams might belong to `bloom`. One-sided error by construction —
+    * a contaminated document is NEVER kept; a clean one is dropped with
+    * probability ≈ per-gram fpp × grams, the conservative direction for a
+    * decontamination gate. Being a pure row predicate (`exists` over the
+    * shingle array, probe inside codegen), it runs identically under
+    * Structured Streaming — the ingest-time decontamination shape — where
+    * the exact-verify join of [[ngramContaminationBloom]] has no
+    * per-microbatch equivalent.
+    */
+  def contaminationGate(
+      df: DataFrame, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int = 3): DataFrame = {
+    val grams = array_distinct(TextAnalysis.wordShingles(col(textCol), n))
+    df.filter(!exists(grams, g =>
+      graft.functions.BloomMightContainExpr.mightContain(xxhash64(g), bloom)))
   }
 
   /** Embedding-cosine near-dup representatives: ε-cluster then keep min id per

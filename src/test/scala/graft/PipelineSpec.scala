@@ -584,6 +584,35 @@ class PipelineSpec extends AnyFunSuite {
       ("2026-01-01 10:20:00.0", "click", 10L), ("2026-01-01 10:20:00.0", "view", 10L)))
   }
 
+  test("contaminationGate: one-sided stateless gate, identical in batch and in a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // disjoint vocabularies: docs 0,8,16 are in the benchmark, rest are clean
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, (0 until 12).map(t => s"v${i}_$t").mkString(" ")))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val bloom = Dedup.benchmarkGramBloom(
+      corpusDf.filter($"doc_id" % 8 === 0).select("text"), "text", fpp = 0.001)
+    val batchKept = Dedup.contaminationGate(corpusDf, "text", bloom)
+      .select("doc_id").as[Long].collect().toSet
+    // contaminated docs NEVER pass (one-sided error); at fpp 0.001 over 210
+    // clean grams the expected false-positive doc drop is ~0.2
+    assert(batchKept.intersect(Set(0L, 8L, 16L)).isEmpty)
+    assert(batchKept.size >= 19, s"gate over-dropped: kept ${batchKept.size} of 21 clean docs")
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(corpus: _*)
+    val out = Dedup.contaminationGate(stream.toDF().toDF("doc_id", "text"), "text", bloom)
+    val q = out.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("decontam_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept, "stream gate diverged from batch gate")
+  }
+
   test("semanticEnrich: streaming 1-NN against a static reference table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
