@@ -1161,6 +1161,48 @@ object SparkEntry {
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
 
+    // Int8 scalar quantization, value-level: per-vector scale + integer code
+    // sums (exact BIGINTs — integer summation has no float-order caveat) and
+    // the quantized cosine of each consecutive embedding pair. Every number
+    // is bit-reproducible, so the DuckDB oracle hash-checks the whole
+    // quantizer: scale formula, rounding, tinyint range, and the int8
+    // scoring kernel (VecDotI8).
+    "q_quantize_int8" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = Quantize.quantize(e, "embedding", "codes", "qscale")
+        .withColumn("code_norm2", Quantize.norm2I8(col("codes")))
+        .withColumn("code_sum",
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x.cast("long")))
+      val b = q.select(col("vec_id").as("__bid"), col("codes").as("__bcodes"),
+        col("code_norm2").as("__bn2"))
+      q.join(b, col("__bid") === col("vec_id") + 1)
+        .select(col("vec_id"), col("qscale"), col("code_sum"), col("code_norm2"),
+          Quantize.cosineI8WithNorms(
+            graft.functions.Int8Kernels.dotI8(col("codes"), col("__bcodes")),
+            col("code_norm2"), col("__bn2")).as("qscore"))
+        .orderBy("vec_id")
+    }),
+
+    // Quantized-search recall contract (the q_ann_recall move applied to the
+    // int8 path): coarse int8 scoring + exact rerank must clear per-query
+    // recall@5 >= 0.6 and corpus average >= 0.9 against exact brute force.
+    // Emits violations only; the oracle is the empty relation. Measured at
+    // sf0.01/sf0.1: recall is ~1.0 (64-dim int8 + 4x rerank pool), so the
+    // floors have wide margin — any rounding or kernel regression surfaces
+    // as rows here.
+    "q_ann_int8_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val qz = Quantize.quantizedTopK(q, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, rerankFactor = 4)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(qz, bf, 5).localCheckpoint(true) // branches below
+      rec.filter(col("recall") < 0.6)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.9)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
     // Persisted-IVF recall contract (the q_ann_recall move applied to the
     // disk layout): searching the steady cell-partitioned index must clear
     // the same floors as the in-memory IVF — per-query recall@5 >= 0.3,
@@ -2467,6 +2509,38 @@ object SparkEntry {
     "q_ann_index_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
+
+    // same emptiness contract for the int8 coarse + exact-rerank path
+    "q_ann_int8_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE FALSE""".stripMargin,
+
+    // Int8 scalar quantizer, value-for-value: scale = max|v|/127, code =
+    // floor(v/scale + 0.5) (single-rounding double ops — identical in both
+    // engines), integer sums exact, quantized cosine in the same op order
+    // and clamp as the exact kernel.
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+        |c AS (SELECT vec_id, qscale,
+        |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) END AS codes
+        |  FROM s),
+        |n AS (SELECT vec_id, qscale, codes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (p, q) -> p + q) AS code_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(codes, x -> x * x)), (p, q) -> p + q) AS code_norm2
+        |  FROM c)
+        |SELECT a.vec_id AS vec_id, a.qscale AS qscale, a.code_sum AS code_sum,
+        |  a.code_norm2 AS code_norm2,
+        |  CASE WHEN a.code_norm2 = 0 OR b.code_norm2 = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE least(greatest(
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_zip(a.codes, b.codes), z -> z[1] * z[2])), (p, q) -> p + q) AS DOUBLE)
+        |      / (sqrt(CAST(a.code_norm2 AS DOUBLE)) * sqrt(CAST(b.code_norm2 AS DOUBLE))),
+        |      CAST(-1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) END AS qscore
+        |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
 
     // CCNet-style keep-globally-first paragraph dedup over the synthesized
     // 2-paragraph pages (Dedup.paragraphDedup).

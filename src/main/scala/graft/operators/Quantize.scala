@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.Int8Kernels.dotI8
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ByteType
+
+/** Symmetric per-vector int8 scalar quantization for embedding columns — the
+  * memory lever for vector search at corpus scale: codes are 1 byte per lane
+  * (vs 8 for the double matrix the exact kernels scan), so a broadcast corpus
+  * fits ~8x more vectors under the same executor budget and the coarse-scoring
+  * inner loop streams ~8x less memory. Search quality is recovered by exact
+  * reranking: the int8 cosine orders a candidate pool `rerankFactor·k` deep,
+  * then the survivors are re-scored with the exact double kernel — the
+  * standard SQ8 + refine design (FAISS's `SQ8` / Milvus `IVF_SQ8` regime,
+  * public algorithm), here as pure Catalyst expressions.
+  *
+  * Determinism contract: `scale = max(|v|)/127` and
+  * `code = floor(v/scale + 0.5)` are single-rounding double ops, and the int8
+  * dot is exact integer arithmetic — every derived number (codes, integer
+  * norms, quantized cosine) is bit-reproducible on any engine, which the
+  * DuckDB oracle checks value-for-value (`q_quantize_int8`). No float-sum
+  * order caveat anywhere: integer summation is associative.
+  *
+  * Reference has no quantization (FAISS flat indexes only, infer.py:141-151);
+  * this is a beyond-reference scale component like IVF/SRP-LSH.
+  */
+object Quantize {
+
+  /** `max(|v|)/127` — the per-vector dequantization step size (0 for the
+    * all-zero vector, whose codes are defined as all-zero).
+    */
+  def scaleCol(vec: Column): Column =
+    array_max(transform(asDouble(vec), x => abs(x))) / lit(127.0)
+
+  /** Quantize `vecCol` into `array<tinyint>` codes + a double scale column.
+    * `floor(x/scale + 0.5)` lands in [-127, 127] by construction (|x| <= 127·scale),
+    * so the tinyint cast never wraps.
+    */
+  def quantize(
+      df: DataFrame, vecCol: String,
+      codesName: String = "codes", scaleName: String = "qscale"): DataFrame = {
+    val withScale = df.withColumn(scaleName, scaleCol(col(vecCol)))
+    withScale.withColumn(codesName,
+      when(col(scaleName) === lit(0.0),
+        transform(asDouble(col(vecCol)), _ => lit(0).cast(ByteType)))
+        .otherwise(transform(asDouble(col(vecCol)),
+          x => floor(x / col(scaleName) + lit(0.5)).cast(ByteType))))
+  }
+
+  /** Integer squared norm of a code array (exact, Long). */
+  def norm2I8(codes: Column): Column = dotI8(codes, codes)
+
+  /** Cosine of two code arrays from a precomputed integer dot and integer
+    * squared norms. The per-vector scale cancels in cosine, so this is the
+    * quantized estimate of the exact cosine — same op order and [-1,1] clamp
+    * as [[graft.functions.VectorOps.cosineWithNorms]] for oracle parity; a
+    * zero-norm side scores 0.0 (matching the exact kernel's all-zero-vector
+    * convention).
+    */
+  def cosineI8WithNorms(dotI: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === lit(0L) || n2b === lit(0L), lit(0.0))
+      .otherwise(least(greatest(
+        dotI.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))),
+        lit(-1.0)), lit(1.0)))
+
+  /** Quantized top-k: int8 coarse scoring over the broadcast code matrix,
+    * exact double rerank of the top `rerankFactor·k` candidates per query.
+    * Output contract = [[SemanticJoin.knnJoinVec]] (`left_id, right_id,
+    * score, rank`), with `score` the EXACT cosine (bit-identical to the
+    * brute-force kernel on every pair it keeps — only the candidate set is
+    * approximate, which `q_ann_int8_recall` gates against recall floors).
+    *
+    * Scale shape: corpus codes broadcast (8x more rows per byte than the
+    * double matrix), coarse scoring is a map-only broadcast nested-loop with
+    * a partial-agg bounded top-k (≤ rerankFactor·k rows shuffle per query);
+    * the rerank is an equi-join on corpus id against the original vectors —
+    * no all-pairs shuffle anywhere. Above broadcast bounds, compose with
+    * [[Ann.ivfTopK]] cells instead (quantize within cells).
+    */
+  def quantizedTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, rerankFactor: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val qCodes = quantize(
+      queries.select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv")),
+      "__qv", "__qc", "__qs")
+      .withColumn("__qn2", norm2I8(col("__qc")))
+      .select(col("__qid"), col("__qc"), col("__qn2"))
+    val cCodes = quantize(
+      corpus.select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv")),
+      "__cv", "__cc", "__cs")
+      .withColumn("__cn2", norm2I8(col("__cc")))
+      .select(col("__cid"), col("__cc"), col("__cn2"))
+
+    val pairs0 = qCodes.crossJoin(broadcast(cCodes))
+    val pairs = if (excludeSelf) pairs0.filter(col("__qid") =!= col("__cid")) else pairs0
+    val coarse = pairs
+      .select(col("__qid"), col("__cid"),
+        cosineI8WithNorms(dotI8(col("__qc"), col("__cc")), col("__qn2"), col("__cn2"))
+          .as("__qscore"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.VecExpressions.topK(k * rerankFactor, col("__qscore"), col("__cid"))
+        .as("__top"))
+      .select(col("__qid"), explode(col("__top.id")).as("__cid"))
+
+    // exact rerank: candidates join back to the ORIGINAL double vectors; the
+    // scored pair set is tiny (≤ rerankFactor·k per query) so norms-per-row +
+    // the exact codegen dot dominate nothing
+    val qFull = queries.select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qnorm", norm(col("__qv")))
+    val cFull = corpus.select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv"))
+      .withColumn("__cnorm", norm(col("__cv")))
+    coarse
+      .join(qFull, "__qid")
+      .join(cFull, "__cid")
+      .select(col("__qid"), col("__cid"),
+        cosineWithNorms(dot(col("__qv"), col("__cv")), col("__qnorm"), col("__cnorm"))
+          .as("__score"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("__cid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col("__qid").as("left_id"),
+        col("__s.id").as("right_id"),
+        col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+}
