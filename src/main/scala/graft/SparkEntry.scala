@@ -749,6 +749,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rep"))
     }),
 
+    // Quality-percentile gate: keep each source's best quartile by the
+    // composite quality score, rank-exact (integer rank vs ceil(frac·n) —
+    // no float percentile interpolation, so the kept SET is deterministic
+    // and the oracle recomputes it bit-for-bit). The approx form
+    // (threshold join, no window — the 100 TB shape) is spec-pinned equal
+    // at bench scale.
+    "q_quality_gate" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(ld(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("quality"))
+      Sampling.topFractionExact(scored, "quality", "doc_id", Seq("source"), 0.25)
+        .orderBy("doc_id")
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -2283,6 +2296,32 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
         |    % 1000000
         |  < least(1000000, (10 * 1000000) // cnt)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Rank-exact per-source quality gate: same quality composite as
+    // q_text_quality (hash-proven CTE), then integer rank vs ceil(0.25·n)
+    // within each source.
+    "q_quality_gate" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stop_ratio
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |  least(CAST(1.0 AS DOUBLE), stop_ratio * 2) * 0.5
+        |    + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+        |  FROM q),
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS cnt FROM sc)
+        |SELECT doc_id, source, quality FROM r WHERE rn <= ceil(cnt * 0.25)
         |ORDER BY doc_id""".stripMargin,
 
     // same double expression tree as Sampling.temperatureMix: sqrt is

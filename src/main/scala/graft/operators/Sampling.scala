@@ -121,6 +121,53 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Keep the top `frac` share of each key group by `scoreCol` — the
+    * quality-percentile gate of a filtered-corpus recipe ("keep each source's
+    * best quartile"), rank-exact: row `r` survives iff its dense position by
+    * `(score desc, idCol asc)` within its group is ≤ `ceil(frac · group
+    * count)`. Integer rank against an integer cutoff — no float percentile
+    * interpolation anywhere, so the kept set is deterministic,
+    * partition-invariant, and bit-reproducible by the SQL oracle.
+    *
+    * This is the EXACT form: one key-partitioned window (a per-group sort).
+    * Fine for bounded groups or bench scale; at 100 TB with huge groups use
+    * [[topFractionApprox]], which replaces the window with a count + an
+    * approx-threshold table joined back.
+    */
+  def topFractionExact(
+      df: DataFrame, scoreCol: String, idCol: String, keys: Seq[String],
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wc = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .filter(col("__rn") <= ceil(col("__cnt") * lit(frac)))
+      .drop("__rn", "__cnt")
+  }
+
+  /** The scale form of [[topFractionExact]]: per-group score threshold from
+    * `approx_percentile` (one partial aggregate), joined back as a tiny
+    * per-key table (Catalyst/AQE broadcasts it) and applied as a codegen
+    * `score >= threshold` filter — no window, no per-group sort, works with
+    * millions of groups. The kept set can differ from the exact gate by the
+    * rows within the sketch's rank-error band around the cutoff
+    * (`accuracy` trades memory for band width); the spec pins the two forms
+    * equal at bench scale where the sketch is exact.
+    */
+  def topFractionApprox(
+      df: DataFrame, scoreCol: String, keys: Seq[String], frac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val thr = df.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thr), keys)
+      .filter(col(scoreCol) >= col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** The upsampling dual of [[temperatureMix]]: flatten the mix toward
     * `share ∝ count^α` by REPLICATING under-represented groups instead of
     * dropping rows — the regime used when the corpus is the bottleneck and

@@ -1102,6 +1102,43 @@ class EngineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "src"))
   }
 
+  test("topFraction gate: exact keeps ceil(frac*n) best per group; approx agrees at bench scale; frac=1 is identity") {
+    import spark.implicits._
+    // two groups with distinct score ladders (ties broken by id in the exact form)
+    val df = ((1L to 40L).map(i => (i, "a", (i % 10).toDouble)) ++
+      (41L to 55L).map(i => (i, "b", (i % 7).toDouble))).toDF("id", "src", "score")
+    val exact = Sampling.topFractionExact(df, "score", "id", Seq("src"), 0.25)
+    val byKey = exact.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("a") == 10L) // ceil(40*0.25)
+    assert(byKey("b") == 4L)  // ceil(15*0.25)
+    // every kept row outranks every dropped row within its group
+    val minKept = exact.groupBy("src").agg(min("score")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val droppedAbove = df.except(exact)
+      .filter((col("src") === "a" && col("score") > minKept("a")) ||
+        (col("src") === "b" && col("score") > minKept("b")))
+      // a dropped row sharing the cutoff score lost on the id tiebreak — only
+      // STRICTLY better dropped scores would be a bug
+      .count()
+    assert(droppedAbove == 0)
+    // approx (threshold-join, no window) matches where the sketch is exact,
+    // modulo cutoff ties: every exact row is kept and extras share the cutoff
+    val approx = Sampling.topFractionApprox(df, "score", Seq("src"), 0.25)
+    assert(exact.select("id").except(approx.select("id")).count() == 0)
+    assert(approx.filter(
+      (col("src") === "a" && col("score") < minKept("a")) ||
+        (col("src") === "b" && col("score") < minKept("b"))).count() == 0)
+    // scale shape: the approx plan has no window operator
+    assert(!approx.queryExecution.executedPlan.toString.contains("Window"))
+    // frac = 1 keeps everything
+    assert(Sampling.topFractionExact(df, "score", "id", Seq("src"), 1.0).count() == df.count())
+    // partition invariance of the exact form
+    val again = Sampling.topFractionExact(df.repartition(7), "score", "id", Seq("src"), 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == exact.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
