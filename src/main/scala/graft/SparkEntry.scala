@@ -762,6 +762,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every document's log
+    // likelihood ratio toward the src0 target slice under add-1-smoothed
+    // hashed-unigram models (256 md5 buckets). The per-doc fold runs in
+    // bucket-string order through the native ordered-sum aggregate, so the
+    // doubles are bit-reproducible and DuckDB hash-checks all 100% of the
+    // weights (rounded to 6 decimals on both sides, the BM25 convention).
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      Dsir.importanceWeights(d, "doc_id", "text",
+          d.filter(col("source") === "src0"), "text",
+          buckets = 256, alpha = 1.0, seed = 42)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+    // The paper's actual sampler on top of those weights: Gumbel(0,1) noise
+    // from the id's md5 millionths bucket added to each weight, hard top-100
+    // by the perturbed key (= one softmax sample without replacement). The
+    // SELECTED SET is part of the hash — any drift in the noise formula or
+    // the ordering contract shows up as a membership diff.
+    "q_dsir_sample" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      val w = Dsir.importanceWeights(d, "doc_id", "text",
+        d.filter(col("source") === "src0"), "text",
+        buckets = 256, alpha = 1.0, seed = 42)
+      Dsir.resampleTop(w, "doc_id", n = 100, gumbel = true, seed = 7)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -2296,6 +2326,77 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
         |    % 1000000
         |  < least(1000000, (10 * 1000000) // cnt)
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR weights: same md5 bucket hash, add-1 smoothing, and
+    // bucket-string-ordered contribution fold as Dsir.importanceWeights —
+    // identical doubles end to end, rounded to 6 decimals on both sides.
+    "q_dsir_weights" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok || '#42'), 1, 8) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+        |tgt AS (
+        |  SELECT bucket, count(*) AS tc FROM tb JOIN documents USING (doc_id)
+        |  WHERE source = 'src0' GROUP BY bucket),
+        |rawc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
+        |tt AS (SELECT sum(tc) AS t FROM tgt),
+        |rt AS (SELECT sum(rc) AS r FROM rawc),
+        |lr AS (
+        |  SELECT bucket,
+        |    ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(tt.t, 0) AS DOUBLE) + 256.0))
+        |      - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(COALESCE(rt.r, 0) AS DOUBLE) + 256.0)) AS lr
+        |  FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
+        |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(c * lr ORDER BY CAST(bucket AS VARCHAR))), (p, q) -> p + q) AS weight
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, round(COALESCE(w.weight, 0.0), 6) AS weight
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-100 over the same weights: u = (md5 millionths + 0.5)/1e6,
+    // g = -ln(-ln(u)), select by (weight + g) desc with doc_id tiebreak.
+    "q_dsir_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok || '#42'), 1, 8) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+        |tgt AS (
+        |  SELECT bucket, count(*) AS tc FROM tb JOIN documents USING (doc_id)
+        |  WHERE source = 'src0' GROUP BY bucket),
+        |rawc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
+        |tt AS (SELECT sum(tc) AS t FROM tgt),
+        |rt AS (SELECT sum(rc) AS r FROM rawc),
+        |lr AS (
+        |  SELECT bucket,
+        |    ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(tt.t, 0) AS DOUBLE) + 256.0))
+        |      - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(COALESCE(rt.r, 0) AS DOUBLE) + 256.0)) AS lr
+        |  FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
+        |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(c * lr ORDER BY CAST(bucket AS VARCHAR))), (p, q) -> p + q) AS weight
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+        |fullw AS (
+        |  SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)),
+        |keyed AS (
+        |  SELECT doc_id, weight, weight + (-ln(-ln(
+        |    ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT) % 1000000)
+        |      + 0.5) / 1000000.0))) AS key
+        |  FROM fullw)
+        |SELECT doc_id, round(weight, 6) AS weight
+        |FROM (SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
     // Rank-exact per-source quality gate: same quality composite as

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection — importance resampling of a raw corpus toward a
+  * target distribution (Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling", public method): fit add-α-smoothed
+  * bag-of-hashed-tokens unigram models on the target sample and the raw
+  * corpus, weight each raw document by the log likelihood ratio
+  * `Σ_b c_b(doc)·(ln p_target[b] − ln p_raw[b])`, and keep the top-n by
+  * weight (+ an optional deterministic Gumbel perturbation, which makes the
+  * selection a sample from the softmax over weights rather than a hard
+  * arg-top-n — the paper's actual sampler).
+  *
+  * Everything is md5-derived and order-pinned, so the whole pipeline —
+  * feature hashing, smoothing, per-doc log-ratio fold, Gumbel noise, final
+  * top-n — is bit-reproducible by any engine with md5 (`q_dsir` hash-checks
+  * it against DuckDB): the per-doc sum folds bucket contributions in bucket
+  * order via the native ordered-sum aggregate (one value per distinct
+  * bucket, so there are no ties and the fold order is total).
+  *
+  * Scale shape (100 TB): two B-bounded bucket-count aggregates (B = buckets,
+  * e.g. 10⁴ — tiny), the per-bucket log-ratio table broadcast; per-doc
+  * weights are explode → (doc, bucket) partial-agg count → broadcast join →
+  * ordered-sum per doc (one shuffle keyed by doc); selection is
+  * `orderBy(...).limit(n)` = TakeOrderedAndProject (per-partition top-n,
+  * never a global sort). No windows, no driver state.
+  */
+object Dsir {
+
+  /** uint32(md5(token || '#' || seed)) mod buckets — the cross-engine feature
+    * hash (same md5 convention as [[Sampling.deterministicSampleMd5]]).
+    */
+  private def md5Bucket(tok: Column, buckets: Int, seed: Long): Column =
+    pmod(
+      conv(substring(md5(concat(tok, lit("#" + seed))), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Lowercased whitespace tokens, empties dropped (repo convention). */
+  private def toks(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** Hashed-token bucket counts `(bucket, cnt)` over a corpus — the
+    * sufficient statistic for one side's unigram model. One explode + one
+    * partial-agg count; output ≤ `buckets` rows.
+    */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int, seed: Long = 42L): DataFrame =
+    df.select(explode(toks(col(textCol))).as("__tok"))
+      .select(md5Bucket(col("__tok"), buckets, seed).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document importance weight of `raw` toward `target`:
+    * `(idCol, weight)` with
+    * `weight = Σ_b c_b(doc) · (ln((t_b+α)/(T+αB)) − ln((r_b+α)/(R+αB)))`
+    * — positive means "looks more like the target than like the raw corpus".
+    * Documents with no tokens get weight 0.0. Buckets unseen on either side
+    * still contribute through the smoothing mass, as the paper's estimator
+    * requires.
+    */
+  def importanceWeights(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024, alpha: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val tCnt = bucketCounts(target, targetTextCol, buckets, seed)
+      .withColumnRenamed("cnt", "__tc")
+    val rCnt = bucketCounts(raw, textCol, buckets, seed)
+      .withColumnRenamed("cnt", "__rc")
+    val tTot = tCnt.agg(sum(col("__tc")).as("__tt"))
+    val rTot = rCnt.agg(sum(col("__rc")).as("__rt"))
+    // per-bucket log ratio over the FULL bucket domain (raw-side counts are a
+    // superset of any bucket a raw doc can hit, so an outer join on the raw
+    // side suffices); totals are single-row broadcasts
+    val lr = rCnt.join(tCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("__tc"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("__tt"), lit(0L)).cast("double") + lit(alpha * buckets))) -
+          log((col("__rc").cast("double") + lit(alpha)) /
+            (col("__rt").cast("double") + lit(alpha * buckets)))).as("__lr"))
+    // per-(doc, bucket) counts, then contribution = cnt · lr — one exact
+    // product per distinct bucket, folded in bucket order (no ties → total
+    // order → deterministic double sum)
+    val docBuckets = raw
+      .select(col(idCol).cast("long").as("__id"), explode(toks(col(textCol))).as("__tok"))
+      .select(col("__id"), md5Bucket(col("__tok"), buckets, seed).as("bucket"))
+      .groupBy("__id", "bucket").agg(count(lit(1)).cast("double").as("__c"))
+    val weights = docBuckets.join(broadcast(lr), "bucket")
+      .select(col("__id"), col("bucket"), (col("__c") * col("__lr")).as("__contrib"))
+      .groupBy("__id")
+      // ordered-sum key is a string; byte-lexicographic bucket order is a
+      // total order over distinct buckets (the oracle folds by the same
+      // `ORDER BY CAST(bucket AS VARCHAR)` — ASCII digits memcmp the same
+      // way in both engines), which is all determinism needs
+      .agg(graft.functions.VecExpressions
+        .orderedSum(col("bucket").cast("string"), col("__contrib")).as("weight"))
+    // tokenless docs never reach the explode: join them back at weight 0
+    raw.select(col(idCol).cast("long").as("__id")).distinct()
+      .join(weights, Seq("__id"), "left")
+      .select(col("__id").as(idCol), coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** Deterministic Gumbel(0,1) noise from the md5 millionths bucket of the id:
+    * `g = −ln(−ln((b + 0.5)/10⁶))` — the standard inverse-CDF draw with a
+    * mid-bucket uniform, reproducible by any engine with md5 and ln.
+    */
+  def gumbelNoise(id: Column, seed: Long): Column = {
+    val u = (pmod(
+      conv(substring(md5(concat(id.cast("string"), lit("#" + seed))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    -log(-log(u))
+  }
+
+  /** Select `n` documents by importance weight. With `gumbel` (the paper's
+    * sampler) each doc's key is `weight + Gumbel(0,1)` — a softmax sample
+    * without replacement; without it, the hard top-n. Ties break by id;
+    * `orderBy(...).limit(n)` compiles to per-partition top-n + merge, never
+    * a global sort.
+    */
+  def resampleTop(
+      weights: DataFrame, idCol: String, n: Int,
+      gumbel: Boolean = true, seed: Long = 7L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val keyed =
+      if (gumbel) weights.withColumn("__key", col("weight") + gumbelNoise(col(idCol), seed))
+      else weights.withColumn("__key", col("weight"))
+    keyed.orderBy(col("__key").desc, col(idCol)).limit(n).drop("__key")
+  }
+}
