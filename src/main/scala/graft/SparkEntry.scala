@@ -1294,6 +1294,14 @@ object SparkEntry {
       Stress.knnShuffleSummary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 3)
     }),
 
+    // int8 coarse + exact rerank at 20x query rows against the 1x broadcast
+    // code matrix — the quantized sibling of q_stress_knn_broadcast (census
+    // is the base census at 20x counts; rows-only, value semantics gated by
+    // hash-green q_quantize_int8 + q_ann_int8_recall)
+    "q_stress_int8" -> ((s, dir) => {
+      Stress.int8Summary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 20)
+    }),
+
     // m=5 for the text legs: the synthetic corpus is a ~30-word vocabulary,
     // so EVERY query term matches EVERY doc (the adversarial worst case for
     // both kernels — measured m=10: 225-340 task-sec, 10-17 s wall). m=5

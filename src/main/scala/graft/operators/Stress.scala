@@ -189,6 +189,28 @@ object Stress {
         round(max(col("score")), 6).as("max_score"))
   }
 
+  /** Int8 quantized search ([[Quantize.quantizedTopK]]) at `m`x query rows:
+    * the corpus codes broadcast ONCE (1 byte/lane — the leg's point is that
+    * the broadcast stays small while the streamed side grows), every
+    * multiplied query runs the integer coarse scan, and only the
+    * rerankFactor·k candidate pool per query reaches the exact rerank.
+    * Replica queries share their base's vector, so the census is the base
+    * census at m x counts — deterministic end to end (integer coarse
+    * arithmetic, exact rerank). Summary: per-rank census + score extrema.
+    */
+  def int8Summary(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 5, rerankFactor: Int = 4): DataFrame = {
+    val left = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    Quantize.quantizedTopK(left, idCol, vecCol, emb, idCol, vecCol,
+        k = k, rerankFactor = rerankFactor)
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(avg(col("score")), 3).as("avg_score"))
+      .orderBy(col("rank"))
+  }
+
   /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
     * corpus-side tokenize → query-vocab semi-join → partial aggregate plan
     * (the corpus vocabulary must still never reach a shuffle). Summary: the

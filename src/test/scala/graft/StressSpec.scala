@@ -71,6 +71,25 @@ class StressSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 40L), (2, 40L)))
   }
 
+  test("int8 leg: full top-k census at m x queries, broadcast coarse scan, codes not shuffled") {
+    val e = emb(10)
+    val sum = Stress.int8Summary(e, "vec_id", "embedding", m = 4, k = 2)
+    val phys = sum.queryExecution.executedPlan.toString
+    // corpus code matrix rides a broadcast nested-loop; candidate pruning is
+    // the bounded top-k aggregate before any wide exchange
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+    assert(sum.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_top_k"))
+    val rows = sum.collect()
+    // every one of the 40 multiplied queries gets a full exact-reranked top-2
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 40L), (2, 40L)))
+    // replica queries share their base vector, so the census equals the 1x
+    // census at 4x counts — and scores are the EXACT kernel's
+    val base = Stress.int8Summary(e, "vec_id", "embedding", m = 1, k = 2).collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq ==
+      base.map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq)
+  }
+
   test("jaccard leg: every replica pair of a base doc qualifies, none cross bases") {
     // 12-token bases + 1 rep token -> 11 shingles per replica, 10 shared
     // between any two replicas of a base: J = 10/12 exactly; distinct
