@@ -749,6 +749,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rep"))
     }),
 
+    // Token-budget corpus assembly: per-source ~400-token slices as the
+    // md5-shuffled prefix of each source's docs. The kept membership is
+    // integer-exact over a total md5 order, so the oracle (one window) hashes
+    // the whole selection; the engine never windows the full data — bucket
+    // sums + a tiny bucket prefix + whole-bucket passes, with a real window
+    // only inside the per-key straddle bucket.
+    "q_token_budget" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSelect(d, Seq("source"), "doc_id", "n_tokens",
+          budgetPerKey = 400L)
+        .orderBy("doc_id")
+    }),
+
     // Quality-percentile gate: keep each source's best quartile by the
     // composite quality score, rank-exact (integer rank vs ceil(frac·n) —
     // no float percentile interpolation, so the kept SET is deterministic
@@ -2405,6 +2420,24 @@ object SparkEntry {
         |  FROM fullw)
         |SELECT doc_id, round(weight, 6) AS weight
         |FROM (SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Token-budget assembly: the reference window over (md5 millionths, id)
+    // — integer running sums, so the kept set hashes exactly.
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |      % 1000000 AS m
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400
         |ORDER BY doc_id""".stripMargin,
 
     // Rank-exact per-source quality gate: same quality composite as

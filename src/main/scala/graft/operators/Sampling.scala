@@ -156,16 +156,74 @@ object Sampling {
     * (`accuracy` trades memory for band width); the spec pins the two forms
     * equal at bench scale where the sketch is exact.
     */
+  /** The per-key `(keys..., thrCol)` threshold table behind
+    * [[topFractionApprox]] — exposed so other regimes (e.g. a streaming
+    * gate joining each micro-batch against a static threshold table) can
+    * reuse the fitted cutoffs without rescanning the corpus.
+    */
+  def approxThresholds(
+      df: DataFrame, scoreCol: String, keys: Seq[String], frac: Double,
+      accuracy: Int = 10000, thrCol: String = "threshold"): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy)).as(thrCol))
+  }
+
   def topFractionApprox(
       df: DataFrame, scoreCol: String, keys: Seq[String], frac: Double,
       accuracy: Int = 10000): DataFrame = {
-    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
-    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
-    val thr = df.groupBy(keys.map(col): _*)
-      .agg(percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy)).as("__thr"))
+    val thr = approxThresholds(df, scoreCol, keys, frac, accuracy, "__thr")
     df.join(broadcast(thr), keys)
       .filter(col(scoreCol) >= col("__thr"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** Token-budget corpus assembly: keep, per key group, the md5-shuffled
+    * PREFIX of rows whose running token total stays within `budgetPerKey` —
+    * "give me ~2B tokens per source, uniformly sampled, deterministically".
+    * Semantics (the oracle's definition): order each group's rows by
+    * `(md5 millionths bucket, id)` and keep a row iff its inclusive running
+    * `tokensCol` sum is ≤ the budget. All integer arithmetic over an
+    * md5-total order — bit-reproducible by any engine with md5 and a window.
+    *
+    * The implementation never runs that window over the data: rows are
+    * coarse-bucketed (millionths div 1000 → ≤1000 buckets/key), per-bucket
+    * token sums aggregate small, the bucket-level prefix runs over the tiny
+    * `keys x 1000` table, whole buckets under the budget pass with a
+    * broadcast-join filter, and only the single straddle bucket per key
+    * (~1/1000 of the group) pays a real window. At 100 TB that is the
+    * difference between sorting the corpus and sorting a millionth of it.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, keys: Seq[String], idCol: String, tokensCol: String,
+      budgetPerKey: Long, seed: Long = 42L): DataFrame = {
+    require(budgetPerKey > 0, s"budgetPerKey must be positive, got $budgetPerKey")
+    val m = md5Bucket(col(idCol), seed)
+    val keyed = df.withColumn("__m", m).withColumn("__cb", (col("__m") / lit(1000L)).cast("long"))
+    // tiny per-(key, coarse-bucket) token sums + bucket-level exclusive prefix
+    val buckets = keyed.groupBy((keys.map(col) :+ col("__cb")): _*)
+      .agg(sum(col(tokensCol)).cast("long").as("__bt"))
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("__cb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = buckets
+      .withColumn("__cumIncl", sum(col("__bt")).over(wb))
+      .withColumn("__cumBefore", col("__cumIncl") - col("__bt"))
+    // whole buckets fully inside the budget; the one straddle bucket per key
+    val keep = pref.filter(col("__cumIncl") <= lit(budgetPerKey))
+      .select((keys.map(col) :+ col("__cb")): _*)
+    val straddle = pref
+      .filter(col("__cumBefore") < lit(budgetPerKey) && col("__cumIncl") > lit(budgetPerKey))
+      .select((keys.map(col) :+ col("__cb") :+ col("__cumBefore")): _*)
+    val wholesale = keyed.join(broadcast(keep), keys :+ "__cb")
+    // window ONLY over the straddle slice (~1/1000 of each group)
+    val ws = Window.partitionBy(keys.map(col): _*).orderBy(col("__m"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = keyed.join(broadcast(straddle), keys :+ "__cb")
+      .withColumn("__cumIn", sum(col(tokensCol).cast("long")).over(ws))
+      .filter(col("__cumBefore") + col("__cumIn") <= lit(budgetPerKey))
+    wholesale.select(df.columns.map(col): _*)
+      .unionByName(partial.select(df.columns.map(col): _*))
   }
 
   /** The upsampling dual of [[temperatureMix]]: flatten the mix toward

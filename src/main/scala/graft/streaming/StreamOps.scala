@@ -146,6 +146,24 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming quality gate: score each incoming document with the batch
+    * quality composite ([[graft.operators.TextAnalysis.qualityScore]] — a
+    * narrow codegen projection, streaming-safe) and keep rows clearing a
+    * STATIC per-key threshold table (fit offline with
+    * [[graft.operators.Sampling.approxThresholds]]; refresh by restarting
+    * the query). Stateless: a stream-static broadcast inner join + a codegen
+    * filter — zero state store usage, any output mode, and batch ≡ streaming
+    * row-for-row because nothing depends on micro-batch boundaries.
+    */
+  def qualityGate(
+      stream: DataFrame, textCol: String, keys: Seq[String],
+      thresholds: DataFrame, thrCol: String = "threshold"): DataFrame = {
+    val scored = graft.operators.TextAnalysis.qualityScore(stream, textCol)
+    scored.join(broadcast(thresholds), keys)
+      .filter(col("quality") >= col(thrCol))
+      .select((stream.columns.map(col) :+ col("quality")): _*)
+  }
+
   /** Streaming semantic enrichment: embed the incoming text column and 1-NN
     * match each micro-batch against a STATIC reference table (stream-static
     * pattern: the reference side is embedded once up front, broadcast per

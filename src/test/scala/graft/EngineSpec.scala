@@ -1139,6 +1139,38 @@ class EngineSpec extends AnyFunSuite {
     assert(again == exact.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetSelect: equals the reference window semantics; budget respected; prefix property") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"src${i % 4}", 5L + i % 17)).toDF("id", "src", "toks")
+    val budget = 200L
+    val got = Sampling.tokenBudgetSelect(df, Seq("src"), "id", "toks", budget)
+    // reference: one window over (md5 millionths, id) per key — the oracle's
+    // exact definition, computed the naive way
+    val m = pmod(conv(substring(md5(concat(col("id").cast("string"), lit("#42"))), 1, 8), 16, 10)
+      .cast("long"), lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("__m"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = df.withColumn("__m", m)
+      .withColumn("__cum", sum(col("toks")).over(w))
+      .filter(col("__cum") <= budget)
+      .select("id")
+    assert(got.select("id").except(ref).count() == 0)
+    assert(ref.except(got.select("id")).count() == 0)
+    // per-key totals inside budget
+    val over = got.groupBy("src").agg(sum("toks").as("t")).filter(col("t") > budget).count()
+    assert(over == 0)
+    // a budget covering everything keeps everything, columns preserved
+    val all = Sampling.tokenBudgetSelect(df, Seq("src"), "id", "toks", 1000000L)
+    assert(all.count() == df.count())
+    assert(all.columns.toSeq == df.columns.toSeq)
+    // partition invariance
+    val again = Sampling.tokenBudgetSelect(df.repartition(7), Seq("src"), "id", "toks", budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {

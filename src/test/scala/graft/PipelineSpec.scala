@@ -613,6 +613,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamKept == batchKept, "stream gate diverged from batch gate")
   }
 
+  test("qualityGate: streaming keep-set equals the batch approx gate, stateless plan") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // mixed-quality docs across two sources: the good ones read like prose
+    // (stopwords, sane word lengths), the bad ones are symbol soup
+    // i%8<2 puts 5 soup docs in EACH source (i%8==0 -> src0, ==1 -> src1);
+    // a minority, so each source's median cutoff lands on the prose score
+    val corpus = (0L until 40L).map { i =>
+      val src = s"src${i % 2}"
+      val text =
+        if (i % 8 < 2) "@@@ ### !!! $$$ %%% ^^^ &&&"
+        else s"the quick brown fox jumps over the lazy dog near run $i"
+      (i, src, text)
+    }
+    val batch = corpus.toDF("doc_id", "source", "text")
+    val thr = Sampling.approxThresholds(
+      graft.operators.TextAnalysis.qualityScore(batch, "text"),
+      "quality", Seq("source"), frac = 0.5)
+    val batchKept = Sampling.topFractionApprox(
+        graft.operators.TextAnalysis.qualityScore(batch, "text"),
+        "quality", Seq("source"), frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // the symbol-soup docs never clear a median cutoff
+    assert(batchKept.intersect((0L until 40L).filter(_ % 8 < 2).toSet).isEmpty)
+
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(corpus: _*)
+    val gated = StreamOps.qualityGate(
+      stream.toDF().toDF("doc_id", "source", "text"), "text", Seq("source"), thr)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("quality_gate_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("quality_gate_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept, "stream gate diverged from batch gate")
+    // output keeps the stream's columns + the score
+    assert(spark.table("quality_gate_out").columns.toSeq ==
+      Seq("doc_id", "source", "text", "quality"))
+  }
+
   test("semanticEnrich: streaming 1-NN against a static reference table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
