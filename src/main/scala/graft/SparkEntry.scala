@@ -85,6 +85,24 @@ object SparkEntry {
     */
   private val steadyAnnCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.AnnIndex]
+  /** Per-process persisted MinHash-LSH index over the documents table —
+    * the incremental-dedup sibling of [[steadyBm25Index]]/[[steadyAnnIndex]]
+    * (build the corpus postings once, search each arriving batch).
+    */
+  private val steadyMinhashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.MinHashIndex]
+  private def steadyMinhashIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
+    steadyMinhashCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_minhash_steady")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+        val (postings, shingles) = Dedup.minhashBuildIndex(
+          ld(s, dir, "documents"), "doc_id", "text")
+        Dedup.minhashWriteIndex(postings, shingles, sub)
+      }
+      Dedup.minhashOpenIndex(s, sub)
+    })
+
   private def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
@@ -1068,6 +1086,19 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("benchmark_id"))
     }),
 
+    // The incremental regime: the same contamination relation, but the
+    // corpus side comes from the PERSISTED band-partitioned postings +
+    // shingle sets (built once per process) — only the arriving batch is
+    // shingled and signed. Must be row-identical to q_contamination
+    // (same oracle text).
+    "q_minhash_index_search" -> ((s, dir) => {
+      val batch = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.minhashSearchIndex(steadyMinhashIndex(s, dir), batch, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .withColumnRenamed("batch_id", "benchmark_id")
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
     // Exact n-gram membership contamination (the decontamination gate GPT-3/
     // Pile-style pipelines actually use): per corpus doc, how many of its
     // distinct 3-grams appear anywhere in the benchmark slice.
@@ -1433,6 +1464,28 @@ object SparkEntry {
     * per corpus doc intersected with the benchmark slice's global gram set,
     * counted per doc (same shingle construction as the minhash oracle).
     */
+  /** Two-table MinHash-LSH contamination oracle — shared by the from-scratch
+    * path (`q_contamination`) and the persisted-index search
+    * (`q_minhash_index_search`): the index must return EXACTLY the relation
+    * the ad-hoc two-table run computes.
+    */
+  private lazy val MinhashContaminationOracleSql: String =
+    s"""WITH cs AS (${minhashSig("doc_id", "text", "documents")}),
+       |bs AS (${minhashSig("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
+       |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+       |       FROM cs, unnest(range(0, 8)) AS u(b)),
+       |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+       |       FROM bs, unnest(range(0, 8)) AS u(b)),
+       |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+       |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket)
+       |SELECT cand.corpus_id, cand.benchmark_id,
+       |  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |FROM cand
+       |JOIN cs sa ON sa.doc_id = cand.corpus_id
+       |JOIN bs sb ON sb.doc_id = cand.benchmark_id
+       |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
+       |ORDER BY corpus_id, benchmark_id""".stripMargin
+
   private lazy val NgramContaminationOracleSql: String =
     s"""WITH cs AS (${shinglesSql("doc_id", "text", "documents")}),
        |bs AS (${shinglesSql("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
@@ -2288,22 +2341,10 @@ object SparkEntry {
          |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id)
          |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
 
-    "q_contamination" ->
-      s"""WITH cs AS (${minhashSig("doc_id", "text", "documents")}),
-         |bs AS (${minhashSig("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
-         |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
-         |       FROM cs, unnest(range(0, 8)) AS u(b)),
-         |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
-         |       FROM bs, unnest(range(0, 8)) AS u(b)),
-         |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
-         |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket)
-         |SELECT cand.corpus_id, cand.benchmark_id,
-         |  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
-         |FROM cand
-         |JOIN cs sa ON sa.doc_id = cand.corpus_id
-         |JOIN bs sb ON sb.doc_id = cand.benchmark_id
-         |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
-         |ORDER BY corpus_id, benchmark_id""".stripMargin,
+    "q_contamination" -> MinhashContaminationOracleSql,
+
+    // persisted-index search ≡ the ad-hoc two-table run, same oracle text
+    "q_minhash_index_search" -> MinhashContaminationOracleSql,
 
     // Membership-overlap contamination: per corpus doc, the count of its
     // distinct 3-grams present anywhere in the benchmark slice's gram set.

@@ -361,6 +361,99 @@ object Dedup extends Logging {
       .select("corpus_id", "benchmark_id", "jaccard")
   }
 
+  /** A persisted MinHash-LSH index opened from disk — the dedup sibling of
+    * [[Lexical.Bm25Index]]/[[Ann.AnnIndex]] for the INCREMENTAL regime: a
+    * crawl pipeline dedups each day's batch against the corpus it already
+    * ingested, and re-shingling + re-minhashing 100 TB per batch is the cost
+    * this layout kills. `postings` is the banded `(id, band, bucket, bkey)`
+    * table (band-partitioned parquet), `shingles` the pinned distinct-shingle
+    * sets for the exact-Jaccard verify; both are paid once at build.
+    */
+  final case class MinHashIndex(
+      postings: DataFrame, shingles: DataFrame,
+      shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String)
+
+  /** Build the persistable structures: banded postings + shingle sets (same
+    * kernels as [[minhashLsh]]/[[contamination]] — same params → the search
+    * is row-identical to the from-scratch two-table run, which the driver
+    * query checks against the SAME oracle text).
+    */
+  def minhashBuildIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      hashFamily: String = "md5"): (DataFrame, DataFrame) = {
+    val base = shingleSig(corpus, col(idCol), col(textCol),
+      shingleSize, numBands * rowsPerBand, hashFamily)
+    (bandBuckets(base, numBands, rowsPerBand), base.select(col("id"), col("sh")))
+  }
+
+  /** Persist a [[minhashBuildIndex]] pair: postings band-partitioned (search
+    * joins arrive per band; a single-band probe prunes to one directory),
+    * shingles as-is, plus a meta file pinning the banding parameters — a
+    * search against an index built with different params would silently
+    * change semantics, so open() refuses mismatched meta instead.
+    */
+  def minhashWriteIndex(
+      postings: DataFrame, shingles: DataFrame, path: String,
+      shingleSize: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      hashFamily: String = "md5"): Unit = {
+    postings.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/postings")
+    shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
+    val fs = metaPath.getFileSystem(
+      postings.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(
+      (s"""{"type": "minhash_lsh", "shingle_size": $shingleSize, """ +
+        s""""num_bands": $numBands, "rows_per_band": $rowsPerBand, """ +
+        s""""hash_family": "$hashFamily"}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Open a [[minhashWriteIndex]] directory. */
+  def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no MinHash index at $path (missing minhash_meta.json)")
+    val in = fs.open(metaPath)
+    val metaStr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
+    require(Option(node.get("type")).exists(_.asText() == "minhash_lsh"),
+      s"$path/minhash_meta.json is not a minhash_lsh index meta file")
+    MinHashIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/shingles"),
+      node.get("shingle_size").asInt(),
+      node.get("num_bands").asInt(),
+      node.get("rows_per_band").asInt(),
+      node.get("hash_family").asText())
+  }
+
+  /** Near-dup pairs between an incoming batch and the persisted corpus:
+    * `(corpus_id, batch_id, jaccard)` with jaccard ≥ the threshold — exactly
+    * [[contamination]]'s relation when corpus/benchmark are the same frames
+    * (same banding, same verify), but the corpus side costs a parquet scan
+    * instead of a full re-shingle + re-minhash. Only the BATCH is shingled
+    * and signed per run; the band equi-join shuffles the batch's ≤numBands
+    * rows per doc against the persisted postings.
+    */
+  def minhashSearchIndex(
+      index: MinHashIndex, batch: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val b = shingleSig(batch, col(idCol), col(textCol),
+      index.shingleSize, index.numBands * index.rowsPerBand, index.hashFamily)
+    val candidates = bandJoin(
+      index.postings, "corpus_id",
+      bandBuckets(b, index.numBands, index.rowsPerBand), "batch_id")
+    candidates
+      .join(index.shingles.select(col("id").as("corpus_id"), col("sh").as("cs")), "corpus_id")
+      .join(b.select(col("id").as("batch_id"), col("sh").as("bs")), "batch_id")
+      .withColumn("jaccard", jaccardOf(col("cs"), col("bs")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("corpus_id", "batch_id", "jaccard")
+  }
+
   /** Exact n-gram benchmark contamination (the public GPT-3/Pile
     * decontamination shape, at word n-grams): for every corpus document, how
     * many of its DISTINCT n-grams appear anywhere in the benchmark set.

@@ -1171,6 +1171,33 @@ class EngineSpec extends AnyFunSuite {
     assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("persisted minhash index: search equals from-scratch contamination; bad dir refuses") {
+    import spark.implicits._
+    // near-dup families: three variants per base text
+    val docs = (0L until 30L).map { i =>
+      val base = i / 3
+      (i, s"shared common prefix tokens for base $base " +
+        s"alpha beta gamma delta epsilon zeta eta theta variant ${i % 3}")
+    }.toDF("id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    val (postings, shingles) = Dedup.minhashBuildIndex(docs, "id", "text")
+    Dedup.minhashWriteIndex(postings, shingles, tmp)
+    val idx = Dedup.minhashOpenIndex(spark, tmp)
+    assert((idx.numBands, idx.rowsPerBand, idx.shingleSize, idx.hashFamily) == (8, 4, 3, "md5"))
+    val batch = docs.filter(col("id") % 3 === 0)
+    val viaIdx = Dedup.minhashSearchIndex(idx, batch, "id", "text", jaccardThreshold = 0.5)
+    val scratch = Dedup.contamination(docs, "id", "text", batch, "id", "text",
+        jaccardThreshold = 0.5)
+      .withColumnRenamed("benchmark_id", "batch_id")
+    assert(viaIdx.except(scratch).count() == 0)
+    assert(scratch.except(viaIdx).count() == 0)
+    assert(viaIdx.count() > 0, "fixture must produce matches")
+    // a directory without the meta file is refused, not misread
+    intercept[IllegalArgumentException] {
+      Dedup.minhashOpenIndex(spark, s"$tmp/postings")
+    }
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
