@@ -825,6 +825,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SQL surface for the DSIR sampler: same semantics (weights + Gumbel
+    // top-100) through the graft_dsir_select TVF over temp views — same
+    // oracle text as q_dsir_sample, so the TVF path must hash-match the
+    // DataFrame path.
+    "q_dsir_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val d = ld(s, dir, "documents")
+      d.select("doc_id", "text").createOrReplaceTempView("graft_dsir_raw")
+      d.filter(col("source") === "src0").select("text")
+        .createOrReplaceTempView("graft_dsir_target")
+      s.sql(
+        """SELECT doc_id, round(weight, 6) AS weight
+          |FROM graft_dsir_select('graft_dsir_raw', 'graft_dsir_target',
+          |  'doc_id', 'text', 100, 256, 7)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -1464,6 +1481,49 @@ object SparkEntry {
     * per corpus doc intersected with the benchmark slice's global gram set,
     * counted per doc (same shingle construction as the minhash oracle).
     */
+  /** DSIR Gumbel top-100 oracle — shared by the DataFrame path
+    * (`q_dsir_sample`) and the `graft_dsir_select` TVF (`q_dsir_sql`):
+    * u = (md5 millionths + 0.5)/1e6, g = −ln(−ln(u)), select by
+    * (weight + g) desc with doc_id tiebreak over the add-1-smoothed
+    * hashed-unigram likelihood-ratio weights.
+    */
+  private lazy val DsirSampleOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok || '#42'), 1, 8) AS BIGINT) % 256 AS bucket
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+      |tgt AS (
+      |  SELECT bucket, count(*) AS tc FROM tb JOIN documents USING (doc_id)
+      |  WHERE source = 'src0' GROUP BY bucket),
+      |rawc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
+      |tt AS (SELECT sum(tc) AS t FROM tgt),
+      |rt AS (SELECT sum(rc) AS r FROM rawc),
+      |lr AS (
+      |  SELECT bucket,
+      |    ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(tt.t, 0) AS DOUBLE) + 256.0))
+      |      - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(COALESCE(rt.r, 0) AS DOUBLE) + 256.0)) AS lr
+      |  FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
+      |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
+      |w AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(c * lr ORDER BY CAST(bucket AS VARCHAR))), (p, q) -> p + q) AS weight
+      |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+      |fullw AS (
+      |  SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)),
+      |keyed AS (
+      |  SELECT doc_id, weight, weight + (-ln(-ln(
+      |    ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT) % 1000000)
+      |      + 0.5) / 1000000.0))) AS key
+      |  FROM fullw)
+      |SELECT doc_id, round(weight, 6) AS weight
+      |FROM (SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   /** Two-table MinHash-LSH contamination oracle — shared by the from-scratch
     * path (`q_contamination`) and the persisted-index search
     * (`q_minhash_index_search`): the index must return EXACTLY the relation
@@ -2426,42 +2486,9 @@ object SparkEntry {
 
     // Gumbel top-100 over the same weights: u = (md5 millionths + 0.5)/1e6,
     // g = -ln(-ln(u)), select by (weight + g) desc with doc_id tiebreak.
-    "q_dsir_sample" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |tb AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(tok || '#42'), 1, 8) AS BIGINT) % 256 AS bucket
-        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
-        |tgt AS (
-        |  SELECT bucket, count(*) AS tc FROM tb JOIN documents USING (doc_id)
-        |  WHERE source = 'src0' GROUP BY bucket),
-        |rawc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
-        |tt AS (SELECT sum(tc) AS t FROM tgt),
-        |rt AS (SELECT sum(rc) AS r FROM rawc),
-        |lr AS (
-        |  SELECT bucket,
-        |    ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(tt.t, 0) AS DOUBLE) + 256.0))
-        |      - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(COALESCE(rt.r, 0) AS DOUBLE) + 256.0)) AS lr
-        |  FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
-        |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
-        |w AS (
-        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list(c * lr ORDER BY CAST(bucket AS VARCHAR))), (p, q) -> p + q) AS weight
-        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
-        |fullw AS (
-        |  SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)),
-        |keyed AS (
-        |  SELECT doc_id, weight, weight + (-ln(-ln(
-        |    ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT) % 1000000)
-        |      + 0.5) / 1000000.0))) AS key
-        |  FROM fullw)
-        |SELECT doc_id, round(weight, 6) AS weight
-        |FROM (SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
-        |ORDER BY doc_id""".stripMargin,
+    // Shared by the DataFrame path and the graft_dsir_select TVF.
+    "q_dsir_sample" -> DsirSampleOracleSql,
+    "q_dsir_sql" -> DsirSampleOracleSql,
 
     // Token-budget assembly: the reference window over (md5 millionths, id)
     // — integer running sums, so the kept set hashes exactly.

@@ -181,6 +181,33 @@ object GraftPlans {
       graft.operators.Ann.annOpenIndex(spark, path), queries, qid, qvec, k, nProbe))
   }
 
+  /** `graft_dsir_select('raw_tbl','target_tbl','id','text', n[, buckets[, seed]])`
+    * — DSIR importance resampling from SQL: weight every raw-table document
+    * toward the target table's hashed-unigram distribution and Gumbel-sample
+    * the top n ([[graft.operators.Dsir]]). No custom node needed (the
+    * fuzzy-join move): the builder materializes the composed
+    * aggregate/broadcast-join/ordered-sum plan from catalog-resolved tables,
+    * so Catalyst pushdown and AQE treat it like any hand-built query.
+    */
+  private def dsirSelectBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 7,
+      "graft_dsir_select(rawTable, targetTable, idCol, textCol, n[, buckets[, gumbelSeed]])")
+    val rawT = str(args(0), "rawTable")
+    val tgtT = str(args(1), "targetTable")
+    val id = str(args(2), "idCol")
+    val text = str(args(3), "textCol")
+    val n = int(args(4), "n")
+    val buckets = if (args.length > 5) int(args(5), "buckets") else 1024
+    val seed = if (args.length > 6) int(args(6), "gumbelSeed").toLong else 7L
+    val spark = SparkSession.active
+    val raw = ColumnBridge.ofRows(spark, rel(rawT, Seq(id, text)))
+    val target = ColumnBridge.ofRows(spark, rel(tgtT, Seq(text)))
+    val w = graft.operators.Dsir.importanceWeights(raw, id, text, target, text,
+      buckets = buckets)
+    ColumnBridge.analyzedPlan(
+      graft.operators.Dsir.resampleTop(w, id, n, gumbel = true, seed = seed))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -198,7 +225,10 @@ object GraftPlans {
         bm25SearchBuilder _),
       (FunctionIdentifier("graft_ann_search"),
         new ExpressionInfo("graft", "graft_ann_search"),
-        annSearchBuilder _))
+        annSearchBuilder _),
+      (FunctionIdentifier("graft_dsir_select"),
+        new ExpressionInfo("graft", "graft_dsir_select"),
+        dsirSelectBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

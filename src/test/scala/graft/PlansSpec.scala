@@ -269,6 +269,35 @@ class PlansSpec extends AnyFunSuite {
     assert(annRows(annSql) == annRows(annDirect) && annRows(annSql).nonEmpty)
   }
 
+  test("SQL table function graft_dsir_select: matches the DataFrame API, validates args") {
+    import spark.implicits._
+    val docs = ((0L until 20L).map(i => (i, s"alpha compile parse emit token $i")) ++
+      (20L until 60L).map(i => (i, s"market revenue growth quarter item $i")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("plans_spec_dsir_raw")
+    docs.filter(col("doc_id") < 20L).select("text")
+      .createOrReplaceTempView("plans_spec_dsir_target")
+    GraftPlans.install(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, weight FROM graft_dsir_select('plans_spec_dsir_raw',
+        |  'plans_spec_dsir_target', 'doc_id', 'text', 15, 512, 7)""".stripMargin)
+    val direct = {
+      val w = graft.operators.Dsir.importanceWeights(
+        spark.table("plans_spec_dsir_raw"), "doc_id", "text",
+        spark.table("plans_spec_dsir_target"), "text", buckets = 512)
+      graft.operators.Dsir.resampleTop(w, "doc_id", n = 15, gumbel = true, seed = 7L)
+    }
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("weight")).as[(Long, Double)].collect().sorted.toSeq
+    assert(sorted(viaSql) == sorted(direct)) // bit-exact weights AND membership
+    // target-vocabulary docs dominate a 15-of-60 selection
+    assert(viaSql.filter(col("doc_id") < 20L).count() >= 12)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dsir_select('plans_spec_dsir_raw', 'x')").collect()
+    }
+    assert(err.getMessage.contains("graft_dsir_select"))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
