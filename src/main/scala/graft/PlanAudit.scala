@@ -16,7 +16,8 @@ object PlanAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_join_revenue", "q_knn_join", "q_merge_1nn", "q_minhash_dedup",
         "q_topk_per_group", "q_agg_pricing", "q_bm25", "q_retrieve_rerank",
-        "q_corpus_pipeline")
+        "q_corpus_pipeline", "q_quantize_int8", "q_dsir_weights",
+        "q_token_budget", "q_quality_gate")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -1365,6 +1365,13 @@ object SparkEntry {
       Stress.int8Summary(ld(s, dir, "embeddings"), "vec_id", "embedding", m = 20)
     }),
 
+    // DSIR at 5x corpus rows: explode/bucket aggregates, broadcast log-ratio
+    // join, per-doc ordered-sum fold, Gumbel top-n — value semantics gated
+    // by hash-green q_dsir_weights/q_dsir_sample
+    "q_stress_dsir" -> ((s, dir) => {
+      Stress.dsirSummary(ld(s, dir, "documents"), "doc_id", "text", m = 5)
+    }),
+
     // m=5 for the text legs: the synthetic corpus is a ~30-word vocabulary,
     // so EVERY query term matches EVERY doc (the adversarial worst case for
     // both kernels — measured m=10: 225-340 task-sec, 10-17 s wall). m=5

@@ -211,6 +211,27 @@ object Stress {
       .orderBy(col("rank"))
   }
 
+  /** DSIR weighting at `m`x corpus rows (replicas get a one-token suffix so
+    * texts differ but the vocabulary barely grows): the explode → bucket
+    * count aggregates, the broadcast log-ratio join, and the per-doc
+    * ordered-sum fold all run at the multiplied token count. Replica
+    * weights equal their base's weight plus the replica token's bucket
+    * contribution, so the census is deterministic. Summary: selected-set
+    * size + weight extrema.
+    */
+  def dsirSummary(docs: DataFrame, idCol: String, textCol: String,
+      m: Int, targetMod: Int = 10, n: Int = 200, buckets: Int = 1024): DataFrame = {
+    val big = multiplied(docs.select(col(idCol), col(textCol)), idCol, m)
+      .withColumn(textCol,
+        concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
+    val target = big.filter(pmod(col(idCol), lit(targetMod.toLong)) === 0)
+    val w = Dsir.importanceWeights(big, idCol, textCol, target, textCol, buckets = buckets)
+    Dsir.resampleTop(w, idCol, n, gumbel = true)
+      .agg(count(lit(1)).as("n_selected"),
+        round(min(col("weight")), 6).as("min_weight"),
+        round(max(col("weight")), 6).as("max_weight"))
+  }
+
   /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
     * corpus-side tokenize → query-vocab semi-join → partial aggregate plan
     * (the corpus vocabulary must still never reach a shuffle). Summary: the

@@ -90,6 +90,17 @@ class StressSpec extends AnyFunSuite {
       base.map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq)
   }
 
+  test("dsir leg: selects n docs, target-slice docs carry the top weights, deterministic") {
+    val d = docs(30)
+    val sum1 = Stress.dsirSummary(d, "doc_id", "text", m = 3, targetMod = 10, n = 20,
+      buckets = 512).collect()
+    assert(sum1.head.getLong(0) === 20L)
+    val sum2 = Stress.dsirSummary(d.repartition(5), "doc_id", "text", m = 3,
+      targetMod = 10, n = 20, buckets = 512).collect()
+    // bit-identical census under repartitioning (weights, noise, membership)
+    assert(sum1.head === sum2.head)
+  }
+
   test("jaccard leg: every replica pair of a base doc qualifies, none cross bases") {
     // 12-token bases + 1 rep token -> 11 shingles per replica, 10 shared
     // between any two replicas of a base: J = 10/12 exactly; distinct
