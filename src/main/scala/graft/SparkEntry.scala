@@ -795,6 +795,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The same gate through the graft_quality_gate SQL TVF (same oracle).
+    "q_quality_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      ld(s, dir, "documents").select("doc_id", "source", "text")
+        .createOrReplaceTempView("graft_quality_docs")
+      s.sql(
+        """SELECT doc_id, source, quality
+          |FROM graft_quality_gate('graft_quality_docs', 'text', 'source', 'doc_id', 0.25)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // The token-budget assembly through the graft_token_budget SQL TVF
+    // (same oracle as q_token_budget).
+    "q_budget_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      ld(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .createOrReplaceTempView("graft_budget_docs")
+      s.sql(
+        """SELECT doc_id, source, n_tokens
+          |FROM graft_token_budget('graft_budget_docs', 'source', 'doc_id', 'n_tokens', 400)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every document's log
     // likelihood ratio toward the src0 target slice under add-1-smoothed
     // hashed-unigram models (256 md5 buckets). The per-doc fold runs in
@@ -1488,6 +1513,53 @@ object SparkEntry {
     * per corpus doc intersected with the benchmark slice's global gram set,
     * counted per doc (same shingle construction as the minhash oracle).
     */
+  /** Token-budget assembly oracle — the reference window over
+    * (md5 millionths, id); shared by the DataFrame path and the
+    * `graft_token_budget` TVF.
+    */
+  private lazy val TokenBudgetOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+      |      % 1000000 AS m
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400
+      |ORDER BY doc_id""".stripMargin
+
+  /** Rank-exact quality gate oracle — quality composite + integer rank vs
+    * ceil(0.25·n) per source; shared by the DataFrame path and the
+    * `graft_quality_gate` TVF.
+    */
+  private lazy val QualityGateOracleSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
+      |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+      |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
+      |        / CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stop_ratio
+      |  FROM documents),
+      |sc AS (SELECT doc_id, source,
+      |  least(CAST(1.0 AS DOUBLE), stop_ratio * 2) * 0.5
+      |    + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+      |    + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+      |  FROM q),
+      |r AS (SELECT doc_id, source, quality,
+      |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS cnt FROM sc)
+      |SELECT doc_id, source, quality FROM r WHERE rn <= ceil(cnt * 0.25)
+      |ORDER BY doc_id""".stripMargin
+
   /** DSIR Gumbel top-100 oracle — shared by the DataFrame path
     * (`q_dsir_sample`) and the `graft_dsir_select` TVF (`q_dsir_sql`):
     * u = (md5 millionths + 0.5)/1e6, g = −ln(−ln(u)), select by
@@ -2497,49 +2569,14 @@ object SparkEntry {
     "q_dsir_sample" -> DsirSampleOracleSql,
     "q_dsir_sql" -> DsirSampleOracleSql,
 
-    // Token-budget assembly: the reference window over (md5 millionths, id)
-    // — integer running sums, so the kept set hashes exactly.
-    "q_token_budget" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
-        |      % 1000000 AS m
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM t)
-        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400
-        |ORDER BY doc_id""".stripMargin,
+    // Token-budget assembly, DataFrame path + SQL TVF, one oracle.
+    "q_token_budget" -> TokenBudgetOracleSql,
+    "q_budget_sql" -> TokenBudgetOracleSql,
 
-    // Rank-exact per-source quality gate: same quality composite as
-    // q_text_quality (hash-proven CTE), then integer rank vs ceil(0.25·n)
-    // within each source.
-    "q_quality_gate" ->
-      """WITH q AS (
-        |  SELECT doc_id, source,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
-        |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS n_punct,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
-        |        / CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stop_ratio
-        |  FROM documents),
-        |sc AS (SELECT doc_id, source,
-        |  least(CAST(1.0 AS DOUBLE), stop_ratio * 2) * 0.5
-        |    + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
-        |    + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
-        |  FROM q),
-        |r AS (SELECT doc_id, source, quality,
-        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
-        |  count(*) OVER (PARTITION BY source) AS cnt FROM sc)
-        |SELECT doc_id, source, quality FROM r WHERE rn <= ceil(cnt * 0.25)
-        |ORDER BY doc_id""".stripMargin,
+    // Rank-exact per-source quality gate, DataFrame path + SQL TVF, one
+    // oracle (quality composite = the hash-proven q_text_quality CTE).
+    "q_quality_gate" -> QualityGateOracleSql,
+    "q_quality_sql" -> QualityGateOracleSql,
 
     // same double expression tree as Sampling.temperatureMix: sqrt is
     // IEEE-correctly-rounded in both engines, ((minr * w) / cnt) * 1e6

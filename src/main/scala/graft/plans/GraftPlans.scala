@@ -208,6 +208,48 @@ object GraftPlans {
       graft.operators.Dsir.resampleTop(w, id, n, gumbel = true, seed = seed))
   }
 
+  /** `graft_quality_gate('tbl','text','key','id', frac)` — keep each key
+    * group's best `frac` share by the composite quality score, rank-exact
+    * ([[graft.operators.Sampling.topFractionExact]] over
+    * [[graft.operators.TextAnalysis.qualityScore]]).
+    */
+  private def qualityGateBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "graft_quality_gate(table, textCol, keyCol, idCol, frac)")
+    val t = str(args(0), "table")
+    val text = str(args(1), "textCol")
+    val key = str(args(2), "keyCol")
+    val id = str(args(3), "idCol")
+    val frac = dbl(args(4), "frac")
+    val spark = SparkSession.active
+    val df = ColumnBridge.ofRows(spark, rel(t, Seq(id, key, text)))
+    val scored = graft.operators.TextAnalysis.qualityScore(df, text)
+      .select(org.apache.spark.sql.functions.col(id),
+        org.apache.spark.sql.functions.col(key),
+        org.apache.spark.sql.functions.col("quality"))
+    ColumnBridge.analyzedPlan(
+      graft.operators.Sampling.topFractionExact(scored, "quality", id, Seq(key), frac))
+  }
+
+  /** `graft_token_budget('tbl','key','id','tokens', budget)` — per-key
+    * md5-shuffled token-budget prefix selection
+    * ([[graft.operators.Sampling.tokenBudgetSelect]], the bucketed plan
+    * whose only window runs over the straddle bucket).
+    */
+  private def tokenBudgetBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "graft_token_budget(table, keyCol, idCol, tokensCol, budgetPerKey)")
+    val t = str(args(0), "table")
+    val key = str(args(1), "keyCol")
+    val id = str(args(2), "idCol")
+    val toks = str(args(3), "tokensCol")
+    val budget = int(args(4), "budgetPerKey").toLong
+    val spark = SparkSession.active
+    val df = ColumnBridge.ofRows(spark, rel(t, Seq(id, key, toks)))
+    ColumnBridge.analyzedPlan(
+      graft.operators.Sampling.tokenBudgetSelect(df, Seq(key), id, toks, budget))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -228,7 +270,13 @@ object GraftPlans {
         annSearchBuilder _),
       (FunctionIdentifier("graft_dsir_select"),
         new ExpressionInfo("graft", "graft_dsir_select"),
-        dsirSelectBuilder _))
+        dsirSelectBuilder _),
+      (FunctionIdentifier("graft_quality_gate"),
+        new ExpressionInfo("graft", "graft_quality_gate"),
+        qualityGateBuilder _),
+      (FunctionIdentifier("graft_token_budget"),
+        new ExpressionInfo("graft", "graft_token_budget"),
+        tokenBudgetBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -298,6 +298,44 @@ class PlansSpec extends AnyFunSuite {
     assert(err.getMessage.contains("graft_dsir_select"))
   }
 
+  test("SQL table functions graft_quality_gate / graft_token_budget match their DataFrame APIs") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, s"src${i % 3}",
+        if (i % 5 == 0) "@@@ ### !!!"
+        else s"the quick brown fox and the lazy dog of case $i")
+    }.toDF("doc_id", "source", "text")
+    docs.createOrReplaceTempView("plans_spec_qg_docs")
+    GraftPlans.install(spark)
+    val gateSql = spark.sql(
+      """SELECT doc_id FROM graft_quality_gate('plans_spec_qg_docs',
+        |  'text', 'source', 'doc_id', 0.5)""".stripMargin)
+      .as[Long].collect().toSet
+    val gateDirect = graft.operators.Sampling.topFractionExact(
+        graft.operators.TextAnalysis.qualityScore(docs, "text")
+          .select(col("doc_id"), col("source"), col("quality")),
+        "quality", "doc_id", Seq("source"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateSql == gateDirect)
+
+    val toks = docs.select(col("doc_id"), col("source"), lit(7L).as("n_tokens"))
+    toks.createOrReplaceTempView("plans_spec_tb_docs")
+    val tbSql = spark.sql(
+      """SELECT doc_id FROM graft_token_budget('plans_spec_tb_docs',
+        |  'source', 'doc_id', 'n_tokens', 50)""".stripMargin)
+      .as[Long].collect().toSet
+    val tbDirect = graft.operators.Sampling.tokenBudgetSelect(
+        toks, Seq("source"), "doc_id", "n_tokens", 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tbSql == tbDirect)
+    // 7 tokens/doc, budget 50 -> exactly 7 docs per source
+    assert(tbSql.size == 21)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_token_budget('plans_spec_tb_docs', 'x')").collect()
+    }
+    assert(err.getMessage.contains("graft_token_budget"))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
