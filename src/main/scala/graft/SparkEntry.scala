@@ -963,6 +963,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram conditional LM (the sharper fluency signal): add-one-smoothed
+    // P(w2|w1), per-doc bits over the (w1,w2)-sorted fold — every double
+    // reproduced by the oracle.
+    "q_lm_bigram" -> ((s, dir) => {
+      Lexical.bigramBitsPerToken(
+          ld(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("lm2_n_bigrams"),
+          round(col("lm2_bits_per_token"), 6).as("lm2_bits_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_paragraph_dedup" -> ((s, dir) => {
       // synthesize 2-paragraph "pages" (own text + a text borrowed from
       // doc (id+7) mod 250) so cross-page boilerplate exists to kill
@@ -2670,6 +2681,37 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(p.lm_n_tokens, 0) AS lm_n_tokens,
         |  round(coalesce(p.sum_bits / CAST(p.lm_n_tokens AS DOUBLE), 0.0), 6) AS lm_bits_per_token
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Bigram conditional LM: same tokenization, ln2 literal, and sorted-fold
+    // convention as the unigram oracle, keyed by (w1, w2).
+    "q_lm_bigram" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |tf2 AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM bg GROUP BY doc_id, w1, w2),
+        |c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v_size
+        |      FROM (SELECT unnest(toks) AS t FROM base)),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tf ORDER BY w1, w2)), (p,q)->p+q) AS BIGINT) AS lm2_n_bigrams,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bits ORDER BY w1, w2)), (p,q)->p+q) AS sum_bits
+        |  FROM (
+        |    SELECT t.doc_id, t.w1, t.w2, t.tf,
+        |      t.tf * (-ln((j.c12 + 1.0) / (k.c1 + v.v_size))) / 0.6931471805599453 AS bits
+        |    FROM tf2 t JOIN c12 j USING (w1, w2) JOIN c1 k USING (w1) CROSS JOIN v)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.lm2_n_bigrams, 0) AS lm2_n_bigrams,
+        |  round(coalesce(p.sum_bits / CAST(p.lm2_n_bigrams AS DOUBLE), 0.0), 6) AS lm2_bits_per_token
         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Integer-exact prefix-scan layout: cumsum in doc_id order, integer

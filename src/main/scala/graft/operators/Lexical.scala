@@ -433,4 +433,58 @@ object Lexical {
       .withColumn("lm_bits_per_token", coalesce(col("lm_bits_per_token"), lit(0.0)))
       .drop("__id")
   }
+
+  /** Bigram LM bits/token — the conditional upgrade of
+    * [[unigramBitsPerToken]] (a far sharper fluency/quality signal: word
+    * salad with common words fools a unigram model but not the
+    * conditionals): corpus-fit add-one-smoothed
+    * `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)` with `V` the distinct unigram
+    * vocabulary, per-doc `bits = Σ −log₂ P(wᵢ|wᵢ₋₁) / #bigrams`. Docs with
+    * fewer than 2 tokens score 0 with 0 bigrams.
+    *
+    * Determinism: same sorted-fold convention as the unigram model — per-doc
+    * contributions fold in (w₁,w₂) order (distinct keys → total order), the
+    * same ln2 literal, the same smoothing op order, so DuckDB reproduces
+    * every double (`q_lm_bigram`).
+    *
+    * Scale: bigram counts are two partial aggregates (corpus bigram
+    * vocabulary bounded like any n-gram table), context counts roll up from
+    * the bigram table (never a second corpus pass), V is one scalar
+    * broadcast; the per-doc fold shuffles one row per distinct (doc, w₁, w₂).
+    */
+  def bigramBitsPerToken(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ln2 = lit(0.6931471805599453) // double nearest ln 2, shared with the oracle
+    val toksArr = df.select(col(idCol).as("__id"), terms(col(textCol)).as("__toks"))
+    val pairs = toksArr
+      .filter(size(col("__toks")) >= 2)
+      .withColumn("__a", expr("slice(__toks, 1, size(__toks) - 1)"))
+      .withColumn("__b", expr("slice(__toks, 2, size(__toks) - 1)"))
+      .select(col("__id"), explode(arrays_zip(col("__a"), col("__b"))).as("__bg"))
+      .select(col("__id"),
+        col("__bg").getField("__a").as("w1"), col("__bg").getField("__b").as("w2"))
+    val tf2 = pairs.groupBy("__id", "w1", "w2").agg(count(lit(1)).cast("double").as("tf"))
+    val c12 = tf2.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vSize = df.select(explode(terms(col(textCol))).as("__t"))
+      .agg(countDistinct(col("__t")).cast("double").as("v_size"))
+    val perDoc = tf2
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vSize))
+      .withColumn("__bits",
+        col("tf") * negate(log((col("c12") + 1.0) / (col("c1") + col("v_size")))) / ln2)
+      .groupBy("__id")
+      .agg(sort_array(collect_list(
+        struct(col("w1"), col("w2"), col("__bits"), col("tf")))).as("__cs"))
+      .withColumn("lm2_n_bigrams",
+        aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("tf")).cast("long"))
+      .withColumn("lm2_bits_per_token",
+        aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("__bits"))
+          / col("lm2_n_bigrams").cast("double"))
+      .select(col("__id"), col("lm2_n_bigrams"), col("lm2_bits_per_token"))
+    df.join(perDoc, df(idCol) === perDoc("__id"), "left")
+      .withColumn("lm2_n_bigrams", coalesce(col("lm2_n_bigrams"), lit(0L)))
+      .withColumn("lm2_bits_per_token", coalesce(col("lm2_bits_per_token"), lit(0.0)))
+      .drop("__id")
+  }
 }

@@ -1198,6 +1198,39 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
+    import spark.implicits._
+    // 20 docs share the same SENTENCE (common bigrams), 3 docs are the same
+    // token multiset scrambled (rare bigrams) — a unigram model scores all
+    // 23 identically; the conditional model must separate them
+    val fluent = (0L until 20L).map(i => (i, "the cat sat on the mat near the door"))
+    val salad = Seq(
+      (100L, "mat the on cat door sat the near the"),
+      (101L, "door near mat the the sat on cat the"),
+      (102L, "on the door the cat near mat sat the"))
+    val docs = (fluent ++ salad ++ Seq((200L, "single"), (201L, " "))).toDF("doc_id", "text")
+    val out = Lexical.bigramBitsPerToken(docs, "doc_id", "text")
+    val bits = out.select("doc_id", "lm2_bits_per_token", "lm2_n_bigrams").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val maxFluent = (0L until 20L).map(bits(_)._1).max
+    val minSalad = Seq(100L, 101L, 102L).map(bits(_)._1).min
+    assert(minSalad > maxFluent,
+      s"salad $minSalad must out-bit fluent $maxFluent")
+    // unigram CANNOT separate them: same token multiset -> same bits
+    val uni = Lexical.unigramBitsPerToken(docs, "doc_id", "text")
+      .select("doc_id", "lm_bits_per_token").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(0L) - uni(100L)) < 1e-9)
+    // < 2 tokens: zero bigrams, zero bits
+    assert(bits(200L) === ((0.0, 0L)))
+    assert(bits(201L) === ((0.0, 0L)))
+    // bit-exact partition invariance (sorted fold)
+    val again = Lexical.bigramBitsPerToken(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "lm2_bits_per_token").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === bits.map { case (k, v) => k -> v._1 })
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
