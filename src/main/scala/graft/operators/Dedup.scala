@@ -361,6 +361,31 @@ object Dedup extends Logging {
       .select("corpus_id", "benchmark_id", "jaccard")
   }
 
+  /** Pick `(numBands, rowsPerBand)` for a target Jaccard threshold: over all
+    * factorizations `b·r = numHashes`, minimize the sum of false-positive
+    * and false-negative mass of the S-curve `p(s) = 1 − (1 − s^r)^b` around
+    * the threshold (trapezoid integral on a fixed grid — deterministic).
+    * The standard calibration (Mining of Massive Datasets §3.4, public):
+    * more bands → higher recall below the threshold (more FPs), more rows →
+    * sharper cutoff (more FNs just below it). Returns the balanced knee so
+    * callers stop hand-tuning `numBands`/`rowsPerBand` per corpus.
+    */
+  def lshParams(jaccardThreshold: Double, numHashes: Int = 32): (Int, Int) = {
+    require(jaccardThreshold > 0 && jaccardThreshold < 1,
+      s"threshold in (0,1), got $jaccardThreshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    val factorizations =
+      (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    def cost(b: Int, r: Int): Double = {
+      val grid = (0 until 100).map(i => 0.005 + i * 0.01)
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      // FP mass: collision probability below the threshold; FN mass: miss
+      // probability above it
+      grid.map(s => if (s < jaccardThreshold) p(s) else 1.0 - p(s)).sum * 0.01
+    }
+    factorizations.minBy { case (b, r) => cost(b, r) }
+  }
+
   /** A persisted MinHash-LSH index opened from disk — the dedup sibling of
     * [[Lexical.Bm25Index]]/[[Ann.AnnIndex]] for the INCREMENTAL regime: a
     * crawl pipeline dedups each day's batch against the corpus it already

@@ -1231,6 +1231,22 @@ class EngineSpec extends AnyFunSuite {
     assert(again === bits.map { case (k, v) => k -> v._1 })
   }
 
+  test("lshParams: knee tracks the threshold; factorization valid; matches hand-tuned defaults at 0.5") {
+    // low thresholds want many bands (recall); high thresholds want many rows (precision)
+    val (bLow, rLow) = Dedup.lshParams(0.2, 32)
+    val (bMid, rMid) = Dedup.lshParams(0.5, 32)
+    val (bHigh, rHigh) = Dedup.lshParams(0.9, 32)
+    assert(bLow * rLow == 32 && bMid * rMid == 32 && bHigh * rHigh == 32)
+    assert(bLow >= bMid && bMid >= bHigh)
+    assert(rLow <= rMid && rMid <= rHigh)
+    // the repo's hand-tuned default (8 bands x 4 rows at threshold 0.5) is
+    // what the calibration recovers — the S-curve midpoint (1/b)^(1/r) sits
+    // near 0.5 there
+    assert((bMid, rMid) == (8, 4), s"got ($bMid, $rMid)")
+    intercept[IllegalArgumentException] { Dedup.lshParams(0.0) }
+    intercept[IllegalArgumentException] { Dedup.lshParams(0.5, 1) }
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
