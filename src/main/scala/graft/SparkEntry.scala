@@ -795,6 +795,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // r7 composite (the corpus-prep regime the round's new operators exist
+    // for, proved to COMPOSE): rank-exact quality gate (keep each source's
+    // best half) → DSIR importance resampling toward the src0 slice (Gumbel
+    // top-200) → per-source 300-token budget assembly. One DuckDB oracle
+    // chains the same three stages, so the hash covers every boundary:
+    // the gate's kept set feeds the DSIR models, the sampled membership
+    // feeds the budget window, and the final selection is value-exact.
+    "q_corpus_pipeline2" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select("doc_id", "source", "text")
+      val gated = Sampling.topFractionExact(
+          TextAnalysis.qualityScore(docs, "text")
+            .select(col("doc_id"), col("source"), col("text"), col("quality")),
+          "quality", "doc_id", Seq("source"), 0.5)
+        .select("doc_id", "source", "text")
+      val w = Dsir.importanceWeights(gated, "doc_id", "text",
+        gated.filter(col("source") === "src0"), "text", buckets = 256)
+      val selected = Dsir.resampleTop(w, "doc_id", n = 200, gumbel = true, seed = 7)
+      val withMeta = selected.join(gated, "doc_id")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(col("weight"), 6).as("weight"))
+      Sampling.tokenBudgetSelect(withMeta, Seq("source"), "doc_id", "n_tokens",
+          budgetPerKey = 300L)
+        .orderBy("doc_id")
+    }),
+
     // The same gate through the graft_quality_gate SQL TVF (same oracle).
     "q_quality_sql" -> ((s, dir) => {
       graft.plans.GraftPlans.install(s)
@@ -2588,6 +2614,78 @@ object SparkEntry {
     // oracle (quality composite = the hash-proven q_text_quality CTE).
     "q_quality_gate" -> QualityGateOracleSql,
     "q_quality_sql" -> QualityGateOracleSql,
+
+    // r7 composite: quality gate (best half per source) -> DSIR toward the
+    // kept src0 slice (Gumbel top-200) -> 300-token budget per source. Each
+    // stage reuses its proven oracle shape; the chaining is the point.
+    "q_corpus_pipeline2" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS n_toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stop_ratio
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |  least(CAST(1.0 AS DOUBLE), stop_ratio * 2) * 0.5
+        |    + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+        |  FROM q),
+        |rk AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS cnt FROM sc),
+        |kept AS (SELECT doc_id, source FROM rk WHERE rn <= ceil(cnt * 0.5)),
+        |base AS (
+        |  SELECT d.doc_id, k.source, list_filter(
+        |    string_split_regex(lower(trim(d.text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks,
+        |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(d.text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
+        |  FROM documents d JOIN kept k USING (doc_id)),
+        |tb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok || '#42'), 1, 8) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+        |tgt AS (
+        |  SELECT bucket, count(*) AS tc FROM tb JOIN base USING (doc_id)
+        |  WHERE base.source = 'src0' GROUP BY bucket),
+        |rawc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
+        |tt AS (SELECT sum(tc) AS t FROM tgt),
+        |rt AS (SELECT sum(rc) AS r FROM rawc),
+        |lr AS (
+        |  SELECT bucket,
+        |    ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(tt.t, 0) AS DOUBLE) + 256.0))
+        |      - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(COALESCE(rt.r, 0) AS DOUBLE) + 256.0)) AS lr
+        |  FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
+        |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
+        |wt AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(c * lr ORDER BY CAST(bucket AS VARCHAR))), (p, q) -> p + q) AS weight
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+        |fullw AS (
+        |  SELECT b.doc_id, COALESCE(wt.weight, 0.0) AS weight
+        |  FROM base b LEFT JOIN wt USING (doc_id)),
+        |keyed AS (
+        |  SELECT doc_id, weight, weight + (-ln(-ln(
+        |    ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) AS BIGINT) % 1000000)
+        |      + 0.5) / 1000000.0))) AS key
+        |  FROM fullw),
+        |sel AS (SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 200),
+        |meta AS (
+        |  SELECT s.doc_id, b.source, b.n_tokens, round(s.weight, 6) AS weight,
+        |    CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '#42'), 1, 8) AS BIGINT)
+        |      % 1000000 AS m
+        |  FROM sel s JOIN base b USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens, weight,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM meta)
+        |SELECT doc_id, source, n_tokens, weight FROM cum WHERE c <= 300
+        |ORDER BY doc_id""".stripMargin,
 
     // same double expression tree as Sampling.temperatureMix: sqrt is
     // IEEE-correctly-rounded in both engines, ((minr * w) / cnt) * 1e6
