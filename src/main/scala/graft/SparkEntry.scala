@@ -1329,6 +1329,24 @@ object SparkEntry {
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
 
+    // IVF_SQ8 recall contract: the persisted index searched through the int8
+    // coarse pass (cell pruning + codes-only column-pruned scan + exact
+    // rerank) must clear the same floors as the double search — per-query
+    // recall@5 >= 0.3, corpus average >= 0.7 vs exact brute force. Emits
+    // violations only; the oracle is the empty relation.
+    "q_ann_index_int8_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val viaIdx = Ann.annSearchIndexInt8(
+        steadyAnnIndex(s, dir), q, "vec_id", "embedding", k = 5, nProbe = 8)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(viaIdx, bf, 5).localCheckpoint(true) // branches below
+      rec.filter(col("recall") < 0.3)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.7)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
     // Int8 scalar quantization, value-level: per-vector scale + integer code
     // sums (exact BIGINTs — integer summation has no float-order caveat) and
     // the quantized cosine of each consecutive embedding pair. Every number
@@ -2945,6 +2963,11 @@ object SparkEntry {
 
     // same emptiness contract for the int8 coarse + exact-rerank path
     "q_ann_int8_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE FALSE""".stripMargin,
+
+    // same emptiness contract for the persisted IVF_SQ8 search
+    "q_ann_index_int8_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
 

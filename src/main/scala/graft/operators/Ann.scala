@@ -187,7 +187,14 @@ object Ann {
     */
   def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String): Unit = {
     val n = centroids.count().toInt
-    cells.repartition(col("__cell"))
+    // bake int8 codes + integer norms next to the double vectors (the
+    // IVF_SQ8 layout): the quantized search scans ONLY these narrow columns
+    // for coarse scoring — parquet column pruning makes the coarse pass read
+    // ~1/8 the bytes — and joins cv back for the exact rerank
+    val enriched = graft.operators.Quantize
+      .quantize(cells, "cv", "codes", "qscale")
+      .withColumn("cn2", graft.operators.Quantize.norm2I8(col("codes")))
+    enriched.repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val metaPath = new org.apache.hadoop.fs.Path(path, "ann_meta.json")
@@ -256,6 +263,80 @@ object Ann {
       .select(col("query_id"), col("corpus_id"),
         cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
     scored.groupBy(col("query_id"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col("query_id").as("left_id"),
+        col("__s.id").as("right_id"),
+        col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /** IVF_SQ8 search of a persisted index: same cell pruning as
+    * [[annSearchIndex]], but the coarse pass scores the probed cells' int8
+    * codes (a scan of ONLY the narrow `codes`/`cn2` columns — parquet column
+    * pruning keeps the 8-byte-per-lane `cv` column out of the coarse read
+    * entirely, ~8x less IO) and only the top `rerankFactor·k` candidates per
+    * query join `cv` back for the exact rerank. Output contract =
+    * [[annSearchIndex]]; `score` is the exact cosine (bit-identical on every
+    * kept pair — only the candidate set is approximate, which
+    * `q_ann_index_int8_recall` gates).
+    */
+  def annSearchIndexInt8(
+      index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && rerankFactor >= 1,
+      s"k/nProbe/rerankFactor must be >= 1, got $k/$nProbe/$rerankFactor")
+    require(index.cells.columns.contains("codes"),
+      "index has no int8 codes — rebuild with annWriteIndex (IVF_SQ8 layout)")
+    val spark = queries.sparkSession
+    val probeRows = SemanticJoin.knnJoinVec(
+      queries, qId, qVec,
+      index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
+      .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
+      .collect()
+    val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("__cell", LongType, nullable = false))))
+    val cellLits: Seq[Any] = index.cells.schema("__cell").dataType match {
+      case IntegerType => wantedCells.map(_.toInt)
+      case _ => wantedCells
+    }
+    // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here
+    val coarseCells = index.cells.filter(col("__cell").isin(cellLits: _*))
+      .select(col("corpus_id"), col("codes"), col("cn2"), col("__cell"))
+    val qCodes = graft.operators.Quantize.quantize(
+      queries.select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv")),
+      "__qv", "__qc", "__qs")
+      .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
+      .select(col("query_id"), col("__qc"), col("__qn2"))
+      .join(broadcast(probes), "query_id")
+    val candidates = qCodes
+      .join(coarseCells, Seq("__cell"))
+      .select(col("query_id"), col("corpus_id"),
+        graft.operators.Quantize.cosineI8WithNorms(
+          graft.functions.Int8Kernels.dotI8(col("__qc"), col("codes")),
+          col("__qn2"), col("cn2")).as("__qscore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VecExpressions
+        .topK(k * rerankFactor, col("__qscore"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("corpus_id"))
+    // exact rerank: only the candidate rows touch the double vectors
+    val rerankCells = index.cells.filter(col("__cell").isin(cellLits: _*))
+      .select(col("corpus_id"), asDouble(col("cv")).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
+    val qFull = queries
+      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
+    candidates
+      .join(qFull, "query_id")
+      .join(rerankCells, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+      .groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
       .select(

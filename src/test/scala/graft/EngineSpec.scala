@@ -634,6 +634,38 @@ class EngineSpec extends AnyFunSuite {
     assert(formatted.contains("PartitionFilters") && formatted.contains("__cell"), formatted)
   }
 
+  test("IVF_SQ8 search: full-pool rerank bit-equals the double search; coarse scan never reads cv") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx8").toString
+    val (cells, cents) = Ann.annBuildIndex(e, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, dir)
+    val idx = Ann.annOpenIndex(spark, dir)
+    assert(idx.cells.columns.contains("codes") && idx.cells.columns.contains("cn2"))
+    // rerank pool big enough to cover every probed-cell candidate -> the
+    // exact rerank reproduces the double search bit-for-bit
+    val viaSq8 = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 50)
+    val viaDouble = Ann.annSearchIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("score")),
+        r.getAs[Int]("rank"))).sortBy(x => (x._1, x._4)).toSeq
+    assert(rows(viaSq8) == rows(viaDouble))
+    // the coarse pass is a scan WITHOUT the 8-byte cv column: of the two
+    // cells scans in the plan, one must read codes/cn2 but not cv
+    val formatted = viaSq8.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("cv:")),
+      schemas.mkString("\n"))
+    // at the bench rerank factor the candidate set still clears a 0.9 recall
+    val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+    val sq8 = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding", k = 5, nProbe = 8)
+    val avgRec = Ann.recallAtK(sq8, bf, 5).agg(avg("recall")).head().getDouble(0)
+    assert(avgRec >= 0.7, s"avg recall $avgRec")
+  }
+
   test("IVF at sf0.1: recall beats the scan-fraction bound on unclustered testdata") {
     // the synthetic sf0.1 embeddings are uniform random (within-label cosine ≈
     // cross-label ≈ 0), so ANY inverted-file index is information-theoretically
