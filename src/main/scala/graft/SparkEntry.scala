@@ -804,11 +804,15 @@ object SparkEntry {
     // feeds the budget window, and the final selection is value-exact.
     "q_corpus_pipeline2" -> ((s, dir) => {
       val docs = ld(s, dir, "documents").select("doc_id", "source", "text")
+      // pin the gate: four consumers below (DSIR raw side, DSIR target side,
+      // the metadata join-back, the token count) would otherwise re-run the
+      // quality window per use
       val gated = Sampling.topFractionExact(
           TextAnalysis.qualityScore(docs, "text")
             .select(col("doc_id"), col("source"), col("text"), col("quality")),
           "quality", "doc_id", Seq("source"), 0.5)
         .select("doc_id", "source", "text")
+        .localCheckpoint(true)
       val w = Dsir.importanceWeights(gated, "doc_id", "text",
         gated.filter(col("source") === "src0"), "text", buckets = 256)
       val selected = Dsir.resampleTop(w, "doc_id", n = 200, gumbel = true, seed = 7)
