@@ -96,8 +96,13 @@ object Dsir {
       // way in both engines), which is all determinism needs
       .agg(graft.functions.VecExpressions
         .orderedSum(col("bucket").cast("string"), col("__contrib")).as("weight"))
-    // tokenless docs never reach the explode: join them back at weight 0
-    raw.select(col(idCol).cast("long").as("__id")).distinct()
+    // tokenless docs never reach the explode: join them back at weight 0.
+    // No distinct() on the id projection — doc ids are unique by the
+    // operator's contract (a dup id would already double-count its tokens in
+    // the models above), and a distinct here is a full-corpus shuffle+agg
+    // spent proving it. The join itself is id-keyed on both sides — one
+    // co-partitioned shuffle each, the minimum any total zero-fill costs.
+    raw.select(col(idCol).cast("long").as("__id"))
       .join(weights, Seq("__id"), "left")
       .select(col("__id").as(idCol), coalesce(col("weight"), lit(0.0)).as("weight"))
   }

@@ -206,9 +206,12 @@ object Sampling {
       .agg(sum(col(tokensCol)).cast("long").as("__bt"))
     val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("__cb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pin the ≤ keys x 1000-row prefix table: the keep and straddle branches
+    // below would otherwise each re-run the corpus-wide bucket aggregate
     val pref = buckets
       .withColumn("__cumIncl", sum(col("__bt")).over(wb))
       .withColumn("__cumBefore", col("__cumIncl") - col("__bt"))
+      .localCheckpoint(true)
     // whole buckets fully inside the budget; the one straddle bucket per key
     val keep = pref.filter(col("__cumIncl") <= lit(budgetPerKey))
       .select((keys.map(col) :+ col("__cb")): _*)
