@@ -476,6 +476,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Chunk→document pooling (the RAG plumbing after chunk embedding): md5
+    // embeddings of the q_chunk_docs chunks, pooled back to one doc vector
+    // by the chunk-id-ordered element-wise mean — every double (vector sum
+    // order, the divide, the norm/sum reductions) is order-pinned, so the
+    // oracle reproduces the pooled geometry value-for-value.
+    "q_pool_chunks" -> ((s, dir) => {
+      import graft.functions.Md5EmbedExpr
+      val chunks = TextAnalysis.chunkDocuments(
+          ld(s, dir, "documents").select("doc_id", "text"), "text",
+          chunkSize = 8, overlap = 2)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          Md5EmbedExpr.md5Embed(col("chunk_text")).as("cvec"))
+      graft.core.VecAgg.elementWiseMeanOrdered(chunks, "doc_id", "chunk_id", "cvec", "pool")
+        .select(col("doc_id"), col("n_members").as("n_chunks"),
+          round(sqrt(dot(col("pool"), col("pool"))), 6).as("pool_norm"),
+          round(aggregate(col("pool"), lit(0.0), (acc, x) => acc + x), 6).as("pool_sum"))
+        .orderBy("doc_id")
+    }),
+
     "q_cap_per_source" -> ((s, dir) => {
       Sampling.capPerKey(ld(s, dir, "documents"), Seq("source"), cap = 10, ordCol = "doc_id")
         .select("doc_id", "source")
@@ -2167,6 +2186,33 @@ object SparkEntry {
         |FROM t, unnest(range(0, CAST(ceil(len(toks) / 6.0) AS INT))) AS u(i)
         |WHERE i*6 < len(toks)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Chunk→doc pooling: q_chunk_docs' chunks, md5-embedded, folded
+    // element-wise in chunk-id order (first chunk as init, left zip-add),
+    // divided per element, then the same left-fold norm/sum reductions.
+    "q_pool_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_id,
+         |    array_to_string(toks[i*6+1 : i*6+8], ' ') AS chunk_text
+         |  FROM t, unnest(range(0, CAST(ceil(len(toks) / 6.0) AS INT))) AS u(i)
+         |  WHERE i*6 < len(toks)),
+         |ev AS (${md5Vec("doc_id, chunk_id", "chunk_text", "ch")}),
+         |pool AS (
+         |  SELECT doc_id, n_chunks,
+         |    list_transform(vsum, x -> x / CAST(n_chunks AS DOUBLE)) AS p
+         |  FROM (
+         |    SELECT doc_id, count(*) AS n_chunks,
+         |      list_reduce(list(v ORDER BY chunk_id),
+         |        (p, q) -> list_transform(list_zip(p, q), z -> z[1] + z[2])) AS vsum
+         |    FROM ev GROUP BY doc_id))
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(p, x -> x * x)), (a, b) -> a + b)), 6) AS pool_norm,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), p), (a, b) -> a + b), 6) AS pool_sum
+         |FROM pool ORDER BY doc_id""".stripMargin,
 
     "q_cap_per_source" ->
       """SELECT doc_id, source FROM (

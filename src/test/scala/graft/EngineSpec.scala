@@ -1279,6 +1279,27 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.lshParams(0.5, 1) }
   }
 
+  test("elementWiseMeanOrdered: exact means, idx-ordered fold, bit-exact partition invariance") {
+    import graft.core.VecAgg
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, Array(1.0, 2.0, 3.0)),
+      (1L, 1L, Array(3.0, 4.0, 5.0)),
+      (1L, 2L, Array(5.0, 6.0, 7.0)),
+      (2L, 0L, Array(10.0, 0.0, -2.0))).toDF("doc", "idx", "vec")
+    val out = VecAgg.elementWiseMeanOrdered(df, "doc", "idx", "vec", "pool")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toList, r.getLong(2))).toMap
+    assert(out(1L) === ((List(3.0, 4.0, 5.0), 3L)))
+    assert(out(2L) === ((List(10.0, 0.0, -2.0), 1L))) // singleton: identity
+    // bit-exact under repartitioning (the fold order is the idx order)
+    val again = VecAgg.elementWiseMeanOrdered(df.repartition(5), "doc", "idx", "vec", "pool")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toList.map(java.lang.Double.doubleToLongBits)).toMap
+    val bits = out.map { case (k, v) => k -> v._1.map(java.lang.Double.doubleToLongBits) }
+    assert(again === bits)
+  }
+
   // --- xlsx source ----------------------------------------------------------
 
   test("readExcel: parses a real xlsx zip (shared/inline strings, numbers, blanks, types)") {
