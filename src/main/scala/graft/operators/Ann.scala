@@ -221,43 +221,99 @@ object Ann {
       node.get("n_centroids").asInt())
   }
 
-  /** Search a persisted index with cell pruning: queries probe their
-    * `nProbe` nearest centroids (broadcast 1-NN against the ≤nCentroids
-    * centroid table), the collected probe set — bounded by the QUERY side,
-    * small by this operator's regime contract — restricts the cell scan as
-    * parquet partition pruning, and only the probed cells are scored.
-    * Output contract = [[ivfTopK]] (bit-identical scores for the same build
-    * parameters: same quantizer, same assignment, same cosine expression).
+  /** Driver materialization bound for a persisted-index search's probe set
+    * (|queries| × nProbe rows of 16 bytes). Under the bound the probe table
+    * is collected — a broadcast join plus STATIC parquet partition pruning
+    * via an `isin` over the probed cells. Over it (a large query batch — the
+    * 100 TB regime where "queries" are themselves a corpus) nothing touches
+    * the driver: the probe assignment stays distributed and the cell
+    * restriction becomes a broadcast semi-join on `__cell` (the distinct
+    * probed-cell set is ≤ nCentroids rows by construction, so the semi-join
+    * side is always tiny; dynamic partition pruning recovers most of the
+    * static prune). Same pattern as [[VecScan.maxBroadcastBytes]]; tune with
+    * `spark.graft.ann.maxProbeRows`.
     */
-  def annSearchIndex(
+  val MaxProbeRowsKey = "spark.graft.ann.maxProbeRows"
+  val DefaultMaxProbeRows: Long = 1L << 20
+
+  def maxProbeRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(MaxProbeRowsKey).map(_.toLong).getOrElse(DefaultMaxProbeRows)
+
+  /** Count of searches that took the join-based (over-bound) restriction —
+    * observable so the guard spec can assert which path ran, the
+    * [[graft.embed.LinearModel.initCount]] move.
+    */
+  private[graft] val joinRestrictionSearches = new java.util.concurrent.atomic.AtomicLong
+
+  /** Probe assignment + cell restriction shared by [[annSearchIndex]] /
+    * [[annSearchIndexInt8]]: returns the `(query_id, __cell)` probe frame
+    * (already hinted for its join) and the restriction to apply to the cell
+    * scan. Both paths are row-identical by construction (the spec
+    * differential-tests them); only the physical shape differs.
+    */
+  private def probeAndPrune(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
-    require(k >= 1 && nProbe >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
+      nProbe: Int, maxProbeRowsParam: Long): (DataFrame, DataFrame => DataFrame) = {
     val spark = queries.sparkSession
-    val probeRows = SemanticJoin.knnJoinVec(
+    val bound = if (maxProbeRowsParam > 0) maxProbeRowsParam else maxProbeRows(spark)
+    val probesPlan = SemanticJoin.knnJoinVec(
       queries, qId, qVec,
       index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
       .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
-      .collect()
-    val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+    // exact probe count is |queries| × nProbe (every query draws nProbe
+    // probes); counting the query side is one cheap narrow job and avoids
+    // collecting anything before the bound check passes
+    val nQueries = queries.select(col(qId)).count()
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*),
-      StructType(Seq(StructField("query_id", LongType, nullable = false),
-        StructField("__cell", LongType, nullable = false))))
-    // literal type must MATCH the partition column's inferred type (parquet
-    // partition dirs with small values read back as int): a long literal
-    // against an int column would cast the COLUMN and silently defeat
-    // partition pruning — the property the layout exists for
-    val cellLits: Seq[Any] = index.cells.schema("__cell").dataType match {
-      case IntegerType => wantedCells.map(_.toInt)
-      case _ => wantedCells
+    if (nQueries * nProbe <= bound) {
+      val probeRows = probesPlan.collect()
+      val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+      val probes = spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("__cell", LongType, nullable = false))))
+      // literal type must MATCH the partition column's inferred type (parquet
+      // partition dirs with small values read back as int): a long literal
+      // against an int column would cast the COLUMN and silently defeat
+      // partition pruning — the property the layout exists for
+      val cellLits: Seq[Any] = index.cells.schema("__cell").dataType match {
+        case IntegerType => wantedCells.map(_.toInt)
+        case _ => wantedCells
+      }
+      (broadcast(probes), cells => cells.filter(col("__cell").isin(cellLits: _*)))
+    } else {
+      joinRestrictionSearches.incrementAndGet()
+      // pin the probe assignment: the restriction below and the scoring join
+      // both consume it, and re-running the centroid 1-NN per consumer would
+      // double the probe cost
+      val probes = probesPlan.localCheckpoint(true)
+      val cellType = index.cells.schema("__cell").dataType
+      val wanted = probes.select(col("__cell").cast(cellType).as("__cell")).distinct()
+      (probes, cells => cells.join(broadcast(wanted), Seq("__cell"), "left_semi"))
     }
-    val pruned = index.cells.filter(col("__cell").isin(cellLits: _*))
+  }
+
+  /** Search a persisted index with cell pruning: queries probe their
+    * `nProbe` nearest centroids (broadcast 1-NN against the ≤nCentroids
+    * centroid table), the probe set restricts the cell scan (static parquet
+    * partition pruning under [[maxProbeRows]], a broadcast semi-join above
+    * it — see [[probeAndPrune]]), and only the probed cells are scored.
+    * Output contract = [[ivfTopK]] (bit-identical scores for the same build
+    * parameters: same quantizer, same assignment, same cosine expression).
+    * `maxProbeRowsOverride` > 0 replaces the session conf bound (stress legs
+    * force the join path with it).
+    */
+  def annSearchIndex(
+      index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 4, maxProbeRowsOverride: Long = 0L): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
+    val (probes, restrict) =
+      probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    val pruned = restrict(index.cells)
     val queriesExp = queries
       .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
       .withColumn("__qn", norm(col("qv")))
-      .join(broadcast(probes), "query_id")
+      .join(probes, "query_id")
     val scored = queriesExp
       .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
@@ -284,36 +340,23 @@ object Ann {
     */
   def annSearchIndexInt8(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
-      k: Int, nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, rerankFactor: Int = 4,
+      maxProbeRowsOverride: Long = 0L): DataFrame = {
     require(k >= 1 && nProbe >= 1 && rerankFactor >= 1,
       s"k/nProbe/rerankFactor must be >= 1, got $k/$nProbe/$rerankFactor")
     require(index.cells.columns.contains("codes"),
       "index has no int8 codes — rebuild with annWriteIndex (IVF_SQ8 layout)")
-    val spark = queries.sparkSession
-    val probeRows = SemanticJoin.knnJoinVec(
-      queries, qId, qVec,
-      index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
-      .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
-      .collect()
-    val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*),
-      StructType(Seq(StructField("query_id", LongType, nullable = false),
-        StructField("__cell", LongType, nullable = false))))
-    val cellLits: Seq[Any] = index.cells.schema("__cell").dataType match {
-      case IntegerType => wantedCells.map(_.toInt)
-      case _ => wantedCells
-    }
+    val (probes, restrict) =
+      probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
     // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here
-    val coarseCells = index.cells.filter(col("__cell").isin(cellLits: _*))
+    val coarseCells = restrict(index.cells)
       .select(col("corpus_id"), col("codes"), col("cn2"), col("__cell"))
     val qCodes = graft.operators.Quantize.quantize(
       queries.select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv")),
       "__qv", "__qc", "__qs")
       .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
       .select(col("query_id"), col("__qc"), col("__qn2"))
-      .join(broadcast(probes), "query_id")
+      .join(probes, "query_id")
     val candidates = qCodes
       .join(coarseCells, Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
@@ -325,7 +368,7 @@ object Ann {
         .topK(k * rerankFactor, col("__qscore"), col("corpus_id")).as("__top"))
       .select(col("query_id"), explode(col("__top.id")).as("corpus_id"))
     // exact rerank: only the candidate rows touch the double vectors
-    val rerankCells = index.cells.filter(col("__cell").isin(cellLits: _*))
+    val rerankCells = restrict(index.cells)
       .select(col("corpus_id"), asDouble(col("cv")).as("cv"))
       .withColumn("__cn", norm(col("cv")))
     val qFull = queries

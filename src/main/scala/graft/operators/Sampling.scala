@@ -179,6 +179,76 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Rank-EXACT scale form of [[topFractionExact]] — kept set identical to
+    * the windowed gate on every input (same `(score desc, id asc)` cutoff at
+    * `ceil(frac·n)` per group), but the window only ever runs over a narrow
+    * sketch-error band around the cutoff instead of the whole group: the
+    * [[tokenBudgetSelect]] straddle move applied to percentile gating.
+    *
+    * Mechanics: one aggregate yields per-group `n`, `k = ceil(frac·n)`, and
+    * two sketch thresholds bracketing the cutoff (`percentile_approx` at
+    * `1-frac ± margin`). Rows scoring above the high threshold are certainly
+    * inside the top-k (their count `c_hi ≤ k` is verified from a second
+    * partial aggregate) and pass with a codegen filter; rows inside the
+    * band get the real `(score desc, id asc)` window, offset by `c_hi`; rows
+    * below the low threshold are certainly out. The per-group counts make
+    * correctness UNCONDITIONAL: if the sketch breaches its margin (`c_hi > k`
+    * or fewer than `k` rows clear the low threshold), that group degrades to
+    * windowing its remainder — exactness never depends on the sketch, only
+    * the band width does.
+    *
+    * Scale: two partial aggregates over the data, two tiny broadcast-joined
+    * per-key tables, and a window over ~`2·bandFrac` of each group (0.5% by
+    * default) — at 100 TB the difference between sorting the corpus and
+    * sorting a two-hundredth of it, with the exact gate's bit-identical
+    * output (spec-pinned equal on adversarial tie/tiny-group inputs, and the
+    * composite spec pins the whole gate→DSIR→budget recipe equal through it).
+    */
+  def topFractionSketch(
+      df: DataFrame, scoreCol: String, idCol: String, keys: Seq[String],
+      frac: Double, accuracy: Int = 10000, bandFrac: Double = 0.005): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    require(bandFrac > 0 && bandFrac < 1, s"bandFrac in (0,1), got $bandFrac")
+    // sketch rank error is ~n/accuracy rows; the margin (in percentile units)
+    // must dominate it plus the quantile definition's ±1 — the floor keeps the
+    // band honest for small accuracy, and the runtime count checks below keep
+    // correctness even if the margin is breached
+    val margin = math.max(4.0 / accuracy, bandFrac)
+    val pHi = math.min(1.0, 1.0 - frac + margin)
+    val pLo = math.max(0.0, 1.0 - frac - margin)
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        percentile_approx(col(scoreCol), array(lit(pLo), lit(pHi)), lit(accuracy)).as("__ts"))
+      .select((keys.map(col) :+
+        ceil(col("__n") * lit(frac)).cast("long").as("__k") :+
+        col("__ts").getItem(0).as("__tlo") :+
+        col("__ts").getItem(1).as("__thi")): _*)
+    val withThr = df.join(broadcast(stats), keys)
+    // band census (second partial aggregate): how many rows clear each
+    // threshold — the unconditional-correctness check
+    val bandCounts = withThr.groupBy(keys.map(col): _*)
+      .agg(sum(when(col(scoreCol) > col("__thi"), 1L).otherwise(0L)).as("__chi"),
+        sum(when(col(scoreCol) >= col("__tlo"), 1L).otherwise(0L)).as("__cgelo"))
+    val full = withThr.join(broadcast(bandCounts), keys)
+      // sure rows are inside the top-k only if there are at most k of them
+      .withColumn("__sureOk", col("__chi") <= col("__k"))
+      // sketch breached the low margin: too few candidates clear __tlo, so
+      // this group's band extends to its whole sub-__thi remainder
+      .withColumn("__bandAll", col("__cgelo") < col("__k"))
+    val sure = full.filter(col("__sureOk") && col(scoreCol) > col("__thi"))
+    val bandRows = full.filter(
+      (!col("__sureOk") || col(scoreCol) <= col("__thi") || col(scoreCol).isNull) &&
+        (col("__bandAll") || col(scoreCol) >= col("__tlo")))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val bandKept = bandRows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") + when(col("__sureOk"), col("__chi")).otherwise(lit(0L))
+        <= col("__k"))
+    sure.select(df.columns.map(col): _*)
+      .unionByName(bandKept.select(df.columns.map(col): _*))
+  }
+
   /** Token-budget corpus assembly: keep, per key group, the md5-shuffled
     * PREFIX of rows whose running token total stays within `budgetPerKey` —
     * "give me ~2B tokens per source, uniformly sampled, deterministically".

@@ -211,6 +211,31 @@ object Stress {
       .orderBy(col("rank"))
   }
 
+  /** Persisted-ANN search at `m`x query rows — the serving regime where the
+    * query batch is itself corpus-sized, which is exactly the case the probe
+    * guard ([[Ann.maxProbeRows]]) exists for: the multiplied batch exceeds
+    * the forced bound, so the search runs the JOIN-based cell restriction
+    * (probe assignment stays distributed, cell restriction is the broadcast
+    * semi-join on `__cell`, zero driver materialization) rather than the
+    * collected-probe isin path the 100-query base leg times. Replica queries
+    * share their base's vector, so the census is the base census at `m`x
+    * counts — deterministic end to end; value semantics gated by hash-green
+    * `q_ann_index_recall` (+ the guard spec's path parity). Summary:
+    * per-rank census + score extrema.
+    */
+  def annSearchSummary(index: Ann.AnnIndex, emb: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int = 5, nProbe: Int = 8): DataFrame = {
+    val queries = multiplied(emb.select(col(idCol), col(vecCol)), idCol, m)
+    Ann.annSearchIndex(index, queries, idCol, vecCol, k = k, nProbe = nProbe,
+        maxProbeRowsOverride = 1L) // force the over-bound (join) path
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(avg(col("score")), 3).as("avg_score"))
+      .orderBy(col("rank"))
+  }
+
   /** DSIR weighting at `m`x corpus rows (replicas get a one-token suffix so
     * texts differ but the vocabulary barely grows): the explode → bucket
     * count aggregates, the broadcast log-ratio join, and the per-doc
@@ -231,6 +256,56 @@ object Stress {
         round(min(col("weight")), 6).as("min_weight"),
         round(max(col("weight")), 6).as("max_weight"))
   }
+
+  /** The corpus-prep composite (gate → DSIR → token budget) at `m`x rows
+    * with the SCALE forms composed: the quality gate runs
+    * [[Sampling.topFractionSketch]] (sketch thresholds + a window over only
+    * the sketch-error band — the 100 TB shape) instead of the whole-group
+    * window `q_corpus_pipeline2`'s bench form uses. The sketch gate is
+    * rank-exact by construction, so the scale composite's membership is
+    * IDENTICAL to the exact composite's — which the spec pins on the real
+    * bench corpus. Returns the selected relation
+    * `(idCol, sourceCol, n_tokens)`; [[pipelineSummary]] wraps it in the
+    * census the stress leg times. Replicas get a one-token text suffix (the
+    * [[dsirSummary]] move) so the multiplied corpus has distinct texts but a
+    * near-constant vocabulary.
+    */
+  def corpusPipelineSelect(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, m: Int, scaleGate: Boolean,
+      gateFrac: Double = 0.5, targetSource: String = "src0",
+      dsirN: Int = 200, budgetPerKey: Long = 300L): DataFrame = {
+    val big = multiplied(docs.select(col(idCol), col(sourceCol), col(textCol)), idCol, m)
+      .withColumn(textCol,
+        concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
+    val scored = TextAnalysis.qualityScore(big, textCol)
+      .select(col(idCol), col(sourceCol), col(textCol), col("quality"))
+    val gated = (if (scaleGate)
+        Sampling.topFractionSketch(scored, "quality", idCol, Seq(sourceCol), gateFrac)
+      else
+        Sampling.topFractionExact(scored, "quality", idCol, Seq(sourceCol), gateFrac))
+      .select(col(idCol), col(sourceCol), col(textCol))
+      .localCheckpoint(true) // four consumers: DSIR raw/target, join-back, tokens
+    val w = Dsir.importanceWeights(gated, idCol, textCol,
+      gated.filter(col(sourceCol) === targetSource), textCol, buckets = 256)
+    val selected = Dsir.resampleTop(w, idCol, n = dsirN * m, gumbel = true, seed = 7)
+    val withMeta = selected.join(gated, idCol)
+      .select(col(idCol), col(sourceCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    Sampling.tokenBudgetSelect(withMeta, Seq(sourceCol), idCol, "n_tokens",
+      budgetPerKey = budgetPerKey * m)
+  }
+
+  /** Census over [[corpusPipelineSelect]] with the sketch gate — integer
+    * aggregates only, deterministic. Value semantics gated by hash-green
+    * `q_corpus_pipeline2` (exact composite) + the spec pinning the two
+    * composites member-identical at bench scale.
+    */
+  def pipelineSummary(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, m: Int): DataFrame =
+    corpusPipelineSelect(docs, idCol, sourceCol, textCol, m, scaleGate = true)
+      .agg(count(lit(1)).as("n_selected"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"))
 
   /** Ad-hoc BM25 over an `m`x corpus with the base query set: stresses the
     * corpus-side tokenize → query-vocab semi-join → partial aggregate plan

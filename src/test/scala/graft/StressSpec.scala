@@ -186,6 +186,35 @@ class StressSpec extends AnyFunSuite {
     assert(r.getLong(2) == 15) // n_dups: (m-1) per base
   }
 
+  test("pipeline leg: sketch-gate composite ≡ exact-gate composite at bench scale") {
+    // closes r7 'What's wrong #2': the 100 TB recipe (sketch gate → DSIR →
+    // budget) composed end-to-end must select the SAME membership as the
+    // whole-group-window composite — the sketch gate is rank-exact by
+    // construction, checked here on the real bench corpus at a real
+    // multiplier
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    def members(scale: Boolean): Seq[(Long, String, Long)] =
+      Stress.corpusPipelineSelect(d, "doc_id", "source", "text", m = 3,
+          scaleGate = scale)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val scaleSel = members(scale = true)
+    val exactSel = members(scale = false)
+    assert(scaleSel.nonEmpty)
+    assert(scaleSel === exactSel)
+  }
+
+  test("pipeline leg: census is deterministic under repartitioning") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val a = Stress.pipelineSummary(d, "doc_id", "source", "text", m = 2).collect().head
+    val b = Stress.pipelineSummary(d.repartition(7), "doc_id", "source", "text", m = 2)
+      .collect().head
+    assert(a === b)
+    assert(a.getLong(0) > 0)
+  }
+
   test("range leg: broadcast exec plan, every replica matches only its base, sliced bases go unmatched") {
     val e = emb(10)
     // rightFrac = 0.8 keeps ids 0-7; replicas of bases 8,9 must null-extend
