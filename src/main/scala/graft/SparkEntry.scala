@@ -96,9 +96,31 @@ object SparkEntry {
       val sub = s"${perProcessTmpDir("graft_minhash_steady")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
-        val (postings, shingles) = Dedup.minhashBuildIndex(
-          ld(s, dir, "documents"), "doc_id", "text")
-        Dedup.minhashWriteIndex(postings, shingles, sub)
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(ld(s, dir, "documents"), "doc_id", "text"), sub)
+      }
+      Dedup.minhashOpenIndex(s, sub)
+    })
+
+  /** Incrementally-assembled sibling of [[steadyMinhashIndex]]: built on the
+    * corpus MINUS a held-out slice, then the slice is absorbed via
+    * [[Dedup.minhashAppendIndex]] — so a search against it proves
+    * append ≡ rebuild row-identically (q_minhash_index_append shares
+    * q_contamination's oracle).
+    */
+  private val steadyMinhashAppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.MinHashIndex]
+  private def steadyMinhashAppendedIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
+    steadyMinhashAppCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_minhash_app")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+        val docs = ld(s, dir, "documents")
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), "doc_id", "text"), sub)
+        Dedup.minhashAppendIndex(s, sub,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 3), "doc_id", "text")
       }
       Dedup.minhashOpenIndex(s, sub)
     })
@@ -1208,6 +1230,19 @@ object SparkEntry {
     "q_minhash_index_search" -> ((s, dir) => {
       val batch = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
       Dedup.minhashSearchIndex(steadyMinhashIndex(s, dir), batch, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .withColumnRenamed("batch_id", "benchmark_id")
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
+    // Incremental-append parity: the index was built on 6/7 of the corpus
+    // and the remaining slice APPENDED (batch-only shingling, no rebuild);
+    // searching it must be row-identical to searching the full-rebuild
+    // index — same oracle text as q_contamination, so the hash proves
+    // append ≡ rebuild end-to-end.
+    "q_minhash_index_append" -> ((s, dir) => {
+      val batch = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.minhashSearchIndex(steadyMinhashAppendedIndex(s, dir), batch, "doc_id", "text",
           jaccardThreshold = 0.8)
         .withColumnRenamed("batch_id", "benchmark_id")
         .orderBy(col("corpus_id"), col("benchmark_id"))
@@ -2622,6 +2657,9 @@ object SparkEntry {
 
     // persisted-index search ≡ the ad-hoc two-table run, same oracle text
     "q_minhash_index_search" -> MinhashContaminationOracleSql,
+    // append ≡ rebuild: the incrementally-assembled index must reproduce
+    // the same contamination relation
+    "q_minhash_index_append" -> MinhashContaminationOracleSql,
 
     // Membership-overlap contamination: per corpus doc, the count of its
     // distinct 3-grams present anywhere in the benchmark slice's gram set.

@@ -184,6 +184,15 @@ object Ann {
     * parquet partition per centroid cell, rows clustered before the write so
     * tasks hold whole cells — the [[Lexical.bm25WriteIndex]] move), plus the
     * centroid table and a meta file carrying the cell count.
+    *
+    * Incremental append is deliberately NOT offered (unlike
+    * [[Dedup.minhashAppendIndex]]): the centroids are fitted on the corpus,
+    * so a drifting data distribution degrades cell balance and recall for
+    * ALL rows, not just new ones — appending new vectors into cells chosen
+    * by stale centroids compounds silently. Assign-and-append against
+    * frozen centroids is possible in principle, but the honest contract is
+    * rebuild on a cadence (centroid fit + assignment are the cheap part of
+    * the build; the recall gates re-verify each epoch).
     */
   def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String): Unit = {
     val n = centroids.count().toInt

@@ -175,6 +175,14 @@ object Lexical {
     * recording the modulus sit alongside. This is the "pay the vocabulary
     * aggregate once" regime: the corpus text is never read again — every
     * later search starts from these files.
+    *
+    * Incremental append is deliberately NOT offered (unlike
+    * [[Dedup.minhashAppendIndex]]): BM25 scores depend on corpus-GLOBAL
+    * statistics — per-term document frequencies, the document count, and
+    * the average document length — so absorbing a batch changes the score
+    * of every existing posting, not just adds rows. Appending postings
+    * while keeping stale stats would silently mis-rank; rebuild (or accept
+    * an explicitly-stale-stats epoch and rebuild on a cadence) instead.
     */
   def bm25WriteIndex(
       postings: DataFrame, stats: DataFrame, path: String, nBuckets: Int = 64): Unit = {

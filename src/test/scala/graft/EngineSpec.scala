@@ -1212,8 +1212,7 @@ class EngineSpec extends AnyFunSuite {
         s"alpha beta gamma delta epsilon zeta eta theta variant ${i % 3}")
     }.toDF("id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
-    val (postings, shingles) = Dedup.minhashBuildIndex(docs, "id", "text")
-    Dedup.minhashWriteIndex(postings, shingles, tmp)
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(docs, "id", "text"), tmp)
     val idx = Dedup.minhashOpenIndex(spark, tmp)
     assert((idx.numBands, idx.rowsPerBand, idx.shingleSize, idx.hashFamily) == (8, 4, 3, "md5"))
     val batch = docs.filter(col("id") % 3 === 0)
@@ -1228,6 +1227,40 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.minhashOpenIndex(spark, s"$tmp/postings")
     }
+  }
+
+  test("minhash index append: build-on-part + append ≡ full rebuild; meta pins build params") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      val base = i / 3
+      (i, s"shared common prefix tokens for base $base " +
+        s"alpha beta gamma delta epsilon zeta eta theta variant ${i % 3}")
+    }.toDF("id", "text")
+    // non-default banding: the meta must carry the params the build used
+    // (advisor r7 — a lying meta would silently change candidate generation)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs.filter(col("id") < 20), "id", "text",
+        numBands = 16, rowsPerBand = 2), tmp)
+    val metaIdx = Dedup.minhashOpenIndex(spark, tmp)
+    assert((metaIdx.numBands, metaIdx.rowsPerBand) == (16, 2))
+    // absorb the held-out slice — batch-only shingling, banding from meta
+    Dedup.minhashAppendIndex(spark, tmp, docs.filter(col("id") >= 20), "id", "text")
+    val appended = Dedup.minhashOpenIndex(spark, tmp)
+    // rebuild from scratch with the same banding
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_mh_reb").toString
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs, "id", "text", numBands = 16, rowsPerBand = 2), tmp2)
+    val rebuilt = Dedup.minhashOpenIndex(spark, tmp2)
+    val batch = docs.filter(col("id") % 3 === 0)
+    val viaApp = Dedup.minhashSearchIndex(appended, batch, "id", "text", jaccardThreshold = 0.5)
+    val viaReb = Dedup.minhashSearchIndex(rebuilt, batch, "id", "text", jaccardThreshold = 0.5)
+    assert(viaApp.except(viaReb).count() == 0)
+    assert(viaReb.except(viaApp).count() == 0)
+    assert(viaApp.count() > 0, "fixture must produce matches")
+    // matches across the append boundary exist (appended docs are near-dups
+    // of built docs), proving the appended postings actually join
+    assert(viaApp.filter(col("corpus_id") >= 20).count() > 0)
   }
 
   test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
