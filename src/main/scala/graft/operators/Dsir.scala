@@ -29,13 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** uint32(md5(token || '#' || seed)) mod buckets — the cross-engine feature
-    * hash (same md5 convention as [[Sampling.deterministicSampleMd5]]).
+  /** uint32(md5(token || '#' || seed)) mod buckets — the shared
+    * [[graft.functions.DetHash]] convention with the bucket count as the
+    * modulus (same md5 kernel as [[Sampling.deterministicSampleMd5]]).
     */
   private def md5Bucket(tok: Column, buckets: Int, seed: Long): Column =
-    pmod(
-      conv(substring(md5(concat(tok, lit("#" + seed))), 1, 8), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    graft.functions.DetHash.md5Bucket(tok, seed, buckets.toLong)
 
   /** Lowercased whitespace tokens, empties dropped (repo convention). */
   private def toks(text: Column): Column =
@@ -107,17 +106,12 @@ object Dsir {
       .select(col("__id").as(idCol), coalesce(col("weight"), lit(0.0)).as("weight"))
   }
 
-  /** Deterministic Gumbel(0,1) noise from the md5 millionths bucket of the id:
-    * `g = −ln(−ln((b + 0.5)/10⁶))` — the standard inverse-CDF draw with a
-    * mid-bucket uniform, reproducible by any engine with md5 and ln.
+  /** Deterministic Gumbel(0,1) noise from the md5 millionths bucket of the
+    * id — delegates to the shared [[graft.functions.DetHash.gumbelNoise]]
+    * convention (kept here as the public name the sampler's callers use).
     */
-  def gumbelNoise(id: Column, seed: Long): Column = {
-    val u = (pmod(
-      conv(substring(md5(concat(id.cast("string"), lit("#" + seed))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
-    -log(-log(u))
-  }
+  def gumbelNoise(id: Column, seed: Long): Column =
+    graft.functions.DetHash.gumbelNoise(id, seed)
 
   /** Select `n` documents by importance weight. With `gumbel` (the paper's
     * sampler) each doc's key is `weight + Gumbel(0,1)` — a softmax sample

@@ -83,9 +83,25 @@ object Quantize {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, rerankFactor: Int = 4,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, skipSizeCheck: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    // guard the corpus-code broadcast (advisor r7 — this was the one
+    // unguarded broadcast; codes are 1 byte/lane, so the effective capacity
+    // under the shared VecScan bound is ~8x the double matrix's): an
+    // over-bound corpus fails loudly with the documented alternative
+    // instead of OOMing the driver mid-broadcast
+    if (!skipSizeCheck) {
+      val bound = VecScan.maxBroadcastBytes(corpus.sparkSession)
+      val r = corpus.agg(count(lit(1)), first(size(col(cVec)), ignoreNulls = true)).first()
+      val n = r.getLong(0)
+      val d = if (r.isNullAt(1)) 1L else math.max(r.getInt(1), 1).toLong
+      require(n * d <= bound,
+        s"corpus code matrix (~${n * d} bytes at 1 byte/lane) exceeds the " +
+          s"$bound-byte broadcast bound — raise ${VecScan.MaxBroadcastBytesKey} " +
+          "or compose with the IVF cells instead (Ann.annSearchIndexInt8 " +
+          "quantizes within partition-pruned cells)")
+    }
     val qCodes = quantize(
       queries.select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv")),
       "__qv", "__qc", "__qs")

@@ -36,14 +36,11 @@ object Sampling {
       pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L)) < lit((fraction * 1e6).toLong))
   }
 
-  /** md5 hash bucket in [0, 1e6): `uint32(md5(key || '#' || seed)) mod 1e6` —
-    * recomputable by ANY engine with md5 (the SQL oracle does).
+  /** md5 hash bucket in [0, 1e6) — the shared [[graft.functions.DetHash]]
+    * convention, recomputable by ANY engine with md5 (the SQL oracle does).
     */
   private def md5Bucket(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
-    pmod(
-      conv(substring(md5(concat(key.cast("string"), lit("#" + seed))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(1000000L))
+    graft.functions.DetHash.md5Bucket(key, seed)
 
   /** [[deterministicSample]] with an md5 bucket: same reproducibility and
     * co-sampling contract, but the verdict is recomputable by ANY engine with
@@ -285,8 +282,12 @@ object Sampling {
     // whole buckets fully inside the budget; the one straddle bucket per key
     val keep = pref.filter(col("__cumIncl") <= lit(budgetPerKey))
       .select((keys.map(col) :+ col("__cb")): _*)
+    // `<=` on the exclusive prefix (advisor r7): a bucket whose prefix
+    // equals the budget EXACTLY still holds keepable rows — its zero-token
+    // head rows have inclusive running sums == budget, which the one-window
+    // oracle keeps; `<` would drop them with the rest of the bucket
     val straddle = pref
-      .filter(col("__cumBefore") < lit(budgetPerKey) && col("__cumIncl") > lit(budgetPerKey))
+      .filter(col("__cumBefore") <= lit(budgetPerKey) && col("__cumIncl") > lit(budgetPerKey))
       .select((keys.map(col) :+ col("__cb") :+ col("__cumBefore")): _*)
     val wholesale = keyed.join(broadcast(keep), keys :+ "__cb")
     // window ONLY over the straddle slice (~1/1000 of each group)

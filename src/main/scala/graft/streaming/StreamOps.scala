@@ -151,17 +151,31 @@ object StreamOps {
     * narrow codegen projection, streaming-safe) and keep rows clearing a
     * STATIC per-key threshold table (fit offline with
     * [[graft.operators.Sampling.approxThresholds]]; refresh by restarting
-    * the query). Stateless: a stream-static broadcast inner join + a codegen
+    * the query). Stateless: a stream-static broadcast join + a codegen
     * filter — zero state store usage, any output mode, and batch ≡ streaming
     * row-for-row because nothing depends on micro-batch boundaries.
+    *
+    * `unknownKeys` decides rows whose key is ABSENT from the offline-fit
+    * table (e.g. a brand-new source appearing mid-stream, advisor r7):
+    * `"drop"` (default — an unfit source has no cutoff, so nothing passes
+    * until the table is refreshed; an inner join, the original plan) or
+    * `"keep"` (pass-through until a cutoff exists — a left join keeping
+    * null-threshold rows).
     */
   def qualityGate(
       stream: DataFrame, textCol: String, keys: Seq[String],
-      thresholds: DataFrame, thrCol: String = "threshold"): DataFrame = {
+      thresholds: DataFrame, thrCol: String = "threshold",
+      unknownKeys: String = "drop"): DataFrame = {
     val scored = graft.operators.TextAnalysis.qualityScore(stream, textCol)
-    scored.join(broadcast(thresholds), keys)
-      .filter(col("quality") >= col(thrCol))
-      .select((stream.columns.map(col) :+ col("quality")): _*)
+    val gated = unknownKeys match {
+      case "drop" => scored.join(broadcast(thresholds), keys)
+        .filter(col("quality") >= col(thrCol))
+      case "keep" => scored.join(broadcast(thresholds), keys, "left")
+        .filter(col(thrCol).isNull || col("quality") >= col(thrCol))
+      case p => throw new IllegalArgumentException(
+        s"unknownKeys must be drop | keep, got $p")
+    }
+    gated.select((stream.columns.map(col) :+ col("quality")): _*)
   }
 
   /** Streaming semantic enrichment: embed the incoming text column and 1-NN

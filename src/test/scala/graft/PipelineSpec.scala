@@ -654,6 +654,27 @@ class PipelineSpec extends AnyFunSuite {
     // output keeps the stream's columns + the score
     assert(spark.table("quality_gate_out").columns.toSeq ==
       Seq("doc_id", "source", "text", "quality"))
+
+    // unknown-key policy (advisor r7): a source ABSENT from the offline-fit
+    // table is silently dropped by default and passed through with "keep"
+    val stream2 = MemoryStream[(Long, String, String)]
+    stream2.addData(corpus :+ ((999L, "srcNEW", "a brand new source appearing mid stream")): _*)
+    def runGate(policy: String, name: String): Set[Long] = {
+      val g = StreamOps.qualityGate(
+        stream2.toDF().toDF("doc_id", "source", "text"), "text", Seq("source"), thr,
+        unknownKeys = policy)
+      val qq = g.writeStream.format("memory").queryName(name).outputMode("append").start()
+      qq.processAllAvailable(); qq.stop()
+      spark.table(name).select("doc_id").as[Long].collect().toSet
+    }
+    assert(!runGate("drop", "qg_drop").contains(999L))
+    val keptKeep = runGate("keep", "qg_keep")
+    assert(keptKeep.contains(999L))
+    assert(keptKeep - 999L == batchKept, "keep policy must not change fitted-key verdicts")
+    intercept[IllegalArgumentException] {
+      StreamOps.qualityGate(stream2.toDF().toDF("doc_id", "source", "text"),
+        "text", Seq("source"), thr, unknownKeys = "bogus")
+    }
   }
 
   test("semanticEnrich: streaming 1-NN against a static reference table") {

@@ -103,4 +103,18 @@ class QuantizeSpec extends AnyFunSuite {
     val plan = qz.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(20).mkString("\n"))
   }
+
+  test("quantizedTopK: over-bound corpus fails loudly (advisor r7), skipSizeCheck bypasses") {
+    val df = vecs(100, 16) // 1600 code bytes
+    spark.conf.set(graft.operators.VecScan.MaxBroadcastBytesKey, "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantize.quantizedTopK(df, "vec_id", "embedding", df, "vec_id", "embedding", k = 2)
+      }
+      assert(e.getMessage.contains("annSearchIndexInt8"), e.getMessage)
+      // explicit opt-out still runs (the caller owns the bound decision)
+      assert(Quantize.quantizedTopK(df, "vec_id", "embedding", df, "vec_id", "embedding",
+        k = 2, skipSizeCheck = true).count() > 0)
+    } finally spark.conf.unset(graft.operators.VecScan.MaxBroadcastBytesKey)
+  }
 }

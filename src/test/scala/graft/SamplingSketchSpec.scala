@@ -65,6 +65,47 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(sk.nonEmpty)
   }
 
+  test("tokenBudgetSelect: exact-boundary bucket keeps its zero-token head rows (advisor r7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // all-zero token counts except X (= the whole budget) and Y (+5), placed
+    // so Y's coarse bucket's EXCLUSIVE prefix equals the budget exactly —
+    // the edge where `<` on the straddle filter dropped the bucket's
+    // zero-token head rows that the one-window oracle keeps
+    val ids = (0L until 300L)
+    val bucketOf = ids.toDF("id")
+      .select(col("id"), graft.functions.DetHash.md5Bucket(col("id"), 42L).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = ids.sortBy(i => (bucketOf(i), i))
+    val coarse = (i: Long) => bucketOf(i) / 1000L
+    val firstBucket = coarse(ordered.head)
+    // a later coarse bucket holding >= 2 rows: its last row becomes Y, the
+    // earlier rows are the zero-token head the fix exists for
+    val later = ordered.groupBy(coarse).filter { case (b, rows) => b > firstBucket && rows.size >= 2 }
+    assert(later.nonEmpty, "fixture needs a multi-row later bucket")
+    val (_, yBucketRows) = later.minBy(_._1)
+    val x = ordered.head
+    val y = yBucketRows.last
+    val budget = 7L
+    val df = ids.map(i => (i, "s", if (i == x) budget else if (i == y) 5L else 0L))
+      .toDF("id", "src", "toks")
+    val got = Sampling.tokenBudgetSelect(df, Seq("src"), "id", "toks", budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: the one-window oracle semantics
+    val w = Window.partitionBy(col("src"))
+      .orderBy(graft.functions.DetHash.md5Bucket(col("id"), 42L), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("__cum", sum(col("toks")).over(w))
+      .filter(col("__cum") <= budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ref)
+    // the edge actually fired: Y's bucket head rows (zero-token, cum == budget)
+    val head = yBucketRows.dropRight(1).toSet
+    assert(head.subsetOf(ref), "fixture must place zero-token rows at the straddle head")
+    assert(head.subsetOf(got), "zero-token head rows at an exact-boundary bucket must be kept")
+    assert(!got.contains(y))
+  }
+
   test("scale shape: the band the window sees is a sliver of each group") {
     import spark.implicits._
     // 4000 rows, one group, distinct scores: with default margins the band
