@@ -235,6 +235,80 @@ object Bench {
             f"other=${medRun.otherCpuSec}%.2fs${if (flagged) " CONTENDED" else ""}")
         (name, medRun, runs.size, flagged)
       }
+    // ---------------- amortized index serving (judge r7 #4) ----------------
+    // The per-query legs time ONE search per open; a retrieval service runs
+    // many. This times N consecutive searches through each persisted index
+    // after a single open (build + open + one warm search all OUTSIDE the
+    // timed loop), with a fresh 10-query batch per iteration (local rows —
+    // in the serving regime queries arrive from the application, not a
+    // corpus scan). Reported as steady-state seconds per search.
+    val servingN = sys.env.getOrElse("SPARK_GRAFT_SERVING", "20").toInt
+    val serving: Seq[(String, Double, Double, Double, Double)] = if (servingN <= 0) Nil else {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      def slices(table: String, id: String, payload: String): Seq[org.apache.spark.sql.DataFrame] = {
+        val src = spark.read.parquet(s"$sfDir/$table.parquet")
+          .select(col(id).cast("long").as(id), col(payload))
+        val schema = StructType(Seq(StructField(id, LongType, nullable = false),
+          src.schema(payload)))
+        val rows = src.filter(col(id) < 10L * servingN).collect()
+        (0 until servingN).map { i =>
+          val slice = rows.slice(i * 10, i * 10 + 10)
+          spark.createDataFrame(java.util.Arrays.asList(slice: _*), schema)
+        }
+      }
+      // job/stage census per search: the honest floor analysis — a search's
+      // wall at this scale is jobs × scheduler round-trip, not data
+      val jobCounter = new java.util.concurrent.atomic.AtomicLong
+      val stageCounter = new java.util.concurrent.atomic.AtomicLong
+      val servingListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageCounter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(servingListener)
+      def timeServing(name: String,
+          searches: Seq[() => Long]): (String, Double, Double, Double, Double) = {
+        searches.head() // warm: codegen + index open happen here, untimed
+        if (gcBetween) { System.gc(); Thread.sleep(50) }
+        val (j0, s0) = (jobCounter.get(), stageCounter.get())
+        val walls = searches.map { s =>
+          val t0 = System.nanoTime(); s(); (System.nanoTime() - t0) / 1e9
+        }
+        val jobsPer = (jobCounter.get() - j0).toDouble / walls.size
+        val stagesPer = (stageCounter.get() - s0).toDouble / walls.size
+        val med = walls.sorted.apply(walls.size / 2)
+        System.err.println(f"[bench] serving:$name%-16s ${med}%8.4fs/search " +
+          f"(median of ${walls.size}, total ${walls.sum}%.2fs, " +
+          f"$jobsPer%.1f jobs/$stagesPer%.1f stages per search)")
+        (name, med, walls.sum, jobsPer, stagesPer)
+      }
+      try {
+        val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
+        val ann = SparkEntry.steadyAnnIndex(spark, sfDir)
+        // serving configuration: the index lives in executor memory (a
+        // retrieval service pins it once at open; per-search parquet opens
+        // are the cold-path cost, not the steady state)
+        bm25.postings.persist(); bm25.postings.count()
+        ann.cells.persist(); ann.cells.count()
+        val docSlices = slices("documents", "doc_id", "text")
+        val embSlices = slices("embeddings", "vec_id", "embedding")
+        Seq(
+          timeServing("bm25_index", docSlices.map(q => () =>
+            graft.operators.Lexical.bm25SearchIndex(bm25, q, "doc_id", "text", k = 5).count())),
+          timeServing("ann_index", embSlices.map(q => () =>
+            graft.operators.Ann.annSearchIndex(ann, q, "vec_id", "embedding",
+              k = 5, nProbe = 8).count())),
+          timeServing("ann_index_int8", embSlices.map(q => () =>
+            graft.operators.Ann.annSearchIndexInt8(ann, q, "vec_id", "embedding",
+              k = 5, nProbe = 8).count())))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] serving section failed: $e"); Nil
+      }
+    }
+
     // 4-decimal (0.1 ms) per-query values: the driver parses the LAST few KB
     // of stdout, and r4's full-precision line (~4.5 KB) was front-truncated
     // past parseability ("parsed": null) — precision below 0.1 ms is jitter
@@ -246,12 +320,16 @@ object Bench {
     // queries x 6 fields would blow the parseable stdout budget); the stdout
     // line carries the contract fields plus the aggregate contention verdict
     try {
-      val detail = results.map { case (name, r, attempts, flagged) =>
+      val detail = (results.map { case (name, r, attempts, flagged) =>
         s""""$name":{"wall":${fmt(r.wall)},"proc_cpu":${fmt(r.cpuSec)},""" +
           s""""task_sec":${fmt(r.taskMs / 1000.0)},"gc_ms":${r.gcMs},""" +
           s""""other_cpu":${fmt(r.otherCpuSec)},"rows":${r.rows},""" +
           s""""attempts":$attempts,"contended":$flagged}"""
-      }.mkString("{\n", ",\n", "\n}")
+      } ++ serving.map { case (name, perSearch, total, jobsPer, stagesPer) =>
+        s""""serving_$name":{"per_search":${fmt(perSearch)},""" +
+          s""""searches":$servingN,"total":${fmt(total)},""" +
+          s""""jobs_per_search":${fmt(jobsPer)},"stages_per_search":${fmt(stagesPer)}}"""
+      }).mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -260,11 +338,14 @@ object Bench {
     val total = results.map(_._2.wall).sum
     val contendedNames = results.filter(_._4).map(r => s""""${r._1}"""").mkString("[", ",", "]")
     val attemptsTotal = results.map(_._3).sum
+    val servingJson = serving.map { case (name, perSearch, _, _, _) =>
+      s""""$name":${fmt(perSearch)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""proc_cpu":${fmt(results.map(_._2.cpuSec).sum)},""" +
       s""""task_sec":${fmt(results.map(_._2.taskMs).sum / 1000.0)},""" +
       s""""other_cpu":${fmt(results.map(_._2.otherCpuSec).sum)},""" +
       s""""attempts":$attemptsTotal,"contended":$contendedNames,""" +
+      s""""serving_sec_per_search":$servingJson,""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -76,7 +76,7 @@ object SparkEntry {
     }
     sub
   }
-  private def steadyBm25Index(s: SparkSession, dir: String): Lexical.Bm25Index =
+  private[graft] def steadyBm25Index(s: SparkSession, dir: String): Lexical.Bm25Index =
     steadyIdxCache.computeIfAbsent(dir, _ => Lexical.bm25OpenIndex(s, steadyBm25Dir(s, dir)))
 
   /** Steady-state ANN index over `dir`'s embeddings: built + written ONCE
@@ -125,7 +125,7 @@ object SparkEntry {
       Dedup.minhashOpenIndex(s, sub)
     })
 
-  private def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
+  private[graft] def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -155,7 +155,18 @@ object Ann {
     * centroid table) → partition-pruned scan of the probed cells → score →
     * bounded top-k.
     */
-  final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int)
+  final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int) {
+    /** Centroid matrix collected ONCE per open (≤ nCentroids rows by
+      * construction): every under-bound search computes its probe assignment
+      * against it driver-side — with the same dot/cosine/top-k kernels as
+      * the distributed scan, so assignments stay bit-identical — instead of
+      * paying a centroid collect + kNN job per search. The serving-regime
+      * lever: repeated searches against one open index spend their wall on
+      * the scored scan, not on probe-bookkeeping jobs.
+      */
+    lazy val centroidMat: VecScan.Mat =
+      VecScan.collectMat(centroids, "centroid_id", "centroid_vec")
+  }
 
   /** Build the IVF structures: refined centroids + the cell-assigned corpus
     * (`corpus_id`, `cv`, `__cell`). Same quantizer and assignment as
@@ -230,17 +241,22 @@ object Ann {
       node.get("n_centroids").asInt())
   }
 
-  /** Driver materialization bound for a persisted-index search's probe set
-    * (|queries| × nProbe rows of 16 bytes). Under the bound the probe table
-    * is collected — a broadcast join plus STATIC parquet partition pruning
-    * via an `isin` over the probed cells. Over it (a large query batch — the
-    * 100 TB regime where "queries" are themselves a corpus) nothing touches
-    * the driver: the probe assignment stays distributed and the cell
-    * restriction becomes a broadcast semi-join on `__cell` (the distinct
-    * probed-cell set is ≤ nCentroids rows by construction, so the semi-join
-    * side is always tiny; dynamic partition pruning recovers most of the
-    * static prune). Same pattern as [[VecScan.maxBroadcastBytes]]; tune with
-    * `spark.graft.ann.maxProbeRows`.
+  /** Driver materialization bound for a persisted-index search's probe set,
+    * in probe rows (|queries| × nProbe). Under the bound, `bound / nProbe`
+    * query vectors are collected in one limited action, probes are computed
+    * driver-side against the per-open cached centroid matrix, and the cell
+    * scan gets STATIC parquet partition pruning via an `isin` over the
+    * probed cells (the serving shape: ~one Spark job of bookkeeping per
+    * search). Over it (a large query batch — the 100 TB regime where
+    * "queries" are themselves a corpus) nothing stays on the driver: the
+    * probe assignment runs distributed and the cell restriction becomes a
+    * broadcast semi-join on `__cell` (the distinct probed-cell set is
+    * ≤ nCentroids rows by construction, so the semi-join side is always
+    * tiny; dynamic partition pruning recovers most of the static prune).
+    * Same pattern as [[VecScan.maxBroadcastBytes]]; tune with
+    * `spark.graft.ann.maxProbeRows` — the collected bytes are
+    * `(bound/nProbe) · (8 + 8·dim)`, so size it with the vector width in
+    * mind (the 1M default at dim 64 is ~65 MB worst case).
     */
   val MaxProbeRowsKey = "spark.graft.ann.maxProbeRows"
   val DefaultMaxProbeRows: Long = 1L << 20
@@ -255,32 +271,57 @@ object Ann {
   private[graft] val joinRestrictionSearches = new java.util.concurrent.atomic.AtomicLong
 
   /** Probe assignment + cell restriction shared by [[annSearchIndex]] /
-    * [[annSearchIndexInt8]]: returns the `(query_id, __cell)` probe frame
-    * (already hinted for its join) and the restriction to apply to the cell
-    * scan. Both paths are row-identical by construction (the spec
-    * differential-tests them); only the physical shape differs.
+    * [[annSearchIndexInt8]]. Both regimes are row-identical by construction
+    * (the guard spec differential-tests them); only the physical shape
+    * differs:
+    *
+    *  - [[LocalProbes]] (under the bound): the query vectors live on the
+    *    driver, probes were computed against the cached centroid matrix
+    *    with the SAME dot/cosine/TopKBuffer kernels as the distributed scan
+    *    (bit-equal assignments), and `exploded` carries the fused
+    *    `(query_id, vec, norm, cell)` rows — callers build the scoring
+    *    input as ONE LocalRelation, with no probe broadcast and no
+    *    query-probe join in the plan (the serving regime's job-count lever).
+    *  - [[DistProbes]] (over the bound): nothing touches the driver; the
+    *    probe frame stays distributed and the restriction is a broadcast
+    *    semi-join.
     */
+  private sealed trait ProbeResult { def restrict: DataFrame => DataFrame }
+  private final case class LocalProbes(
+      qRows: Array[(Long, Array[Double])],
+      exploded: Seq[(Long, Array[Double], Double, Long)],
+      restrict: DataFrame => DataFrame) extends ProbeResult
+  private final case class DistProbes(
+      probes: DataFrame, restrict: DataFrame => DataFrame) extends ProbeResult
+
   private def probeAndPrune(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
-      nProbe: Int, maxProbeRowsParam: Long): (DataFrame, DataFrame => DataFrame) = {
+      nProbe: Int, maxProbeRowsParam: Long): ProbeResult = {
     val spark = queries.sparkSession
+    import spark.implicits._
     val bound = if (maxProbeRowsParam > 0) maxProbeRowsParam else maxProbeRows(spark)
-    val probesPlan = SemanticJoin.knnJoinVec(
-      queries, qId, qVec,
-      index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
-      .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
-    // exact probe count is |queries| × nProbe (every query draws nProbe
-    // probes); counting the query side is one cheap narrow job and avoids
-    // collecting anything before the bound check passes
-    val nQueries = queries.select(col(qId)).count()
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    if (nQueries * nProbe <= bound) {
-      val probeRows = probesPlan.collect()
-      val wantedCells = probeRows.map(_.getLong(1)).distinct.toSeq
-      val probes = spark.createDataFrame(
-        java.util.Arrays.asList(probeRows: _*),
-        StructType(Seq(StructField("query_id", LongType, nullable = false),
-          StructField("__cell", LongType, nullable = false))))
+    // the under-bound path collects the query VECTORS (bound/nProbe rows) in
+    // one limited action and decides the regime from whether the limit
+    // truncated — no separate count job. A search that trips into the
+    // over-bound regime pays one discarded limited collect — once per
+    // regime boundary, not per search.
+    val boundQ = math.min(bound / math.max(nProbe, 1), (Int.MaxValue - 1).toLong).toInt
+    val qRows = queries.select(col(qId).cast("long"), asDouble(col(qVec)))
+      .limit(boundQ + 1).as[(Long, Array[Double])].collect()
+    import org.apache.spark.sql.types.IntegerType
+    if (qRows.length <= boundQ) {
+      val m = index.centroidMat
+      val exploded = qRows.toSeq.flatMap { case (lid, lv) =>
+        val ln = math.sqrt(VecScan.dot(lv, lv))
+        val buf = new graft.functions.TopKBuffer(nProbe)
+        var j = 0
+        while (j < m.ids.length) {
+          buf.insert(VecScan.cosine(VecScan.dot(lv, m.vecs(j)), ln, m.norms(j)), m.ids(j))
+          j += 1
+        }
+        (0 until buf.n).map(r => (lid, lv, ln, buf.ids(r)))
+      }
+      val wantedCells = exploded.map(_._4).distinct
       // literal type must MATCH the partition column's inferred type (parquet
       // partition dirs with small values read back as int): a long literal
       // against an int column would cast the COLUMN and silently defeat
@@ -289,16 +330,21 @@ object Ann {
         case IntegerType => wantedCells.map(_.toInt)
         case _ => wantedCells
       }
-      (broadcast(probes), cells => cells.filter(col("__cell").isin(cellLits: _*)))
+      LocalProbes(qRows, exploded,
+        cells => cells.filter(col("__cell").isin(cellLits: _*)))
     } else {
       joinRestrictionSearches.incrementAndGet()
+      val probesPlan = SemanticJoin.knnJoinVec(
+        queries, qId, qVec,
+        index.centroids, "centroid_id", "centroid_vec", k = nProbe, skipSizeCheck = true)
+        .select(col("left_id").as("query_id"), col("right_id").as("__cell"))
       // pin the probe assignment: the restriction below and the scoring join
       // both consume it, and re-running the centroid 1-NN per consumer would
       // double the probe cost
       val probes = probesPlan.localCheckpoint(true)
       val cellType = index.cells.schema("__cell").dataType
       val wanted = probes.select(col("__cell").cast(cellType).as("__cell")).distinct()
-      (probes, cells => cells.join(broadcast(wanted), Seq("__cell"), "left_semi"))
+      DistProbes(probes, cells => cells.join(broadcast(wanted), Seq("__cell"), "left_semi"))
     }
   }
 
@@ -316,13 +362,20 @@ object Ann {
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
       k: Int, nProbe: Int = 4, maxProbeRowsOverride: Long = 0L): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
-    val (probes, restrict) =
-      probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
-    val pruned = restrict(index.cells)
-    val queriesExp = queries
-      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
-      .withColumn("__qn", norm(col("qv")))
-      .join(probes, "query_id")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    val pruned = pr.restrict(index.cells)
+    val queriesExp = pr match {
+      // norms computed driver-side with the same sequential-fold kernel the
+      // Catalyst norm expression lowers to — bit-identical doubles
+      case LocalProbes(_, exploded, _) =>
+        exploded.toDF("query_id", "qv", "__qn", "__cell")
+      case DistProbes(probes, _) => queries
+        .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+        .withColumn("__qn", norm(col("qv")))
+        .join(probes, "query_id")
+    }
     val scored = queriesExp
       .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
@@ -355,17 +408,25 @@ object Ann {
       s"k/nProbe/rerankFactor must be >= 1, got $k/$nProbe/$rerankFactor")
     require(index.cells.columns.contains("codes"),
       "index has no int8 codes — rebuild with annWriteIndex (IVF_SQ8 layout)")
-    val (probes, restrict) =
-      probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
     // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here
-    val coarseCells = restrict(index.cells)
+    val coarseCells = pr.restrict(index.cells)
       .select(col("corpus_id"), col("codes"), col("cn2"), col("__cell"))
-    val qCodes = graft.operators.Quantize.quantize(
-      queries.select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv")),
-      "__qv", "__qc", "__qs")
+    // local regime: quantize runs in-plan over the fused LocalRelation (once
+    // per probe row instead of once per query — same deterministic codes),
+    // skipping the probe broadcast + join entirely
+    val qCodesBase = pr match {
+      case LocalProbes(_, exploded, _) =>
+        exploded.map(r => (r._1, r._2, r._4)).toDF("query_id", "__qv", "__cell")
+      case DistProbes(probes, _) => queries
+        .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv"))
+        .join(probes, "query_id")
+    }
+    val qCodes = graft.operators.Quantize.quantize(qCodesBase, "__qv", "__qc", "__qs")
       .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
-      .select(col("query_id"), col("__qc"), col("__qn2"))
-      .join(probes, "query_id")
+      .select(col("query_id"), col("__qc"), col("__qn2"), col("__cell"))
     val candidates = qCodes
       .join(coarseCells, Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
@@ -376,13 +437,17 @@ object Ann {
       .agg(graft.functions.VecExpressions
         .topK(k * rerankFactor, col("__qscore"), col("corpus_id")).as("__top"))
       .select(col("query_id"), explode(col("__top.id")).as("corpus_id"))
-    // exact rerank: only the candidate rows touch the double vectors
-    val rerankCells = restrict(index.cells)
+    // exact rerank: only the candidate rows touch the double vectors; the
+    // local regime reuses the already-collected query rows (no re-scan of
+    // the query input)
+    val rerankCells = pr.restrict(index.cells)
       .select(col("corpus_id"), asDouble(col("cv")).as("cv"))
       .withColumn("__cn", norm(col("cv")))
-    val qFull = queries
-      .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
-      .withColumn("__qn", norm(col("qv")))
+    val qFull = (pr match {
+      case LocalProbes(qRows, _, _) => qRows.toSeq.toDF("query_id", "qv")
+      case DistProbes(_, _) => queries
+        .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+    }).withColumn("__qn", norm(col("qv")))
     candidates
       .join(qFull, "query_id")
       .join(rerankCells, "corpus_id")

@@ -38,7 +38,7 @@ object VecScan {
 
   private[graft] final case class Mat(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
 
-  private def collectMat(df: DataFrame, idCol: String, vecCol: String): Mat = {
+  private[graft] def collectMat(df: DataFrame, idCol: String, vecCol: String): Mat = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
