@@ -18,13 +18,27 @@ import org.apache.spark.sql.SparkSession
   */
 object LinearModel {
 
-  /** Assembled in-memory model (the "session"): row-major weights. */
-  final class Model(val dimIn: Int, val dimOut: Int, val w: Array[Array[Double]]) {
+  /** Assembled in-memory model (the "session"): row-major weights over a
+    * pluggable featurization — `"hash"` ([[HashEmbedder.embedText]], any
+    * dimIn) or `"md5"` ([[graft.functions.Md5EmbedExpr.embedText]], dimIn
+    * fixed at 16, every number bit-reproducible in SQL — the featurizer the
+    * `q_model_embed` DuckDB oracle hash-checks the whole artifact path
+    * through).
+    */
+  final class Model(val dimIn: Int, val dimOut: Int, val w: Array[Array[Double]],
+      val featurizer: String = "hash") {
     require(w.length == dimOut && w.forall(_.length == dimIn),
       s"weight matrix must be $dimOut x $dimIn")
+    require(featurizer == "hash" || featurizer == "md5",
+      s"featurizer must be hash | md5, got $featurizer")
+    require(featurizer != "md5" || dimIn == graft.functions.Md5EmbedExpr.Dim,
+      s"md5 featurizer is ${graft.functions.Md5EmbedExpr.Dim}-dim, got dimIn=$dimIn")
 
     def infer(text: String): Array[Double] = {
-      val feat = HashEmbedder.embedText(Option(text).getOrElse(""), dimIn, tokenMix = true)
+      val feat =
+        if (featurizer == "md5")
+          graft.functions.Md5EmbedExpr.embedText(Option(text).getOrElse(""))
+        else HashEmbedder.embedText(Option(text).getOrElse(""), dimIn, tokenMix = true)
       val out = new Array[Double](dimOut)
       var i = 0
       while (i < dimOut) {
@@ -70,7 +84,8 @@ object LinearModel {
     * [[graft.train.ModelArtifact]] (reference analogue:
     * modelling/LinkTransformer.py:79-136 saving weights into the model dir).
     */
-  def save(spark: SparkSession, dir: String, dimIn: Int, w: Array[Array[Double]]): Unit = {
+  def save(spark: SparkSession, dir: String, dimIn: Int, w: Array[Array[Double]],
+      featurizer: String = "hash"): Unit = {
     require(w.nonEmpty && w.forall(_.length == dimIn), s"need non-empty $dimIn-wide rows")
     import spark.implicits._
     spark.createDataset(w.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) })
@@ -80,15 +95,18 @@ object LinearModel {
     val fs = metaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath(dir), true)
     try out.write(
-      s"""{"type": "linear", "dim_in": $dimIn, "dim_out": ${w.length}}""".getBytes("UTF-8"))
+      (s"""{"type": "linear", "dim_in": $dimIn, "dim_out": ${w.length}, """ +
+        s""""featurizer": "$featurizer"}""").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Driver-side artifact read: `(dimIn, dimOut, rows)` with the weights in
-    * `(rowIdx, values)` form, size-guarded before collect.
+  /** Driver-side artifact read: `(dimIn, dimOut, rows, featurizer)` with the
+    * weights in `(rowIdx, values)` form, size-guarded before collect.
+    * Artifacts written before the featurizer field existed read as "hash"
+    * (the only featurization they could have used).
     */
   def load(spark: SparkSession, dir: String,
-      maxWeightBytes: Long = 64L << 20): (Int, Int, Array[(Int, Array[Double])]) = {
+      maxWeightBytes: Long = 64L << 20): (Int, Int, Array[(Int, Array[Double])], String) = {
     val fs = metaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath(dir)), s"no linear model artifact at $dir")
     val in = fs.open(metaPath(dir))
@@ -103,10 +121,11 @@ object LinearModel {
     require(estBytes <= maxWeightBytes,
       s"weight matrix ${dimOut}x$dimIn (~$estBytes bytes) exceeds the " +
         s"$maxWeightBytes driver collect bound")
+    val featurizer = Option(node.get("featurizer")).map(_.asText()).getOrElse("hash")
     val rows = spark.read.parquet(weightsPath(dir).toString)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     require(rows.length == dimOut, s"artifact holds ${rows.length} weight rows, meta says $dimOut")
-    (dimIn, dimOut, rows)
+    (dimIn, dimOut, rows, featurizer)
   }
 
   // ------------------------------------------------------- executor-side cache
@@ -123,13 +142,13 @@ object LinearModel {
     * the executor reuses it. This is where an ONNX `OrtSession` would live.
     */
   def cached(artifactId: String, dimIn: Int, dimOut: Int,
-      rows: () => Array[(Int, Array[Double])]): Model =
+      rows: () => Array[(Int, Array[Double])], featurizer: String = "hash"): Model =
     cache.computeIfAbsent(artifactId, { _ =>
       initCount.incrementAndGet()
       val w = new Array[Array[Double]](dimOut)
       rows().foreach { case (i, v) => w(i) = v }
       require(w.forall(_ != null), s"artifact $artifactId is missing weight rows")
-      new Model(dimIn, dimOut, w)
+      new Model(dimIn, dimOut, w, featurizer)
     })
 }
 
@@ -142,10 +161,11 @@ class ModelEmbedder private (
     dimIn: Int,
     override val dim: Int,
     rows: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]],
+    featurizer: String,
     batchSizeRows: Int) extends BatchedEmbedder(batchSizeRows) {
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
-    val m = LinearModel.cached(artifactId, dimIn, dim, () => rows.value)
+    val m = LinearModel.cached(artifactId, dimIn, dim, () => rows.value, featurizer)
     texts.map(m.infer)
   }
 }
@@ -157,14 +177,14 @@ object ModelEmbedder {
     * executor at first use.
     */
   def load(spark: SparkSession, dir: String, batchSize: Int = 128): ModelEmbedder = {
-    val (dimIn, dimOut, rows) = LinearModel.load(spark, dir)
+    val (dimIn, dimOut, rows, featurizer) = LinearModel.load(spark, dir)
     // content fingerprint in the cache key: re-saving NEW weights to the SAME
     // directory must not serve a stale cached assembly on executors that
     // already built the old model
     val fp = rows.foldLeft(0L) { case (acc, (i, v)) =>
       acc + 31L * (i + 1) * java.util.Arrays.hashCode(v)
     }
-    new ModelEmbedder(s"$dir#${dimOut}x$dimIn#$fp", dimIn, dimOut,
-      spark.sparkContext.broadcast(rows), batchSize)
+    new ModelEmbedder(s"$dir#${dimOut}x$dimIn#$featurizer#$fp", dimIn, dimOut,
+      spark.sparkContext.broadcast(rows), featurizer, batchSize)
   }
 }

@@ -388,6 +388,29 @@ class PipelineSpec extends AnyFunSuite {
       LinearModel.load(spark, dir + "/nope")
     }
     assert(e.getMessage.contains("no linear model artifact"))
+
+    // pre-featurizer artifacts (no field in meta) read as "hash"
+    assert(LinearModel.load(spark, dir)._4 == "hash")
+  }
+
+  test("ModelEmbedder: md5 featurizer round-trips and matches the in-process kernel") {
+    import spark.implicits._
+    import graft.embed.{LinearModel, ModelEmbedder}
+    val dir = java.nio.file.Files.createTempDirectory("graft_linear_md5").toString
+    val w = Array.tabulate(4, 16)((i, j) => (((7 * i + 3 * j) % 11) - 5) / 10.0)
+    LinearModel.save(spark, dir, dimIn = 16, w, featurizer = "md5")
+    val emb = ModelEmbedder.load(spark, dir)
+    assert(emb.dim == 4)
+    val out = emb.embed(Seq("alpha beta gamma").toDF("t"), "t", "v")
+      .head().getSeq[Double](1)
+    val feat = graft.functions.Md5EmbedExpr.embedText("alpha beta gamma")
+    val proj = w.map(row => row.lazyZip(feat).map(_ * _).sum)
+    val n = math.sqrt(proj.map(x => x * x).sum)
+    assert(out.lazyZip(proj.map(_ / n)).forall((a, b) => math.abs(a - b) < 1e-12))
+    // md5 featurizer pins dimIn at the kernel's 16
+    intercept[IllegalArgumentException] {
+      new LinearModel.Model(8, 2, Array.fill(2)(Array.fill(8)(0.1)), "md5")
+    }
   }
 
   test("ImageCodec: PNG round-trip is pixel-exact; nearest resize; undecodable -> zeros") {
