@@ -890,8 +890,13 @@ object SparkEntry {
     // proves the banded plan selects the identical set the whole-group
     // window does, end-to-end in DuckDB.
     "q_quality_gate_sketch" -> ((s, dir) => {
+      // pin the scored projection: the sketch gate's contract is two partial
+      // aggregates + the final pass over its INPUT (3 scans — at 100 TB
+      // those re-scan cheap parquet), but here the input is the regex-heavy
+      // quality projection, so materialize it once
       val scored = TextAnalysis.qualityScore(ld(s, dir, "documents"), "text")
         .select(col("doc_id"), col("source"), col("quality"))
+        .localCheckpoint(true)
       Sampling.topFractionSketch(scored, "quality", "doc_id", Seq("source"), 0.25)
         .orderBy("doc_id")
     }),
@@ -992,6 +997,50 @@ object SparkEntry {
       Packing.packTokens(docs, "doc_id", "n_tokens", budget = 512)
         .select("doc_id", "n_tokens", "seq_id", "seq_offset", "crosses_cut")
         .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid retrieval (beyond-reference): BM25 candidates from the
+    // persisted term-bucketed index ⊕ exact semantic kNN over the md5
+    // embeddings, fused with reciprocal-rank fusion (Cormack et al. 2009,
+    // k0=60). RRF consumes only the engine's deterministic ranks, so the
+    // fused relation hash-checks end-to-end — lexical chain, vector chain,
+    // and the fusion fold in one oracle.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val bm = Lexical.bm25SearchIndex(
+          steadyBm25Index(s, dir), queries, "qid", "text", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qe = md5Embedder.embed(queries, "text", "__v").select("qid", "__v")
+      val de = md5Embedder.embed(docs, "text", "__v").select("doc_id", "__v")
+      val knn = SemanticJoin.knnJoinVec(qe, "qid", "__v", de, "doc_id", "__v", k = 20)
+        .select(col("left_id").as("query_id"), col("right_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, knn), k = 5)
+        .withColumn("rrf_score", round(col("rrf_score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The same fusion through the graft_rrf_fuse SQL TVF over the two
+    // systems as temp views (same oracle as q_hybrid_rrf — the TVF path
+    // must hash-match the DataFrame path).
+    "q_hybrid_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25SearchIndex(steadyBm25Index(s, dir), queries, "qid", "text", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .createOrReplaceTempView("graft_hybrid_bm")
+      val qe = md5Embedder.embed(queries, "text", "__v").select("qid", "__v")
+      val de = md5Embedder.embed(docs, "text", "__v").select("doc_id", "__v")
+      SemanticJoin.knnJoinVec(qe, "qid", "__v", de, "doc_id", "__v", k = 20)
+        .select(col("left_id").as("query_id"), col("right_id").as("doc_id"), col("rank"))
+        .createOrReplaceTempView("graft_hybrid_knn")
+      s.sql(
+        """SELECT query_id, rank, doc_id, round(rrf_score, 6) AS rrf_score
+          |FROM graft_rrf_fuse('graft_hybrid_bm', 'graft_hybrid_knn', 5)
+          |ORDER BY query_id, rank""".stripMargin)
     }),
 
     "q_bm25" -> ((s, dir) => {
@@ -1885,11 +1934,13 @@ object SparkEntry {
         |ORDER BY score_fn""".stripMargin
   }
 
-  /** The BM25 CTE chain shared by q_bm25 (ad-hoc plan) and q_bm25_index
-    * (persisted-index plan): both must hash-match this exact relation.
+  /** The BM25 CTE chain shared by q_bm25 (ad-hoc plan), q_bm25_index
+    * (persisted-index plan), and the hybrid fusion (q_hybrid_rrf): all must
+    * hash-match this exact relation. Yields CTEs up to
+    * `bmtop` = top-`maxRank` rows per query.
     */
-  private val Bm25OracleSql: String =
-      """WITH base AS (
+  private def bm25Ctes(maxRank: Int): String =
+      """base AS (
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
         |  FROM documents),
@@ -1913,13 +1964,50 @@ object SparkEntry {
         |  SELECT query_id, doc_id,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
         |  FROM contrib GROUP BY query_id, doc_id),
-        |ranked AS (
+        |bmranked AS (
         |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
         |    doc_id, score
-        |  FROM scored)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |  FROM scored),""".stripMargin +
+      s"\nbmtop AS (SELECT * FROM bmranked WHERE rank <= $maxRank)"
+
+  private val Bm25OracleSql: String =
+    s"""WITH ${bm25Ctes(5)}
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+       |FROM bmtop ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid retrieval oracle shared by q_hybrid_rrf (DataFrame path) and
+    * q_hybrid_sql (graft_rrf_fuse TVF): BM25 top-20 ⊕ exact md5-embedding
+    * kNN top-20, RRF-fused (k0=60) with the contribution sum folded in
+    * system order — the hash covers the lexical chain, the vector chain,
+    * and the fusion fold.
+    */
+  private lazy val HybridRrfOracleSql: String =
+    s"""WITH ${bm25Ctes(20)},
+       |feats AS (${md5Vec("doc_id", "text", "documents")}),
+       |knnranked AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+       |    row_number() OVER (PARTITION BY q.doc_id
+       |      ORDER BY list_cosine_similarity(q.v, d.v) DESC, d.doc_id) AS rank
+       |  FROM (SELECT * FROM feats WHERE doc_id < 10) q, feats d),
+       |knntop AS (SELECT * FROM knnranked WHERE rank <= 20),
+       |pool AS (
+       |  SELECT query_id, doc_id, 0 AS sys, 1.0 / (60 + rank) AS contrib FROM bmtop
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1 AS sys, 1.0 / (60 + rank) AS contrib FROM knntop),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(contrib ORDER BY CAST(sys AS VARCHAR))), (p, q) -> p + q) AS rrf
+       |  FROM pool GROUP BY query_id, doc_id),
+       |rrfranked AS (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank,
+       |    doc_id, rrf
+       |  FROM fused)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       |  CAST(doc_id AS BIGINT) AS doc_id, round(rrf, 6) AS rrf_score
+       |FROM rrfranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -2924,6 +3012,13 @@ object SparkEntry {
     // BM25: same Robertson/Lucene formula, same sorted-term-order score fold
     // (bit-reproducible — Lexical.scoreAndTopK folds contribs sorted by term),
     // same (score desc, doc_id asc) tie-break as TopKAggregate.
+    // Hybrid retrieval: persisted-index BM25 top-20 ⊕ exact md5-embedding
+    // kNN top-20, fused by reciprocal rank (k0=60), fused sum folded in
+    // system order — the whole hybrid stack value-checked in one hash.
+    "q_hybrid_rrf" -> HybridRrfOracleSql,
+    // TVF path, same fusion, same oracle
+    "q_hybrid_sql" -> HybridRrfOracleSql,
+
     "q_bm25" -> Bm25OracleSql,
 
     // The persisted-index search must return EXACTLY the ad-hoc plan's rows —

@@ -201,9 +201,17 @@ object Sampling {
     * output (spec-pinned equal on adversarial tie/tiny-group inputs, and the
     * composite spec pins the whole gate→DSIR→budget recipe equal through it).
     */
+  /** Default accuracy 1000, NOT topFractionApprox's 10000: here the sketch
+    * never decides membership (the per-group counts make exactness
+    * unconditional), it only positions the band — and the margin is floored
+    * at `bandFrac` (0.005 > 4/1000), so a finer sketch buys nothing while
+    * `percentile_approx`'s buffer merge cost scales with accuracy
+    * (measured: the 10000-sketch dominated the gate's task time at bench
+    * scale).
+    */
   def topFractionSketch(
       df: DataFrame, scoreCol: String, idCol: String, keys: Seq[String],
-      frac: Double, accuracy: Int = 10000, bandFrac: Double = 0.005): DataFrame = {
+      frac: Double, accuracy: Int = 1000, bandFrac: Double = 0.005): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
     require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     require(bandFrac > 0 && bandFrac < 1, s"bandFrac in (0,1), got $bandFrac")

@@ -277,8 +277,13 @@ object Stress {
     val big = multiplied(docs.select(col(idCol), col(sourceCol), col(textCol)), idCol, m)
       .withColumn(textCol,
         concat(col(textCol), lit(" rep"), pmod(col(idCol), lit(m.toLong))))
+    // pin the multiplied + scored projection: the sketch gate passes over
+    // its input three times (two partial aggs + the final filter/window),
+    // and re-running the in-plan multiply + regex quality projection per
+    // pass triples the leg's dominant cost
     val scored = TextAnalysis.qualityScore(big, textCol)
       .select(col(idCol), col(sourceCol), col(textCol), col("quality"))
+      .localCheckpoint(true)
     val gated = (if (scaleGate)
         Sampling.topFractionSketch(scored, "quality", idCol, Seq(sourceCol), gateFrac)
       else

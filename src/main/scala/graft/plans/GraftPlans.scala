@@ -250,6 +250,27 @@ object GraftPlans {
       graft.operators.Sampling.tokenBudgetSelect(df, Seq(key), id, toks, budget))
   }
 
+  /** `graft_rrf_fuse('sys0_tbl','sys1_tbl', k[, k0])` — reciprocal-rank
+    * fusion of two retrieval systems' top-k relations (each view carries
+    * `(query_id, doc_id, rank)`) via
+    * [[graft.operators.Retrieval.rrfFuse]]. Composed-plan builder (the
+    * fuzzy-join move): the fusion is unions + partial aggregates, so
+    * Catalyst optimizes it like any hand-built query.
+    */
+  private def rrfFuseBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_rrf_fuse(sys0Table, sys1Table, k[, k0])")
+    val s0 = str(args(0), "sys0Table")
+    val s1 = str(args(1), "sys1Table")
+    val k = int(args(2), "k")
+    val k0 = if (args.length > 3) int(args(3), "k0") else 60
+    val spark = SparkSession.active
+    val cols = Seq("query_id", "doc_id", "rank")
+    val a = ColumnBridge.ofRows(spark, rel(s0, cols))
+    val b = ColumnBridge.ofRows(spark, rel(s1, cols))
+    ColumnBridge.analyzedPlan(graft.operators.Retrieval.rrfFuse(Seq(a, b), k, k0))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -276,7 +297,10 @@ object GraftPlans {
         qualityGateBuilder _),
       (FunctionIdentifier("graft_token_budget"),
         new ExpressionInfo("graft", "graft_token_budget"),
-        tokenBudgetBuilder _))
+        tokenBudgetBuilder _),
+      (FunctionIdentifier("graft_rrf_fuse"),
+        new ExpressionInfo("graft", "graft_rrf_fuse"),
+        rrfFuseBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -1877,6 +1877,18 @@ class EngineSpec extends AnyFunSuite {
       Lexical.bm25OpenIndex(spark, dir + "/nope")
     }
     assert(e.getMessage.contains("no BM25 index"))
+
+    // over-bound query batches take the fully distributed path (semi-join
+    // bucket restriction + joined scoring) and stay row-identical — the
+    // Ann.maxProbeRows guard applied to BM25 (judge r7)
+    val before = Lexical.joinRestrictionSearches.get()
+    spark.conf.set(Lexical.MaxQueryTermRowsKey, "2")
+    try {
+      val viaDist = rows(Lexical.bm25SearchIndex(idx, q, "qid", "text", k = 4))
+      assert(Lexical.joinRestrictionSearches.get() === before + 1,
+        "tiny bound must trip the distributed path")
+      assert(viaDist == adhoc)
+    } finally spark.conf.unset(Lexical.MaxQueryTermRowsKey)
   }
 
   test("bm25TopK: dlCol stats path equals recomputed stats; string ids rejected") {
