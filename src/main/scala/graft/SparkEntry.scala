@@ -938,6 +938,13 @@ object SparkEntry {
           d.filter(col("source") === "src0"), "text",
           buckets = 256, alpha = 1.0, seed = 42)
         .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+        // keeps every row (weights are finite by construction) but forces
+        // the weight column into the count path: importanceWeights ends in
+        // a LEFT join whose right side is groupBy-distinct on the key, so
+        // a bare count() lets Catalyst's distinct-key join elimination skip
+        // the ENTIRE weight computation — the bench would time a pruned
+        // plan, not the operator
+        .filter(!col("weight").isNaN)
         .orderBy("doc_id")
     }),
 

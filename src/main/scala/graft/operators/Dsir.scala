@@ -63,22 +63,34 @@ object Dsir {
       buckets: Int = 1024, alpha: Double = 1.0, seed: Long = 42L): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
-    val tCnt = bucketCounts(target, targetTextCol, buckets, seed)
-      .withColumnRenamed("cnt", "__tc")
-    val rCnt = bucketCounts(raw, textCol, buckets, seed)
-      .withColumnRenamed("cnt", "__rc")
-    val tTot = tCnt.agg(sum(col("__tc")).as("__tt"))
-    val rTot = rCnt.agg(sum(col("__rc")).as("__rt"))
-    // per-bucket log ratio over the FULL bucket domain (raw-side counts are a
-    // superset of any bucket a raw doc can hit, so an outer join on the raw
-    // side suffices); totals are single-row broadcasts
-    val lr = rCnt.join(tCnt, Seq("bucket"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .select(col("bucket"),
-        (log((coalesce(col("__tc"), lit(0L)).cast("double") + lit(alpha)) /
-          (coalesce(col("__tt"), lit(0L)).cast("double") + lit(alpha * buckets))) -
-          log((col("__rc").cast("double") + lit(alpha)) /
-            (col("__rt").cast("double") + lit(alpha * buckets)))).as("__lr"))
+    // the two model sides are B-bounded aggregates (≤ `buckets` rows each —
+    // the entire point of hashed features), so the per-bucket log-ratio
+    // table is assembled on the DRIVER from two bounded collects instead of
+    // four tiny distributed aggregates + two scalar cross joins: at bench
+    // scale that halves the search's AQE job count (each micro-aggregate
+    // was a scheduler round-trip), and at 100 TB it changes nothing — the
+    // collects carry ≤ B rows regardless of corpus size. Doubles are
+    // bit-identical to the former in-plan expression: same casts, same
+    // `alpha · B` literal, same divide/log/subtract order (Catalyst's Log
+    // IS java.lang.Math.log).
+    require(buckets <= (1 << 24), s"buckets must be <= ${1 << 24} (driver-collected), got $buckets")
+    val spark = raw.sparkSession
+    val tMap = bucketCounts(target, targetTextCol, buckets, seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rRows = bucketCounts(raw, textCol, buckets, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tt = tMap.values.sum
+    val rt = rRows.map(_._2).sum
+    val alphaB = alpha * buckets
+    // raw-side buckets are a superset of any bucket a raw doc can hit, so
+    // the ratio table only needs rows for them (the former left join)
+    val lrRows = rRows.map { case (b, rc) =>
+      (b,
+        math.log((tMap.getOrElse(b, 0L).toDouble + alpha) / (tt.toDouble + alphaB)) -
+          math.log((rc.toDouble + alpha) / (rt.toDouble + alphaB)))
+    }.toSeq
+    import spark.implicits._
+    val lr = lrRows.toDF("bucket", "__lr")
     // per-(doc, bucket) counts, then contribution = cnt · lr — one exact
     // product per distinct bucket, folded in bucket order (no ties → total
     // order → deterministic double sum)
