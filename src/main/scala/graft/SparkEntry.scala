@@ -993,6 +993,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("d"))
     }),
 
+    // Normalized exact dedup (the CCNet/FineWeb pre-hash step): case,
+    // punctuation, and digit variants of the same content collapse under
+    // TextAnalysis.normalizeForDedup before the exact group. The fixture
+    // plants one noised variant per document (uppercased, different digits,
+    // extra punctuation) — every pair must collapse to n_copies = 2, and
+    // the oracle replays the same regex chain (RE2 ≡ Java on these ASCII
+    // classes; DuckDB needs the 'g' flag to match Spark's replace-all).
+    "q_dedup_normalized" -> ((s, dir) => {
+      val base = ld(s, dir, "documents")
+        .select(col("doc_id"), concat(derivedProse(col("text")), lit(" 123")).as("t"))
+      val noised = ld(s, dir, "documents")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(concat(derivedProse(col("text")), lit(" 456,"))).as("t"))
+      base.unionByName(noised)
+        .groupBy(TextAnalysis.normalizeForDedup(col("t")).as("__norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTermsPerKey(ld(s, dir, "documents"), Seq("lang"), "text", k = 5)
         .orderBy(col("lang"), col("rnk"))
@@ -2897,6 +2917,26 @@ object SparkEntry {
          |SELECT doc_id, CAST(d.i AS INT) AS d, o[d.i + 1] AS val
          |FROM normed, (SELECT unnest(generate_series(0, 7)) AS i) d
          |ORDER BY doc_id, d""".stripMargin,
+
+    // Normalized exact dedup: the same two-variant union and the same
+    // lower → digits→0 → punct→space → collapse → trim regex chain
+    // (DuckDB 'g' flag = Spark's replace-all), grouped on the normalized
+    // form — membership AND copy counts in the hash.
+    "q_dedup_normalized" ->
+      """WITH prose AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\bline\b', 'line.', 'g'), '\bquery\b', 'query!', 'g'), '\bslow\b', 'slow...', 'g'),
+        |    '([.!]) ', '\1' || chr(10), 'g') AS text FROM documents),
+        |pool AS (
+        |  SELECT doc_id, text || ' 123' AS t FROM prose
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, upper(text || ' 456,') AS t FROM prose),
+        |normed AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(t),
+        |    '[0-9]', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM pool)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM normed GROUP BY n ORDER BY doc_id""".stripMargin,
 
     // Rank-exact per-source quality gate, DataFrame path + SQL TVF, one
     // oracle (quality composite = the hash-proven q_text_quality CTE).

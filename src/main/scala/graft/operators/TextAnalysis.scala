@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Dedup normalization (the CCNet/FineWeb pre-hash step, public recipe):
+    * lowercase → digits collapsed to `0` → ASCII punctuation/symbols to
+    * spaces → whitespace collapsed → trimmed. Exact-dup detection then
+    * groups case/punctuation/number variants of the same content. Kept to
+    * ASCII character classes so the SAME regex chain is bit-reproducible in
+    * any RE2/Java-regex engine (the DuckDB oracle replays it verbatim);
+    * accent folding deliberately omitted — Java Normalizer and SQL
+    * strip_accents disagree on edge cases, which would break the
+    * cross-engine contract this normalization exists to serve.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(coalesce(text, lit(""))), "[0-9]", "0"),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Whitespace token count; empty/blank strings count 0 tokens. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

@@ -569,6 +569,24 @@ class EngineSpec extends AnyFunSuite {
     assert(fp == ((97L * 31 + 98) * 31 + 99) % 1000000007) // 96354
   }
 
+  test("normalizeForDedup: case/digit/punct/ws variants collapse; null and blanks normalize empty") {
+    import spark.implicits._
+    val got = Seq(
+      "Hello, World! 42",
+      "hello   world?? 77",
+      "HELLO\tworld...\n9",
+      "", "   ", null.asInstanceOf[String],
+      "unrelated words")
+      .toDF("t").select(TextAnalysis.normalizeForDedup(col("t"))).as[String].collect()
+    assert(got(0) == "hello world 00")
+    assert(got(1) == "hello world 00")
+    assert(got(2) == "hello world 0")   // single digit -> one 0, not two
+    assert(got(3) == "" && got(4) == "" && got(5) == "")
+    assert(got(6) == "unrelated words")
+    // the three noisy variants: first two collapse, the single-digit one doesn't
+    assert(got(0) == got(1) && got(0) != got(2))
+  }
+
   // --- ann ------------------------------------------------------------------
 
   test("IVF top-k achieves high recall vs brute force on testdata") {
