@@ -155,7 +155,8 @@ object Ann {
     * centroid table) → partition-pruned scan of the probed cells → score →
     * bounded top-k.
     */
-  final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int) {
+  final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int,
+      nRows: Option[Long] = None) {
     /** Centroid matrix collected ONCE per open (≤ nCentroids rows by
       * construction): every under-bound search computes its probe assignment
       * against it driver-side — with the same dot/cosine/top-k kernels as
@@ -207,6 +208,9 @@ object Ann {
     */
   def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String): Unit = {
     val n = centroids.count().toInt
+    // corpus row count into the meta: one count at build buys every later
+    // search a free scan-size estimate (the single-stage fast-path gate)
+    val nRows = cells.count()
     // bake int8 codes + integer norms next to the double vectors (the
     // IVF_SQ8 layout): the quantized search scans ONLY these narrow columns
     // for coarse scoring — parquet column pruning makes the coarse pass read
@@ -221,7 +225,8 @@ object Ann {
     val fs = metaPath.getFileSystem(
       cells.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
-    try out.write(s"""{"type": "ann_ivf", "n_centroids": $n}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"type": "ann_ivf", "n_centroids": $n, "n_rows": $nRows}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -238,7 +243,9 @@ object Ann {
     AnnIndex(
       spark.read.parquet(s"$path/cells"),
       spark.read.parquet(s"$path/centroids"),
-      node.get("n_centroids").asInt())
+      node.get("n_centroids").asInt(),
+      // absent in pre-r8 layouts: searches simply skip the size-gated fast path
+      Option(node.get("n_rows")).map(_.asLong()))
   }
 
   /** Driver materialization bound for a persisted-index search's probe set,
@@ -290,9 +297,20 @@ object Ann {
   private final case class LocalProbes(
       qRows: Array[(Long, Array[Double])],
       exploded: Seq[(Long, Array[Double], Double, Long)],
+      nProbedCells: Int,
       restrict: DataFrame => DataFrame) extends ProbeResult
   private final case class DistProbes(
       probes: DataFrame, restrict: DataFrame => DataFrame) extends ProbeResult
+
+  /** Serving fast-path gate (see [[Serving]]): estimated pruned-cell scan =
+    * `n_rows · probedCells / nCentroids` from the meta's row count.
+    */
+  private def estScanFitsSingleStage(index: AnnIndex, pr: ProbeResult,
+      spark: org.apache.spark.sql.SparkSession): Boolean = pr match {
+    case lp: LocalProbes => index.nRows.exists(n =>
+      n * lp.nProbedCells / math.max(index.nCentroids, 1) <= Serving.singleStageRows(spark))
+    case _ => false
+  }
 
   private def probeAndPrune(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
@@ -330,7 +348,7 @@ object Ann {
         case IntegerType => wantedCells.map(_.toInt)
         case _ => wantedCells
       }
-      LocalProbes(qRows, exploded,
+      LocalProbes(qRows, exploded, wantedCells.size,
         cells => cells.filter(col("__cell").isin(cellLits: _*)))
     } else {
       joinRestrictionSearches.incrementAndGet()
@@ -369,17 +387,19 @@ object Ann {
     val queriesExp = pr match {
       // norms computed driver-side with the same sequential-fold kernel the
       // Catalyst norm expression lowers to — bit-identical doubles
-      case LocalProbes(_, exploded, _) =>
+      case LocalProbes(_, exploded, _, _) =>
         exploded.toDF("query_id", "qv", "__qn", "__cell")
       case DistProbes(probes, _) => queries
         .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
         .withColumn("__qn", norm(col("qv")))
         .join(probes, "query_id")
     }
-    val scored = queriesExp
+    val scored0 = queriesExp
       .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
         cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+    val scored =
+      if (estScanFitsSingleStage(index, pr, spark)) scored0.coalesce(1) else scored0
     scored.groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
@@ -418,7 +438,7 @@ object Ann {
     // per probe row instead of once per query — same deterministic codes),
     // skipping the probe broadcast + join entirely
     val qCodesBase = pr match {
-      case LocalProbes(_, exploded, _) =>
+      case LocalProbes(_, exploded, _, _) =>
         exploded.map(r => (r._1, r._2, r._4)).toDF("query_id", "__qv", "__cell")
       case DistProbes(probes, _) => queries
         .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv"))
@@ -427,12 +447,19 @@ object Ann {
     val qCodes = graft.operators.Quantize.quantize(qCodesBase, "__qv", "__qc", "__qs")
       .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
       .select(col("query_id"), col("__qc"), col("__qn2"), col("__cell"))
-    val candidates = qCodes
+    // serving fast path (same gate as annSearchIndex): both aggregates run
+    // on a single partition (no exchanges), and the rerank streams the cell
+    // scan against the BROADCAST candidate set — the hint is safe only
+    // here, where candidates ≤ |queries|·k·rerankFactor is small by the
+    // under-bound regime's contract
+    val singleStage = estScanFitsSingleStage(index, pr, spark)
+    val scoredCoarse0 = qCodes
       .join(coarseCells, Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
         graft.operators.Quantize.cosineI8WithNorms(
           graft.functions.Int8Kernels.dotI8(col("__qc"), col("codes")),
           col("__qn2"), col("cn2")).as("__qscore"))
+    val candidates = (if (singleStage) scoredCoarse0.coalesce(1) else scoredCoarse0)
       .groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions
         .topK(k * rerankFactor, col("__qscore"), col("corpus_id")).as("__top"))
@@ -444,15 +471,18 @@ object Ann {
       .select(col("corpus_id"), asDouble(col("cv")).as("cv"))
       .withColumn("__cn", norm(col("cv")))
     val qFull = (pr match {
-      case LocalProbes(qRows, _, _) => qRows.toSeq.toDF("query_id", "qv")
+      case LocalProbes(qRows, _, _, _) => qRows.toSeq.toDF("query_id", "qv")
       case DistProbes(_, _) => queries
         .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
     }).withColumn("__qn", norm(col("qv")))
-    candidates
-      .join(qFull, "query_id")
-      .join(rerankCells, "corpus_id")
+    val rerankJoined =
+      if (singleStage)
+        rerankCells.join(broadcast(candidates), "corpus_id").join(broadcast(qFull), "query_id")
+      else candidates.join(qFull, "query_id").join(rerankCells, "corpus_id")
+    val rerankScored0 = rerankJoined
       .select(col("query_id"), col("corpus_id"),
         cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+    (if (singleStage) rerankScored0.coalesce(1) else rerankScored0)
       .groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))

@@ -157,7 +157,8 @@ object Lexical {
     * modulus travels WITH the layout because pruning with a mismatched
     * modulus would silently drop valid postings.
     */
-  final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int) {
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int,
+      nRows: Option[Long] = None) {
     /** The one-row corpus stats collected ONCE per open and reused by every
       * search — a per-search `crossJoin(broadcast(stats))` re-ran the stats
       * scan as its own job each time, which is pure overhead in the
@@ -196,6 +197,11 @@ object Lexical {
     // full postings). AQE picks the join: dfc is vocabulary-sized, broadcast
     // at bench scale, shuffle join on a 100 TB corpus.
     val dfc = postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // posting row count into the meta: one count at build buys every later
+    // search a free scan-size estimate (the single-stage fast-path gate;
+    // the df join is inner on term over the same rows, so counting the
+    // un-joined postings is exact)
+    val nRows = postings.count()
     postings.join(dfc, Seq("term"))
       .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       // cluster rows by bucket before the partitioned write: without this,
@@ -210,7 +216,8 @@ object Lexical {
     val fs = metaPath.getFileSystem(
       postings.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
-    try out.write(s"""{"type": "bm25", "n_buckets": $nBuckets}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"type": "bm25", "n_buckets": $nBuckets, "n_rows": $nRows}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -227,7 +234,9 @@ object Lexical {
     Bm25Index(
       spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/stats"),
-      node.get("n_buckets").asInt())
+      node.get("n_buckets").asInt(),
+      // absent in pre-r8 layouts: searches simply skip the fast path
+      Option(node.get("n_rows")).map(_.asLong()))
   }
 
   /** Driver materialization bound for a search's exploded (query_id, term)
@@ -327,8 +336,16 @@ object Lexical {
       // shuffled rows and ~2x less task time at the bench's 10-query leg)
       val qSets = qtRows.groupBy(_.getLong(0)).toSeq
         .map { case (qid, rs) => (qid, rs.map(_.getString(1)).toSeq) }
-      val contrib = withContrib(
+      // serving fast path (see Serving): estimated pruned scan =
+      // n_rows · hitBuckets / nBuckets from the meta's row count; under the
+      // budget the whole fold chain runs one single-partition stage — the
+      // doc-fold AND the per-query top-k aggregates both elide their
+      // exchanges (results identical: both are partition-order-invariant)
+      val singleStage = index.nRows.exists(n =>
+        n * qb.size / math.max(index.nBuckets, 1) <= Serving.singleStageRows(spark))
+      val contrib0 = withContrib(
         pruned.filter(col("term").isin(distinctTerms: _*)), nDocs, avgdl, k1, b)
+      val contrib = if (singleStage) contrib0.coalesce(1) else contrib0
       val scores = contrib
         .groupBy("doc_id")
         .agg(graft.functions.VecExpressions

@@ -86,6 +86,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!phys.toLowerCase.contains("cartesianproduct"), phys)
   }
 
+  test("serving fast path: meta carries n_rows; small searches run shuffle-free and row-identical") {
+    assert(index.nRows.contains(300L))
+    val q = emb(300).filter(col("vec_id") < 10)
+    val fast = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+    // under the scan budget the whole scoring chain is one single-partition
+    // stage: no shuffle exchange anywhere in the executed plan
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      fast.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
+    val fastRows = sortedRows(fast)
+    // forcing the budget to zero restores the parallel (shuffled) plan —
+    // results identical (the top-k aggregate is partition-order-invariant)
+    spark.conf.set(graft.operators.Serving.SingleStageRowsKey, "0")
+    try {
+      val par = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      assert(par.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(sortedRows(par) === fastRows)
+    } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
+    assert(fastRows.nonEmpty)
+  }
+
   test("stress leg: multiplied census equals base census at m x counts, through the join path") {
     val e = emb(60)
     val m = 4
