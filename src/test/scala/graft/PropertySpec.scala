@@ -25,6 +25,32 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("DetHash: buckets land in [0, modulus), deterministic, gumbel finite; md5 reference parity") {
+    import spark.implicits._
+    // one batch job over generated keys (strings with junk + longs), three
+    // moduli — range, determinism across recompute, and agreement with a
+    // directly-computed md5 reference (the cross-engine contract)
+    val keys = (0 until 500).map(i => s"k$i ${"%c".format(33 + i % 90)}") ++
+      (0 until 100).map(_.toString)
+    val df = keys.toDF("k")
+    for (mod <- Seq(7L, 1000L, 1000000L)) {
+      val got = df.select(col("k"),
+          graft.functions.DetHash.md5Bucket(col("k"), 42L, mod).as("b"),
+          graft.functions.DetHash.gumbelNoise(col("k"), 7L).as("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.forall { case (_, b, _) => b >= 0 && b < mod }, s"mod=$mod out of range")
+      assert(got.forall { case (_, _, g) => !g.isNaN && !g.isInfinite }, "gumbel must be finite")
+      // reference: uint32 of the first 8 md5 hex chars mod modulus
+      got.foreach { case (k, b, _) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((k + "#42").getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val expect = java.lang.Long.parseLong(hex, 16) % mod
+        assert(b == expect, s"key=$k mod=$mod")
+      }
+    }
+  }
+
   test("judge parser: never throws, is_match in {0,1}, confidence clamped to [0,1]") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val (m, c) = Llm.parseJudgeResponse(s)
