@@ -248,6 +248,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Key-skew census (the pre-salting diagnostic): top-20 order keys of
+    // lineitem by row count with share-of-table and skew factor — exact
+    // longs plus two single-division doubles the oracle reproduces
+    // bit-for-bit (rounded 9 for belt-and-braces).
+    "q_skew_stats" -> ((s, dir) => {
+      Skew.keySkewStats(ld(s, dir, "lineitem"), Seq("l_orderkey"), topN = 20)
+        .select(col("l_orderkey"), col("n_rows"),
+          round(col("share"), 9).as("share"), round(col("skew"), 9).as("skew"))
+        .orderBy(col("n_rows").desc, col("l_orderkey"))
+    }),
+
     "q_key_uniqueness" -> ((s, dir) => {
       ld(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
@@ -2066,6 +2077,16 @@ object SparkEntry {
     "q_key_uniqueness" ->
       """SELECT o_custkey, count(*) AS n FROM orders
         |GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_skew_stats" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY l_orderkey),
+        |tot AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM counts)
+        |SELECT l_orderkey, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share,
+        |  round(CAST(n_rows AS DOUBLE) * CAST(nkeys AS DOUBLE) / CAST(total AS DOUBLE), 9) AS skew
+        |FROM counts CROSS JOIN tot
+        |ORDER BY n_rows DESC, l_orderkey LIMIT 20""".stripMargin,
 
     "q_group_ids" ->
       """SELECT p_partkey, p_brand, dense_rank() OVER (ORDER BY p_brand) - 1 AS group_id

@@ -20,6 +20,34 @@ object Skew {
   /** Inner/left equi-join with the LEFT side treated as big+skewed.
     * `saltFactor` = number of ways each hot key is split.
     */
+  /** Per-key skew census — the diagnostic a pipeline runs BEFORE choosing a
+    * [[saltedJoin]] salt factor or trusting AQE's skew split: the top `topN`
+    * keys by row count with each key's share of the table and its skew
+    * factor (count ÷ mean rows per key; a uniform table reads ~1.0
+    * everywhere, a hot key reads as its multiple of fair share). One
+    * key-partial-agg + two scalar aggregates broadcast back + a bounded
+    * TakeOrderedAndProject — no window, no driver state, runs on any size.
+    *
+    * Doubles are single-division expressions over exact longs (`count /
+    * total`, `count · n_keys / total`), so the census is bit-reproducible
+    * by the SQL oracle.
+    */
+  def keySkewStats(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(col("n_rows")).as("__total"), count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select((keys.map(col) :+
+        col("n_rows") :+
+        (col("n_rows").cast("double") / col("__total").cast("double")).as("share") :+
+        (col("n_rows").cast("double") * col("__nkeys").cast("double") /
+          col("__total").cast("double")).as("skew")): _*)
+      .orderBy((col("n_rows").desc +: keys.map(col)): _*)
+      .limit(topN)
+  }
+
   def saltedJoin(
       big: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {

@@ -569,6 +569,20 @@ class EngineSpec extends AnyFunSuite {
     assert(fp == ((97L * 31 + 98) * 31 + 99) % 1000000007) // 96354
   }
 
+  test("keySkewStats: hot key tops the census with its fair-share multiple; topN cut is deterministic") {
+    import spark.implicits._
+    // 9 uniform keys x 10 rows + one hot key x 90 rows: mean = 18 rows/key,
+    // hot skew = 90/18 = 5.0, share = 90/180 = 0.5
+    val df = ((0 until 90).map(_ => "hot") ++
+      (0 until 9).flatMap(k => (0 until 10).map(_ => s"k$k"))).toDF("key")
+    val got = graft.operators.Skew.keySkewStats(df, Seq("key"), topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.head == (("hot", 90L, 0.5, 5.0)))
+    // ties among the uniform keys cut by key ascending
+    assert(got.map(_._1).toSeq == Seq("hot", "k0", "k1"))
+    assert(got(1)._4 == 10.0 * 10 / 180) // 0.555... = 10/18
+  }
+
   test("normalizeForDedup: case/digit/punct/ws variants collapse; null and blanks normalize empty") {
     import spark.implicits._
     val got = Seq(
