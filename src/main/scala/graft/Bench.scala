@@ -251,8 +251,13 @@ object Bench {
           .select(col(id).cast("long").as(id), col(payload))
         val schema = StructType(Seq(StructField(id, LongType, nullable = false),
           src.schema(payload)))
-        val rows = src.filter(col(id) < 10L * servingN).collect()
-        (0 until servingN).map { i =>
+        // servingN + 1 slices: slice 0 is the DEDICATED warm-up batch
+        // (codegen + index open), slices 1..N are the timed loop — so the
+        // "fresh 10-query batch per iteration" claim holds exactly
+        // (advisor r8: warming with searches.head then re-timing the same
+        // slice made the first timed iteration a repeat, not fresh)
+        val rows = src.filter(col(id) < 10L * (servingN + 1)).collect()
+        (0 to servingN).map { i =>
           val slice = rows.slice(i * 10, i * 10 + 10)
           spark.createDataFrame(java.util.Arrays.asList(slice: _*), schema)
         }
@@ -271,10 +276,10 @@ object Bench {
       spark.sparkContext.addSparkListener(servingListener)
       def timeServing(name: String,
           searches: Seq[() => Long]): (String, Double, Double, Double, Double) = {
-        searches.head() // warm: codegen + index open happen here, untimed
+        searches.head() // warm: codegen + index open on the DEDICATED slice 0
         if (gcBetween) { System.gc(); Thread.sleep(50) }
         val (j0, s0) = (jobCounter.get(), stageCounter.get())
-        val walls = searches.map { s =>
+        val walls = searches.tail.map { s =>
           val t0 = System.nanoTime(); s(); (System.nanoTime() - t0) / 1e9
         }
         val jobsPer = (jobCounter.get() - j0).toDouble / walls.size
@@ -306,6 +311,10 @@ object Bench {
               k = 5, nProbe = 8).count())))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving section failed: $e"); Nil
+      } finally {
+        // the census listener must not outlive the section: every later
+        // query would keep paying its callback (advisor r8)
+        spark.sparkContext.removeSparkListener(servingListener)
       }
     }
 

@@ -114,13 +114,20 @@ object SparkEntry {
     steadyMinhashAppCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_minhash_app")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+      // done-marker = the append batch's own _COMMITTED sentinel, NOT the
+      // meta file the base write creates first (advisor r8: keying on the
+      // meta meant a crash between write and append froze a forever-stale
+      // index). The append itself is idempotent on batchId, so re-running
+      // after a partial build is safe either way.
+      if (!new java.io.File(s"$sub/batches/heldout/_COMMITTED").exists()) {
         val docs = ld(s, dir, "documents")
-        Dedup.minhashWriteIndex(
-          Dedup.minhashBuildIndex(
-            docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), "doc_id", "text"), sub)
+        if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+          Dedup.minhashWriteIndex(
+            Dedup.minhashBuildIndex(
+              docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), "doc_id", "text"), sub)
+        }
         Dedup.minhashAppendIndex(s, sub,
-          docs.filter(pmod(col("doc_id"), lit(7)) === 3), "doc_id", "text")
+          docs.filter(pmod(col("doc_id"), lit(7)) === 3), "doc_id", "text", "heldout")
       }
       Dedup.minhashOpenIndex(s, sub)
     })
@@ -2036,7 +2043,7 @@ object SparkEntry {
        |fused AS (
        |  SELECT query_id, doc_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list(contrib ORDER BY CAST(sys AS VARCHAR))), (p, q) -> p + q) AS rrf
+       |      list(contrib ORDER BY printf('%03d', sys))), (p, q) -> p + q) AS rrf
        |  FROM pool GROUP BY query_id, doc_id),
        |rrfranked AS (
        |  SELECT query_id,

@@ -446,32 +446,65 @@ object Dedup extends Logging {
     * deduped against the corpus ([[minhashSearchIndex]]), then the verified
     * -new rows are appended here. Only the batch is shingled and signed —
     * with the banding params pinned by the index's meta file, never
-    * caller-supplied — and both layouts append in place (postings into
-    * their band partitions, shingles flat). After the append,
-    * `open → search ≡ full rebuild → search` row-identically, which the
-    * spec and the `q_minhash_index_append` driver query (q_contamination's
-    * oracle) hash-check.
+    * caller-supplied. After the append, `open → search ≡ full rebuild →
+    * search` row-identically, which the spec and the
+    * `q_minhash_index_append` driver query (q_contamination's oracle)
+    * hash-check.
+    *
+    * Commit protocol (advisor r8: the former in-place two-table append was
+    * neither atomic nor idempotent — a failure between the postings and
+    * shingles writes left postings whose candidates vanished in the shingle
+    * join, and a retry duplicated rows): each append lands as a
+    * SELF-CONTAINED batch directory `path/batches/<batchId>/{postings,
+    * shingles}` and becomes visible only when the `_COMMITTED` marker is
+    * created — one atomic filesystem create, after both writes succeeded.
+    * [[minhashOpenIndex]] unions the base layout with committed batches
+    * ONLY, so a crash at any point leaves the index exactly as before the
+    * append. Re-running with the same `batchId` is idempotent: a committed
+    * batch is skipped, an uncommitted leftover is deleted and rewritten.
     *
     * This works for MinHash because the index holds no corpus-global
     * statistics: postings rows and shingle sets are per-document, so
-    * append IS the incremental build. The BM25 index (df/avgdl) and the
-    * ANN index (centroids fitted on the corpus) genuinely need rebuilds —
-    * see their docs.
+    * append IS the incremental build. The BM25 index (df/avgdl) genuinely
+    * needs rebuilds; the ANN index offers the existing-centroids middle
+    * ground ([[Ann.annAppendIndex]]) — see their docs.
+    *
+    * @return true if the batch was written, false if `batchId` was already
+    *         committed (idempotent no-op).
     */
   def minhashAppendIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId must match [A-Za-z0-9._-]+ (it names a directory), got '$batchId'")
     val idx = minhashOpenIndex(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED")
+    if (fs.exists(marker)) return false
+    // uncommitted leftover from a failed attempt: invisible to open(), safe
+    // to drop wholesale and rewrite
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
     val base = shingleSig(batch, col(idCol), col(textCol),
       idx.shingleSize, idx.numBands * idx.rowsPerBand, idx.hashFamily)
     bandBuckets(base, idx.numBands, idx.rowsPerBand)
       .repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$batchDir/postings")
     base.select(col("id"), col("sh"))
-      .write.mode("append").parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$batchDir/shingles")
+    fs.create(marker, false).close()
+    true
   }
 
-  /** Open a [[minhashWriteIndex]] directory. */
+  /** Open a [[minhashWriteIndex]] directory: the base layout unioned with
+    * every COMMITTED append batch (see [[minhashAppendIndex]] — batches
+    * without the `_COMMITTED` marker are in-flight or failed appends and
+    * are ignored). Multi-path parquet reads keep per-directory `band=`
+    * partition pruning, so a banded search still scans only the probed
+    * band's files in each layout.
+    */
   def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -481,9 +514,22 @@ object Dedup extends Logging {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
     require(Option(node.get("type")).exists(_.asText() == "minhash_lsh"),
       s"$path/minhash_meta.json is not a minhash_lsh index meta file")
+    val batchesDir = new org.apache.hadoop.fs.Path(path, "batches")
+    val committed =
+      if (!fs.exists(batchesDir)) Seq.empty[String]
+      else fs.listStatus(batchesDir).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+        .map(_.getPath.toString).sorted
+    // each root is read separately and unioned (a single multi-root read
+    // trips partition-structure inference); a band filter still prunes
+    // inside EVERY branch's scan — union pushes predicates to each child
+    def layout(sub: String): DataFrame =
+      (s"$path/$sub" +: committed.map(b => s"$b/$sub"))
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
     MinHashIndex(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/shingles"),
+      layout("postings"),
+      layout("shingles"),
       node.get("shingle_size").asInt(),
       node.get("num_bands").asInt(),
       node.get("rows_per_band").asInt(),

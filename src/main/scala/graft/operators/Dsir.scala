@@ -73,7 +73,14 @@ object Dsir {
     // bit-identical to the former in-plan expression: same casts, same
     // `alpha · B` literal, same divide/log/subtract order (Catalyst's Log
     // IS java.lang.Math.log).
-    require(buckets <= (1 << 24), s"buckets must be <= ${1 << 24} (driver-collected), got $buckets")
+    // cap sized from driver-heap bytes, not rows (advisor r8): each side
+    // collects ≤ `buckets` GenericRows of (long, long) at ~100 bytes of JVM
+    // object overhead apiece, so 2^20 buckets ≈ 2 × 100 MB worst-case —
+    // already generous; the old 2^24 row cap allowed multi-GB collects. The
+    // paper's regime is B ≈ 10^4; anything near the cap is misuse.
+    require(buckets <= (1 << 20),
+      s"buckets must be <= ${1 << 20} (two driver collects of ~100 bytes/bucket " +
+        s"each — ~200 MB at the cap), got $buckets")
     val spark = raw.sparkSession
     val tMap = bucketCounts(target, targetTextCol, buckets, seed)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

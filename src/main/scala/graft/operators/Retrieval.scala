@@ -27,7 +27,11 @@ object Retrieval {
     * Determinism: the per-(query, doc) contribution sum folds in SYSTEM
     * order through the native ordered-sum aggregate (one contribution per
     * system, so the fold order is total), making the doubles
-    * partition-invariant and engine-reproducible.
+    * partition-invariant and engine-reproducible. The ordered-sum key is a
+    * string, so the system tag is ZERO-PADDED to three digits — a bare
+    * stringified index would fold 10+ systems lexicographically
+    * ("0","1","10","2",…), not positionally (advisor r8). The DuckDB
+    * oracle mirrors the padded tag.
     *
     * Scale: each input is already a bounded top-k relation (≤ k·|queries|
     * rows), so the union + (query, doc) partial aggregate + bounded top-k
@@ -35,6 +39,7 @@ object Retrieval {
     */
   def rrfFuse(systems: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(systems.nonEmpty, "need at least one system to fuse")
+    require(systems.size <= 1000, s"at most 1000 systems (3-digit fold tags), got ${systems.size}")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k0 >= 0, s"k0 must be >= 0, got $k0")
     val pool = systems.zipWithIndex.map { case (df, i) =>
@@ -42,7 +47,7 @@ object Retrieval {
         col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
         (lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double"))).as("__contrib"),
-        lit(i).cast("string").as("__sys"))
+        lit(f"$i%03d").as("__sys"))
     }.reduce(_.unionByName(_))
     val fused = pool.groupBy("query_id", "doc_id")
       .agg(graft.functions.VecExpressions

@@ -1277,7 +1277,9 @@ class EngineSpec extends AnyFunSuite {
     val metaIdx = Dedup.minhashOpenIndex(spark, tmp)
     assert((metaIdx.numBands, metaIdx.rowsPerBand) == (16, 2))
     // absorb the held-out slice — batch-only shingling, banding from meta
-    Dedup.minhashAppendIndex(spark, tmp, docs.filter(col("id") >= 20), "id", "text")
+    assert(Dedup.minhashAppendIndex(spark, tmp, docs.filter(col("id") >= 20), "id", "text", "b1"))
+    // idempotent: a committed batchId is a no-op, not a duplicate
+    assert(!Dedup.minhashAppendIndex(spark, tmp, docs.filter(col("id") >= 20), "id", "text", "b1"))
     val appended = Dedup.minhashOpenIndex(spark, tmp)
     // rebuild from scratch with the same banding
     val tmp2 = java.nio.file.Files.createTempDirectory("graft_mh_reb").toString
@@ -1293,6 +1295,19 @@ class EngineSpec extends AnyFunSuite {
     // matches across the append boundary exist (appended docs are near-dups
     // of built docs), proving the appended postings actually join
     assert(viaApp.filter(col("corpus_id") >= 20).count() > 0)
+    // atomicity: a batch dir WITHOUT the _COMMITTED marker (a crashed
+    // append) is invisible — open() sees exactly the pre-append index
+    val appendedPostings = appended.postings.count()
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/batches/b1/_COMMITTED"), false)
+    val uncommitted = Dedup.minhashOpenIndex(spark, tmp)
+    assert(uncommitted.postings.count() == metaIdx.postings.count())
+    assert(uncommitted.shingles.count() == metaIdx.shingles.count())
+    // and the retry path rewrites the leftover then commits it again
+    assert(Dedup.minhashAppendIndex(spark, tmp, docs.filter(col("id") >= 20), "id", "text", "b1"))
+    val recommitted = Dedup.minhashOpenIndex(spark, tmp)
+    assert(recommitted.postings.count() == appendedPostings)
   }
 
   test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
