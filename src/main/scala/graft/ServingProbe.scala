@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: per-job anatomy of one steady-state search through each
+  * persisted index — prints every Spark job the search triggers with its
+  * description/callsite, so the serving job budget (jobs × scheduler
+  * round-trip dominates sub-100ms searches) can be attributed line by line.
+  * Usage: runMain graft.ServingProbe <sfDir> [bm25|ann|int8 ...]
+  */
+object ServingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val which = if (args.length > 1) args.drop(1).toSet else Set("bm25", "ann", "int8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = e.stageInfos.map(si =>
+          s"${si.name} tasks=${si.numTasks} " +
+            s"details=${si.details.linesIterator.take(3).mkString(" <- ")}")
+        jobs.add(s"stages=${e.stageInfos.size} :: ${names.mkString(" | ").take(600)}")
+      }
+    })
+    def slice(table: String, id: String, payload: String, lo: Long) = {
+      val src = spark.read.parquet(s"$sfDir/$table.parquet")
+        .select(col(id).cast("long").as(id), col(payload))
+      val rows = src.filter(col(id) >= lo && col(id) < lo + 10).collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(id,
+            org.apache.spark.sql.types.LongType, nullable = false),
+          src.schema(payload))))
+    }
+    def probe(name: String, warm: () => Long, timed: () => Long): Unit = {
+      warm()
+      jobs.clear()
+      val t0 = System.nanoTime()
+      val n = timed()
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] $name: $wall%.4fs rows=$n jobs=${jobs.size}")
+      jobs.forEach(j => System.err.println(s"[probe]   $j"))
+    }
+    def explainDf(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
+      if (sys.env.contains("PROBE_EXPLAIN")) {
+        val d = df; d.collect() // finalize this plan's own AQE
+        System.err.println(s"[plan] $name:\n${d.queryExecution.executedPlan}")
+      }
+    if (sys.env.contains("PROBE_NO_AQE")) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val doPersist = !sys.env.contains("PROBE_NO_PERSIST")
+    if (which("bm25")) {
+      val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
+      if (doPersist) { bm25.postings.persist(); bm25.postings.count() }
+      val q0 = slice("documents", "doc_id", "text", 0)
+      val q1 = slice("documents", "doc_id", "text", 10)
+      probe("bm25_index",
+        () => graft.operators.Lexical.bm25SearchIndex(bm25, q0, "doc_id", "text", k = 5).count(),
+        () => graft.operators.Lexical.bm25SearchIndex(bm25, q1, "doc_id", "text", k = 5).count())
+    }
+    if (which("ann") || which("int8")) {
+      val ann = SparkEntry.steadyAnnIndex(spark, sfDir)
+      if (doPersist) { ann.cells.persist(); ann.cells.count() }
+      val e0 = slice("embeddings", "vec_id", "embedding", 0)
+      val e1 = slice("embeddings", "vec_id", "embedding", 10)
+      if (which("ann")) probe("ann_index",
+        () => graft.operators.Ann.annSearchIndex(ann, e0, "vec_id", "embedding",
+          k = 5, nProbe = 8).count(),
+        () => graft.operators.Ann.annSearchIndex(ann, e1, "vec_id", "embedding",
+          k = 5, nProbe = 8).count())
+      if (which("int8")) probe("ann_index_int8",
+        () => graft.operators.Ann.annSearchIndexInt8(ann, e0, "vec_id", "embedding",
+          k = 5, nProbe = 8).count(),
+        () => graft.operators.Ann.annSearchIndexInt8(ann, e1, "vec_id", "embedding",
+          k = 5, nProbe = 8).count())
+      if (which("int8")) explainDf("ann_index_int8",
+        graft.operators.Ann.annSearchIndexInt8(ann, e1, "vec_id", "embedding",
+          k = 5, nProbe = 8))
+    }
+    spark.stop()
+  }
+}
