@@ -39,14 +39,41 @@ object ServingProbe {
             org.apache.spark.sql.types.LongType, nullable = false),
           src.schema(payload))))
     }
+    // SparkListener events post asynchronously on the listener bus, so a
+    // clear() right after warm() can drop warm-up jobs INTO the timed census
+    // and a read right after the timed action can miss late arrivals
+    // (advisor r9). Quiesce = wait until the job queue has been stable for a
+    // few polls (bounded at 2 s) before clearing and before reading.
+    def quiesce(): Unit = {
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 2000000000L
+      while (stable < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        val n = jobs.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
     def probe(name: String, warm: () => Long, timed: () => Long): Unit = {
       warm()
+      quiesce()
       jobs.clear()
       val t0 = System.nanoTime()
       val n = timed()
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[probe] $name: $wall%.4fs rows=$n jobs=${jobs.size}")
+      quiesce()
+      System.err.println(f"[probe] $name: $wall%.4fs rows=$n jobs=${jobs.size} " +
+        "(job census read after listener-bus quiesce; async attribution caveat)")
       jobs.forEach(j => System.err.println(s"[probe]   $j"))
+    }
+    def phases(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val d = df
+      val t0 = System.nanoTime(); d.count(); val wall = (System.nanoTime() - t0) / 1e9
+      val ph = d.queryExecution.tracker.phases.map { case (k, v) =>
+        f"$k=${(v.endTimeMs - v.startTimeMs) / 1000.0}%.3fs" }.mkString(" ")
+      val rules = d.queryExecution.tracker.topRulesByTime(5).map { case (r, s) =>
+        f"${r.split('.').last}=${s.totalTimeNs / 1e9}%.3fs" }.mkString(" ")
+      System.err.println(f"[phases] $name wall=$wall%.4fs $ph :: $rules")
     }
     def explainDf(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       if (sys.env.contains("PROBE_EXPLAIN")) {
@@ -58,22 +85,27 @@ object ServingProbe {
     if (which("bm25")) {
       val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
       if (doPersist) { bm25.postings.persist(); bm25.postings.count() }
-      val q0 = slice("documents", "doc_id", "text", 0)
+      // PROBE_SAME=1 warms with the SAME slice the timed search uses —
+      // isolates plan/codegen-cache effects from data effects
+      val q0 = slice("documents", "doc_id", "text", if (sys.env.contains("PROBE_SAME")) 10 else 0)
       val q1 = slice("documents", "doc_id", "text", 10)
       probe("bm25_index",
         () => graft.operators.Lexical.bm25SearchIndex(bm25, q0, "doc_id", "text", k = 5).count(),
         () => graft.operators.Lexical.bm25SearchIndex(bm25, q1, "doc_id", "text", k = 5).count())
+      phases("bm25_index", graft.operators.Lexical.bm25SearchIndex(bm25, q1, "doc_id", "text", k = 5))
     }
     if (which("ann") || which("int8")) {
       val ann = SparkEntry.steadyAnnIndex(spark, sfDir)
       if (doPersist) { ann.cells.persist(); ann.cells.count() }
-      val e0 = slice("embeddings", "vec_id", "embedding", 0)
+      val e0 = slice("embeddings", "vec_id", "embedding", if (sys.env.contains("PROBE_SAME")) 10 else 0)
       val e1 = slice("embeddings", "vec_id", "embedding", 10)
       if (which("ann")) probe("ann_index",
         () => graft.operators.Ann.annSearchIndex(ann, e0, "vec_id", "embedding",
           k = 5, nProbe = 8).count(),
         () => graft.operators.Ann.annSearchIndex(ann, e1, "vec_id", "embedding",
           k = 5, nProbe = 8).count())
+      if (which("ann")) phases("ann_index", graft.operators.Ann.annSearchIndex(ann, e1, "vec_id", "embedding", k = 5, nProbe = 8))
+      if (which("int8")) phases("ann_index_int8", graft.operators.Ann.annSearchIndexInt8(ann, e1, "vec_id", "embedding", k = 5, nProbe = 8))
       if (which("int8")) probe("ann_index_int8",
         () => graft.operators.Ann.annSearchIndexInt8(ann, e0, "vec_id", "embedding",
           k = 5, nProbe = 8).count(),

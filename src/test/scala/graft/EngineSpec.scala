@@ -72,6 +72,31 @@ class EngineSpec extends AnyFunSuite {
     assert(merged == out)
   }
 
+  test("topKPayload selects entry-for-entry like topK and carries the payload") {
+    import spark.implicits._
+    // adversarial stream: duplicate scores (id tie-break), payload unrelated
+    // to the selection order
+    val df = Seq(
+      (1L, 0.5, 10L, 111.0), (1L, 0.9, 3L, 222.0), (1L, 0.9, 1L, 333.0),
+      (1L, 0.1, 2L, 444.0), (2L, 0.7, 8L, 555.0), (2L, 0.7, 9L, 666.0))
+      .toDF("g", "s", "id", "p")
+    val viaTopK = df.groupBy("g")
+      .agg(graft.functions.VecExpressions.topK(2, col("s"), col("id")).as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(x => (x._1, -x._2, x._3)).toSeq
+    val viaPayload = df.groupBy("g")
+      .agg(graft.functions.VecExpressions.topKPayload(2, col("s"), col("id"), col("p")).as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id"), col("e.payload")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, -x._2, x._3)).toSeq
+    assert(viaPayload.map(x => (x._1, x._2, x._3)) == viaTopK)
+    val payloadByGid = viaPayload.map(x => (x._1, x._3) -> x._4).toMap
+    assert(payloadByGid == Map((1L, 1L) -> 333.0, (1L, 3L) -> 222.0,
+      (2L, 8L) -> 555.0, (2L, 9L) -> 666.0))
+  }
+
   // --- semantic joins -------------------------------------------------------
 
   test("merge: row count equals left count, suffixed columns + score exist") {
@@ -684,9 +709,19 @@ class EngineSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getAs[Double]("score")),
         r.getAs[Int]("rank"))).sortBy(x => (x._1, x._4)).toSeq
     assert(rows(viaSq8) == rows(viaDouble))
-    // the coarse pass is a scan WITHOUT the 8-byte cv column: of the two
-    // cells scans in the plan, one must read codes/cn2 but not cv
-    val formatted = viaSq8.queryExecution.explainString(
+    // regime split (serving-jobs fix, r10): the single-stage serving path
+    // reads codes AND cv in ONE wide scan (payload top-k rerank, no second
+    // pass), so its plan has no rerank join at all; the DISTRIBUTED regime
+    // keeps the two-pass shape whose coarse scan must stay narrow — codes
+    // without the 8-byte cv column (the 8x IO property)
+    val servingPlan = viaSq8.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(servingPlan.contains("graft_top_k_payload"), servingPlan)
+    val viaSq8Dist = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 50, maxProbeRowsOverride = 1L)
+    // both regimes are row- and bit-identical
+    assert(rows(viaSq8Dist) == rows(viaDouble))
+    val formatted = viaSq8Dist.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val schemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(schemas.exists(s => s.contains("codes") && !s.contains("cv:")),
