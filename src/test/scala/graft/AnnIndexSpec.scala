@@ -106,6 +106,59 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fastRows.nonEmpty)
   }
 
+  test("append: frozen-centroid append == rebuild with the same centroids; atomic + idempotent") {
+    val full = emb(400)
+    val base = full.filter(col("vec_id") % 5 =!= 0)
+    val held = full.filter(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+    val (cells, cents) = Ann.annBuildIndex(base, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, dir)
+    // rebuild-with-same-centroids reference: assign the FULL corpus to the
+    // base index's centroids (refineRounds=0 keeps them frozen) and write a
+    // separate one-shot index
+    val refDir = java.nio.file.Files.createTempDirectory("graft_ann_ref").toString
+    val baseIdx = Ann.annOpenIndex(spark, dir)
+    val refAssign = graft.operators.SemanticJoin.knnJoinVec(
+      full, "vec_id", "embedding",
+      baseIdx.centroids, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
+      .select(col("left_id").as("corpus_id"), col("right_id").as("__cell"))
+    val refCells = full
+      .select(col("vec_id").cast("long").as("corpus_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("cv"))
+      .join(refAssign, "corpus_id")
+    Ann.annWriteIndex(refCells, baseIdx.centroids, refDir)
+
+    assert(Ann.annAppendIndex(spark, dir, held, "vec_id", "embedding", "b1"))
+    // idempotent: a committed batchId is a no-op
+    assert(!Ann.annAppendIndex(spark, dir, held, "vec_id", "embedding", "b1"))
+    val appended = Ann.annOpenIndex(spark, dir)
+    assert(appended.nRows.contains(400L) && appended.appendedRows == 80L)
+    assert(math.abs(appended.appendStaleness - 0.2) < 1e-9)
+
+    val q = full.filter(col("vec_id") < 25)
+    val viaAppend = sortedRows(
+      Ann.annSearchIndexInt8(appended, q, "vec_id", "embedding", k = 3, nProbe = 3))
+    val viaRebuild = sortedRows(
+      Ann.annSearchIndexInt8(Ann.annOpenIndex(spark, refDir), q, "vec_id", "embedding",
+        k = 3, nProbe = 3))
+    assert(viaAppend === viaRebuild && viaAppend.nonEmpty)
+    // appended rows are actually retrievable: a held-out vector finds itself
+    val selfQ = full.filter(col("vec_id") === 5)
+    val self = Ann.annSearchIndex(appended, selfQ, "vec_id", "embedding", k = 1, nProbe = 8)
+      .collect()
+    assert(self.length == 1 && self.head.getAs[Long]("right_id") == 5L)
+
+    // crash window: a batch dir WITHOUT the marker is invisible to open()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches/b1/_COMMITTED"), false)
+    val rolledBack = Ann.annOpenIndex(spark, dir)
+    assert(rolledBack.nRows.contains(320L) && rolledBack.appendedRows == 0L)
+    // retry after the "crash" rewrites and commits the same batchId
+    assert(Ann.annAppendIndex(spark, dir, held, "vec_id", "embedding", "b1"))
+    assert(Ann.annOpenIndex(spark, dir).nRows.contains(400L))
+  }
+
   test("stress leg: multiplied census equals base census at m x counts, through the join path") {
     val e = emb(60)
     val m = 4
