@@ -230,4 +230,37 @@ class StressSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12) // only exact-replica matches
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
+
+  test("ann guard leg: batch sized off the session bound trips the guard once") {
+    // a small session bound keeps the spec fast; the DRIVER leg runs the
+    // same function under the stock 2^20 default — this pins the mechanics
+    // (auto-sized multiplier, one trip, census shape)
+    spark.conf.set(graft.operators.Ann.MaxProbeRowsKey, "64")
+    try {
+      val out = Stress.annGuardDefaultSummary(emb(16), "vec_id", "embedding",
+        corpusRows = 16, nCentroids = 4, k = 1, nProbe = 2).collect()
+      assert(out.nonEmpty)
+      out.foreach(r => assert(r.getAs[Long]("guard_trips") == 1L,
+        s"expected exactly one guard trip, got $r"))
+      // every replica query finds its base vector at rank 1 (score 1.0)
+      val r1 = out.find(_.getAs[Int]("rank") == 1).get
+      assert(math.abs(r1.getAs[Double]("max_score") - 1.0) < 1e-12)
+    } finally spark.conf.unset(graft.operators.Ann.MaxProbeRowsKey)
+  }
+
+  test("bm25 guard leg: batch sized off the session bound trips the guard once") {
+    spark.conf.set(graft.operators.Lexical.MaxQueryTermRowsKey, "256")
+    try {
+      val d = docs(8)
+      val (postings, stats) = graft.operators.Lexical.bm25BuildIndex(d, "doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_guard").toString
+      graft.operators.Lexical.bm25WriteIndex(postings, stats, dir)
+      val out = Stress.bm25GuardDefaultSummary(
+        graft.operators.Lexical.bm25OpenIndex(spark, dir), d, "doc_id", "text",
+        nRealQueries = 4, k = 3).head()
+      assert(out.getAs[Long]("guard_trips") == 1L, s"got $out")
+      // the 4 real-document queries each retrieve themselves (disjoint vocab)
+      assert(out.getAs[Long]("n_queries") == 4L, s"got $out")
+    } finally spark.conf.unset(graft.operators.Lexical.MaxQueryTermRowsKey)
+  }
 }
