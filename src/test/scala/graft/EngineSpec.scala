@@ -357,6 +357,32 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("skewAwareJoin: census picks the branch; both branches row-identical to plain") {
+    import spark.implicits._
+    val skewed = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong, i)).toDF("k", "v")
+    val uniform = (0 until 1000).map(i => (i.toLong, i)).toDF("k", "v")
+    val other = Seq((7L, "hot"), (950L, "cold"), (9999L, "nomatch")).toDF("k", "w")
+    def census(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // skewed input: hot key holds 900/1000 rows over 101 keys -> skew ~91 >= 8
+    // -> the salted branch fires (decision counter + salt column in the plan)
+    val before = graft.operators.Skew.saltedJoinDecisions.get()
+    val viaSkewed = graft.operators.Skew.skewAwareJoin(skewed, other, Seq("k"))
+    assert(graft.operators.Skew.saltedJoinDecisions.get() === before + 1)
+    assert(viaSkewed.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+    assert(census(viaSkewed) === census(skewed.join(other, Seq("k"))))
+    // uniform input: skew ~1 < 8 -> plain Catalyst join, no salt machinery
+    val viaUniform = graft.operators.Skew.skewAwareJoin(uniform, other, Seq("k"))
+    assert(graft.operators.Skew.saltedJoinDecisions.get() === before + 1)
+    assert(!viaUniform.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+    assert(census(viaUniform) === census(uniform.join(other, Seq("k"))))
+    // knownSkew skips the census pass and still honors the threshold
+    val viaKnown = graft.operators.Skew.skewAwareJoin(uniform, other, Seq("k"),
+      knownSkew = 99.0)
+    assert(graft.operators.Skew.saltedJoinDecisions.get() === before + 2)
+    assert(census(viaKnown) === census(uniform.join(other, Seq("k"))))
+  }
+
   // --- llm ------------------------------------------------------------------
 
   test("judge parser: JSON fields, keyword fallback, last-number fallback, clamping") {
