@@ -188,6 +188,12 @@ object GraftPlans {
     * fuzzy-join move): the builder materializes the composed
     * aggregate/broadcast-join/ordered-sum plan from catalog-resolved tables,
     * so Catalyst pushdown and AQE treat it like any hand-built query.
+    *
+    * `buckets` is capped at 2^20 as of r9 (was 2^24): the log-ratio table is
+    * driver-assembled, and the cap is sized from heap bytes (~200 MB
+    * worst-case at the cap — see [[graft.operators.Dsir.importanceWeights]]).
+    * Values in (2^20, 2^24] that formerly ran now throw; the paper's regime
+    * is B ≈ 10^4.
     */
   private def dsirSelectBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 5 && args.length <= 7,
