@@ -309,7 +309,7 @@ object Bench {
     // in the serving regime queries arrive from the application, not a
     // corpus scan). Reported as steady-state seconds per search.
     val servingN = sys.env.getOrElse("SPARK_GRAFT_SERVING", "20").toInt
-    val serving: Seq[(String, Double, Double, Double, Double)] = if (servingN <= 0) Nil else {
+    val serving: Seq[(String, Double, Double, Double, Double, Double)] = if (servingN <= 0) Nil else {
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       def slices(table: String, id: String, payload: String): Seq[org.apache.spark.sql.DataFrame] = {
@@ -341,7 +341,7 @@ object Bench {
       }
       spark.sparkContext.addSparkListener(servingListener)
       def timeServing(name: String,
-          searches: Seq[() => Long]): (String, Double, Double, Double, Double) = {
+          searches: Seq[() => Long]): (String, Double, Double, Double, Double, Double) = {
         searches.head() // warm: codegen + index open on the DEDICATED slice 0
         if (gcBetween) { System.gc(); Thread.sleep(50) }
         val (j0, s0) = (jobCounter.get(), stageCounter.get())
@@ -351,10 +351,14 @@ object Bench {
         val jobsPer = (jobCounter.get() - j0).toDouble / walls.size
         val stagesPer = (stageCounter.get() - s0).toDouble / walls.size
         val med = walls.sorted.apply(walls.size / 2)
+        // the min is the ambient-free floor of the per-search cost: wall
+        // noise is additive, so the best of N warm searches sits nearest
+        // the true steady-state (the sentinel rationale applied per-search)
+        val minW = walls.min
         System.err.println(f"[bench] serving:$name%-16s ${med}%8.4fs/search " +
-          f"(median of ${walls.size}, total ${walls.sum}%.2fs, " +
+          f"(median of ${walls.size}, min ${minW}%.4fs, total ${walls.sum}%.2fs, " +
           f"$jobsPer%.1f jobs/$stagesPer%.1f stages per search)")
-        (name, med, walls.sum, jobsPer, stagesPer)
+        (name, med, walls.sum, jobsPer, stagesPer, minW)
       }
       try {
         val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
@@ -400,8 +404,9 @@ object Bench {
           s""""task_sec":${fmt(r.taskMs / 1000.0)},"gc_ms":${r.gcMs},""" +
           s""""other_cpu":${fmt(r.otherCpuSec)},"rows":${r.rows},""" +
           s""""attempts":$attempts,"contended":$flagged}"""
-      } ++ serving.map { case (name, perSearch, total, jobsPer, stagesPer) =>
+      } ++ serving.map { case (name, perSearch, total, jobsPer, stagesPer, minW) =>
         s""""serving_$name":{"per_search":${fmt(perSearch)},""" +
+          s""""per_search_min":${fmt(minW)},""" +
           s""""searches":$servingN,"total":${fmt(total)},""" +
           s""""jobs_per_search":${fmt(jobsPer)},"stages_per_search":${fmt(stagesPer)}}"""
       } ++ (if (!sentinelOn) Nil else Seq(
@@ -418,7 +423,7 @@ object Bench {
     val total = results.map(_._2.wall).sum
     val contendedNames = results.filter(_._4).map(r => s""""${r._1}"""").mkString("[", ",", "]")
     val attemptsTotal = results.map(_._3).sum
-    val servingJson = serving.map { case (name, perSearch, _, _, _) =>
+    val servingJson = serving.map { case (name, perSearch, _, _, _, _) =>
       s""""$name":${fmt(perSearch)}""" }.mkString("{", ",", "}")
     val sentinelJson =
       if (!sentinelOn) "null"

@@ -514,14 +514,25 @@ object Ann {
   }
 
   /** IVF_SQ8 search of a persisted index: same cell pruning as
-    * [[annSearchIndex]], but the coarse pass scores the probed cells' int8
-    * codes (a scan of ONLY the narrow `codes`/`cn2` columns — parquet column
-    * pruning keeps the 8-byte-per-lane `cv` column out of the coarse read
-    * entirely, ~8x less IO) and only the top `rerankFactor·k` candidates per
-    * query join `cv` back for the exact rerank. Output contract =
-    * [[annSearchIndex]]; `score` is the exact cosine (bit-identical on every
-    * kept pair — only the candidate set is approximate, which
-    * `q_ann_index_int8_recall` gates).
+    * [[annSearchIndex]]; the int8 codes coarse-score the probed cells and
+    * only the top `rerankFactor·k` candidates per query are re-scored with
+    * the exact double cosine. Two physical shapes, row-identical (the guard
+    * spec differential-tests them):
+    *
+    *  - distributed regimes: a narrow coarse scan of ONLY `codes`/`cn2`
+    *    (parquet column pruning keeps the 8-byte-per-lane `cv` out of the
+    *    coarse read, ~8x less IO) and a rerank JOIN pulls `cv` back for the
+    *    candidates;
+    *  - the single-stage serving regime (see [[Serving]]): one wide scan
+    *    computes both scores per row and a payload top-k carries the exact
+    *    score through candidate selection — no join above any aggregate, so
+    *    the whole chain is one result job (r10; the scan is budget-bounded
+    *    tiny there, so the narrow-read saving is irrelevant and the rerank
+    *    join's serving jobs were the real cost).
+    *
+    * Output contract = [[annSearchIndex]]; `score` is the exact cosine
+    * (bit-identical on every kept pair — only the candidate set is
+    * approximate, which `q_ann_index_int8_recall` gates).
     */
   def annSearchIndexInt8(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
