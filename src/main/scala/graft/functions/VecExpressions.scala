@@ -399,6 +399,25 @@ case class OrderedSumAggregate(
     copy(keyExpr = newChildren(0), valExpr = newChildren(1))
 }
 
+/** Growable parallel (vocab index, value) buffer for
+  * [[MultiOrderedSumAggregate]] — the interned form of [[OrderedSumBuffer]]:
+  * keys are small ints into the operator's sorted union vocabulary instead
+  * of cloned byte arrays.
+  */
+final class IndexedSumBuffer {
+  var n: Int = 0
+  var idxs: Array[Int] = new Array[Int](16)
+  var vals: Array[Double] = new Array[Double](16)
+
+  def add(i: Int, v: Double): Unit = {
+    if (n == idxs.length) {
+      idxs = java.util.Arrays.copyOf(idxs, n * 2)
+      vals = java.util.Arrays.copyOf(vals, n * 2)
+    }
+    idxs(n) = i; vals(n) = v; n += 1
+  }
+}
+
 /** [[OrderedSumAggregate]] generalized to MANY key subsets at once: one
   * buffer of `(key, value)` pairs per group, and at eval time every
   * constructor-supplied `(setId, keySet)` gets its own fold — the sum of the
@@ -423,7 +442,7 @@ case class MultiOrderedSumAggregate(
     keySets: Seq[(Long, Seq[String])],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[OrderedSumBuffer] {
+  extends TypedImperativeAggregate[IndexedSumBuffer] {
 
   override def children: Seq[Expression] = Seq(keyExpr, valExpr)
   override def nullable: Boolean = false
@@ -441,75 +460,122 @@ case class MultiOrderedSumAggregate(
           s"graft_multi_ordered_sum needs (string key, double value), got ($kt, $vt)")
     }
 
-  // each set's keys pre-encoded to UTF-8 and pre-sorted in the fold order,
-  // once per operator instance (not per group)
-  @transient private lazy val sortedSets: Array[(Long, Array[Array[Byte]])] =
-    keySets.map { case (id, ks) =>
-      val enc = ks.distinct.map(_.getBytes("UTF-8")).toArray
-      java.util.Arrays.sort(enc, MultiOrderedSumAggregate.ByteOrder)
-      (id, enc)
-    }.toArray
+  // The constructor knows every key any set can match, so keys are INTERNED
+  // once per operator instance: the union vocabulary is deduped and sorted
+  // in the fold's unsigned-lexicographic byte order, making vocab-INDEX
+  // order identical to key-byte order — an (idx, value) sort reproduces the
+  // former (key bytes, value) sort entry-for-entry, and the fold stays
+  // bit-identical. Buffers then hold primitive ints instead of a cloned
+  // byte array per input row (measured r10: the per-row clone + byte-wise
+  // eval merges were the dominant cost of the serving-regime BM25 fold —
+  // ~116k matched postings per 10-query batch at sf0.1), rows whose key no
+  // set contains are dropped at UPDATE (they could never contribute to any
+  // fold — same results as the former eval-time skip), and per-set
+  // membership is precomputed per vocab index.
+  @transient private lazy val vocab: Array[Array[Byte]] = {
+    val set = new java.util.TreeSet[Array[Byte]](MultiOrderedSumAggregate.ByteOrder)
+    keySets.foreach(_._2.foreach(k => set.add(k.getBytes("UTF-8"))))
+    set.toArray(Array.empty[Array[Byte]])
+  }
+  @transient private lazy val vocabIndex
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromBytes(vocab(i)), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+  // vocab index -> ordinals (positions in keySets order) of the sets
+  // containing that key
+  @transient private lazy val setsOfIdx: Array[Array[Int]] = {
+    val builders = Array.fill(vocab.length)(new scala.collection.mutable.ArrayBuffer[Int](2))
+    var q = 0
+    while (q < keySets.length) {
+      keySets(q)._2.distinct.foreach { k =>
+        val idx = java.util.Arrays.binarySearch(
+          vocab.asInstanceOf[Array[AnyRef]], k.getBytes("UTF-8"),
+          MultiOrderedSumAggregate.ByteOrder.asInstanceOf[java.util.Comparator[AnyRef]])
+        builders(idx) += q
+      }
+      q += 1
+    }
+    builders.map(_.toArray)
+  }
 
-  override def createAggregationBuffer(): OrderedSumBuffer = new OrderedSumBuffer
+  override def createAggregationBuffer(): IndexedSumBuffer = new IndexedSumBuffer
 
-  override def update(buf: OrderedSumBuffer, input: InternalRow): OrderedSumBuffer = {
+  override def update(buf: IndexedSumBuffer, input: InternalRow): IndexedSumBuffer = {
     val k = keyExpr.eval(input)
     val v = valExpr.eval(input)
     if (k != null && v != null) {
-      buf.add(k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes.clone(),
-        v.asInstanceOf[Double])
+      // content-hash lookup, no copy: UTF8String equals/hashCode are
+      // byte-wise, and a miss means no set can use the key
+      val idx = vocabIndex.get(k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      if (idx != null) buf.add(idx.intValue(), v.asInstanceOf[Double])
     }
     buf
   }
 
-  override def merge(buf: OrderedSumBuffer, other: OrderedSumBuffer): OrderedSumBuffer = {
+  override def merge(buf: IndexedSumBuffer, other: IndexedSumBuffer): IndexedSumBuffer = {
     var i = 0
-    while (i < other.n) { buf.add(other.keys(i), other.vals(i)); i += 1 }
+    while (i < other.n) { buf.add(other.idxs(i), other.vals(i)); i += 1 }
     buf
   }
 
-  override def eval(buf: OrderedSumBuffer): Any = {
-    // one sort of the group's pairs (same comparator as OrderedSumAggregate:
-    // key bytes, ties by value), then a two-pointer merge per key set
+  override def eval(buf: IndexedSumBuffer): Any = {
+    // one sort of the group's pairs by (vocab idx, value) — identical order
+    // to the former (key bytes, value) comparator — then a single pass
+    // accumulating into each containing set (same per-set visit order as
+    // the former per-set two-pointer merge, so every fold is bit-identical)
     val boxed: Array[Integer] = Array.tabulate(buf.n)(Integer.valueOf)
     val ord = new java.util.Comparator[Integer] {
       override def compare(ai: Integer, bi: Integer): Int = {
-        val c = MultiOrderedSumAggregate.ByteOrder.compare(buf.keys(ai), buf.keys(bi))
+        val c = java.lang.Integer.compare(buf.idxs(ai), buf.idxs(bi))
         if (c != 0) c else java.lang.Double.compare(buf.vals(ai), buf.vals(bi))
       }
     }
     java.util.Arrays.sort(boxed, ord)
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](sortedSets.length)
-    var q = 0
-    while (q < sortedSets.length) {
-      val (setId, ks) = sortedSets(q)
-      var i = 0; var j = 0; var s = 0.0; var hit = false
-      while (i < buf.n && j < ks.length) {
-        val c = MultiOrderedSumAggregate.ByteOrder.compare(buf.keys(boxed(i)), ks(j))
-        if (c == 0) {
-          // consume EVERY pair carrying this key (the joined form matches
-          // each duplicate once and folds them value-tie-ordered — exactly
-          // the boxed order here)
-          val kj = ks(j)
-          while (i < buf.n &&
-            MultiOrderedSumAggregate.ByteOrder.compare(buf.keys(boxed(i)), kj) == 0) {
-            s += buf.vals(boxed(i)); i += 1
-          }
-          hit = true; j += 1
-        }
-        else if (c < 0) i += 1
-        else j += 1
+    val sums = new Array[Double](keySets.length)
+    val hit = new Array[Boolean](keySets.length)
+    var i = 0
+    while (i < buf.n) {
+      val p = boxed(i)
+      val sets = setsOfIdx(buf.idxs(p))
+      var q = 0
+      while (q < sets.length) {
+        sums(sets(q)) += buf.vals(p); hit(sets(q)) = true
+        q += 1
       }
-      if (hit) out += InternalRow(setId, s)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](keySets.length)
+    var q = 0
+    while (q < keySets.length) {
+      if (hit(q)) out += InternalRow(keySets(q)._1, sums(q))
       q += 1
     }
     new GenericArrayData(out.toArray[InternalRow])
   }
 
-  override def serialize(buf: OrderedSumBuffer): Array[Byte] =
-    MultiOrderedSumAggregate.ser(buf)
-  override def deserialize(bytes: Array[Byte]): OrderedSumBuffer =
-    MultiOrderedSumAggregate.de(bytes)
+  override def serialize(buf: IndexedSumBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 12 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putInt(buf.idxs(i)).putDouble(buf.vals(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): IndexedSumBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new IndexedSumBuffer
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.add(bb.getInt(), bb.getDouble()); i += 1 }
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MultiOrderedSumAggregate =
     copy(mutableAggBufferOffset = newOffset)
