@@ -158,7 +158,7 @@ object Lexical {
     * modulus would silently drop valid postings.
     */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int,
-      nRows: Option[Long] = None) {
+      nRows: Option[Long] = None, bakedParams: Option[(Double, Double)] = None) {
     /** The one-row corpus stats collected ONCE per open and reused by every
       * search — a per-search `crossJoin(broadcast(stats))` re-ran the stats
       * scan as its own job each time, which is pure overhead in the
@@ -202,7 +202,17 @@ object Lexical {
     // the df join is inner on term over the same rows, so counting the
     // un-joined postings is exact)
     val nRows = postings.count()
+    // bake the per-posting CONTRIBUTION at the default (k1, b) too (r10,
+    // what Lucene-style impact-ordered indexes store): contrib(d,t) depends
+    // only on build-time quantities (tf, dl, df, n_docs, avgdl), so the
+    // idf/log/divide chain runs once at build instead of once per posting
+    // per search — same withContrib expressions over the same values, so
+    // searches at the default params read bit-identical doubles; custom
+    // (k1, b) searches recompute from tf/dl/df as before
+    val sr = stats.select(col("n_docs"), col("avgdl")).head()
+    val (bakeK1, bakeB) = (1.2, 0.75)
     postings.join(dfc, Seq("term"))
+      .withColumn("contrib0", contribCol(sr.getDouble(0), sr.getDouble(1), bakeK1, bakeB))
       .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       // cluster rows by bucket before the partitioned write: without this,
       // every upstream task opens a writer per bucket it touches (tasks ×
@@ -217,7 +227,8 @@ object Lexical {
       postings.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     try out.write(
-      s"""{"type": "bm25", "n_buckets": $nBuckets, "n_rows": $nRows}""".getBytes("UTF-8"))
+      (s"""{"type": "bm25", "n_buckets": $nBuckets, "n_rows": $nRows, """ +
+        s""""contrib_k1": $bakeK1, "contrib_b": $bakeB}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -236,7 +247,10 @@ object Lexical {
       spark.read.parquet(s"$path/stats"),
       node.get("n_buckets").asInt(),
       // absent in pre-r8 layouts: searches simply skip the fast path
-      Option(node.get("n_rows")).map(_.asLong()))
+      Option(node.get("n_rows")).map(_.asLong()),
+      // absent in pre-r10 layouts: searches recompute contribs from tf/dl/df
+      for (k1 <- Option(node.get("contrib_k1")); b <- Option(node.get("contrib_b")))
+        yield (k1.asDouble(), b.asDouble()))
   }
 
   /** Driver materialization bound for a search's exploded (query_id, term)
@@ -307,8 +321,8 @@ object Lexical {
       val wanted = qterms.select(
           pmod(xxhash64(col("term")), lit(index.nBuckets.toLong)).cast("int").as("__bkt"))
         .distinct()
-      val pruned = index.postings
-        .join(broadcast(wanted), Seq("__bkt"), "left_semi").drop("__bkt")
+      val pruned = dropStaleBake(index, k1, b, index.postings
+        .join(broadcast(wanted), Seq("__bkt"), "left_semi").drop("__bkt"))
       val (nDocs, avgdl) = index.statsRow
       return scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b)
     }
@@ -329,7 +343,8 @@ object Lexical {
         42L).eval(null).asInstanceOf[Long]
       (((h % index.nBuckets) + index.nBuckets) % index.nBuckets).toInt
     }.distinct.toSeq
-    val pruned = index.postings.filter(col("__bkt").isin(qb: _*)).drop("__bkt")
+    val pruned = dropStaleBake(index, k1, b,
+      index.postings.filter(col("__bkt").isin(qb: _*)).drop("__bkt"))
     val (nDocs, avgdl) = index.statsRow
     if (distinctTerms.length <= 4096) {
       // batch-fold path: with the query term sets driver-known and small,
@@ -445,15 +460,36 @@ object Lexical {
     * df)` frame — shared verbatim by the joined and batch-fold scoring paths
     * so their doubles cannot drift apart.
     */
+  /** Keep a layout's baked `contrib0` column only when the search runs at
+    * the params it was baked with — a mismatched (k1, b) must recompute from
+    * tf/dl/df (dropping a column that does not exist is a no-op, so pre-bake
+    * layouts pass through unchanged).
+    */
+  private def dropStaleBake(index: Bm25Index, k1: Double, b: Double,
+      pruned: DataFrame): DataFrame =
+    if (index.bakedParams.contains((k1, b))) pruned else pruned.drop("contrib0")
+
+  /** The BM25 per-posting contribution as ONE column expression over
+    * (tf, dl, df) — shared by the search-time computation and the build-time
+    * bake ([[bm25WriteIndex]]'s `contrib0`), so the two are the same ops in
+    * the same order and therefore bit-identical doubles.
+    */
+  private def contribCol(nDocs: Double, avgdl: Double, k1: Double, b: Double): Column =
+    log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
   private def withContrib(
       withDf: DataFrame, nDocs: Double, avgdl: Double,
-      k1: Double, b: Double): DataFrame = withDf
-    .withColumn("idf",
-      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-    .withColumn("contrib",
-      col("idf") * col("tf") * lit(k1 + 1.0) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
-    .select("doc_id", "term", "contrib")
+      k1: Double, b: Double): DataFrame =
+    // a baked contrib0 at MATCHING params short-circuits the log chain (and
+    // lets column pruning drop tf/dl/df from the scan entirely); the column
+    // only exists on persisted-index layouts written with the bake
+    if (withDf.columns.contains("contrib0"))
+      withDf.select(col("doc_id"), col("term"), col("contrib0").as("contrib"))
+    else withDf
+      .withColumn("contrib", contribCol(nDocs, avgdl, k1, b))
+      .select("doc_id", "term", "contrib")
 
   /** Bounded top-k + rank unpack over a `(query_id, doc_id, score)` frame —
     * the shared tail of every BM25 scoring path.

@@ -1967,8 +1967,20 @@ class EngineSpec extends AnyFunSuite {
     Lexical.bm25WriteIndex(postings, stats, dir, nBuckets = 8)
     val idx = Lexical.bm25OpenIndex(spark, dir)
     assert(idx.nBuckets == 8) // modulus travels with the layout, not a conf
+    // r10: contributions are baked at the default (k1, b) — the search above
+    // reads contrib0 instead of recomputing, and `rows(search) == adhoc`
+    // below is the bit-parity proof (exact Double equality in the set)
+    assert(idx.bakedParams.contains((1.2, 0.75)))
+    assert(idx.postings.columns.contains("contrib0"))
     val search = Lexical.bm25SearchIndex(idx, q, "qid", "text", k = 4)
     assert(rows(search) == adhoc)
+    // a NON-default (k1, b) must ignore the bake and recompute from tf/dl/df
+    val customAdhoc = rows(Lexical.bm25TopK(lexDocs, "doc_id", "text", q, "qid", "text",
+      k = 4, k1 = 0.9, b = 0.4))
+    val customIdx = rows(Lexical.bm25SearchIndex(idx, q, "qid", "text",
+      k = 4, k1 = 0.9, b = 0.4))
+    assert(customIdx == customAdhoc)
+    assert(customIdx != adhoc, "custom-params fixture must actually change scores")
     // the bucket restriction reaches the postings scan as PARTITION pruning:
     // rebuild the exact filter bm25SearchIndex constructs (its own scan is
     // hidden behind the pinned-tf checkpoint in the executed plan) and check
