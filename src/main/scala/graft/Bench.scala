@@ -363,11 +363,14 @@ object Bench {
       try {
         val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
         val ann = SparkEntry.steadyAnnIndex(spark, sfDir)
+        val mh = SparkEntry.steadyMinhashIndex(spark, sfDir)
         // serving configuration: the index lives in executor memory (a
         // retrieval service pins it once at open; per-search parquet opens
         // are the cold-path cost, not the steady state)
         bm25.postings.persist(); bm25.postings.count()
         ann.cells.persist(); ann.cells.count()
+        mh.postings.persist(); mh.postings.count()
+        mh.shingles.persist(); mh.shingles.count()
         val docSlices = slices("documents", "doc_id", "text")
         val embSlices = slices("embeddings", "vec_id", "embedding")
         Seq(
@@ -378,7 +381,13 @@ object Bench {
               k = 5, nProbe = 8).count())),
           timeServing("ann_index_int8", embSlices.map(q => () =>
             graft.operators.Ann.annSearchIndexInt8(ann, q, "vec_id", "embedding",
-              k = 5, nProbe = 8).count())))
+              k = 5, nProbe = 8).count())),
+          // the fourth persisted index: incremental-dedup serving (each
+          // arriving batch is shingled/signed and banded against the
+          // persisted postings, candidates verified by exact Jaccard)
+          timeServing("minhash_index", docSlices.map(q => () =>
+            graft.operators.Dedup.minhashSearchIndex(mh, q, "doc_id", "text",
+              jaccardThreshold = 0.8).count())))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving section failed: $e"); Nil
       } finally {

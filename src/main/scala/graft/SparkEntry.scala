@@ -91,7 +91,7 @@ object SparkEntry {
     */
   private val steadyMinhashCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.MinHashIndex]
-  private def steadyMinhashIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
+  private[graft] def steadyMinhashIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
     steadyMinhashCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_minhash_steady")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -593,15 +593,20 @@ object Ann {
             graft.functions.Int8Kernels.dotI8(col("__qc"), col("codes")),
             col("__qn2"), col("cn2")).as("__qscore"),
           cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
-      val reranked = scored.coalesce(1)
+      // fused coarse-select + rerank: ONE aggregate keeps the k·rerankFactor
+      // pool by int8 score and emits the exact-score top-k at eval —
+      // entry-for-entry identical to the two-aggregate chain it replaces
+      return scored.coalesce(1)
         .groupBy(col("query_id"))
         .agg(graft.functions.VecExpressions
-          .topKPayload(k * rerankFactor, col("__qscore"), col("corpus_id"), col("__score"))
-          .as("__cand"))
-        .select(col("query_id"), explode(col("__cand")).as("__c"))
-        .select(col("query_id"), col("__c.id").as("corpus_id"),
-          col("__c.payload").as("__score"))
-      return rankedTopK(reranked)
+          .topKRerank(k * rerankFactor, k, col("__qscore"), col("corpus_id"), col("__score"))
+          .as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+        .select(
+          col("query_id").as("left_id"),
+          col("__s.id").as("right_id"),
+          col("__s.score").as("score"),
+          (col("__pos") + 1).cast("int").as("rank"))
     }
     // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here
     val coarseCells = pr.restrict(index.cells)
