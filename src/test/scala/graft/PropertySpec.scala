@@ -118,6 +118,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKPayloadBuffer rerank equals the two-stage select-then-rerank reference") {
+    val gen = for {
+      kc <- Gen.chooseNum(1, 10)
+      kf <- Gen.chooseNum(1, 10).map(math.min(_, 10))
+      m <- Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 60L),
+        Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(-1.0, 1.0))))
+      order <- Gen.const(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(kc)).shuffle(m.toList))
+    } yield (kc, math.min(kf, kc), order)
+    check(Prop.forAll(gen) { case (kc, kf, xs) =>
+      // fused: coarse-keep kc by score, rerank kf by payload (buffer-level —
+      // the aggregate's eval runs exactly this)
+      val buf = new graft.functions.TopKPayloadBuffer(kc)
+      xs.foreach { case (id, (s, p)) => buf.insert(s, id, p) }
+      val fin = new TopKBuffer(kf)
+      (0 until buf.n).foreach(i => fin.insert(buf.payloads(i), buf.ids(i)))
+      val got = (0 until fin.n).map(i => (fin.scores(i), fin.ids(i)))
+      // reference: sort-take kc by (score desc, id asc), then sort-take kf of
+      // those by (payload desc, id asc)
+      val coarse = xs.map { case (id, (s, p)) => (s, id, p) }
+        .sortBy { case (s, id, _) => (-s, id) }.take(kc)
+      val want = coarse.map { case (_, id, p) => (p, id) }
+        .sortBy { case (p, id) => (-p, id) }.take(kf)
+      got == want
+    })
+  }
+
   test("cosine: symmetric, bounded, self-similarity 1 (batch property)") {
     import spark.implicits._
     import graft.functions.VectorOps._
