@@ -300,6 +300,27 @@ object Ann {
     true
   }
 
+  /** Compact an appended index into a fresh single-layout index at
+    * `dstPath`: the base cells plus every COMMITTED batch are rewritten as
+    * one cell-partitioned layout with the SAME centroids (cell assignments
+    * are already final; the quantizer re-derives bit-identical codes from
+    * `cv`), so `open(dst) → search ≡ open(src) → search` row-for-row while
+    * the per-search union fan-in drops back to one root. Non-in-place by
+    * design: no atomicity gymnastics, the caller swaps paths (or just
+    * points new opens at `dstPath`) and deletes the old directory on their
+    * own cadence. This bounds append accumulation WITHOUT refitting —
+    * [[AnnIndex.appendStaleness]] still says when a true rebuild (refit) is
+    * due, and a compact does not reset it: the new meta's row count is the
+    * full corpus, so staleness reads 0 — record the epoch externally if the
+    * distinction matters.
+    */
+  def annCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val idx = annOpenIndex(spark, srcPath)
+    annWriteIndex(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
+      idx.centroids, dstPath)
+  }
+
   /** Open an [[annWriteIndex]] directory: the base cell layout unioned with
     * every COMMITTED append batch (see [[annAppendIndex]] — batches without
     * the `_COMMITTED` marker are in-flight or failed appends and are

@@ -148,6 +148,15 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect()
     assert(self.length == 1 && self.head.getAs[Long]("right_id") == 5L)
 
+    // compact: base + committed batch rewritten as ONE layout with the same
+    // centroids; searches are row-identical and the union fan-in is gone
+    val compactDir = java.nio.file.Files.createTempDirectory("graft_ann_cmp").toString
+    Ann.annCompactIndex(spark, dir, compactDir)
+    val compacted = Ann.annOpenIndex(spark, compactDir)
+    assert(compacted.appendedRows == 0L && compacted.nRows.contains(400L))
+    assert(sortedRows(Ann.annSearchIndexInt8(compacted, q, "vec_id", "embedding",
+      k = 3, nProbe = 3)) === viaAppend)
+
     // crash window: a batch dir WITHOUT the marker is invisible to open()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
