@@ -45,12 +45,20 @@ object Dedup extends Logging {
     */
   private def shingleSig(
       df: DataFrame, idExpr: Column, textCol: Column,
-      shingleSize: Int, numHashes: Int, hashFamily: String): DataFrame =
-    df.select(
+      shingleSize: Int, numHashes: Int, hashFamily: String): DataFrame = {
+    val sig = df.select(
       idExpr.as("id"),
       array_distinct(TextAnalysis.wordShingles(textCol, shingleSize)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, hashFamily))
-      .localCheckpoint(true)
+    // the signature frame has two consumers (banding + the verify join), so
+    // it is pinned eagerly to compute shingles/minhash once — EXCEPT when
+    // the whole plan folds to a LocalRelation (a serving-regime batch):
+    // there the fold is a cheap driver-side eval, and the checkpoint would
+    // cost a scheduler job per search for nothing (r10 serving census)
+    val folded = sig.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (folded) sig else sig.localCheckpoint(true)
+  }
 
   /** One narrow `(id, band, bucket, bkey)` row per band from the signature —
     * the SINGLE definition of the banding scheme, shared by the one-table
