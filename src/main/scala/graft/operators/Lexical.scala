@@ -403,7 +403,11 @@ object Lexical {
         col(queryId).cast("long").as("query_id"),
         explode(array_distinct(terms(col(queryText)))).as("term"))
       .localCheckpoint(false)
-    val tf = postings.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    // this variant carries no meta, so a baked contrib0 column (a user
+    // passing a PERSISTED index's postings frame directly) cannot be
+    // verified against (k1, b) — always recompute from tf/dl/df
+    val tf = postings.drop("contrib0")
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val sr = stats.head()
     scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b)
   }

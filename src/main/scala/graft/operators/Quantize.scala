@@ -107,8 +107,13 @@ object Quantize {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            hfs.location.inputFiles.sorted
-              .foldLeft(hfs.location.sizeInBytes)((h, f) => h * 31 + f.hashCode)
+            // order-independent combine (sum of per-path hashes): no sort of
+            // a possibly-100k-file listing on every guarded search; part
+            // files carry fresh UUID names on rewrite, so any rewrite still
+            // flips the signature
+            var h = hfs.location.sizeInBytes
+            hfs.location.inputFiles.foreach(f => h += f.hashCode * 31L)
+            h
           case _ => 0L
         }
     }.sum
