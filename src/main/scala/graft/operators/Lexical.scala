@@ -435,9 +435,20 @@ object Lexical {
     // multiplied every posting by the queries sharing its term and ran the
     // log()/division chain once per COPY (measured sf0.1: 116k postings →
     // ~1M contrib evals with 10 queries). Same expressions on the same
-    // columns — scores bit-identical
+    // columns — scores bit-identical.
+    // The query vocabulary (bounded by the query side's contract) is
+    // rank-encoded once in-plan: Spark's string sort IS unsigned-byte order,
+    // so ascending __trank order equals the fold's key-byte order and the
+    // int-keyed fold below is bit-identical to the byte-keyed one — with no
+    // per-row key-byte clone in the aggregate buffers (r10; the clones were
+    // the joined scoring stage's dominant allocation). The no-partition
+    // window runs on ONE task over the DISTINCT query vocabulary — the
+    // small side here by construction.
+    val ranked = qterms.select(col("term")).distinct()
+      .withColumn("__trank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("term"))))
     val contrib = withContrib(withDf, nDocs, avgdl, k1, b)
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qterms.join(ranked, Seq("term"))), Seq("term"))
     // fold the per-pair sum in sorted term order: partition-invariant and
     // bit-identical across engines (a plain sum(double) is accumulation-order
     // dependent). Native OrderedSumAggregate, not collect_list → sort_array →
@@ -456,7 +467,7 @@ object Lexical {
         col("query_id"), col("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(graft.functions.VecExpressions
-        .orderedSum(col("term"), col("contrib")).as("score"))
+        .intOrderedSum(col("__trank"), col("contrib")).as("score"))
     topKPerQuery(scored, k)
   }
 
