@@ -1894,6 +1894,34 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("IntOrderedSumAggregate: rank-encoded fold bit-equal to the byte-keyed fold") {
+    import spark.implicits._
+    // the BM25 rewiring's contract: rank keys once in string-sort order
+    // (unsigned-byte order), fold (rank, v) — must be bit-identical to the
+    // byte-keyed fold, including value-order tie-breaks on duplicate keys
+    val rnd = new scala.util.Random(11)
+    val keys = Seq("a", "ab", "b", "", "é", "zz", "a b", "Z", "0")
+    val rows = (0 until 4000).map { i =>
+      (i % 7L, keys(rnd.nextInt(keys.length)) + rnd.nextInt(3), rnd.nextDouble() * 2 - 1)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "k", "v").repartition(parts)
+      val ranked = df.select(col("k")).distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+      val viaBytes = df.groupBy("g")
+        .agg(graft.functions.VecExpressions.orderedSum(col("k"), col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaRank = df.join(broadcast(ranked), Seq("k")).groupBy("g")
+        .agg(graft.functions.VecExpressions.intOrderedSum(col("r"), col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      viaBytes.foreach { case (g, s) =>
+        assert(java.lang.Double.doubleToLongBits(s) ==
+          java.lang.Double.doubleToLongBits(viaRank(g)), s"group $g at $parts partitions")
+      }
+    }
+  }
+
   test("Bloom decontamination: identical to the exact path; the scan-stage probe actually prunes") {
     import spark.implicits._
     import graft.operators.Dedup
