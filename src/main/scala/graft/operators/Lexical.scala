@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lexical (term-based) retrieval and language-model scoring for training-data
@@ -129,7 +129,8 @@ object Lexical {
     }
     // one-row collect — same driver traffic as the broadcast it replaces
     val sr = stats.head()
-    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b)
+    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b,
+      ranked = Some(rankTermsInPlan(qterms)))
   }
 
   /** Build a persistent BM25 inverted index: `(postings, stats)` where
@@ -378,8 +379,10 @@ object Lexical {
     } else {
       // many-query regime: the IN-set and the literal key sets stop being
       // "small" — fall back to the joined form, whose broadcast handles an
-      // unbounded query side
-      scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b)
+      // unbounded query side. The vocabulary is driver-known here, so the
+      // int-fold ranking costs zero Spark jobs
+      scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b,
+        ranked = Some(rankTermsDriverSide(spark, distinctTerms)))
     }
   }
 
@@ -409,7 +412,8 @@ object Lexical {
     val tf = postings.drop("contrib0")
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val sr = stats.head()
-    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b)
+    scoreAndTopK(tf, qterms, sr.getDouble(0), sr.getDouble(1), k, k1, b,
+      ranked = Some(rankTermsInPlan(qterms)))
   }
 
   /** Shared BM25 scoring tail over a query-vocabulary-restricted tf table:
@@ -419,7 +423,8 @@ object Lexical {
     */
   private def scoreAndTopK(
       tf: DataFrame, qterms: DataFrame, nDocs: Double, avgdl: Double,
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k: Int, k1: Double, b: Double,
+      ranked: Option[DataFrame] = None): DataFrame = {
     // tf may already carry per-term df (the persisted-index path bakes it in
     // at build time); otherwise compute it from the restricted postings —
     // same values, since for every query term ALL docs containing it are
@@ -436,19 +441,21 @@ object Lexical {
     // log()/division chain once per COPY (measured sf0.1: 116k postings →
     // ~1M contrib evals with 10 queries). Same expressions on the same
     // columns — scores bit-identical.
-    // The query vocabulary (bounded by the query side's contract) is
-    // rank-encoded once in-plan: Spark's string sort IS unsigned-byte order,
-    // so ascending __trank order equals the fold's key-byte order and the
-    // int-keyed fold below is bit-identical to the byte-keyed one — with no
-    // per-row key-byte clone in the aggregate buffers (r10; the clones were
-    // the joined scoring stage's dominant allocation). The no-partition
-    // window runs on ONE task over the DISTINCT query vocabulary — the
-    // small side here by construction.
-    val ranked = qterms.select(col("term")).distinct()
-      .withColumn("__trank", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("term"))))
+    // When the caller supplied a (term, __trank) ranking (rank order ≡ term
+    // byte order by construction — see rankTermsInPlan/rankTermsDriverSide),
+    // the fold below runs int-keyed with no per-row key-byte clone in the
+    // aggregate buffers (r10; the clones were the joined scoring stage's
+    // dominant allocation: q_stress_bm25 2.30→1.44 s). Callers whose query
+    // vocabulary is NOT small-by-contract (the over-bound guard regime)
+    // pass None and keep the byte-keyed fold: ranking there would cost a
+    // distinct shuffle + a one-task vocabulary sort per search — measured
+    // 2.8→6.3 s on q_stress_bm25_guard before this split.
+    val qjoined = ranked match {
+      case Some(r) => qterms.join(r, Seq("term"))
+      case None    => qterms
+    }
     val contrib = withContrib(withDf, nDocs, avgdl, k1, b)
-      .join(broadcast(qterms.join(ranked, Seq("term"))), Seq("term"))
+      .join(broadcast(qjoined), Seq("term"))
     // fold the per-pair sum in sorted term order: partition-invariant and
     // bit-identical across engines (a plain sum(double) is accumulation-order
     // dependent). Native OrderedSumAggregate, not collect_list → sort_array →
@@ -466,9 +473,42 @@ object Lexical {
       .repartition(tf.sparkSession.sessionState.conf.numShufflePartitions,
         col("query_id"), col("doc_id"))
       .groupBy("query_id", "doc_id")
-      .agg(graft.functions.VecExpressions
-        .intOrderedSum(col("__trank"), col("contrib")).as("score"))
+      .agg((if (ranked.isDefined)
+          graft.functions.VecExpressions.intOrderedSum(col("__trank"), col("contrib"))
+        else
+          graft.functions.VecExpressions.orderedSum(col("term"), col("contrib")))
+        .as("score"))
     topKPerQuery(scored, k)
+  }
+
+  /** Rank the DISTINCT query vocabulary in-plan: Spark's string sort is
+    * unsigned-byte order, so ascending `__trank` equals the score fold's
+    * key-byte order and the int-keyed fold is bit-identical to the
+    * byte-keyed one. The no-partition window runs on ONE task over the
+    * distinct vocabulary — only for callers whose query side is small by
+    * the operator's contract (ad-hoc [[bm25TopK]], in-memory index search).
+    */
+  private def rankTermsInPlan(qterms: DataFrame): DataFrame =
+    qterms.select(col("term")).distinct()
+      .withColumn("__trank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("term"))))
+
+  /** Rank a DRIVER-KNOWN vocabulary with zero Spark jobs: sort by
+    * `UTF8String` binary order (the exact comparator Spark's string sort
+    * uses — `String.compareTo` would diverge on non-BMP code points) and
+    * emit a LocalRelation, which folds into the query-side join locally.
+    */
+  private def rankTermsDriverSide(
+      spark: SparkSession, distinctTerms: Array[String]): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sorted = distinctTerms.sortWith((a, b) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      sorted.zipWithIndex.map { case (t, i) => Row(t, i + 1) }: _*)
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField("term", StringType, nullable = true),
+        StructField("__trank", IntegerType, nullable = false))))
   }
 
   /** The per-posting BM25 contribution term over a `(doc_id, term, tf, dl,
