@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object ServingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val which = if (args.length > 1) args.drop(1).toSet else Set("bm25", "ann", "int8")
+    val which = if (args.length > 1) args.drop(1).toSet
+      else Set("bm25", "ann", "int8", "minhash")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,6 +115,24 @@ object ServingProbe {
       if (which("int8")) explainDf("ann_index_int8",
         graft.operators.Ann.annSearchIndexInt8(ann, e1, "vec_id", "embedding",
           k = 5, nProbe = 8))
+    }
+    if (which("minhash")) {
+      val mh = SparkEntry.steadyMinhashIndex(spark, sfDir)
+      if (doPersist) {
+        mh.postings.persist(); mh.postings.count()
+        mh.shingles.persist(); mh.shingles.count()
+      }
+      val q0 = slice("documents", "doc_id", "text", if (sys.env.contains("PROBE_SAME")) 10 else 0)
+      val q1 = slice("documents", "doc_id", "text", 10)
+      probe("minhash_index",
+        () => graft.operators.Dedup.minhashSearchIndex(mh, q0, "doc_id", "text",
+          jaccardThreshold = 0.8).count(),
+        () => graft.operators.Dedup.minhashSearchIndex(mh, q1, "doc_id", "text",
+          jaccardThreshold = 0.8).count())
+      phases("minhash_index", graft.operators.Dedup.minhashSearchIndex(
+        mh, q1, "doc_id", "text", jaccardThreshold = 0.8))
+      explainDf("minhash_index", graft.operators.Dedup.minhashSearchIndex(
+        mh, q1, "doc_id", "text", jaccardThreshold = 0.8))
     }
     spark.stop()
   }

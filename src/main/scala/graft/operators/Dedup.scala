@@ -404,7 +404,8 @@ object Dedup extends Logging {
     */
   final case class MinHashIndex(
       postings: DataFrame, shingles: DataFrame,
-      shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String)
+      shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String,
+      nRows: Option[Long] = None)
 
   /** Build the persistable structures: banded postings + shingle sets (same
     * kernels as [[minhashLsh]]/[[contamination]] — same params → the search
@@ -435,17 +436,21 @@ object Dedup extends Logging {
     * meta and the meta can only come from the build.
     */
   def minhashWriteIndex(index: MinHashIndex, path: String): Unit = {
+    val spark = index.postings.sparkSession
     index.postings.repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/postings")
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    // postings row count for the serving fast-path gate (see
+    // [[minhashSearchIndex]]) — counted from the written parquet (footer
+    // metadata only), same convention as the BM25/ANN index metas
+    val nRows = spark.read.parquet(s"$path/postings").count()
     val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
-    val fs = metaPath.getFileSystem(
-      index.postings.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     try out.write(
       (s"""{"type": "minhash_lsh", "shingle_size": ${index.shingleSize}, """ +
         s""""num_bands": ${index.numBands}, "rows_per_band": ${index.rowsPerBand}, """ +
-        s""""hash_family": "${index.hashFamily}"}""").getBytes("UTF-8"))
+        s""""hash_family": "${index.hashFamily}", "n_rows": $nRows}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -502,6 +507,13 @@ object Dedup extends Logging {
       .write.mode("overwrite").partitionBy("band").parquet(s"$batchDir/postings")
     base.select(col("id"), col("sh"))
       .write.mode("overwrite").parquet(s"$batchDir/shingles")
+    // batch postings count for the serving fast-path gate — its own file,
+    // written BEFORE the marker, so the `_COMMITTED` create stays the single
+    // atomic visibility event (content written into the marker itself would
+    // be visible empty between create and close)
+    val nRows = spark.read.parquet(s"$batchDir/postings").count()
+    val bm = fs.create(new org.apache.hadoop.fs.Path(batchDir, "batch_meta.json"), true)
+    try bm.write(s"""{"n_rows": $nRows}""".getBytes("UTF-8")) finally bm.close()
     fs.create(marker, false).close()
     true
   }
@@ -535,13 +547,31 @@ object Dedup extends Logging {
     def layout(sub: String): DataFrame =
       (s"$path/$sub" +: committed.map(b => s"$b/$sub"))
         .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // total postings row count = base meta + every committed batch's own
+    // count file; any component written before the counts existed (pre-r10
+    // index) yields None and the search keeps its parallel plan
+    val nRows: Option[Long] = Option(node.get("n_rows")).map(_.asLong()).flatMap { base =>
+      val batchCounts = committed.map { b =>
+        val p = new org.apache.hadoop.fs.Path(s"$b/batch_meta.json")
+        if (!fs.exists(p)) None
+        else {
+          val bin = fs.open(p)
+          val s = try scala.io.Source.fromInputStream(bin, "UTF-8").mkString finally bin.close()
+          Option(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s).get("n_rows"))
+            .map(_.asLong())
+        }
+      }
+      if (batchCounts.exists(_.isEmpty)) None
+      else Some(base + batchCounts.flatten.sum)
+    }
     MinHashIndex(
       layout("postings"),
       layout("shingles"),
       node.get("shingle_size").asInt(),
       node.get("num_bands").asInt(),
       node.get("rows_per_band").asInt(),
-      node.get("hash_family").asText())
+      node.get("hash_family").asText(),
+      nRows)
   }
 
   /** Near-dup pairs between an incoming batch and the persisted corpus:
@@ -557,6 +587,16 @@ object Dedup extends Logging {
       jaccardThreshold: Double = 0.5): DataFrame = {
     val b = shingleSig(batch, col(idCol), col(textCol),
       index.shingleSize, index.numBands * index.rowsPerBand, index.hashFamily)
+    // serving fast path (see [[Serving]]): when the meta's postings row
+    // count fits the single-stage budget AND the batch is small enough to
+    // collect bounded, the whole search runs as one single-partition stage
+    if (index.nRows.exists(_ <=
+        Serving.singleStageRows(index.postings.sparkSession))) {
+      minhashSearchSingleStage(index, b, jaccardThreshold) match {
+        case Some(fast) => return fast
+        case None => // batch blew the bound — parallel plan below
+      }
+    }
     val candidates = bandJoin(
       index.postings, "corpus_id",
       bandBuckets(b, index.numBands, index.rowsPerBand), "batch_id")
@@ -566,6 +606,77 @@ object Dedup extends Logging {
       .withColumn("jaccard", jaccardOf(col("cs"), col("bs")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("corpus_id", "batch_id", "jaccard")
+  }
+
+  /** Serving batches above this many docs take the parallel plan even under
+    * the corpus-size budget: the fast path collects the batch's shingle sets
+    * to build a driver-local band table, and that collect must stay bounded.
+    */
+  private val MaxSingleStageBatchDocs = 1024
+
+  /** One-single-partition-stage [[minhashSearchIndex]] plan for the serving
+    * regime (a handful of documents probed against a bounded corpus index,
+    * wall dominated by scheduler round-trips — the [[Serving]] rationale).
+    * Returns None when the batch exceeds [[MaxSingleStageBatchDocs]].
+    *
+    * Shape (each choice is load-bearing):
+    *  - the batch's `(id, shingles, signature)` rows are collected ONCE
+    *    (zero jobs when the batch folds to a LocalRelation — the common
+    *    serving case; one bounded job otherwise) and re-banded driver-side
+    *    into a true LocalRelation, whose broadcast is a driver-side collect
+    *    with no Spark job;
+    *  - the corpus shingle arrays join BELOW the broadcast band join
+    *    (postings ⋈ shingles first, both single-partition cached scans with
+    *    accurate size estimates, merge-hinted): a join placed ABOVE another
+    *    join would trip EnsureRequirements' maxSinglePartitionBytes
+    *    re-shuffle on the inflated size-only join estimate (SPARK-41986);
+    *  - the band join keys on `(band, bucket)` directly — binary slice
+    *    equality, exactly [[bandJoin]]'s hash-plus-residual semantics
+    *    (null signature entries compare null-bitmap-identically) — so no
+    *    bkey and no residual;
+    *  - candidate dedup is max-over-duplicates ABOVE the per-row Jaccard
+    *    (identical per duplicate, so max ≡ distinct-then-score), because a
+    *    single-partition aggregate elides its exchange where a distinct-
+    *    then-join could not.
+    * Row-identical to the parallel plan (spec-pinned).
+    */
+  private def minhashSearchSingleStage(
+      index: MinHashIndex, b: DataFrame,
+      jaccardThreshold: Double): Option[DataFrame] = {
+    val spark = index.postings.sparkSession
+    val folded = b.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val rows =
+      if (folded) b.collect()
+      else b.coalesce(1).limit(MaxSingleStageBatchDocs + 1).collect()
+    if (rows.length > MaxSingleStageBatchDocs) return None
+    val r = index.rowsPerBand
+    val localRows: Seq[org.apache.spark.sql.Row] = for {
+      row <- rows.toSeq
+      sig = row.getSeq[Any](2)
+      band <- 0 until index.numBands
+    } yield org.apache.spark.sql.Row(
+      row.get(0), band, sig.slice(band * r, band * r + r), row.getSeq[Any](1))
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val bSide = spark.createDataFrame(
+      java.util.Arrays.asList(localRows: _*),
+      StructType(Seq(
+        StructField("batch_id", b.schema("id").dataType, nullable = true),
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", b.schema("sig").dataType, nullable = true),
+        StructField("bs", b.schema("sh").dataType, nullable = true))))
+    val post1 = index.postings.coalesce(1)
+      .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+    val sh1 = index.shingles.coalesce(1)
+      .select(col("id"), col("sh").as("cs"))
+    Some(post1.hint("merge").join(sh1, Seq("id"))
+      .withColumnRenamed("id", "corpus_id")
+      .join(broadcast(bSide), Seq("band", "bucket"))
+      .withColumn("jaccard", jaccardOf(col("cs"), col("bs")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .groupBy("corpus_id", "batch_id")
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select("corpus_id", "batch_id", "jaccard"))
   }
 
   /** Exact n-gram benchmark contamination (the public GPT-3/Pile

@@ -1371,6 +1371,52 @@ class EngineSpec extends AnyFunSuite {
     assert(recommitted.postings.count() == appendedPostings)
   }
 
+  test("minhash serving fast path: row-identical to the parallel plan, shuffle-free, nRows meta sums appends") {
+    import spark.implicits._
+    val docs = ((0L until 30L).map { i =>
+      val base = i / 3
+      (i, s"shared common prefix tokens for base $base " +
+        s"alpha beta gamma delta epsilon zeta eta theta variant ${i % 3}")
+    } :+ ((30L, ""))).toDF("id", "text") // an empty doc: all-null signature
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_fast").toString
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(docs, "id", "text"), tmp)
+    val idx = Dedup.minhashOpenIndex(spark, tmp)
+    // meta records the postings row count; appends sum their own counts in
+    assert(idx.nRows.contains(idx.postings.count()))
+    val batch = docs.filter(col("id") % 3 === 0)
+    // tiny corpus → under the single-stage budget → fast path
+    val fast = Dedup.minhashSearchIndex(idx, batch, "id", "text", jaccardThreshold = 0.5)
+    val fastRows = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(!fast.queryExecution.executedPlan.toString.contains("ShuffleExchange"),
+      "fast path must not shuffle")
+    // force the parallel plan via the serving conf; rows must be identical
+    spark.conf.set(graft.operators.Serving.SingleStageRowsKey, "0")
+    val slowRows = try {
+      Dedup.minhashSearchIndex(idx, batch, "id", "text", jaccardThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
+    assert(fastRows == slowRows)
+    assert(fastRows.nonEmpty, "fixture must produce matches")
+    // an over-bound batch falls back to the parallel plan and still answers
+    val big = (0L until 1030L).map(i => (i + 1000L, s"filler tokens row $i payload"))
+      .toDF("id", "text")
+    val viaBig = Dedup.minhashSearchIndex(idx, big.union(batch), "id", "text",
+      jaccardThreshold = 0.5)
+    assert(viaBig.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      fastRows, "fallback path must find the same pairs (filler rows match nothing)")
+    // append: nRows sums base + committed batch counts; a batch without its
+    // count file (pre-r10 append) degrades nRows to None, never to a wrong sum
+    assert(Dedup.minhashAppendIndex(spark, tmp,
+      Seq((100L, "shared common prefix tokens for base 0 alpha beta gamma delta " +
+        "epsilon zeta eta theta variant 9")).toDF("id", "text"), "id", "text", "b1"))
+    val app = Dedup.minhashOpenIndex(spark, tmp)
+    assert(app.nRows.contains(app.postings.count()))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/batches/b1/batch_meta.json"), false)
+    assert(Dedup.minhashOpenIndex(spark, tmp).nRows.isEmpty)
+  }
+
   test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
     import spark.implicits._
     // 20 docs share the same SENTENCE (common bigrams), 3 docs are the same
