@@ -361,12 +361,19 @@ object Bench {
         (name, med, walls.sum, jobsPer, stagesPer, minW)
       }
       try {
-        val bm25 = SparkEntry.steadyBm25Index(spark, sfDir)
-        val ann = SparkEntry.steadyAnnIndex(spark, sfDir)
-        val mh = SparkEntry.steadyMinhashIndex(spark, sfDir)
+        val bm250 = SparkEntry.steadyBm25Index(spark, sfDir)
+        val ann0 = SparkEntry.steadyAnnIndex(spark, sfDir)
+        val mh0 = SparkEntry.steadyMinhashIndex(spark, sfDir)
         // serving configuration: the index lives in executor memory (a
         // retrieval service pins it once at open; per-search parquet opens
-        // are the cold-path cost, not the steady state)
+        // are the cold-path cost, not the steady state). Pinned as ONE
+        // cached partition: the fast paths run a single task anyway, and a
+        // 32-partition cache makes that task pay 32 block-manager fetches
+        // per search (~half the search wall at this scale)
+        val bm25 = bm250.copy(postings = bm250.postings.coalesce(1))
+        val ann = ann0.copy(cells = ann0.cells.coalesce(1))
+        val mh = mh0.copy(postings = mh0.postings.coalesce(1),
+          shingles = mh0.shingles.coalesce(1))
         bm25.postings.persist(); bm25.postings.count()
         ann.cells.persist(); ann.cells.count()
         mh.postings.persist(); mh.postings.count()

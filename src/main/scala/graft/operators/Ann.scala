@@ -503,27 +503,50 @@ object Ann {
     import spark.implicits._
     val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
     val pruned = pr.restrict(index.cells)
-    val queriesExp = pr match {
-      // norms computed driver-side with the same sequential-fold kernel the
-      // Catalyst norm expression lowers to — bit-identical doubles. The
-      // explicit broadcast() pins the BUILD side to this LocalRelation:
-      // its broadcast is a zero-job driver-side collect, where letting the
-      // planner broadcast the (post-pruning small) cell scan instead costs
-      // a whole materialization job per search (judge r9 serving census:
-      // that job was half the float path's job budget)
+    val scored = pr match {
+      // Serving fast path: the probe assignment is driver-known, so the
+      // query side enters the plan as a LITERAL map `cell -> [(query_id,
+      // qv, qn)]` and the "join" is a per-row map lookup + explode — no
+      // broadcast at all. A broadcast of even a LocalRelation build side is
+      // NOT jobless: BroadcastExchangeExec materializes its child via
+      // executeCollectIterator, which LocalTableScanExec does not override,
+      // so every search paid a real min(defaultParallelism, rows)-task
+      // collect job (measured: half the fast path's wall at sf0.1). The
+      // INSET cell restriction guarantees every scanned cell hits the map;
+      // try_element_at (vs element_at) keeps a miss a no-row, not an ANSI
+      // error. Scoring expressions are identical, so scores stay bit-equal
+      // to the join form (spec-pinned).
+      case LocalProbes(_, exploded, _, _) if estScanFitsSingleStage(index, pr, spark) =>
+        val byCell: Map[Long, Seq[(Long, Seq[Double], Double)]] = exploded
+          .groupBy(_._4)
+          .map { case (c, es) => (c, es.map(e => (e._1, e._2.toSeq, e._3))) }
+        pruned.withColumn("__cn", norm(col("cv")))
+          .select(col("corpus_id"), col("cv"), col("__cn"),
+            explode(try_element_at(typedLit(byCell), col("__cell").cast("long"))).as("__q"))
+          .select(col("__q._1").as("query_id"), col("corpus_id"),
+            cosineWithNorms(dot(col("__q._2"), col("cv")), col("__q._3"), col("__cn"))
+              .as("__score"))
+          .coalesce(1)
+      // distributed regimes: the probe side joins in. For LocalProbes the
+      // norms were computed driver-side with the same sequential-fold
+      // kernel the Catalyst norm expression lowers to (bit-identical
+      // doubles), and the explicit broadcast() pins the BUILD side to the
+      // LocalRelation — that broadcast costs one materialization job, which
+      // is fine here (the scan side is big enough to want the parallelism)
+      // but is exactly what the fast path above eliminates
       case LocalProbes(_, exploded, _, _) =>
         broadcast(exploded.toDF("query_id", "qv", "__qn", "__cell"))
+          .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
+          .select(col("query_id"), col("corpus_id"),
+            cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
       case DistProbes(probes, _) => queries
         .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
         .withColumn("__qn", norm(col("qv")))
         .join(probes, "query_id")
+        .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
+        .select(col("query_id"), col("corpus_id"),
+          cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
     }
-    val scored0 = queriesExp
-      .join(pruned.withColumn("__cn", norm(col("cv"))), Seq("__cell"))
-      .select(col("query_id"), col("corpus_id"),
-        cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
-    val scored =
-      if (estScanFitsSingleStage(index, pr, spark)) scored0.coalesce(1) else scored0
     scored.groupBy(col("query_id"))
       .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
@@ -595,25 +618,51 @@ object Ann {
     // spec differential-tests the two regimes.
     if (estScanFitsSingleStage(index, pr, spark)) {
       val exploded = pr.asInstanceOf[LocalProbes].exploded
-      val qBase = exploded.toDF("query_id", "__qv", "__qn", "__cell")
-      val qLocal0 = graft.operators.Quantize.quantize(qBase, "__qv", "__qc", "__qs")
-        .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
-        .select(col("query_id"), col("__qc"), col("__qn2"),
-          col("__qv").as("qv"), col("__qn"), col("__cell"))
-      // the quantize projection folds into the LocalRelation
-      // (ConvertToLocalRelation), so this broadcast is a zero-job
-      // driver-side collect — pinning the build side keeps the planner from
-      // broadcasting the cell scan instead (one materialization job/search)
-      val wideCells = pr.restrict(index.cells)
+      // query quantization runs as plain driver arithmetic — the Catalyst
+      // form (`max(|x|)/127` scale, `floor(x/scale + 0.5)` cast tinyint,
+      // integer squared norm) evaluated through ConvertToLocalRelation's
+      // interpreted projection costs ~100 ms per serving batch in
+      // higher-order-function eval overhead alone. Each step below is the
+      // same double/long operation in the same order, so the codes are
+      // bit-identical (the guard spec differential-tests this path against
+      // the two-pass join form, and q_quantize_int8 oracles the kernel).
+      // The query side then enters the plan as a literal map instead of a
+      // broadcast build side: a broadcast of even a LocalRelation is NOT
+      // jobless (BroadcastExchangeExec materializes via
+      // executeCollectIterator, which LocalTableScanExec does not
+      // override), so the join form paid a real collect job per search
+      val byCell: Map[Long, Seq[(Long, Seq[Byte], Long, Seq[Double], Double)]] =
+        exploded
+          .map { case (qid, qv, qn, cell) =>
+            var mx = 0.0
+            var i = 0
+            while (i < qv.length) { val a = math.abs(qv(i)); if (a > mx) mx = a; i += 1 }
+            val scale = mx / 127.0
+            val codes = new Array[Byte](qv.length)
+            if (scale != 0.0) {
+              i = 0
+              while (i < qv.length) {
+                codes(i) = math.floor(qv(i) / scale + 0.5).toByte; i += 1
+              }
+            }
+            var n2 = 0L
+            i = 0
+            while (i < codes.length) { n2 += codes(i).toLong * codes(i).toLong; i += 1 }
+            (cell, (qid, codes.toSeq, n2, qv.toSeq, qn))
+          }
+          .groupBy(_._1).map { case (c, es) => (c, es.map(_._2)) }
+      val scored = pr.restrict(index.cells)
         .select(col("corpus_id"), col("codes"), col("cn2"),
           asDouble(col("cv")).as("cv"), col("__cell"))
         .withColumn("__cn", norm(col("cv")))
-      val scored = broadcast(qLocal0).join(wideCells, Seq("__cell"))
-        .select(col("query_id"), col("corpus_id"),
+        .select(col("corpus_id"), col("codes"), col("cn2"), col("cv"), col("__cn"),
+          explode(try_element_at(typedLit(byCell), col("__cell").cast("long"))).as("__q"))
+        .select(col("__q._1").as("query_id"), col("corpus_id"),
           graft.operators.Quantize.cosineI8WithNorms(
-            graft.functions.Int8Kernels.dotI8(col("__qc"), col("codes")),
-            col("__qn2"), col("cn2")).as("__qscore"),
-          cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+            graft.functions.Int8Kernels.dotI8(col("__q._2"), col("codes")),
+            col("__q._3"), col("cn2")).as("__qscore"),
+          cosineWithNorms(dot(col("__q._4"), col("cv")), col("__q._5"), col("__cn"))
+            .as("__score"))
       // fused coarse-select + rerank: ONE aggregate keeps the k·rerankFactor
       // pool by int8 score and emits the exact-score top-k at eval —
       // entry-for-entry identical to the two-aggregate chain it replaces

@@ -623,27 +623,30 @@ object Dedup extends Logging {
     *  - the batch's `(id, shingles, signature)` rows are collected ONCE
     *    (zero jobs when the batch folds to a LocalRelation — the common
     *    serving case; one bounded job otherwise) and re-banded driver-side
-    *    into a true LocalRelation, whose broadcast is a driver-side collect
-    *    with no Spark job;
-    *  - the corpus shingle arrays join BELOW the broadcast band join
+    *    into a LITERAL map `band -> [(batch_id, bucket, shingles)]` in the
+    *    plan itself — NOT a broadcast build side: a broadcast of even a
+    *    LocalRelation costs a real materialization job per search
+    *    (BroadcastExchangeExec collects its child via
+    *    executeCollectIterator, which LocalTableScanExec does not
+    *    override), and that job was half this fast path's wall;
+    *  - the corpus shingle arrays join below the band matching
     *    (postings ⋈ shingles first, both single-partition cached scans with
-    *    accurate size estimates, merge-hinted): a join placed ABOVE another
-    *    join would trip EnsureRequirements' maxSinglePartitionBytes
-    *    re-shuffle on the inflated size-only join estimate (SPARK-41986);
-    *  - the band join keys on `(band, bucket)` directly — binary slice
-    *    equality, exactly [[bandJoin]]'s hash-plus-residual semantics
-    *    (null signature entries compare null-bitmap-identically) — so no
-    *    bkey and no residual;
+    *    accurate size estimates, merge-hinted — the shape EnsureRequirements'
+    *    maxSinglePartitionBytes bound accepts, SPARK-41986), and the band
+    *    match itself is a per-row map lookup + bucket-equality filter +
+    *    explode: `bucket === candidate.bucket` on the slice arrays is
+    *    ordering-based equality, exactly the equi-join's key semantics
+    *    (null signature entries compare null-to-null equal);
     *  - candidate dedup is max-over-duplicates ABOVE the per-row Jaccard
     *    (identical per duplicate, so max ≡ distinct-then-score), because a
     *    single-partition aggregate elides its exchange where a distinct-
     *    then-join could not.
-    * Row-identical to the parallel plan (spec-pinned).
+    * One result job per search; row-identical to the parallel plan
+    * (spec-pinned).
     */
   private def minhashSearchSingleStage(
       index: MinHashIndex, b: DataFrame,
       jaccardThreshold: Double): Option[DataFrame] = {
-    val spark = index.postings.sparkSession
     val folded = b.queryExecution.optimizedPlan
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
     val rows =
@@ -657,22 +660,45 @@ object Dedup extends Logging {
       band <- 0 until index.numBands
     } yield org.apache.spark.sql.Row(
       row.get(0), band, sig.slice(band * r, band * r + r), row.getSeq[Any](1))
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val bSide = spark.createDataFrame(
-      java.util.Arrays.asList(localRows: _*),
-      StructType(Seq(
-        StructField("batch_id", b.schema("id").dataType, nullable = true),
-        StructField("band", IntegerType, nullable = false),
-        StructField("bucket", b.schema("sig").dataType, nullable = true),
-        StructField("bs", b.schema("sh").dataType, nullable = true))))
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StructField, StructType}
+    val entryType = StructType(Seq(
+      StructField("batch_id", b.schema("id").dataType, nullable = true),
+      StructField("bucket", b.schema("sig").dataType, nullable = true),
+      StructField("bs", b.schema("sh").dataType, nullable = true)))
+    val byBand: Map[Int, Seq[org.apache.spark.sql.Row]] = localRows
+      .groupBy(_.getInt(1))
+      .map { case (band, rs) =>
+        (band, rs.map(e => org.apache.spark.sql.Row(e.get(0), e.get(2), e.get(3))))
+      }
+    // Literal.create (not typedLit): the batch id type is dynamic
+    val bandMap = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        byBand, MapType(IntegerType, ArrayType(entryType), valueContainsNull = false)))
+    // the batch's (band, bucket) keys as a driver-computed xxhash64 INSET —
+    // the SAME Catalyst expression the plan applies per posting row (seed
+    // and all, see the bm25 bucket-hash note), so the prefilter is a fast
+    // codegen'd hash-set probe that leaves only true-and-collision rows for
+    // the exact (interpreted, per-row-lambda) bucket-equality check above
+    // the join. Without it the higher-order filter ran on every banded
+    // posting row and dominated the single task's wall.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val keyHashes: Seq[Long] = localRows.map { e =>
+      XxHash64(Seq(
+        Literal(e.getInt(1), IntegerType),
+        Literal.create(e.get(2), b.schema("sig").dataType)), 42L)
+        .eval(null).asInstanceOf[Long]
+    }.distinct
     val post1 = index.postings.coalesce(1)
       .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+      .filter(xxhash64(col("band"), col("bucket")).isin(keyHashes: _*))
     val sh1 = index.shingles.coalesce(1)
       .select(col("id"), col("sh").as("cs"))
     Some(post1.hint("merge").join(sh1, Seq("id"))
-      .withColumnRenamed("id", "corpus_id")
-      .join(broadcast(bSide), Seq("band", "bucket"))
-      .withColumn("jaccard", jaccardOf(col("cs"), col("bs")))
+      .select(col("id").as("corpus_id"), col("cs"),
+        explode(filter(try_element_at(bandMap, col("band")),
+          e => e("bucket") === col("bucket"))).as("__b"))
+      .select(col("corpus_id"), col("__b.batch_id").as("batch_id"),
+        jaccardOf(col("cs"), col("__b.bs")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .groupBy("corpus_id", "batch_id")
       .agg(max(col("jaccard")).as("jaccard"))
