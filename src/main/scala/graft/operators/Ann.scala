@@ -421,7 +421,7 @@ object Ann {
     */
   private def estScanFitsSingleStage(index: AnnIndex, pr: ProbeResult,
       spark: org.apache.spark.sql.SparkSession): Boolean = pr match {
-    case lp: LocalProbes => index.nRows.exists(n =>
+    case lp: LocalProbes => Serving.pinned(index.cells) && index.nRows.exists(n =>
       n * lp.nProbedCells / math.max(index.nCentroids, 1) <= Serving.singleStageRows(spark))
     case _ => false
   }

@@ -590,7 +590,7 @@ object Dedup extends Logging {
     // serving fast path (see [[Serving]]): when the meta's postings row
     // count fits the single-stage budget AND the batch is small enough to
     // collect bounded, the whole search runs as one single-partition stage
-    if (index.nRows.exists(_ <=
+    if (Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
         Serving.singleStageRows(index.postings.sparkSession))) {
       minhashSearchSingleStage(index, b, jaccardThreshold) match {
         case Some(fast) => return fast

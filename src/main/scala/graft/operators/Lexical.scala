@@ -394,7 +394,7 @@ object Lexical {
       // budget the whole fold chain runs one single-partition stage — the
       // doc-fold AND the per-query top-k aggregates both elide their
       // exchanges (results identical: both are partition-order-invariant)
-      val singleStage = index.nRows.exists(n =>
+      val singleStage = Serving.pinned(index.postings) && index.nRows.exists(n =>
         n * qb.size / math.max(index.nBuckets, 1) <= Serving.singleStageRows(spark))
       val contrib0 = withContrib(
         pruned.filter(col("term").isin(distinctTerms: _*)), nDocs, avgdl, k1, b)

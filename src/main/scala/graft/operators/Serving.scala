@@ -22,4 +22,15 @@ object Serving {
   def singleStageRows(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(SingleStageRowsKey).map(_.toLong)
       .getOrElse(DefaultSingleStageRows)
+
+  /** The serving regime's second precondition: the index frames are PINNED
+    * (a retrieval service persists them once at open). A cold one-shot
+    * batch query must keep the parallel plan — the single-partition chain
+    * serializes the corpus scan onto one thread, which is right for a hot
+    * cache probed repeatedly and wrong for a fresh parquet read (measured:
+    * the minhash one-shot leg went 0.38→2.4 s when the fast path fired
+    * cold). `Dataset.storageLevel` is the public cachedness probe.
+    */
+  def pinned(dfs: org.apache.spark.sql.DataFrame*): Boolean =
+    dfs.forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
 }

@@ -89,21 +89,41 @@ class AnnIndexSpec extends AnyFunSuite {
   test("serving fast path: meta carries n_rows; small searches run shuffle-free and row-identical") {
     assert(index.nRows.contains(300L))
     val q = emb(300).filter(col("vec_id") < 10)
-    val fast = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
-    // under the scan budget the whole scoring chain is one single-partition
-    // stage: no shuffle exchange anywhere in the executed plan
-    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
-      fast.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
-    val fastRows = sortedRows(fast)
-    // forcing the budget to zero restores the parallel (shuffled) plan —
-    // results identical (the top-k aggregate is partition-order-invariant)
-    spark.conf.set(graft.operators.Serving.SingleStageRowsKey, "0")
+    // the fast path requires the index to be PINNED (the serving regime);
+    // before pinning, the same under-budget search keeps the parallel plan
+    val cold = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(cold.queryExecution.executedPlan.toString.contains("Exchange"),
+      "cold (unpinned) search must keep the parallel plan")
+    index.cells.persist(); index.cells.count()
     try {
-      val par = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
-      assert(par.queryExecution.executedPlan.toString.contains("Exchange"))
-      assert(sortedRows(par) === fastRows)
-    } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
-    assert(fastRows.nonEmpty)
+      val fast = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      // under the scan budget the whole scoring chain is one single-partition
+      // stage: no shuffle exchange anywhere in the executed plan
+      assert(!fast.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        fast.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
+      val fastRows = sortedRows(fast)
+      // forcing the budget to zero restores the parallel (shuffled) plan —
+      // results identical (the top-k aggregate is partition-order-invariant)
+      spark.conf.set(graft.operators.Serving.SingleStageRowsKey, "0")
+      try {
+        val par = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+        assert(par.queryExecution.executedPlan.toString.contains("Exchange"))
+        assert(sortedRows(par) === fastRows)
+      } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
+      assert(sortedRows(cold) === fastRows)
+      assert(fastRows.nonEmpty)
+      // int8 literal-map fast path: shuffle-free and row-identical to its
+      // parallel form under the same pin
+      val fast8 = Ann.annSearchIndexInt8(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      assert(!fast8.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      val fast8Rows = sortedRows(fast8)
+      spark.conf.set(graft.operators.Serving.SingleStageRowsKey, "0")
+      try {
+        val par8 = Ann.annSearchIndexInt8(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+        assert(sortedRows(par8) === fast8Rows)
+      } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
+      assert(fast8Rows.nonEmpty)
+    } finally index.cells.unpersist()
   }
 
   test("append: frozen-centroid append == rebuild with the same centroids; atomic + idempotent") {

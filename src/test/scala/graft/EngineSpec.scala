@@ -1384,7 +1384,14 @@ class EngineSpec extends AnyFunSuite {
     // meta records the postings row count; appends sum their own counts in
     assert(idx.nRows.contains(idx.postings.count()))
     val batch = docs.filter(col("id") % 3 === 0)
-    // tiny corpus → under the single-stage budget → fast path
+    // the fast path requires the index PINNED (serving regime): cold, the
+    // same search keeps the parallel plan
+    val cold = Dedup.minhashSearchIndex(idx, batch, "id", "text", jaccardThreshold = 0.5)
+    assert(cold.queryExecution.executedPlan.toString.contains("Exchange"),
+      "cold (unpinned) search must keep the parallel plan")
+    idx.postings.persist(); idx.postings.count()
+    idx.shingles.persist(); idx.shingles.count()
+    // tiny corpus → pinned + under the single-stage budget → fast path
     val fast = Dedup.minhashSearchIndex(idx, batch, "id", "text", jaccardThreshold = 0.5)
     val fastRows = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(!fast.queryExecution.executedPlan.toString.contains("ShuffleExchange"),
@@ -1415,6 +1422,8 @@ class EngineSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/batches/b1/batch_meta.json"), false)
     assert(Dedup.minhashOpenIndex(spark, tmp).nRows.isEmpty)
+    idx.postings.unpersist()
+    idx.shingles.unpersist()
   }
 
   test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
