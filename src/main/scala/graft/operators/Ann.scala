@@ -316,6 +316,9 @@ object Ann {
     */
   def annCompactIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "compact is non-in-place: dstPath must differ from srcPath " +
+        "(an overwrite of the layout being read would destroy the input)")
     val idx = annOpenIndex(spark, srcPath)
     annWriteIndex(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
       idx.centroids, dstPath)

@@ -525,6 +525,26 @@ object Dedup extends Logging {
     * partition pruning, so a banded search still scans only the probed
     * band's files in each layout.
     */
+  /** Compact an appended index into a fresh single-layout index at
+    * `dstPath` — the MinHash sibling of [[Ann.annCompactIndex]], bounding
+    * [[minhashAppendIndex]]'s batch-directory accumulation (every open
+    * unions base + committed batches; dozens of batches mean dozens of
+    * parquet roots per search). The base postings/shingles plus every
+    * COMMITTED batch are rewritten as one band-partitioned layout with the
+    * same banding params (the postings already carry their band buckets —
+    * nothing is re-shingled, so `open(dst) → search ≡ open(src) → search`
+    * row-for-row) and a freshly counted meta row count. Non-in-place by
+    * design, like the ANN sibling: no atomicity gymnastics, the caller
+    * swaps paths and deletes the old directory on their own cadence.
+    */
+  def minhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "compact is non-in-place: dstPath must differ from srcPath " +
+        "(an overwrite of the layout being read would destroy the input)")
+    minhashWriteIndex(minhashOpenIndex(spark, srcPath), dstPath)
+  }
+
   def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -726,7 +726,9 @@ class EngineSpec extends AnyFunSuite {
     val idx = Ann.annOpenIndex(spark, dir)
     assert(idx.cells.columns.contains("codes") && idx.cells.columns.contains("cn2"))
     // rerank pool big enough to cover every probed-cell candidate -> the
-    // exact rerank reproduces the double search bit-for-bit
+    // exact rerank reproduces the double search bit-for-bit. The serving
+    // fast path additionally requires the index PINNED (r10 regime split)
+    idx.cells.persist(); idx.cells.count()
     val viaSq8 = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding",
       k = 5, nProbe = 4, rerankFactor = 50)
     val viaDouble = Ann.annSearchIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
@@ -743,6 +745,9 @@ class EngineSpec extends AnyFunSuite {
     val servingPlan = viaSq8.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(servingPlan.contains("graft_top_k_payload"), servingPlan)
+    // unpin before the distributed-regime check: the narrow-coarse-scan
+    // property is a PARQUET ReadSchema property, invisible through a cache
+    idx.cells.unpersist()
     val viaSq8Dist = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding",
       k = 5, nProbe = 4, rerankFactor = 50, maxProbeRowsOverride = 1L)
     // both regimes are row- and bit-identical
@@ -1424,6 +1429,45 @@ class EngineSpec extends AnyFunSuite {
     assert(Dedup.minhashOpenIndex(spark, tmp).nRows.isEmpty)
     idx.postings.unpersist()
     idx.shingles.unpersist()
+  }
+
+  test("minhashCompactIndex: appended index folds to one root, search-identical, recounted meta") {
+    import spark.implicits._
+    val docs = (0L until 24L).map { i =>
+      (i, s"compact fixture base ${i / 3} alpha beta gamma delta epsilon zeta variant ${i % 3}")
+    }.toDF("id", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_mh_compact_src").toString
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs.filter(col("id") < 18), "id", "text"), src)
+    assert(Dedup.minhashAppendIndex(spark, src,
+      docs.filter(col("id") >= 18), "id", "text", "b1"))
+    val dst = src + "_compacted"
+    Dedup.minhashCompactIndex(spark, src, dst)
+    val srcIdx = Dedup.minhashOpenIndex(spark, src)
+    val dstIdx = Dedup.minhashOpenIndex(spark, dst)
+    // one root: no batches dir in the compacted layout, same totals
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/batches")))
+    assert(dstIdx.nRows === srcIdx.nRows)
+    assert(dstIdx.postings.count() === srcIdx.postings.count())
+    // search-identical across the append boundary (batch overlaps both the
+    // base and the appended slice)
+    val batch = docs.filter(col("id") % 3 === 0)
+    def rows(i: Dedup.MinHashIndex) =
+      Dedup.minhashSearchIndex(i, batch, "id", "text", jaccardThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaSrc = rows(srcIdx)
+    assert(rows(dstIdx) === viaSrc)
+    assert(viaSrc.exists(_._1 >= 18L), "matches must cross the append boundary")
+    // the compacted layout accepts further appends
+    assert(Dedup.minhashAppendIndex(spark, dst,
+      Seq((100L, "compact fixture base 0 alpha beta gamma delta epsilon zeta variant 9"))
+        .toDF("id", "text"), "id", "text", "b2"))
+    val app = Dedup.minhashOpenIndex(spark, dst)
+    assert(app.nRows.contains(app.postings.count()))
+    // in-place compaction is refused before any IO happens
+    intercept[IllegalArgumentException](Dedup.minhashCompactIndex(spark, dst, dst))
   }
 
   test("bigramBitsPerToken: penalizes shuffled word order (unigram can't), zeroes short docs, deterministic") {
