@@ -1667,6 +1667,32 @@ object SparkEntry {
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
 
+    // Product-quantization recall contract (the q_ann_recall move applied
+    // to the PQ path): 16-BYTE codes per 64-dim vector (4x less than the
+    // 64 int8 lanes, 32x less than the double matrix) + ADC coarse scoring
+    // + exact rerank must clear per-query recall@5 >= 0.6 and corpus
+    // average >= 0.9 against exact brute force. Measured at sf0.01/sf0.1:
+    // recall is 1.0 at m=16/rerank 10 (the embeddings are unclustered, the
+    // hard case for PQ — dsub=4 subspaces quantize it well), so the floors
+    // have wide margin. The codebook is trained in-query on the corpus
+    // itself (deterministic seeded sample + driver Lloyd), so the leg also
+    // exercises pqTrain end-to-end. Emits violations only; the oracle is
+    // the empty relation.
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val cb = Pq.pqTrain(e, "vec_id", "embedding", m = 16, ks = 256,
+        sampleRows = 4096, iters = 8)
+      val pq = Pq.pqTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        cb, k = 5, rerankFactor = 10)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(pq, bf, 5).localCheckpoint(true) // branches below
+      rec.filter(col("recall") < 0.6)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.9)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
     // Persisted-IVF recall contract (the q_ann_recall move applied to the
     // disk layout): searching the steady cell-partitioned index must clear
     // the same floors as the in-memory IVF — per-query recall@5 >= 0.3,
@@ -3474,6 +3500,11 @@ object SparkEntry {
     "q_ann_index_append" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
         |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
+        |WHERE FALSE""".stripMargin,
+
+    // same emptiness contract for the PQ (ADC coarse + exact-rerank) path
+    "q_ann_pq_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
 
     // same emptiness contract for the int8 coarse + exact-rerank path

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Ann, Pq, VecScan}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: deterministic training, exact ADC algebra, recall
+  * against brute force, and the broadcast guard.
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb(n: Int, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pqTrain is deterministic and shape-correct; ks degrades to the sample size") {
+    val e = emb(300)
+    val a = Pq.pqTrain(e, "vec_id", "embedding", m = 4, ks = 16, sampleRows = 128, iters = 4)
+    val b = Pq.pqTrain(e, "vec_id", "embedding", m = 4, ks = 16, sampleRows = 128, iters = 4)
+    assert(a.m === 4 && a.ks === 16 && a.dsub === 4 && a.dim === 16)
+    assert(a.flat.toSeq === b.flat.toSeq, "same inputs must give the same codebook")
+    // sample smaller than ks: ks degrades, shape stays consistent
+    val tiny = Pq.pqTrain(emb(5), "vec_id", "embedding", m = 4, ks = 16, sampleRows = 8)
+    assert(tiny.ks === 5 && tiny.flat.length === 4 * 5 * 4)
+    // dim not divisible by m is refused
+    intercept[IllegalArgumentException](
+      Pq.pqTrain(emb(10, dim = 15), "vec_id", "embedding", m = 4))
+  }
+
+  test("ADC algebra: adc(encode(x), lut(q)) equals the reconstruction dot, driver-recomputed") {
+    val e = emb(60)
+    val cb = Pq.pqTrain(e, "vec_id", "embedding", m = 4, ks = 8, sampleRows = 60, iters = 4)
+    val q = emb(3)
+    val enc = Pq.pqEncode(
+      e.select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("v")),
+      "v", cb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Byte](2).toArray)).toSeq
+    val qrows = q.select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // plan-side ADC via the expressions
+    val planScores = {
+      val qlut = q.select(col("vec_id").as("qid"),
+        graft.functions.PqColumns.pqLut(
+          graft.functions.VectorOps.asDouble(col("embedding")), cb.flat, cb.m, cb.ks, cb.dsub)
+          .as("lut"))
+      val cpq = Pq.pqEncode(
+        e.select(col("vec_id").as("cid"),
+          graft.functions.VectorOps.asDouble(col("embedding")).as("v")), "v", cb)
+        .select(col("cid"), col("pq"))
+      qlut.crossJoin(cpq)
+        .select(col("qid"), col("cid"),
+          graft.functions.PqColumns.pqAdc(col("pq"), col("lut"), cb.m, cb.ks).as("adc"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    // driver recomputation mirroring the kernel's association exactly: the
+    // LUT entry is a per-subspace dot (inner fold), ADC sums the m entries
+    // (outer fold) — a single flat fold would differ by a ULP
+    for ((qid, qv) <- qrows; (cid, _, codes) <- enc) {
+      var s = 0.0
+      for (j <- 0 until cb.m) {
+        val c = codes(j) & 0xFF
+        val base = (j * cb.ks + c) * cb.dsub
+        var sub = 0.0
+        for (d <- 0 until cb.dsub) sub += qv(j * cb.dsub + d) * cb.flat(base + d)
+        s += sub
+      }
+      assert(java.lang.Double.doubleToLongBits(planScores((qid, cid))) ===
+        java.lang.Double.doubleToLongBits(s), s"ADC mismatch for ($qid, $cid)")
+    }
+  }
+
+  test("pqTopK: kept scores are exact cosines; recall@5 vs brute force clears the int8 floors") {
+    val e = emb(400, dim = 32)
+    val q = e.filter(col("vec_id") < 30)
+    val cb = Pq.pqTrain(e, "vec_id", "embedding", m = 8, ks = 64, sampleRows = 400, iters = 8)
+    val pq = Pq.pqTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", cb,
+      k = 5, rerankFactor = 4)
+    val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+    // kept pairs carry the EXACT cosine: every (q, doc) pair also present in
+    // brute force must agree bit-for-bit
+    val bfScores = bf.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pqRows = pq.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pqRows.nonEmpty)
+    pqRows.foreach { case (qid, cid, s) =>
+      bfScores.get((qid, cid)).foreach(exact =>
+        assert(java.lang.Double.doubleToLongBits(s) ===
+          java.lang.Double.doubleToLongBits(exact)))
+    }
+    val rec = Ann.recallAtK(pq, bf, 5)
+    val avg = rec.agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val min = rec.agg(org.apache.spark.sql.functions.min("recall")).head().getDouble(0)
+    assert(avg >= 0.9, s"avg recall $avg")
+    assert(min >= 0.6, s"min recall $min")
+  }
+
+  test("broadcast guard trips with the documented message; skipSizeCheck bypasses") {
+    val e = emb(200)
+    val q = e.filter(col("vec_id") < 5)
+    val cb = Pq.pqTrain(e, "vec_id", "embedding", m = 4, ks = 16, sampleRows = 64)
+    spark.conf.set(VecScan.MaxBroadcastBytesKey, "10")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Pq.pqTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", cb, k = 3))
+      assert(ex.getMessage.contains("broadcast bound"))
+      assert(Pq.pqTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", cb,
+        k = 3, skipSizeCheck = true).count() > 0)
+    } finally spark.conf.unset(VecScan.MaxBroadcastBytesKey)
+  }
+}
