@@ -132,6 +132,24 @@ object SparkEntry {
       Dedup.minhashOpenIndex(s, sub)
     })
 
+  /** PQ-enabled sibling of [[steadyAnnIndex]] (separate layout: pqM > 0
+    * changes the written schema, and the classic legs must keep measuring
+    * the classic layout).
+    */
+  private val steadyAnnPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.AnnIndex]
+  private def steadyAnnPqIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
+    steadyAnnPqCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_ann_pq_steady")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/ann_meta.json").exists()) {
+        val (cells, cents) = graft.operators.Ann.annBuildIndex(
+          ld(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+        graft.operators.Ann.annWriteIndex(cells, cents, sub, pqM = 16)
+      }
+      graft.operators.Ann.annOpenIndex(s, sub)
+    })
+
   private[graft] def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
@@ -1690,6 +1708,30 @@ object SparkEntry {
       rec.filter(col("recall") < 0.6)
         .unionByName(rec.agg(avg(col("recall")).as("recall"))
           .filter(col("recall") < 0.9)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
+    // IVF_PQ recall contract: the persisted PQ layout searched through the
+    // ADC coarse pass (cell pruning + pq/cn-only column-pruned scan + exact
+    // rerank) must clear the INDEX-path floors — per-query recall@5 >= 0.3,
+    // corpus average >= 0.7 vs exact brute force, the same contract as
+    // q_ann_index_recall / q_ann_index_int8_recall (cell pruning at
+    // nProbe=8/16 loses recall the in-memory paths don't, so the in-memory
+    // PQ floors 0.6/0.9 do not apply here). Also exercises codebook
+    // persistence end to end (write -> JSON round-trip -> open ->
+    // encode-free search). Emits violations only; the oracle is the empty
+    // relation.
+    "q_ann_index_pq_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val viaIndex = Ann.annSearchIndexPq(
+        steadyAnnPqIndex(s, dir), q, "vec_id", "embedding",
+        k = 5, nProbe = 8, rerankFactor = 10)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(viaIndex, bf, 5).localCheckpoint(true) // branches below
+      rec.filter(col("recall") < 0.3)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.7)
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
 
@@ -3500,6 +3542,11 @@ object SparkEntry {
     "q_ann_index_append" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
         |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
+        |WHERE FALSE""".stripMargin,
+
+    // same emptiness contract for the persisted IVF_PQ layout
+    "q_ann_index_pq_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
 
     // same emptiness contract for the PQ (ADC coarse + exact-rerank) path

@@ -156,7 +156,8 @@ object Ann {
     * bounded top-k.
     */
   final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int,
-      nRows: Option[Long] = None, appendedRows: Long = 0L) {
+      nRows: Option[Long] = None, appendedRows: Long = 0L,
+      pqCodebook: Option[Pq.PqCodebook] = None) {
     /** Staleness of the frozen-centroid appends: appended rows as a fraction
       * of ALL indexed rows. The rebuild-cadence signal — centroids were
       * fitted before any appended row existed, so recall degrades as this
@@ -215,7 +216,24 @@ object Ann {
     * rebuild refits them (centroid fit + assignment are the cheap part of
     * the build; the recall gates re-verify each epoch).
     */
-  def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String): Unit = {
+  /** Bake the quantized scoring columns next to the double vectors: always
+    * the IVF_SQ8 pair (`codes`, `cn2`); with a codebook also the IVF_PQ
+    * pair (`pq` m-byte codes, `cn` exact double norm — ADC ranks by
+    * reconstruction-dot over TRUE norms, so the coarse scan never touches
+    * `cv`).
+    */
+  private def enrichCells(cells: DataFrame, cb: Option[Pq.PqCodebook]): DataFrame = {
+    val sq8 = graft.operators.Quantize
+      .quantize(cells, "cv", "codes", "qscale")
+      .withColumn("cn2", graft.operators.Quantize.norm2I8(col("codes")))
+    cb match {
+      case Some(c) => Pq.pqEncode(sq8, "cv", c, "pq").withColumn("cn", norm(col("cv")))
+      case None => sq8
+    }
+  }
+
+  private def writeLayout(cells: DataFrame, centroids: DataFrame, path: String,
+      cb: Option[Pq.PqCodebook]): Unit = {
     val n = centroids.count().toInt
     // corpus row count into the meta: one count at build buys every later
     // search a free scan-size estimate (the single-stage fast-path gate)
@@ -223,20 +241,35 @@ object Ann {
     // bake int8 codes + integer norms next to the double vectors (the
     // IVF_SQ8 layout): the quantized search scans ONLY these narrow columns
     // for coarse scoring — parquet column pruning makes the coarse pass read
-    // ~1/8 the bytes — and joins cv back for the exact rerank
-    val enriched = graft.operators.Quantize
-      .quantize(cells, "cv", "codes", "qscale")
-      .withColumn("cn2", graft.operators.Quantize.norm2I8(col("codes")))
-    enriched.repartition(col("__cell"))
+    // ~1/8 the bytes — and joins cv back for the exact rerank. With a PQ
+    // codebook the IVF_PQ columns ride too (m bytes + one norm per row).
+    enrichCells(cells, cb).repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = cells.sparkSession
+    cb.foreach(c => Pq.saveCodebook(spark, s"$path/pq_codebook.json", c))
     val metaPath = new org.apache.hadoop.fs.Path(path, "ann_meta.json")
-    val fs = metaPath.getFileSystem(
-      cells.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     try out.write(
       s"""{"type": "ann_ivf", "n_centroids": $n, "n_rows": $nRows}""".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Write the cell layout. `pqM > 0` additionally fits a PQ codebook on
+    * the cells ([[Pq.pqTrain]], deterministic seeded sample) and bakes the
+    * IVF_PQ columns — the layout [[annSearchIndexPq]] serves from; the
+    * codebook persists as `pq_codebook.json` so appends encode new batches
+    * identically. `pqM = 0` (default) writes the classic IVF_SQ8 layout
+    * unchanged.
+    */
+  def annWriteIndex(cells: DataFrame, centroids: DataFrame, path: String,
+      pqM: Int = 0, pqSampleRows: Int = 4096, pqSeed: Long = 42L): Unit = {
+    val cb =
+      if (pqM <= 0) None
+      else Some(Pq.pqTrain(cells, "corpus_id", "cv", m = pqM,
+        sampleRows = pqSampleRows, seed = pqSeed))
+    writeLayout(cells, centroids, path, cb)
   }
 
   /** Absorb a new batch into a persisted index against its FROZEN centroids
@@ -286,10 +319,9 @@ object Ann {
       .select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("cv"))
       .join(assign, "corpus_id")
     val nRows = cells.count()
-    val enriched = graft.operators.Quantize
-      .quantize(cells, "cv", "codes", "qscale")
-      .withColumn("cn2", graft.operators.Quantize.norm2I8(col("codes")))
-    enriched.repartition(col("__cell"))
+    // enrich with the index's OWN persisted codebook (never retrained —
+    // identical vectors encode bit-identically across build and append)
+    enrichCells(cells, idx.pqCodebook).repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$batchDir/cells")
     // per-batch row count rides INSIDE the batch dir (the shared meta stays
     // immutable — mutating it would break the marker protocol's atomicity):
@@ -320,8 +352,10 @@ object Ann {
       "compact is non-in-place: dstPath must differ from srcPath " +
         "(an overwrite of the layout being read would destroy the input)")
     val idx = annOpenIndex(spark, srcPath)
-    annWriteIndex(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
-      idx.centroids, dstPath)
+    // the source codebook passes through unchanged (retraining would change
+    // every code): compacted searches stay row-identical to the source's
+    writeLayout(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
+      idx.centroids, dstPath, idx.pqCodebook)
   }
 
   /** Open an [[annWriteIndex]] directory: the base cell layout unioned with
@@ -362,7 +396,10 @@ object Ann {
       node.get("n_centroids").asInt(),
       // absent in pre-r8 layouts: searches simply skip the size-gated fast path
       Option(node.get("n_rows")).map(_.asLong() + appendedRows),
-      appendedRows)
+      appendedRows,
+      // absent in non-PQ layouts: annSearchIndexPq refuses, everything else
+      // is unaffected
+      Pq.loadCodebook(spark, s"$path/pq_codebook.json"))
   }
 
   /** Driver materialization bound for a persisted-index search's probe set,
@@ -726,6 +763,87 @@ object Ann {
     rankedTopK(candidates.join(qFull, "query_id").join(rerankCells, "corpus_id")
       .select(col("query_id"), col("corpus_id"),
         cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score")))
+  }
+
+  /** IVF_PQ search of a persisted index written with `annWriteIndex(pqM >
+    * 0)`: the same cell pruning as [[annSearchIndex]], an ADC coarse pass
+    * over ONLY the `pq` (m bytes) and `cn` (8 bytes) columns — the
+    * narrowest scan any search here makes, ~m+8 bytes of IO per candidate
+    * against SQ8's dim+8 and the float path's 8·dim — and an exact-cosine
+    * rerank of the top `rerankFactor·k` per query. Output contract =
+    * [[annSearchIndex]]; `score` is the exact cosine on every kept pair,
+    * so only the candidate set is approximate (`q_ann_index_pq_recall`
+    * gates it). Per query the plan builds one m·ks ADC lookup table
+    * (driver-side through the probe rows in the local regime — the SAME
+    * [[graft.functions.PqKernels.lut]] kernel the expression calls — or
+    * in-plan in the distributed regime); each candidate then costs m table
+    * lookups, zero multiplies.
+    */
+  def annSearchIndexPq(
+      index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 4, rerankFactor: Int = 10,
+      maxProbeRowsOverride: Long = 0L): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && rerankFactor >= 1,
+      s"k/nProbe/rerankFactor must be >= 1, got $k/$nProbe/$rerankFactor")
+    val cb = index.pqCodebook.getOrElse(throw new IllegalArgumentException(
+      "index has no PQ codebook — rebuild with annWriteIndex(pqM = ...) (IVF_PQ layout)"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    val coarseCells = pr.restrict(index.cells)
+      .select(col("corpus_id"), col("pq"), col("cn"), col("__cell"))
+    val isLocal = pr.isInstanceOf[LocalProbes]
+    val qLut0 = pr match {
+      case LocalProbes(_, exploded, _, _) =>
+        // LUT per (query, probe) row via the same kernel the Catalyst
+        // expression calls — bit-identical tables, zero Spark work
+        exploded.map { case (qid, qv, qn, cell) =>
+          val lut = graft.functions.PqKernels.lut(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(qv),
+            cb.flat, cb.m, cb.ks, cb.dsub).toDoubleArray.toSeq
+          (qid, lut, qn, cell)
+        }.toDF("query_id", "__lut", "__qn", "__cell")
+      case DistProbes(probes, _) => queries
+        .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("__qv"))
+        .withColumn("__lut", graft.functions.PqColumns.pqLut(
+          col("__qv"), cb.flat, cb.m, cb.ks, cb.dsub))
+        .withColumn("__qn", norm(col("__qv")))
+        .select(col("query_id"), col("__lut"), col("__qn"))
+        .join(probes, "query_id") // probes carry (query_id, __cell)
+    }
+    val qLut = if (isLocal) broadcast(qLut0) else qLut0
+    val candidates = qLut
+      .join(coarseCells, Seq("__cell"))
+      .select(col("query_id"), col("corpus_id"),
+        when(col("__qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+          .otherwise(graft.functions.PqColumns.pqAdc(col("pq"), col("__lut"), cb.m, cb.ks) /
+            (col("__qn") * col("cn")))
+          .as("__qscore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VecExpressions
+        .topK(k * rerankFactor, col("__qscore"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("corpus_id"))
+    // exact rerank: only the candidate rows touch the double vectors; the
+    // local regime reuses the already-collected query rows
+    val rerankCells = pr.restrict(index.cells)
+      .select(col("corpus_id"), asDouble(col("cv")).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
+    val qFull = (pr match {
+      case LocalProbes(qRows, _, _, _) => qRows.toSeq.toDF("query_id", "qv")
+      case DistProbes(_, _) => queries
+        .select(col(qId).cast("long").as("query_id"), asDouble(col(qVec)).as("qv"))
+    }).withColumn("__qn", norm(col("qv")))
+    candidates.join(qFull, "query_id").join(rerankCells, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("__qn"), col("__cn")).as("__score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VecExpressions.topK(k, col("__score"), col("corpus_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col("query_id").as("left_id"),
+        col("__s.id").as("right_id"),
+        col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   def ivfTopK(

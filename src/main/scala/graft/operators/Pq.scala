@@ -148,6 +148,46 @@ object Pq {
     df.withColumn(codesName,
       PqColumns.pqEncode(asDouble(col(vecCol)), cb.flat, cb.m, cb.ks, cb.dsub))
 
+  /** Persist a codebook as JSON next to an index layout. Doubles are
+    * serialized with `Double.toString` (round-trip exact), so a reloaded
+    * codebook encodes bit-identically.
+    */
+  def saveCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String, cb: PqCodebook): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val sb = new StringBuilder
+    sb.append(s"""{"m": ${cb.m}, "ks": ${cb.ks}, "dsub": ${cb.dsub}, "flat": [""")
+    var i = 0
+    while (i < cb.flat.length) {
+      if (i > 0) sb.append(',')
+      sb.append(java.lang.Double.toString(cb.flat(i)))
+      i += 1
+    }
+    sb.append("]}")
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a [[saveCodebook]] JSON; None when the file does not exist
+    * (pre-PQ layouts).
+    */
+  def loadCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[PqCodebook] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val flatNode = node.get("flat")
+    val flat = new Array[Double](flatNode.size())
+    var i = 0
+    while (i < flat.length) { flat(i) = flatNode.get(i).asDouble(); i += 1 }
+    Some(PqCodebook(
+      node.get("m").asInt(), node.get("ks").asInt(), node.get("dsub").asInt(), flat))
+  }
+
   /** PQ coarse search + exact rerank — output contract =
     * [[SemanticJoin.knnJoinVec]] (`left_id, right_id, score, rank`), with
     * `score` the EXACT cosine on every kept pair (only the candidate set is

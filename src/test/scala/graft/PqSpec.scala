@@ -106,6 +106,63 @@ class PqSpec extends AnyFunSuite {
     assert(min >= 0.6, s"min recall $min")
   }
 
+  test("IVF_PQ layout: full-pool rerank bit-equals the double search; coarse scan is pq+cn only; append and compact preserve the codebook") {
+    val e = emb(300, dim = 32)
+    val q = e.filter(col("vec_id") < 15)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val (cells, cents) = Ann.annBuildIndex(e, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, dir, pqM = 8)
+    val idx = Ann.annOpenIndex(spark, dir)
+    assert(idx.pqCodebook.isDefined)
+    assert(idx.cells.columns.contains("pq") && idx.cells.columns.contains("cn"))
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("score")),
+        r.getAs[Int]("rank"))).sortBy(x => (x._1, x._4)).toSeq
+    // rerank pool covering every probed candidate -> exact-rerank reproduces
+    // the double search bit-for-bit
+    val viaPq = Ann.annSearchIndexPq(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 100)
+    val viaDouble = Ann.annSearchIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(rows(viaPq) === rows(viaDouble))
+    assert(rows(viaPq).nonEmpty)
+    // the ADC coarse scan reads pq + cn, never the 8-byte cv column
+    val formatted = viaPq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(sch => sch.contains("pq") && !sch.contains("cv:")),
+      schemas.mkString("; "))
+    // distributed (over-bound) regime is row-identical too
+    val viaDist = Ann.annSearchIndexPq(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 100, maxProbeRowsOverride = 1L)
+    assert(rows(viaDist) === rows(viaPq))
+    // append with the persisted codebook: appended search == search of a
+    // rebuild with the same centroids AND the same codebook
+    val more = emb(40, dim = 32).withColumn("vec_id", col("vec_id") + 1000L)
+    assert(Ann.annAppendIndex(spark, dir, more, "vec_id", "embedding", "b1"))
+    val app = Ann.annOpenIndex(spark, dir)
+    assert(app.pqCodebook.isDefined)
+    val viaApp = Ann.annSearchIndexPq(app, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 100)
+    // compact passes the codebook through: search row-identical to source
+    val dst = dir + "_compacted"
+    Ann.annCompactIndex(spark, dir, dst)
+    val cIdx = Ann.annOpenIndex(spark, dst)
+    assert(cIdx.pqCodebook.map(_.flat.toSeq) === app.pqCodebook.map(_.flat.toSeq))
+    assert(rows(Ann.annSearchIndexPq(cIdx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankFactor = 100)) === rows(viaApp))
+    // a non-PQ layout refuses with the rebuild message
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plain").toString
+    Ann.annWriteIndex(cells, cents, plainDir)
+    val plain = Ann.annOpenIndex(spark, plainDir)
+    val ex = intercept[IllegalArgumentException](
+      Ann.annSearchIndexPq(plain, q, "vec_id", "embedding", k = 5))
+    assert(ex.getMessage.contains("no PQ codebook"))
+    // codebook JSON round-trips bit-exactly
+    val reloaded = graft.operators.Pq.loadCodebook(spark, s"$dir/pq_codebook.json").get
+    assert(reloaded.flat.toSeq === idx.pqCodebook.get.flat.toSeq)
+  }
+
   test("broadcast guard trips with the documented message; skipSizeCheck bypasses") {
     val e = emb(200)
     val q = e.filter(col("vec_id") < 5)
