@@ -735,8 +735,11 @@ object Ann {
     val qCodes0 = graft.operators.Quantize.quantize(qCodesBase, "__qv", "__qc", "__qs")
       .withColumn("__qn2", graft.operators.Quantize.norm2I8(col("__qc")))
       .select(col("query_id"), col("__qc"), col("__qn2"), col("__cell"))
-    // local regime: broadcast of a folded LocalRelation is jobless (see the
-    // single-stage branch's note)
+    // local regime: pin the BUILD side to the folded LocalRelation — the
+    // broadcast costs one materialization job (LocalTableScanExec does not
+    // override executeCollectIterator — see the single-stage branch's
+    // note), which is fine in this batch regime; letting the planner
+    // broadcast the cell scan instead would cost a far bigger one
     val qCodes = if (isLocal) broadcast(qCodes0) else qCodes0
     val scoredCoarse0 = qCodes
       .join(coarseCells, Seq("__cell"))
@@ -778,6 +781,11 @@ object Ann {
     * [[graft.functions.PqKernels.lut]] kernel the expression calls — or
     * in-plan in the distributed regime); each candidate then costs m table
     * lookups, zero multiplies.
+    *
+    * No single-stage serving variant on purpose: the serving regime's wall
+    * is scheduler round-trips, not scan bytes, and [[annSearchIndexInt8]]
+    * already owns that regime — PQ's lever is the scan-bound batch regime
+    * where candidate IO dominates.
     */
   def annSearchIndexPq(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,

@@ -70,6 +70,7 @@ object Pq {
     import org.apache.spark.sql.Row
     val sample: Array[Array[Double]] = corpus
       .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull) // null vectors can't train and can't encode
       .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
       .limit(sampleRows)
       .select("__v")
