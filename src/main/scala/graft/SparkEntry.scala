@@ -150,6 +150,41 @@ object SparkEntry {
       graft.operators.Ann.annOpenIndex(s, sub)
     })
 
+  /** Crawl-ingest composite, run ONCE per process: a fresh per-process copy
+    * of the corpus MinHash index absorbs one constructed epoch via
+    * [[graft.streaming.StreamOps.ingestEpoch]] (self-dedup → corpus-dedup →
+    * atomic append), and the SURVIVOR ids are cached — the epoch is not
+    * re-runnable against the mutated index (its survivors are in the corpus
+    * afterwards, by design), so repeated query calls replay the cached set.
+    * The batch: corpus docs (dups, must all drop), reversed docs (genuinely
+    * new — reversal destroys every shingle under the lowercasing tokenizer),
+    * and a second copy of each reversed doc (intra-batch dups, keep-first).
+    */
+  private val steadyIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+  private def steadyIngestSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val ids = steadyIngestCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_ingest_steady")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(ld(s, dir, "documents"), "doc_id", "text"), sub)
+      }
+      val docs = ld(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"), reverse(col("text")).as("text")))
+      graft.streaming.StreamOps
+        .ingestEpoch(batch, "doc_id", "text", sub, jaccardThreshold = 0.8, "leg_0")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    })
+    import s.implicits._
+    ids.toSeq.toDF("doc_id")
+  }
+
   private[graft] def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
@@ -891,6 +926,17 @@ object SparkEntry {
         .select(lit(policy).as("policy"), col("doc_id"), col("source"), col("quality"))
       leg("drop").unionByName(leg("keep"))
         .orderBy(col("policy"), col("doc_id"))
+    }),
+
+    // Streaming crawl-ingest composite (one ingestEpoch: the foreachBatch
+    // body of StreamOps.streamingIngestDedup): corpus-dup batch rows all
+    // drop (every one near-duplicates the persisted corpus at J=1),
+    // intra-batch dup pairs keep-first, and the oracle recomputes the whole
+    // epoch — batch construction, md5-minhash banding, exact-Jaccard
+    // verification, connected-component keep-first, and the corpus
+    // anti-join — in SQL.
+    "q_stream_ingest" -> ((s, dir) => {
+      steadyIngestSurvivors(s, dir).orderBy(col("doc_id"))
     }),
 
     "q_sample_deterministic" -> ((s, dir) => {
@@ -3046,6 +3092,48 @@ object SparkEntry {
          |  UNION
          |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id)
          |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // the whole ingest epoch in SQL: batch construction, self keep-first
+    // (bands -> exact-Jaccard edges -> recursive CC -> min-id), corpus-dup
+    // anti-join. reverse(text) agrees byte-for-byte between engines on the
+    // ASCII corpus.
+    "q_stream_ingest" ->
+      s"""WITH RECURSIVE batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 10 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 10 = 3),
+         |bs AS (${minhashSig("doc_id", "text", "batch")}),
+         |bbands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |           FROM bs, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |         FROM bbands a JOIN bbands c
+         |           ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+         |edges AS (SELECT i, j FROM cand
+         |          JOIN bs sa ON sa.doc_id = cand.i
+         |          JOIN bs sb ON sb.doc_id = cand.j
+         |          WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8),
+         |e2 AS (SELECT i AS s, j AS d FROM edges UNION ALL SELECT j, i FROM edges),
+         |r(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM batch
+         |  UNION
+         |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id),
+         |selfkeep AS (SELECT id FROM (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+         |             WHERE id = cluster),
+         |cs AS (${minhashSig("doc_id", "text", "documents")}),
+         |cbands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |           FROM cs, unnest(range(0, 8)) AS u(b)),
+         |cpairs AS (SELECT DISTINCT cb.doc_id AS cid, bb.doc_id AS bid
+         |           FROM cbands cb JOIN bbands bb
+         |             ON cb.b = bb.b AND cb.bucket = bb.bucket),
+         |cdup AS (SELECT DISTINCT cpairs.bid FROM cpairs
+         |         JOIN cs sa ON sa.doc_id = cpairs.cid
+         |         JOIN bs sb ON sb.doc_id = cpairs.bid
+         |         WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8)
+         |SELECT id AS doc_id FROM selfkeep
+         |WHERE id NOT IN (SELECT bid FROM cdup)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" -> MinhashContaminationOracleSql,
 

@@ -319,6 +319,10 @@ object Ann {
       .select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("cv"))
       .join(assign, "corpus_id")
     val nRows = cells.count()
+    // empty batch: a committed no-op with NO batch dir — an empty
+    // partitioned parquet dir has no footers, and open() unioning it would
+    // fail on schema inference (index corruption from a no-data epoch)
+    if (nRows == 0) return true
     // enrich with the index's OWN persisted codebook (never retrained —
     // identical vectors encode bit-identically across build and append)
     enrichCells(cells, idx.pqCodebook).repartition(col("__cell"))

@@ -502,6 +502,11 @@ object Dedup extends Logging {
     if (fs.exists(batchDir)) fs.delete(batchDir, true)
     val base = shingleSig(batch, col(idCol), col(textCol),
       idx.shingleSize, idx.numBands * idx.rowsPerBand, idx.hashFamily)
+    // empty batch: absorbing nothing is a committed no-op with NO batch dir
+    // — an empty partitioned parquet dir has no footers, so the count
+    // read-back below and every later open would fail on it (a fully
+    // deduplicated crawl epoch is a normal event, not an error)
+    if (base.isEmpty) return true
     bandBuckets(base, idx.numBands, idx.rowsPerBand)
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$batchDir/postings")

@@ -213,4 +213,83 @@ object StreamOps {
         }
       }
   }
+
+  /** Crawl-regime streaming ingest against a persisted MinHash index — the
+    * composite the index + append machinery exists for: every micro-batch
+    * is (1) self-deduped with the INDEX's own banding params
+    * ([[graft.operators.Dedup.minhashLsh]] keep-first — intra-batch
+    * near-dups never reach the corpus), (2) near-dup-searched against the
+    * persisted corpus ([[graft.operators.Dedup.minhashSearchIndex]];
+    * matching docs dropped), and (3) the SURVIVORS are absorbed atomically
+    * ([[graft.operators.Dedup.minhashAppendIndex]], batchId =
+    * `ingest_<epochId>`). The index is RE-OPENED per micro-batch, so each
+    * batch sees every previously committed append — cross-batch dedup over
+    * the whole stream history with NO executor state at all: the state IS
+    * the index, which is why this scales where a `flatMapGroupsWithState`
+    * shingle store would not.
+    *
+    * Exactly-once nuances, stated honestly:
+    *  - the APPEND is exactly-once: Structured Streaming replays a failed
+    *    epoch under the SAME epochId, and the `_COMMITTED` marker makes the
+    *    re-append an idempotent no-op;
+    *  - `onBatch` delivery of survivors is at-most-once across a replay
+    *    that follows a successful append (the replayed search finds the
+    *    batch's own rows already in the corpus and drops them). Sinks that
+    *    need the survivor set durably should read it back from the index's
+    *    committed batch dir instead;
+    *  - `ingestTag` must be unique per LOGICAL stream run: epoch ids
+    *    restart at 0 for a query started on a fresh checkpoint, and a
+    *    colliding `<tag>_<epoch>` batchId hits the earlier run's
+    *    `_COMMITTED` marker — the append then no-ops and the batch's
+    *    survivors are silently dropped. Resuming from the SAME checkpoint
+    *    keeps the same tag (that is what makes replays idempotent).
+    */
+  def streamingIngestDedup(
+      stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String,
+      jaccardThreshold: Double = 0.5,
+      ingestTag: String = "ingest",
+      onBatch: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty)
+          onBatch(ingestEpoch(batch, idCol, textCol, indexPath,
+            jaccardThreshold, s"${ingestTag}_$epochId"))
+      }
+
+  /** One [[streamingIngestDedup]] epoch as a batch call (the foreachBatch
+    * body, also usable for bulk backfills): self-dedup → corpus-dedup →
+    * atomic append under `batchId`; returns the absorbed survivors.
+    */
+  def ingestEpoch(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, jaccardThreshold: Double, batchId: String): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val idx = Dedup.minhashOpenIndex(spark, indexPath)
+    // branch-heavy micro-batch: pin once (foreachBatch hands a one-shot
+    // frame; re-evaluating it per consumer is undefined)
+    val pinned = batch.localCheckpoint(true)
+    // (1) intra-batch keep-first, with the index's pinned banding — a
+    // drifted parameterization would dedup by a different similarity than
+    // the corpus search below
+    val clusters = Dedup.minhashLsh(pinned, idCol, textCol,
+      shingleSize = idx.shingleSize, numBands = idx.numBands,
+      rowsPerBand = idx.rowsPerBand, jaccardThreshold = jaccardThreshold,
+      hashFamily = idx.hashFamily)
+    val selfUnique = pinned.join(
+      clusters.filter(col("id") === col("cluster")).select(col("id")),
+      pinned(idCol).cast("long") === col("id"), "left_semi")
+    // (2) drop docs near-duplicating the persisted corpus (batch_id keeps
+    // the batch id's natural type — no cast in this join)
+    val corpusDups = Dedup.minhashSearchIndex(idx, selfUnique, idCol, textCol,
+      jaccardThreshold).select(col("batch_id")).distinct()
+    val fresh = selfUnique.join(corpusDups,
+      selfUnique(idCol) === col("batch_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the append AND the sink
+    // (3) atomic absorb; idempotent on batchId replay
+    Dedup.minhashAppendIndex(spark, indexPath, fresh, idCol, textCol, batchId)
+    fresh
+  }
 }

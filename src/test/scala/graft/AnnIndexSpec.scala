@@ -126,6 +126,21 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally index.cells.unpersist()
   }
 
+  test("append: an empty batch is a committed no-op — no batch dir, open stays healthy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_empty_app").toString
+    val (cells, cents) = Ann.annBuildIndex(emb(50), "vec_id", "embedding", nCentroids = 4)
+    Ann.annWriteIndex(cells, cents, dir)
+    val before = Ann.annOpenIndex(spark, dir).cells.count()
+    assert(Ann.annAppendIndex(spark, dir,
+      emb(10).filter(col("vec_id") < 0), "vec_id", "embedding", "empty1"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty partitioned parquet dir has no footers: had the batch dir
+    // been written, every later open would die on schema inference
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/empty1")))
+    assert(Ann.annOpenIndex(spark, dir).cells.count() === before)
+  }
+
   test("append: frozen-centroid append == rebuild with the same centroids; atomic + idempotent") {
     val full = emb(400)
     val base = full.filter(col("vec_id") % 5 =!= 0)

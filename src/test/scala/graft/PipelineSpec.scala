@@ -636,6 +636,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamKept == batchKept, "stream gate diverged from batch gate")
   }
 
+  test("streamingIngestDedup: per-epoch self-dedup + corpus-dedup + atomic append; later epochs see earlier appends") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // each tag's doc is dominated by its own tokens: distinct docs share no
+    // 3-shingles (cross-J ~ 0), identical texts are exact dups (J = 1)
+    def doc(tag: Any) = s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon $tag zeta"
+    // corpus: ids 0..9, each with a distinct tail token
+    val base = (0L until 10L).map(i => (i, doc(s"base$i"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(base, "doc_id", "text"), dir)
+    val before = Dedup.minhashOpenIndex(spark, dir)
+    val postingsPerDoc = before.postings.count() / 10
+
+    val outBatches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingIngestDedup(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      jaccardThreshold = 0.5,
+      onBatch = b => outBatches += b.select("doc_id").as[Long].collect().toSet)
+      .start()
+    try {
+      // epoch 0: 100 = dup of corpus base3, 101/102 = intra-batch dup pair
+      // (keep-first -> 101), 103 = genuinely new
+      stream.addData((100L, doc("base3")), (101L, doc("fresh_a")),
+        (102L, doc("fresh_a")), (103L, doc("fresh_b")))
+      q.processAllAvailable()
+      // epoch 1: 200 = dup of epoch 0's survivor 101 (proves the index
+      // GREW — cross-batch dedup with zero executor state), 201 = new
+      stream.addData((200L, doc("fresh_a")), (201L, doc("fresh_c")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(outBatches.toList == List(Set(101L, 103L), Set(201L)),
+      s"got $outBatches")
+    val after = Dedup.minhashOpenIndex(spark, dir)
+    // exactly the three survivors were absorbed
+    assert(after.postings.count() === before.postings.count() + 3 * postingsPerDoc)
+    assert(after.nRows.contains(after.postings.count()))
+    // both epochs landed as committed batches
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/ingest_0/_COMMITTED")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/ingest_1/_COMMITTED")))
+    // a new doc near-duplicating an INGESTED doc is now caught by a plain
+    // index search (the crawl loop's steady state)
+    assert(Dedup.minhashSearchIndex(after,
+      Seq((300L, doc("fresh_c"))).toDF("doc_id", "text"), "doc_id", "text",
+      jaccardThreshold = 0.5).count() > 0)
+
+    // a fully-deduplicated epoch: append no-ops (no batch dir — an empty
+    // partitioned parquet dir would corrupt later opens), sink sees an
+    // empty survivor set, index unchanged
+    val stream2 = MemoryStream[(Long, String)]
+    val outs2 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    // a SECOND logical run needs its own tag (its epochs restart at 0 —
+    // "ingest_0" is already committed and would silently swallow appends)
+    val q2 = graft.streaming.StreamOps.streamingIngestDedup(
+      stream2.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      jaccardThreshold = 0.5, ingestTag = "run2",
+      onBatch = b => outs2 += b.select("doc_id").as[Long].collect().toSet)
+      .start()
+    try {
+      stream2.addData((400L, doc("fresh_c")), (401L, doc("base0")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(outs2.toList == List(Set.empty[Long]))
+    // the fully-dedup'd epoch left NO batch dir and the index unchanged
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/run2_0")))
+    assert(Dedup.minhashOpenIndex(spark, dir).postings.count() === after.postings.count())
+    // direct empty-batch appends are committed no-ops for BOTH index kinds
+    assert(Dedup.minhashAppendIndex(spark, dir,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text"))
+        .filter(lit(false)), "doc_id", "text", "emptybatch"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/emptybatch")))
+    Dedup.minhashOpenIndex(spark, dir).postings.count() // open still healthy
+  }
+
   test("qualityGate: streaming keep-set equals the batch approx gate, stateless plan") {
     import graft.operators.Sampling
     import spark.implicits._
