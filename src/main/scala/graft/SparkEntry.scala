@@ -132,6 +132,35 @@ object SparkEntry {
       Dedup.minhashOpenIndex(s, sub)
     })
 
+  /** Incrementally-assembled sibling of [[steadyBm25Index]]: built on the
+    * corpus MINUS a held-out slice, then the slice absorbed via
+    * [[Lexical.bm25AppendIndex]]. BM25 appends are score-EXACT (stats merge
+    * from integer sums, df recomputed in-plan from the pruned union scan),
+    * so `q_bm25_index_append` checks search-via-append ≡
+    * search-via-full-rebuild bit-for-bit — a far stronger contract than the
+    * ANN append's same-centroids parity.
+    */
+  private val steadyBm25AppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Lexical.Bm25Index]
+  private def steadyBm25AppendedIndex(s: SparkSession, dir: String): Lexical.Bm25Index =
+    steadyBm25AppCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_bm25_app")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // done-marker = the append batch's own _COMMITTED sentinel (the
+      // advisor-r8 minhash lesson); the append is idempotent on batchId
+      if (!new java.io.File(s"$sub/batches/heldout/_COMMITTED").exists()) {
+        val docs = ld(s, dir, "documents")
+        if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
+          val (postings, stats) = Lexical.bm25BuildIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), "doc_id", "text")
+          Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
+        }
+        Lexical.bm25AppendIndex(s, sub,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 3), "doc_id", "text", "heldout")
+      }
+      Lexical.bm25OpenIndex(s, sub)
+    })
+
   /** PQ-enabled sibling of [[steadyAnnIndex]] (separate layout: pqM > 0
     * changes the written schema, and the classic legs must keep measuring
     * the classic layout).
@@ -1281,6 +1310,22 @@ object SparkEntry {
       // latency-sensitive steady-search regime this leg times
       Lexical.bm25SearchIndex(index, steadyQueries(s, dir), "qid", "text", k = 5)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Exact-append parity (the BM25 member of the append family): the
+    // appended index (6/7 base + held-out slice absorbed by
+    // Lexical.bm25AppendIndex) must search BIT-IDENTICALLY to the full
+    // steady index — not just same top-k sets, same score doubles — because
+    // merged stats are exact integer-sum arithmetic and df is recomputed
+    // in-plan over the union scan. Emits the symmetric difference of the
+    // two searches; the oracle is the empty relation — any stats-merge,
+    // stale-bake, bucket-modulus, or union-layout bug surfaces as rows.
+    "q_bm25_index_append" -> ((s, dir) => {
+      val q = steadyQueries(s, dir)
+      val a = Lexical.bm25SearchIndex(
+        steadyBm25AppendedIndex(s, dir), q, "qid", "text", k = 5)
+      val b = Lexical.bm25SearchIndex(steadyBm25Index(s, dir), q, "qid", "text", k = 5)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
     // The lexical family's SQL surface: graft_bm25_search TVF over the
@@ -3419,6 +3464,15 @@ object SparkEntry {
     // search-from-persisted-index leg: identical relation to the ad-hoc plan
     "q_bm25_index_search" -> Bm25OracleSql,
     "q_bm25_sql" -> Bm25OracleSql,
+
+    // Emptiness contract for exact-append parity: the query emits the
+    // symmetric difference of (search via appended index) and (search via
+    // the full steady index) — empty means the append path reproduced every
+    // score double bit-for-bit.
+    "q_bm25_index_append" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
+        |WHERE FALSE""".stripMargin,
 
     // build leg: the persisted postings read back from the bucketed layout
     // must equal the (doc_id, term) tf/dl aggregate computed from scratch

@@ -159,7 +159,15 @@ object Lexical {
     * modulus would silently drop valid postings.
     */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int,
-      nRows: Option[Long] = None, bakedParams: Option[(Double, Double)] = None) {
+      nRows: Option[Long] = None, bakedParams: Option[(Double, Double)] = None,
+      appendedPostings: Long = 0L) {
+    /** Appended postings ÷ total — NOT a score-quality signal (BM25 appends
+      * are exact, see [[bm25AppendIndex]]) but the compaction-cadence one:
+      * it tracks how much of every search pays the un-baked df recompute
+      * and the union fan-in. Compact when it grows past taste.
+      */
+    def appendFraction: Double =
+      nRows.filter(_ > 0).map(appendedPostings.toDouble / _).getOrElse(0.0)
     /** The one-row corpus stats collected ONCE per open and reused by every
       * search — a per-search `crossJoin(broadcast(stats))` re-ran the stats
       * scan as its own job each time, which is pure overhead in the
@@ -178,13 +186,18 @@ object Lexical {
     * aggregate once" regime: the corpus text is never read again — every
     * later search starts from these files.
     *
-    * Incremental append is deliberately NOT offered (unlike
-    * [[Dedup.minhashAppendIndex]]): BM25 scores depend on corpus-GLOBAL
-    * statistics — per-term document frequencies, the document count, and
-    * the average document length — so absorbing a batch changes the score
-    * of every existing posting, not just adds rows. Appending postings
-    * while keeping stale stats would silently mis-rank; rebuild (or accept
-    * an explicitly-stale-stats epoch and rebuild on a cadence) instead.
+    * Incremental append ([[bm25AppendIndex]]) is EXACT here, unlike the
+    * frozen-centroid ANN append's recall trade: BM25 scores depend on
+    * corpus-global statistics (per-term df, the document count, the average
+    * document length), and all three merge exactly — `n_docs`/`sum_dl` are
+    * integer-valued sums recorded per batch, and df is recomputable in-plan
+    * from the pruned scan because term-hash bucketing puts ALL postings of
+    * a term (base and batches alike) in the same pruned branch. The cost is
+    * honest instead of hidden: an appended index's baked `df`/`contrib0`
+    * columns are stale, so [[bm25OpenIndex]] DROPS them when committed
+    * batches exist and every search pays the df aggregate the bake
+    * eliminated — scores stay bit-identical to a rebuild ([[bm25CompactIndex]]
+    * re-bakes and restores the serving fast path).
     */
   def bm25WriteIndex(
       postings: DataFrame, stats: DataFrame, path: String, nBuckets: Int = 64): Unit = {
@@ -198,11 +211,22 @@ object Lexical {
     // full postings). AQE picks the join: dfc is vocabulary-sized, broadcast
     // at bench scale, shuffle join on a 100 TB corpus.
     val dfc = postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    // posting row count into the meta: one count at build buys every later
-    // search a free scan-size estimate (the single-stage fast-path gate;
-    // the df join is inner on term over the same rows, so counting the
-    // un-joined postings is exact)
-    val nRows = postings.count()
+    // posting row count + exact doc-length sum into the meta, ONE job: the
+    // row count buys every later search a free scan-size estimate (the
+    // single-stage fast-path gate; the df join is inner on term over the
+    // same rows, so counting the un-joined postings is exact), and `sum_dl`
+    // is what lets an append merge `avgdl` exactly — dl is one value per
+    // doc (repeated per posting), so sum the per-doc firsts; zero-token
+    // docs have no postings and contribute 0 either way. dl values are
+    // integral token counts, so the double sum is exact (< 2^53) in any
+    // accumulation order — merged avgdl ≡ rebuilt avgdl bit-for-bit.
+    val cRow = postings.groupBy("doc_id")
+      .agg(first(col("dl")).as("__dl"), count(lit(1)).as("__np"))
+      .agg(coalesce(sum(col("__np")), lit(0L)).as("n"),
+        coalesce(sum(col("__dl")), lit(0.0)).as("s"))
+      .head()
+    val nRows = cRow.getLong(0)
+    val sumDl = cRow.getDouble(1)
     // bake the per-posting CONTRIBUTION at the default (k1, b) too (r10,
     // what Lucene-style impact-ordered indexes store): contrib(d,t) depends
     // only on build-time quantities (tf, dl, df, n_docs, avgdl), so the
@@ -229,12 +253,121 @@ object Lexical {
     val out = fs.create(metaPath, true)
     try out.write(
       (s"""{"type": "bm25", "n_buckets": $nBuckets, "n_rows": $nRows, """ +
-        s""""contrib_k1": $bakeK1, "contrib_b": $bakeB}""").getBytes("UTF-8"))
+        s""""contrib_k1": $bakeK1, "contrib_b": $bakeB, """ +
+        // exact-merge inputs for bm25AppendIndex: Double.toString round-trips
+        // through Jackson's asDouble bit-exactly
+        s""""n_docs": ${sr.getDouble(0)}, "sum_dl": $sumDl}""").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Open a [[bm25WriteIndex]] directory. */
+  /** Open a [[bm25WriteIndex]] directory: the base bucket layout unioned
+    * with every COMMITTED append batch (see [[bm25AppendIndex]] — batches
+    * without the `_COMMITTED` marker are in-flight or failed appends and
+    * are ignored). When batches exist the baked `df`/`contrib0` columns are
+    * DROPPED — they were computed against the base corpus only and are
+    * stale the moment a batch lands — so every search recomputes df from
+    * its pruned scan (exact: term-hash bucketing with the shared modulus
+    * puts all of a term's postings in the same pruned branch across every
+    * root) and the one-row stats table is rebuilt driver-side from the
+    * metas' exact integer-valued sums. Per-branch `__bkt=` partition
+    * pruning holds in every root of the union.
+    */
   def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "bm25_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no BM25 index at $path (missing bm25_meta.json)")
+    val in = fs.open(metaPath)
+    val metaStr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(metaStr)
+    require(Option(node.get("type")).exists(_.asText() == "bm25"),
+      s"$path/bm25_meta.json is not a bm25 index meta file")
+    val batchesDir = new org.apache.hadoop.fs.Path(path, "batches")
+    val committed =
+      if (!fs.exists(batchesDir)) Seq.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(batchesDir).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+        .map(_.getPath).sortBy(_.toString)
+    val baseNRows = Option(node.get("n_rows")).map(_.asLong())
+    if (committed.isEmpty) {
+      Bm25Index(
+        spark.read.parquet(s"$path/postings"),
+        spark.read.parquet(s"$path/stats"),
+        node.get("n_buckets").asInt(),
+        // absent in pre-r8 layouts: searches simply skip the fast path
+        baseNRows,
+        // absent in pre-r10 layouts: searches recompute contribs from tf/dl/df
+        for (k1 <- Option(node.get("contrib_k1")); b <- Option(node.get("contrib_b")))
+          yield (k1.asDouble(), b.asDouble()))
+    } else {
+      // appended index: merged stats need the base corpus' exact sums —
+      // bm25AppendIndex refuses to land a batch on a meta without them, so
+      // hitting this means the batch dirs were hand-copied onto an old layout
+      require(node.has("n_docs") && node.has("sum_dl"),
+        s"$path has committed append batches but its meta predates the " +
+          "n_docs/sum_dl record; rebuild or compact with the current writer")
+      val batchMetas = committed.map { b =>
+        val bin = fs.open(new org.apache.hadoop.fs.Path(b, "batch_meta.json"))
+        val s = try scala.io.Source.fromInputStream(bin, "UTF-8").mkString finally bin.close()
+        mapper.readTree(s)
+      }
+      val core = Seq("doc_id", "term", "tf", "dl", "__bkt").map(col)
+      val postings = (spark.read.parquet(s"$path/postings").select(core: _*) +:
+        committed.zip(batchMetas).collect {
+          // zero-posting batches (all-blank docs) have stats but no postings
+          // dir — an empty partitioned parquet dir has no footers and would
+          // corrupt this very open (the minhash/ann append lesson)
+          case (b, bm) if bm.get("n_rows").asLong() > 0L =>
+            spark.read.parquet(s"$b/postings").select(core: _*)
+        }).reduce(_.unionByName(_))
+      val nDocs = node.get("n_docs").asDouble() +
+        batchMetas.map(_.get("n_docs").asDouble()).sum
+      val sumDl = node.get("sum_dl").asDouble() +
+        batchMetas.map(_.get("sum_dl").asDouble()).sum
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val stats = spark.createDataFrame(
+        java.util.Arrays.asList(Row(nDocs, sumDl / nDocs)),
+        StructType(Seq(StructField("n_docs", DoubleType, nullable = false),
+          StructField("avgdl", DoubleType, nullable = false))))
+      val appended = batchMetas.map(_.get("n_rows").asLong()).sum
+      Bm25Index(postings, stats, node.get("n_buckets").asInt(),
+        baseNRows.map(_ + appended),
+        // stale by construction — searches must recompute from tf/dl
+        bakedParams = None, appendedPostings = appended)
+    }
+  }
+
+  /** Absorb a new document batch into a persisted BM25 index — the lexical
+    * member of the crawl-regime append family ([[Dedup.minhashAppendIndex]],
+    * [[Ann.annAppendIndex]]; same `_COMMITTED`-marker protocol: the batch
+    * lands as a self-contained `path/batches/<batchId>/postings` bucket
+    * layout made visible only by one atomic marker create, a crash at any
+    * point leaves the index exactly as before, and re-running a committed
+    * `batchId` is an idempotent no-op).
+    *
+    * Unlike the ANN append there is NO staleness trade in the scores:
+    * `open → search` after an append is bit-identical to a full rebuild's
+    * search (`q_bm25_index_append` hash-checks it). What the append costs
+    * is the serving bake — df/contrib0 baked into the BASE layout no longer
+    * cover the corpus, so [[bm25OpenIndex]] drops them and every search
+    * recomputes df in-plan until [[bm25CompactIndex]] folds the batches back
+    * into one freshly-baked layout.
+    *
+    * Caller contract: batch `docId`s must be disjoint from the corpus
+    * already in the index (the same contract as the other two appends —
+    * duplicate ids would double-count their postings).
+    *
+    * @return true if the batch was written (or was an empty no-op), false
+    *         if `batchId` was already committed (idempotent no-op).
+    */
+  def bm25AppendIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, docId: String, docText: String,
+      batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId must match [A-Za-z0-9._-]+ (it names a directory), got '$batchId'")
+    requireIntegralId(batch, docId, "batch")
     val metaPath = new org.apache.hadoop.fs.Path(path, "bm25_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath), s"no BM25 index at $path (missing bm25_meta.json)")
@@ -243,15 +376,69 @@ object Lexical {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaStr)
     require(Option(node.get("type")).exists(_.asText() == "bm25"),
       s"$path/bm25_meta.json is not a bm25 index meta file")
-    Bm25Index(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/stats"),
-      node.get("n_buckets").asInt(),
-      // absent in pre-r8 layouts: searches simply skip the fast path
-      Option(node.get("n_rows")).map(_.asLong()),
-      // absent in pre-r10 layouts: searches recompute contribs from tf/dl/df
-      for (k1 <- Option(node.get("contrib_k1")); b <- Option(node.get("contrib_b")))
-        yield (k1.asDouble(), b.asDouble()))
+    require(node.has("n_docs") && node.has("sum_dl"),
+      s"$path predates the n_docs/sum_dl meta record appends merge stats " +
+        "from; rebuild (or compact) once with the current writer first")
+    val nBuckets = node.get("n_buckets").asInt()
+    val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED")
+    if (fs.exists(marker)) return false
+    // uncommitted leftover from a failed attempt: invisible to open(), safe
+    // to drop wholesale and rewrite
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
+    // batch stats in one narrow pass: doc count + exact token-count sum
+    // (the same size(terms(...)) the build's stats aggregate uses)
+    val st = batch.agg(
+      count(lit(1)).cast("double").as("n"),
+      coalesce(sum(size(terms(col(docText))).cast("double")), lit(0.0)).as("s")).head()
+    // empty batch: a committed no-op with NO batch dir (see the zero-posting
+    // note below — and a no-doc batch moves no stats either)
+    if (st.getDouble(0) == 0) return true
+    val postings = tokensWithDl(batch, docId, docText)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      // same bucket hash, same modulus as the base layout — searches prune
+      // base and batch branches with one bucket set
+      .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .localCheckpoint(false) // counted below, then written: one tokenize pass
+    val nRows = postings.count()
+    // all-blank batch (docs exist, zero tokens): stats move (n_docs grows,
+    // avgdl shrinks) but there are no postings — write the batch meta ONLY,
+    // because an empty partitioned parquet dir has no footers and corrupts
+    // later opens (the bug both sibling appends fixed in r10)
+    if (nRows > 0) {
+      postings.repartition(col("__bkt"))
+        .write.mode("overwrite").partitionBy("__bkt").parquet(s"$batchDir/postings")
+    } else fs.mkdirs(batchDir)
+    // per-batch counts ride INSIDE the batch dir (the shared meta stays
+    // immutable — mutating it would break the marker protocol's atomicity)
+    val bmeta = fs.create(new org.apache.hadoop.fs.Path(batchDir, "batch_meta.json"), false)
+    try bmeta.write(
+      (s"""{"n_rows": $nRows, "n_docs": ${st.getDouble(0)}, """ +
+        s""""sum_dl": ${st.getDouble(1)}}""").getBytes("UTF-8"))
+    finally bmeta.close()
+    fs.create(marker, false).close()
+    postings.unpersist()
+    true
+  }
+
+  /** Compact an appended index into a fresh single-layout index at
+    * `dstPath`: base postings plus every COMMITTED batch are re-written as
+    * one bucket layout with df and `contrib0` freshly baked over the FULL
+    * merged corpus and a recounted meta — searches against the compacted
+    * index are row-identical to the appended source's (both equal a
+    * rebuild's) and the serving fast path is restored. Non-in-place by
+    * design (the sibling compactors' contract): the caller swaps paths and
+    * deletes the old directory on their own cadence.
+    */
+  def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "compact is non-in-place: dstPath must differ from srcPath " +
+        "(an overwrite of the layout being read would destroy the input)")
+    val idx = bm25OpenIndex(spark, srcPath)
+    bm25WriteIndex(idx.postings.select("doc_id", "term", "tf", "dl"),
+      idx.stats, dstPath, idx.nBuckets)
   }
 
   /** Driver materialization bound for a search's exploded (query_id, term)
@@ -397,7 +584,7 @@ object Lexical {
       val singleStage = Serving.pinned(index.postings) && index.nRows.exists(n =>
         n * qb.size / math.max(index.nBuckets, 1) <= Serving.singleStageRows(spark))
       val contrib0 = withContrib(
-        pruned.filter(col("term").isin(distinctTerms: _*)), nDocs, avgdl, k1, b)
+        ensureDf(pruned.filter(col("term").isin(distinctTerms: _*))), nDocs, avgdl, k1, b)
       val contrib = if (singleStage) contrib0.coalesce(1) else contrib0
       val scores = contrib
         .groupBy("doc_id")
@@ -456,16 +643,7 @@ object Lexical {
       tf: DataFrame, qterms: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double,
       ranked: Option[DataFrame] = None): DataFrame = {
-    // tf may already carry per-term df (the persisted-index path bakes it in
-    // at build time); otherwise compute it from the restricted postings —
-    // same values, since for every query term ALL docs containing it are
-    // present in tf
-    val withDf =
-      if (tf.columns.contains("df")) tf
-      else {
-        val dfCounts = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-        tf.join(broadcast(dfCounts), Seq("term"))
-      }
+    val withDf = ensureDf(tf)
     // contrib(d,t) does not depend on the query, so evaluate it per POSTING
     // and only then fan out with the query join: joining qterms first
     // multiplied every posting by the queries sharing its term and ran the
@@ -554,6 +732,22 @@ object Lexical {
   private def dropStaleBake(index: Bm25Index, k1: Double, b: Double,
       pruned: DataFrame): DataFrame =
     if (index.bakedParams.contains((k1, b))) pruned else pruned.drop("contrib0")
+
+  /** A query-vocabulary-restricted tf frame may already carry per-term df
+    * (the persisted-index path bakes it at build time); otherwise compute it
+    * from the restricted postings themselves — same values, since for every
+    * query term ALL docs containing it are present (the restriction is by
+    * term, and on persisted layouts the shared bucket modulus keeps a term's
+    * postings together across base and append-batch roots alike). This is
+    * the aggregate the build-time bake exists to delete; it comes back only
+    * for ad-hoc callers and appended (stale-bake) indexes.
+    */
+  private def ensureDf(tf: DataFrame): DataFrame =
+    if (tf.columns.contains("df")) tf
+    else {
+      val dfCounts = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfCounts), Seq("term"))
+    }
 
   /** The BM25 per-posting contribution as ONE column expression over
     * (tf, dl, df) — shared by the search-time computation and the build-time
