@@ -214,6 +214,56 @@ object SparkEntry {
     ids.toSeq.toDF("doc_id")
   }
 
+  /** Manifest-backed ingest pipeline run ONCE per process, maintaining a
+    * BM25 index in lockstep with the MinHash dedup corpus
+    * ([[graft.streaming.StreamOps.ingestEpochPipeline]]), plus the
+    * reference: a one-shot BM25 rebuild over (corpus ∪ survivors).
+    * `q_stream_ingest_bm25` checks maintained ≡ rebuilt search-for-search,
+    * bit-identical scores — the exact-append guarantee carried end-to-end
+    * through the streaming composite. Survivor-set correctness itself is
+    * hash-gated by `q_stream_ingest`'s all-SQL oracle (same batch shape).
+    */
+  private val steadyIngestBm25Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Lexical.Bm25Index, Lexical.Bm25Index)]
+  private def steadyIngestBm25Pair(s: SparkSession, dir: String)
+      : (Lexical.Bm25Index, Lexical.Bm25Index) =
+    steadyIngestBm25Cache.computeIfAbsent(dir, _ => {
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mhSub = s"${perProcessTmpDir("graft_ingestp_mh")}/$tag"
+      val bmSub = s"${perProcessTmpDir("graft_ingestp_bm25")}/$tag"
+      val refSub = s"${perProcessTmpDir("graft_ingestp_ref")}/$tag"
+      val docs = ld(s, dir, "documents")
+      if (!new java.io.File(s"$mhSub/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), mhSub)
+      }
+      if (!new java.io.File(s"$bmSub/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, bmSub, nBuckets = 16)
+      }
+      // the q_stream_ingest batch shape: corpus dups (all drop), reversed
+      // docs (genuinely new), each reversed doc twice (intra-batch dups)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"), reverse(col("text")).as("text")))
+      // idempotent across partial re-runs: a committed epoch replays from
+      // its survivor manifest and the per-index appends no-op on batchId
+      val survivors = graft.streaming.StreamOps.ingestEpochPipeline(
+        batch, "doc_id", "text", mhSub,
+        jaccardThreshold = 0.8, batchId = "leg_0", bm25Path = Some(bmSub))
+      if (!new java.io.File(s"$refSub/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(
+          docs.select(col("doc_id"), col("text"))
+            .unionByName(survivors.select(col("doc_id"), col("text"))),
+          "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, refSub, nBuckets = 16)
+      }
+      (Lexical.bm25OpenIndex(s, bmSub), Lexical.bm25OpenIndex(s, refSub))
+    })
+
   private[graft] def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
@@ -966,6 +1016,21 @@ object SparkEntry {
     // anti-join — in SQL.
     "q_stream_ingest" -> ((s, dir) => {
       steadyIngestSurvivors(s, dir).orderBy(col("doc_id"))
+    }),
+
+    // Manifest-backed multi-index ingest (ingestEpochPipeline): the BM25
+    // index maintained in LOCKSTEP with the dedup corpus must serve
+    // bit-identical scores to a one-shot rebuild over (corpus ∪ the
+    // epoch's survivors) — the exact-append guarantee surviving the whole
+    // streaming composite (manifest commit → minhash absorb → bm25
+    // absorb). Emits the symmetric difference of the two searches;
+    // emptiness oracle.
+    "q_stream_ingest_bm25" -> ((s, dir) => {
+      val (maintained, rebuilt) = steadyIngestBm25Pair(s, dir)
+      val q = steadyQueries(s, dir)
+      val a = Lexical.bm25SearchIndex(maintained, q, "qid", "text", k = 5)
+      val b = Lexical.bm25SearchIndex(rebuilt, q, "qid", "text", k = 5)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
     "q_sample_deterministic" -> ((s, dir) => {
@@ -3464,6 +3529,14 @@ object SparkEntry {
     // search-from-persisted-index leg: identical relation to the ad-hoc plan
     "q_bm25_index_search" -> Bm25OracleSql,
     "q_bm25_sql" -> Bm25OracleSql,
+
+    // Emptiness contract for the ingest-maintained BM25 index: searches via
+    // the pipeline-appended index and via a rebuild over (corpus ∪
+    // survivors) must be bit-identical.
+    "q_stream_ingest_bm25" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
+        |WHERE FALSE""".stripMargin,
 
     // Emptiness contract for exact-append parity: the query emits the
     // symmetric difference of (search via appended index) and (search via

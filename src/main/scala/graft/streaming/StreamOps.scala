@@ -265,9 +265,24 @@ object StreamOps {
   def ingestEpoch(
       batch: DataFrame, idCol: String, textCol: String,
       indexPath: String, jaccardThreshold: Double, batchId: String): DataFrame = {
-    import graft.operators.Dedup
     val spark = batch.sparkSession
-    val idx = Dedup.minhashOpenIndex(spark, indexPath)
+    val fresh = computeFreshSurvivors(batch, idCol, textCol, indexPath, jaccardThreshold)
+    // (3) atomic absorb; idempotent on batchId replay
+    graft.operators.Dedup.minhashAppendIndex(
+      spark, indexPath, fresh, idCol, textCol, batchId)
+    fresh
+  }
+
+  /** Steps (1)+(2) of an ingest epoch — the survivor computation shared by
+    * [[ingestEpoch]] and [[ingestEpochPipeline]]: intra-batch keep-first
+    * with the index's own banding, then drop docs near-duplicating the
+    * persisted corpus. Returns the pinned survivor frame.
+    */
+  private def computeFreshSurvivors(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, jaccardThreshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val idx = Dedup.minhashOpenIndex(batch.sparkSession, indexPath)
     // branch-heavy micro-batch: pin once (foreachBatch hands a one-shot
     // frame; re-evaluating it per consumer is undefined)
     val pinned = batch.localCheckpoint(true)
@@ -285,11 +300,93 @@ object StreamOps {
     // the batch id's natural type — no cast in this join)
     val corpusDups = Dedup.minhashSearchIndex(idx, selfUnique, idCol, textCol,
       jaccardThreshold).select(col("batch_id")).distinct()
-    val fresh = selfUnique.join(corpusDups,
+    selfUnique.join(corpusDups,
       selfUnique(idCol) === col("batch_id"), "left_anti")
-      .localCheckpoint(true) // consumed by the append AND the sink
-    // (3) atomic absorb; idempotent on batchId replay
-    Dedup.minhashAppendIndex(spark, indexPath, fresh, idCol, textCol, batchId)
+      .localCheckpoint(true) // consumed by the append(s) AND the sink
+  }
+
+  /** [[ingestEpoch]] upgraded with a durable SURVIVOR MANIFEST — the fix
+    * for the two honest caveats in [[streamingIngestDedup]]'s contract:
+    *
+    *  - **survivor delivery becomes exactly-once**: the survivor set is
+    *    parquet-committed to `<minhashPath>/ingest_manifests/<batchId>`
+    *    (visible only via its `_COMMITTED` marker) BEFORE any index is
+    *    touched, and a replayed epoch READS the manifest back instead of
+    *    recomputing — recomputation after a successful append would find
+    *    the batch's own rows in the corpus and return the empty set;
+    *  - **multiple indexes stay mutually consistent**: every index append
+    *    is fed from the same durable manifest, so a crash BETWEEN the
+    *    MinHash append and the BM25 append replays into idempotent
+    *    re-appends of the identical rows — without the manifest the second
+    *    index would silently lose the whole batch (the recomputed survivor
+    *    set is empty once the first index absorbed it).
+    *
+    * Total order per epoch: manifest commit → MinHash append → BM25 append
+    * (each step atomic + idempotent on `batchId`); a crash at any point
+    * resumes cleanly from the manifest. `bm25Path` (optional) keeps a
+    * persisted BM25 index in lockstep with the dedup corpus — the
+    * crawl-regime pairing: what minhash ADMITS, BM25 SERVES; BM25 appends
+    * are score-exact ([[graft.operators.Lexical.bm25AppendIndex]]), so
+    * searches against the maintained index stay bit-identical to a rebuild
+    * over (corpus ∪ all survivors), which `q_stream_ingest_bm25`
+    * hash-checks end-to-end.
+    *
+    * The manifest dir is epoch bookkeeping, not index state: compaction
+    * does not carry it, and it can be pruned once downstream consumers are
+    * past the epoch.
+    */
+  def ingestEpochPipeline(
+      batch: DataFrame, idCol: String, textCol: String,
+      minhashPath: String,
+      jaccardThreshold: Double, batchId: String,
+      bm25Path: Option[String] = None): DataFrame = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId must match [A-Za-z0-9._-]+ (it names a directory), got '$batchId'")
+    import graft.operators.{Dedup, Lexical}
+    val spark = batch.sparkSession
+    val maniDir = new org.apache.hadoop.fs.Path(s"$minhashPath/ingest_manifests/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(maniDir, "_COMMITTED")
+    val fs = maniDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(marker)) {
+        // replay: the manifest IS the epoch's survivor set (recomputing
+        // would return empty — the rows are already in the corpus)
+        spark.read.parquet(s"$maniDir/rows")
+      } else {
+        if (fs.exists(maniDir)) fs.delete(maniDir, true) // failed attempt
+        val f = computeFreshSurvivors(batch, idCol, textCol, minhashPath, jaccardThreshold)
+        // unpartitioned write: an EMPTY survivor set still produces a
+        // readable parquet file (only partitioned empty dirs are footerless),
+        // so fully-duplicated epochs replay as committed empty manifests
+        f.write.mode("overwrite").parquet(s"$maniDir/rows")
+        fs.create(marker, false).close()
+        f
+      }
+    Dedup.minhashAppendIndex(spark, minhashPath, fresh, idCol, textCol, batchId)
+    bm25Path.foreach { p =>
+      Lexical.bm25AppendIndex(spark, p,
+        fresh.select(col(idCol), col(textCol)), idCol, textCol, batchId)
+    }
     fresh
   }
+
+  /** The [[streamingIngestDedup]] wrapper over [[ingestEpochPipeline]]:
+    * exactly-once survivor delivery (manifest-backed) and an optional BM25
+    * index maintained in lockstep with the dedup corpus. Same `ingestTag`
+    * uniqueness contract as [[streamingIngestDedup]].
+    */
+  def streamingIngestPipeline(
+      stream: DataFrame, idCol: String, textCol: String,
+      minhashPath: String,
+      jaccardThreshold: Double = 0.5,
+      ingestTag: String = "ingest",
+      bm25Path: Option[String] = None,
+      onBatch: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty)
+          onBatch(ingestEpochPipeline(batch, idCol, textCol, minhashPath,
+            jaccardThreshold, s"${ingestTag}_$epochId", bm25Path))
+      }
 }

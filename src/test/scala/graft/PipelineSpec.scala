@@ -714,6 +714,99 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.minhashOpenIndex(spark, dir).postings.count() // open still healthy
   }
 
+  test("ingestEpochPipeline: manifest-backed exactly-once delivery; BM25 kept in lockstep") {
+    import graft.operators.{Dedup, Lexical}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(tag: Any) = s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon $tag zeta"
+    val base = (0L until 10L).map(i => (i, doc(s"base$i"))).toDF("doc_id", "text")
+    val mhDir = java.nio.file.Files.createTempDirectory("graft_ingp_mh").toString
+    val bmDir = java.nio.file.Files.createTempDirectory("graft_ingp_bm").toString
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(base, "doc_id", "text"), mhDir)
+    val (p0, s0) = Lexical.bm25BuildIndex(base, "doc_id", "text")
+    Lexical.bm25WriteIndex(p0, s0, bmDir, nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(mhDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // epoch 0: 100 = corpus dup, 101/102 = intra-batch dup pair, 103 = new
+    val epoch0 = Seq((100L, doc("base3")), (101L, doc("fresh_a")),
+      (102L, doc("fresh_a")), (103L, doc("fresh_b"))).toDF("doc_id", "text")
+    val surv0 = StreamOps.ingestEpochPipeline(epoch0, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", bm25Path = Some(bmDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv0 == Set(101L, 103L))
+    // total order artifacts: manifest + both index batches committed
+    for (d <- Seq(s"$mhDir/ingest_manifests/e0", s"$mhDir/batches/e0", s"$bmDir/batches/e0"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMMITTED")), d)
+
+    // epoch 1 proves cross-epoch state IS the index (200 dups an INGESTED doc)
+    val epoch1 = Seq((200L, doc("fresh_a")), (201L, doc("fresh_c"))).toDF("doc_id", "text")
+    val surv1 = StreamOps.ingestEpochPipeline(epoch1, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e1", bm25Path = Some(bmDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv1 == Set(201L))
+
+    // BM25 lockstep: the maintained index serves bit-identically to a
+    // one-shot rebuild over (corpus ∪ all survivors)
+    val refDir = java.nio.file.Files.createTempDirectory("graft_ingp_ref").toString
+    val refCorpus = base.unionByName(Seq(
+      (101L, doc("fresh_a")), (103L, doc("fresh_b")), (201L, doc("fresh_c")))
+      .toDF("doc_id", "text"))
+    val (pr, sr) = Lexical.bm25BuildIndex(refCorpus, "doc_id", "text")
+    Lexical.bm25WriteIndex(pr, sr, refDir, nBuckets = 8)
+    val queries = Seq((0L, doc("base0")), (1L, doc("fresh_a")), (2L, doc("fresh_c")))
+      .toDF("doc_id", "text")
+    def rows(idx: Lexical.Bm25Index) =
+      Lexical.bm25SearchIndex(idx, queries, "doc_id", "text", k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val maintained = Lexical.bm25OpenIndex(spark, bmDir)
+    val viaPipeline = rows(maintained)
+    assert(viaPipeline === rows(Lexical.bm25OpenIndex(spark, refDir)))
+    // an ingested doc is retrievable from the maintained lexical index
+    assert(viaPipeline.exists(t => t._1 == 1L && t._3 == 101L))
+
+    // exactly-once replay: re-running a committed epoch returns the SAME
+    // survivors from the manifest (a recompute would return the empty set —
+    // the rows are already in the corpus) and both indexes are unchanged
+    val mhCount = Dedup.minhashOpenIndex(spark, mhDir).postings.count()
+    val bmCount = maintained.postings.count()
+    val replay = StreamOps.ingestEpochPipeline(epoch0, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", bm25Path = Some(bmDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == surv0, "replay must deliver the manifest survivors, not recompute")
+    assert(Dedup.minhashOpenIndex(spark, mhDir).postings.count() === mhCount)
+    assert(Lexical.bm25OpenIndex(spark, bmDir).postings.count() === bmCount)
+
+    // crash window BETWEEN the two appends: wipe the bm25 batch (as if the
+    // crash hit after the minhash absorb), replay the epoch — the bm25
+    // append is redone from the manifest and search parity is restored;
+    // without the manifest the recomputed survivor set would be empty and
+    // the lexical index would silently lose the batch forever
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bmDir/batches/e0"), true)
+    assert(rows(Lexical.bm25OpenIndex(spark, bmDir)) !== viaPipeline)
+    StreamOps.ingestEpochPipeline(epoch0, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", bm25Path = Some(bmDir))
+    assert(rows(Lexical.bm25OpenIndex(spark, bmDir)) === viaPipeline)
+
+    // the streaming wrapper drives the same epoch body (fresh run, own tag)
+    val outs = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingIngestPipeline(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, ingestTag = "wrap", bm25Path = Some(bmDir),
+      onBatch = b => outs += b.select("doc_id").as[Long].collect().toSet)
+      .start()
+    try {
+      stream.addData((300L, doc("fresh_d")), (301L, doc("fresh_a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(outs.toList == List(Set(300L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$mhDir/ingest_manifests/wrap_0/_COMMITTED")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bmDir/batches/wrap_0/_COMMITTED")))
+  }
+
   test("qualityGate: streaming keep-set equals the batch approx gate, stateless plan") {
     import graft.operators.Sampling
     import spark.implicits._
