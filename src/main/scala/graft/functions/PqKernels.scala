@@ -96,6 +96,47 @@ object PqKernels {
     }
     s
   }
+
+  /** Plain-array twins of [[lut]]/[[adc]] for the broadcast-matrix scan
+    * kernel ([[graft.operators.Pq.pqTopK]]'s coarse stage): same loops, same
+    * accumulation order, element for element — `ArrayData.getDouble(i)`
+    * reads the identical double the primitive array holds at `i`, so the
+    * two forms cannot drift (the ADC-algebra spec pins the expression form
+    * against a driver recompute through THESE twins). Kept as separate
+    * bodies rather than one delegating pair because the expression forms
+    * run per ROW in generated code, where a per-call `toDoubleArray` copy
+    * of a 32 KB LUT would be the exact per-pair allocation the scan kernel
+    * exists to kill.
+    */
+  def lutArray(vec: Array[Double], flat: Array[Double], m: Int, ks: Int, dsub: Int): Array[Double] = {
+    if (vec.length != m * dsub) throw new IllegalArgumentException(
+      s"pq_lut: vector has ${vec.length} lanes, codebook expects ${m * dsub} (m=$m x dsub=$dsub)")
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        var s = 0.0
+        var d = 0
+        val base = (j * ks + c) * dsub
+        while (d < dsub) { s += vec(j * dsub + d) * flat(base + d); d += 1 }
+        out(j * ks + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  def adcArray(codes: Array[Byte], lutArr: Array[Double], m: Int, ks: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lutArr(j * ks + (codes(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
 }
 
 /** `array<double>` vector → `array<tinyint>` PQ codes against a fixed

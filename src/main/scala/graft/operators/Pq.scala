@@ -196,12 +196,24 @@ object Pq {
     * `adc_dot / (||q||·||x||)` — the reconstruction dot over the true
     * norms, so norm variation cannot masquerade as similarity.
     *
-    * Scale shape: per-query LUT built once in-plan (m·ks doubles); the
-    * corpus side broadcast carries `m` code bytes + one norm per vector
-    * (~dim/m x more vectors per broadcast byte than SQ8); coarse scoring is
-    * a map-only broadcast nested-loop with a partial-agg bounded top-k
-    * (≤ rerankFactor·k rows shuffle per query); the exact rerank joins the
-    * survivors back to the original vectors.
+    * Scale shape: the corpus side is encoded IN-PLAN (one distributed pass)
+    * and collected as an `m`-bytes-plus-norm code matrix (~dim/m x more
+    * vectors per broadcast byte than SQ8, size-guarded below); coarse
+    * scoring is a map-partitions scan over the broadcast matrix — the
+    * [[VecScan.knn]] pattern — that builds each query's LUT ONCE and then
+    * pays `m` lookups per candidate, emitting ≤ rerankFactor·k candidate
+    * rows per query; the exact rerank joins the survivors back to the
+    * original vectors.
+    *
+    * The scan kernel is deliberately NOT the declarative
+    * `crossJoin(broadcast(codes))` form: whole-stage codegen defers
+    * stream-side projections into the nested-loop join's inner loop, so the
+    * per-QUERY LUT (m·ks doubles — 16k multiplies and a 32 KB allocation at
+    * the defaults) was re-evaluated per PAIR, a measured 40x wall blowup at
+    * the bench scale (11 s for 100×2k pairs; jstack pinned the whole wall
+    * inside `PqKernels.lut` under the join stage). ADC's entire point is
+    * LUT amortization across candidates — the kernel form is the one shape
+    * Spark cannot silently de-amortize.
     */
   def pqTopK(
       queries: DataFrame, qId: String, qVec: String,
@@ -220,29 +232,54 @@ object Pq {
           s"${VecScan.MaxBroadcastBytesKey} or shard the corpus (PQ within " +
           "IVF cells)")
     }
-    val qSide = queries
-      .select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv"))
-      .withColumn("__qlut", PqColumns.pqLut(col("__qv"), cb.flat, cb.m, cb.ks, cb.dsub))
-      .withColumn("__qnorm", norm(col("__qv")))
-      .select(col("__qid"), col("__qlut"), col("__qnorm"))
-    val cSide = corpus
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // encode distributed (the same codegen kernel the persisted layout
+    // bakes with), collect only (id, m code bytes, norm) — the guard above
+    // sized exactly this materialization — and broadcast the matrix once
+    val cRows = corpus
       .select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv"))
-      .withColumn("__pq", PqColumns.pqEncode(col("__cv"), cb.flat, cb.m, cb.ks, cb.dsub))
-      .withColumn("__cnorm", norm(col("__cv")))
-      .select(col("__cid"), col("__pq"), col("__cnorm"))
-    val pairs0 = qSide.crossJoin(broadcast(cSide))
-    val pairs = if (excludeSelf) pairs0.filter(col("__qid") =!= col("__cid")) else pairs0
-    val coarse = pairs
-      .select(col("__qid"), col("__cid"),
-        when(col("__qnorm") === 0.0 || col("__cnorm") === 0.0, lit(0.0))
-          .otherwise(
-            PqColumns.pqAdc(col("__pq"), col("__qlut"), cb.m, cb.ks) /
-              (col("__qnorm") * col("__cnorm")))
-          .as("__qscore"))
-      .groupBy(col("__qid"))
-      .agg(graft.functions.VecExpressions.topK(k * rerankFactor, col("__qscore"), col("__cid"))
-        .as("__top"))
-      .select(col("__qid"), explode(col("__top.id")).as("__cid"))
+      .filter(col("__cv").isNotNull) // a null vector has no code and can match nothing
+      .select(col("__cid"),
+        PqColumns.pqEncode(col("__cv"), cb.flat, cb.m, cb.ks, cb.dsub).as("__pq"),
+        norm(col("__cv")).as("__cnorm"))
+      .as[(Long, Seq[Byte], Double)] // array<tinyint> decodes as Seq, not BINARY
+      .collect()
+    val ids = cRows.map(_._1)
+    val codes = cRows.map(_._2.toArray)
+    val norms = cRows.map(_._3)
+    val matB = spark.sparkContext.broadcast((ids, codes, norms))
+    val kk = k * rerankFactor
+    val coarse = queries
+      .select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (mIds, mCodes, mNorms) = matB.value
+        it.flatMap { case (qid, qv) =>
+          if (qv == null) Iterator.empty // null query vector matches nothing
+          else {
+            // LUT once per query (same arithmetic as the pq_lut expression
+            // — see PqKernels.lutArray), then m lookups per candidate; the
+            // same zero-norm → 0.0 convention as the expression form
+            val qn = math.sqrt(VecScan.dot(qv, qv))
+            val lut = graft.functions.PqKernels.lutArray(qv, cb.flat, cb.m, cb.ks, cb.dsub)
+            val buf = new graft.functions.TopKBuffer(kk)
+            var j = 0
+            while (j < mIds.length) {
+              if (!(excludeSelf && mIds(j) == qid)) {
+                val cn = mNorms(j)
+                val s =
+                  if (qn == 0.0 || cn == 0.0) 0.0
+                  else graft.functions.PqKernels.adcArray(mCodes(j), lut, cb.m, cb.ks) / (qn * cn)
+                buf.insert(s, mIds(j))
+              }
+              j += 1
+            }
+            (0 until buf.n).iterator.map(r => (qid, buf.ids(r)))
+          }
+        }
+      }
+      .toDF("__qid", "__cid")
     val qFull = queries.select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qnorm", norm(col("__qv")))
     val cFull = corpus.select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv"))

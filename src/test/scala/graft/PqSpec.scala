@@ -80,6 +80,34 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("array twins: lutArray/adcArray bit-equal the ArrayData expression kernels") {
+    // the scan kernel (pqTopK's coarse stage) runs on the plain-array twins;
+    // any drift from the expression forms would silently change candidate
+    // sets, so pin them bit-for-bit on random-ish vectors
+    import graft.functions.PqKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val e = emb(40)
+    val cb = Pq.pqTrain(e, "vec_id", "embedding", m = 4, ks = 8, sampleRows = 40, iters = 4)
+    val vecs = e.select(graft.functions.VectorOps.asDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (v <- vecs.take(10)) {
+      val lutA = PqKernels.lutArray(v, cb.flat, cb.m, cb.ks, cb.dsub)
+      val lutE = PqKernels.lut(new GenericArrayData(v), cb.flat, cb.m, cb.ks, cb.dsub)
+        .toDoubleArray()
+      assert(lutA.map(java.lang.Double.doubleToLongBits).toSeq ===
+        lutE.map(java.lang.Double.doubleToLongBits).toSeq)
+      for (w <- vecs.take(5)) {
+        val codes = PqKernels.encode(
+          new GenericArrayData(w), cb.flat, cb.m, cb.ks, cb.dsub)
+        val codesArr = codes.toByteArray()
+        assert(java.lang.Double.doubleToLongBits(
+          PqKernels.adcArray(codesArr, lutA, cb.m, cb.ks)) ===
+          java.lang.Double.doubleToLongBits(
+            PqKernels.adc(codes, new GenericArrayData(lutE), cb.m, cb.ks)))
+      }
+    }
+  }
+
   test("pqTopK: kept scores are exact cosines; recall@5 vs brute force clears the int8 floors") {
     val e = emb(400, dim = 32)
     val q = e.filter(col("vec_id") < 30)
