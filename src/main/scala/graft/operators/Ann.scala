@@ -678,20 +678,7 @@ object Ann {
       val byCell: Map[Long, Seq[(Long, Seq[Byte], Long, Seq[Double], Double)]] =
         exploded
           .map { case (qid, qv, qn, cell) =>
-            var mx = 0.0
-            var i = 0
-            while (i < qv.length) { val a = math.abs(qv(i)); if (a > mx) mx = a; i += 1 }
-            val scale = mx / 127.0
-            val codes = new Array[Byte](qv.length)
-            if (scale != 0.0) {
-              i = 0
-              while (i < qv.length) {
-                codes(i) = math.floor(qv(i) / scale + 0.5).toByte; i += 1
-              }
-            }
-            var n2 = 0L
-            i = 0
-            while (i < codes.length) { n2 += codes(i).toLong * codes(i).toLong; i += 1 }
+            val (codes, n2) = Quantize.quantizeArray(qv)
             (cell, (qid, codes.toSeq, n2, qv.toSeq, qn))
           }
           .groupBy(_._1).map { case (c, es) => (c, es.map(_._2)) }

@@ -52,6 +52,47 @@ object Quantize {
   /** Integer squared norm of a code array (exact, Long). */
   def norm2I8(codes: Column): Column = dotI8(codes, codes)
 
+  /** Plain-array twin of [[quantize]] + [[norm2I8]] for driver/executor
+    * kernels (the serving fast path's per-batch query quantization and the
+    * [[quantizedTopK]] scan kernel): each step is the same double/long
+    * operation in the same order as the Catalyst form — `max(|x|)/127`
+    * scale, `floor(x/scale + 0.5)` cast byte, exact integer squared norm —
+    * so the codes are bit-identical (q_quantize_int8 oracles the column
+    * form; the guard spec differential-tests the paths that mix the two).
+    */
+  private[graft] def quantizeArray(qv: Array[Double]): (Array[Byte], Long) = {
+    var mx = 0.0
+    var i = 0
+    while (i < qv.length) { val a = math.abs(qv(i)); if (a > mx) mx = a; i += 1 }
+    val scale = mx / 127.0
+    val codes = new Array[Byte](qv.length)
+    if (scale != 0.0) {
+      i = 0
+      while (i < qv.length) { codes(i) = math.floor(qv(i) / scale + 0.5).toByte; i += 1 }
+    }
+    var n2 = 0L
+    i = 0
+    while (i < codes.length) { n2 += codes(i).toLong * codes(i).toLong; i += 1 }
+    (codes, n2)
+  }
+
+  /** Plain-array twins of [[graft.functions.Int8Kernels.dotI8]] and
+    * [[cosineI8WithNorms]] — same ascending-index integer fold, same
+    * double division/clamp order.
+    */
+  private[graft] def dotI8Array(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length) // the VecDotI8 convention
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  private[graft] def cosineI8Scalar(dotI: Long, n2a: Long, n2b: Long): Double =
+    if (n2a == 0L || n2b == 0L) 0.0
+    else math.min(math.max(
+      dotI.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)), -1.0), 1.0)
+
   /** Cosine of two code arrays from a precomputed integer dot and integer
     * squared norms. The per-vector scale cancels in cosine, so this is the
     * quantized estimate of the exact cosine — same op order and [-1,1] clamp
@@ -143,12 +184,23 @@ object Quantize {
     * brute-force kernel on every pair it keeps — only the candidate set is
     * approximate, which `q_ann_int8_recall` gates against recall floors).
     *
-    * Scale shape: corpus codes broadcast (8x more rows per byte than the
-    * double matrix), coarse scoring is a map-only broadcast nested-loop with
-    * a partial-agg bounded top-k (≤ rerankFactor·k rows shuffle per query);
-    * the rerank is an equi-join on corpus id against the original vectors —
-    * no all-pairs shuffle anywhere. Above broadcast bounds, compose with
-    * [[Ann.ivfTopK]] cells instead (quantize within cells).
+    * Scale shape: the corpus is quantized IN-PLAN (one distributed pass)
+    * and collected as a code matrix (1 byte/lane + one long norm — 8x more
+    * vectors per broadcast byte than the double matrix, size-guarded
+    * below); coarse scoring is a map-partitions scan over the broadcast
+    * matrix — the [[VecScan.knn]] pattern — that quantizes each QUERY once
+    * and pays one exact integer dot per candidate, emitting
+    * ≤ rerankFactor·k candidate rows per query; the rerank is an equi-join
+    * on corpus id against the original vectors — no all-pairs shuffle
+    * anywhere. Above broadcast bounds, compose with [[Ann.ivfTopK]] cells
+    * instead (quantize within cells).
+    *
+    * Not the declarative `crossJoin(broadcast(codes))` form: whole-stage
+    * codegen defers stream-side projections into the nested-loop join's
+    * inner loop (the [[graft.operators.Pq.pqTopK]] lesson, jstack-pinned
+    * there), so the per-QUERY quantize + integer norm — interpreted
+    * higher-order `transform` calls plus a code-array allocation — ran once
+    * per PAIR. The scan kernel quantizes per query row by construction.
     */
   def quantizedTopK(
       queries: DataFrame, qId: String, qVec: String,
@@ -171,27 +223,49 @@ object Quantize {
           "or compose with the IVF cells instead (Ann.annSearchIndexInt8 " +
           "quantizes within partition-pruned cells)")
     }
-    val qCodes = quantize(
-      queries.select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv")),
-      "__qv", "__qc", "__qs")
-      .withColumn("__qn2", norm2I8(col("__qc")))
-      .select(col("__qid"), col("__qc"), col("__qn2"))
-    val cCodes = quantize(
-      corpus.select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv")),
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // quantize the corpus distributed (the oracle-checked column kernel),
+    // collect only (id, codes, integer norm) — the guard above sized
+    // exactly this materialization — and broadcast the matrix once
+    val cRows = quantize(
+      corpus.select(col(cId).cast("long").as("__cid"), asDouble(col(cVec)).as("__cv"))
+        .filter(col("__cv").isNotNull), // a null vector has no codes, matches nothing
       "__cv", "__cc", "__cs")
       .withColumn("__cn2", norm2I8(col("__cc")))
       .select(col("__cid"), col("__cc"), col("__cn2"))
-
-    val pairs0 = qCodes.crossJoin(broadcast(cCodes))
-    val pairs = if (excludeSelf) pairs0.filter(col("__qid") =!= col("__cid")) else pairs0
-    val coarse = pairs
-      .select(col("__qid"), col("__cid"),
-        cosineI8WithNorms(dotI8(col("__qc"), col("__cc")), col("__qn2"), col("__cn2"))
-          .as("__qscore"))
-      .groupBy(col("__qid"))
-      .agg(graft.functions.VecExpressions.topK(k * rerankFactor, col("__qscore"), col("__cid"))
-        .as("__top"))
-      .select(col("__qid"), explode(col("__top.id")).as("__cid"))
+      .as[(Long, Seq[Byte], Long)] // array<tinyint> decodes as Seq, not BINARY
+      .collect()
+    val ids = cRows.map(_._1)
+    val codes = cRows.map(_._2.toArray)
+    val norms2 = cRows.map(_._3)
+    val matB = spark.sparkContext.broadcast((ids, codes, norms2))
+    val kk = k * rerankFactor
+    val coarse = queries
+      .select(col(qId).cast("long").as("__qid"), asDouble(col(qVec)).as("__qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (mIds, mCodes, mNorms2) = matB.value
+        it.flatMap { case (qid, qv) =>
+          if (qv == null) Iterator.empty // null query vector matches nothing
+          else {
+            // quantize once per query (bit-identical to the column form —
+            // see quantizeArray), then exact integer dots per candidate
+            val (qc, qn2) = quantizeArray(qv)
+            val buf = new graft.functions.TopKBuffer(kk)
+            var j = 0
+            while (j < mIds.length) {
+              if (!(excludeSelf && mIds(j) == qid)) {
+                buf.insert(
+                  cosineI8Scalar(dotI8Array(qc, mCodes(j)), qn2, mNorms2(j)), mIds(j))
+              }
+              j += 1
+            }
+            (0 until buf.n).iterator.map(r => (qid, buf.ids(r)))
+          }
+        }
+      }
+      .toDF("__qid", "__cid")
 
     // exact rerank: candidates join back to the ORIGINAL double vectors; the
     // scored pair set is tiny (≤ rerankFactor·k per query) so norms-per-row +

@@ -97,11 +97,18 @@ class QuantizeSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
-  test("quantizedTopK: plan broadcasts the code matrix, no corpus shuffle on the coarse leg") {
+  test("quantizedTopK: coarse leg is a broadcast-matrix scan — no join, no corpus shuffle") {
     val df = vecs(100, 16)
     val qz = Quantize.quantizedTopK(df, "vec_id", "embedding", df, "vec_id", "embedding", k = 3)
     val plan = qz.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(20).mkString("\n"))
+    // the declarative crossJoin(broadcast) form re-evaluated the per-query
+    // quantize once per PAIR (whole-stage codegen defers stream-side
+    // projections into the nested-loop's inner loop — the pqTopK lesson);
+    // the scan kernel has no nested-loop join to de-amortize into
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+    assert(plan.contains("MapPartitions"), plan.linesIterator.take(20).mkString("\n"))
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
 
   test("quantizedTopK: over-bound corpus fails loudly (advisor r7), skipSizeCheck bypasses") {
