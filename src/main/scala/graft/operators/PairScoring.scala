@@ -63,10 +63,18 @@ object PairScoring {
     // size census on the embedded frame would execute the (model-priced) embed
     // stage once for the census and again for the join.
     val rhs = r.drop("__t")
+    // pin the LEFT side before the cross join: whole-stage codegen defers
+    // stream-side projections into the nested-loop's inner loop (the
+    // Pq.pqTopK lesson), so a codegen embedder's __v1 — serialize + md5
+    // chain per row — would otherwise be re-evaluated once per PAIR, m
+    // times per left row. Both sides are small by this operator's contract
+    // (the pair table is O(n·m) either way), so the checkpoint is bounded
+    // by the input, not the output; the broadcast side materializes anyway.
+    val lhs = l.drop("__t").localCheckpoint(true)
     val joined =
       if (VecScan.fitsBroadcast(r0, vecCol = "", dim = embedder.dim))
-        l.drop("__t").crossJoin(broadcast(rhs))
-      else l.drop("__t").crossJoin(rhs)
+        lhs.crossJoin(broadcast(rhs))
+      else lhs.crossJoin(rhs)
     joined
       .withColumn("score", cosineNormalized(col("__v1"), col("__v2")))
       .drop("__v1", "__v2")
