@@ -161,6 +161,66 @@ object SparkEntry {
       Lexical.bm25OpenIndex(s, sub)
     })
 
+  /** ANN sibling of [[steadyIngestBm25Pair]] — the triad's semantic leg:
+    * a fresh MinHash+ANN index pair over md5-embedded documents, one
+    * ingest epoch run with `ann = Some((path, md5Embedder))` (survivors
+    * embedded once, absorbed against FROZEN centroids), plus the
+    * reference: a one-shot rebuild assigning the grown corpus to the SAME
+    * centroids. `q_stream_ingest_ann` checks maintained ≡ rebuilt
+    * search-for-search (the `q_ann_index_append` contract carried through
+    * the streaming composite).
+    */
+  private val steadyIngestAnnCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex)]
+  private def steadyIngestAnnPair(s: SparkSession, dir: String)
+      : (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex) =
+    steadyIngestAnnCache.computeIfAbsent(dir, _ => {
+      import graft.operators.Ann
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mhSub = s"${perProcessTmpDir("graft_ingesta_mh")}/$tag"
+      val annSub = s"${perProcessTmpDir("graft_ingesta_ann")}/$tag"
+      val refSub = s"${perProcessTmpDir("graft_ingesta_ref")}/$tag"
+      val docs = ld(s, dir, "documents")
+      def embed(d: DataFrame): DataFrame = md5Embedder
+        .embed(d.select(col("doc_id"), col("text")), "text", "__vec")
+        .select("doc_id", "__vec")
+      if (!new java.io.File(s"$mhSub/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), mhSub)
+      }
+      if (!new java.io.File(s"$annSub/ann_meta.json").exists()) {
+        val (cells, cents) = Ann.annBuildIndex(embed(docs), "doc_id", "__vec",
+          nCentroids = 16)
+        Ann.annWriteIndex(cells, cents, annSub)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"), reverse(col("text")).as("text")))
+      val survivors = graft.streaming.StreamOps.ingestEpochPipeline(
+        batch, "doc_id", "text", mhSub,
+        jaccardThreshold = 0.8, batchId = "leg_0", ann = Some((annSub, md5Embedder)))
+      if (!new java.io.File(s"$refSub/ann_meta.json").exists()) {
+        // centroid table is append-invariant; assign the FULL grown corpus
+        // to it with the same 1-NN kernel the build and the append used
+        val cents = Ann.annOpenIndex(s, annSub).centroids
+        val all = embed(docs.select(col("doc_id"), col("text"))
+          .unionByName(survivors.select(col("doc_id"), col("text"))))
+        val assign = graft.operators.SemanticJoin.knnJoinVec(
+          all, "doc_id", "__vec",
+          cents, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
+          .select(col("left_id").as("corpus_id"), col("right_id").as("__cell"))
+        val refCells = all
+          .select(col("doc_id").cast("long").as("corpus_id"),
+            graft.functions.VectorOps.asDouble(col("__vec")).as("cv"))
+          .join(assign, "corpus_id")
+        Ann.annWriteIndex(refCells, cents, refSub)
+      }
+      (Ann.annOpenIndex(s, annSub), Ann.annOpenIndex(s, refSub))
+    })
+
   /** PQ-enabled sibling of [[steadyAnnIndex]] (separate layout: pqM > 0
     * changes the written schema, and the classic legs must keep measuring
     * the classic layout).
@@ -1030,6 +1090,23 @@ object SparkEntry {
       val q = steadyQueries(s, dir)
       val a = Lexical.bm25SearchIndex(maintained, q, "qid", "text", k = 5)
       val b = Lexical.bm25SearchIndex(rebuilt, q, "qid", "text", k = 5)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+    }),
+
+    // The triad's semantic leg: the ANN index maintained by the ingest
+    // pipeline (survivors embedded once, absorbed against FROZEN
+    // centroids) must search identically to a one-shot rebuild assigning
+    // the grown corpus to the SAME centroids — the q_ann_index_append
+    // contract carried end-to-end through the streaming composite.
+    // Symmetric difference; emptiness oracle.
+    "q_stream_ingest_ann" -> ((s, dir) => {
+      val (maintained, rebuilt) = steadyIngestAnnPair(s, dir)
+      val q = md5Embedder.embed(
+          ld(s, dir, "documents").filter(col("doc_id") < 25)
+            .select(col("doc_id"), col("text")), "text", "__vec")
+        .select("doc_id", "__vec")
+      val a = Ann.annSearchIndexInt8(maintained, q, "doc_id", "__vec", k = 5, nProbe = 8)
+      val b = Ann.annSearchIndexInt8(rebuilt, q, "doc_id", "__vec", k = 5, nProbe = 8)
       a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
@@ -3536,6 +3613,14 @@ object SparkEntry {
     "q_stream_ingest_bm25" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
         |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
+        |WHERE FALSE""".stripMargin,
+
+    // Emptiness contract for the ingest-maintained ANN index: searches via
+    // the pipeline-appended index and via a same-centroid rebuild over the
+    // grown corpus must be identical.
+    "q_stream_ingest_ann" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
+        |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
         |WHERE FALSE""".stripMargin,
 
     // Emptiness contract for exact-append parity: the query emits the

@@ -11,6 +11,21 @@ package graft.operators
   * partition-order-invariant (spec-pinned).
   */
 object Serving {
+  /** Where the serving wall actually goes, measured (r10, `ServingProbe`
+    * with PROBE_STEADY on the bench box): an EMPTY one-task job
+    * (`spark.range(1).count()`) costs 0.06–0.08 s — the local-mode
+    * scheduler round-trip floor every 1-job search pays before any data is
+    * touched. Against that floor the per-search walls decompose as
+    * DataFrame build 0.04 s + planning 0.015 s + execution (floor + the
+    * single task's scan/fold work): ~0.10 s for the float-ANN search
+    * (≈30 ms of task work) and ~0.15–0.19 s for BM25 (≈60–80 ms of fold
+    * work over the pinned postings — the cached scan reads every posting
+    * row of the hit buckets; vocabulary restriction cannot prune below
+    * bucket granularity inside a cached partition). Cutting jobs 7→1 was
+    * the big lever (each job removed is a floor paid once less); what
+    * remains is dominated by the floor itself, which belongs to Spark's
+    * scheduler, not to these plans.
+    */
   val SingleStageRowsKey = "spark.graft.serving.singleStageRows"
 
   /** ~131k scanned rows: a fraction of a second of single-task work for the

@@ -322,14 +322,25 @@ object StreamOps {
     *    set is empty once the first index absorbed it).
     *
     * Total order per epoch: manifest commit → MinHash append → BM25 append
-    * (each step atomic + idempotent on `batchId`); a crash at any point
-    * resumes cleanly from the manifest. `bm25Path` (optional) keeps a
-    * persisted BM25 index in lockstep with the dedup corpus — the
-    * crawl-regime pairing: what minhash ADMITS, BM25 SERVES; BM25 appends
-    * are score-exact ([[graft.operators.Lexical.bm25AppendIndex]]), so
-    * searches against the maintained index stay bit-identical to a rebuild
-    * over (corpus ∪ all survivors), which `q_stream_ingest_bm25`
-    * hash-checks end-to-end.
+    * → ANN append (each step atomic + idempotent on `batchId`); a crash at
+    * any point resumes cleanly from the manifest. The optional legs keep
+    * the OTHER serving indexes in lockstep with the dedup corpus — the full
+    * crawl triad: what minhash ADMITS, BM25 serves lexically and ANN serves
+    * semantically.
+    *
+    *  - `bm25Path`: BM25 appends are score-exact
+    *    ([[graft.operators.Lexical.bm25AppendIndex]]), so searches against
+    *    the maintained index stay bit-identical to a rebuild over
+    *    (corpus ∪ all survivors) — `q_stream_ingest_bm25` hash-checks it.
+    *  - `ann` (path + embedder): survivors are embedded ONCE (the
+    *    embed-once posture — `Embedder.preferDedup` routes model/API
+    *    embedders through the distinct-text path) and absorbed against the
+    *    index's FROZEN centroids ([[graft.operators.Ann.annAppendIndex]]),
+    *    so searches equal a same-centroid rebuild over the grown corpus —
+    *    `q_stream_ingest_ann` hash-checks it; `AnnIndex.appendStaleness`
+    *    still says when a true refit is due. On a replay whose ANN batch
+    *    was not yet committed the survivors are re-embedded from the
+    *    manifest (at-least-once embedding cost, exactly-once absorb).
     *
     * The manifest dir is epoch bookkeeping, not index state: compaction
     * does not carry it, and it can be pruned once downstream consumers are
@@ -339,7 +350,8 @@ object StreamOps {
       batch: DataFrame, idCol: String, textCol: String,
       minhashPath: String,
       jaccardThreshold: Double, batchId: String,
-      bm25Path: Option[String] = None): DataFrame = {
+      bm25Path: Option[String] = None,
+      ann: Option[(String, Embedder)] = None): DataFrame = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"batchId must match [A-Za-z0-9._-]+ (it names a directory), got '$batchId'")
     import graft.operators.{Dedup, Lexical}
@@ -367,13 +379,27 @@ object StreamOps {
       Lexical.bm25AppendIndex(spark, p,
         fresh.select(col(idCol), col(textCol)), idCol, textCol, batchId)
     }
+    ann.foreach { case (p, embedder) =>
+      // skip the embed work entirely when the batch is already committed
+      // (the common replay case) — annAppendIndex would no-op anyway, but
+      // only after paying the embedding
+      val marker = new org.apache.hadoop.fs.Path(s"$p/batches/$batchId/_COMMITTED")
+      if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)) {
+        val texts = fresh.select(col(idCol), col(textCol))
+        val vecs =
+          if (embedder.preferDedup)
+            graft.embed.Embedder.embedDistinct(texts, textCol, "__vec", embedder)
+          else embedder.embed(texts, textCol, "__vec")
+        graft.operators.Ann.annAppendIndex(spark, p, vecs, idCol, "__vec", batchId)
+      }
+    }
     fresh
   }
 
   /** The [[streamingIngestDedup]] wrapper over [[ingestEpochPipeline]]:
-    * exactly-once survivor delivery (manifest-backed) and an optional BM25
-    * index maintained in lockstep with the dedup corpus. Same `ingestTag`
-    * uniqueness contract as [[streamingIngestDedup]].
+    * exactly-once survivor delivery (manifest-backed) and optional BM25 /
+    * ANN indexes maintained in lockstep with the dedup corpus. Same
+    * `ingestTag` uniqueness contract as [[streamingIngestDedup]].
     */
   def streamingIngestPipeline(
       stream: DataFrame, idCol: String, textCol: String,
@@ -381,12 +407,13 @@ object StreamOps {
       jaccardThreshold: Double = 0.5,
       ingestTag: String = "ingest",
       bm25Path: Option[String] = None,
+      ann: Option[(String, Embedder)] = None,
       onBatch: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty)
           onBatch(ingestEpochPipeline(batch, idCol, textCol, minhashPath,
-            jaccardThreshold, s"${ingestTag}_$epochId", bm25Path))
+            jaccardThreshold, s"${ingestTag}_$epochId", bm25Path, ann))
       }
 }

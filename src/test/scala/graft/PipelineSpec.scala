@@ -807,6 +807,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bmDir/batches/wrap_0/_COMMITTED")))
   }
 
+  test("ingestEpochPipeline: ANN leg embeds survivors once and absorbs against frozen centroids") {
+    import graft.operators.{Ann, Dedup}
+    import spark.implicits._
+    val emb = new graft.embed.Md5Embedder
+    def doc(tag: Any) = s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon $tag zeta"
+    val base = (0L until 20L).map(i => (i, doc(s"base$i"))).toDF("doc_id", "text")
+    def embed(d: org.apache.spark.sql.DataFrame) =
+      emb.embed(d.select(col("doc_id"), col("text")), "text", "__vec")
+        .select("doc_id", "__vec")
+    val mhDir = java.nio.file.Files.createTempDirectory("graft_inga_mh").toString
+    val annDir = java.nio.file.Files.createTempDirectory("graft_inga_ann").toString
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(base, "doc_id", "text"), mhDir)
+    val (cells, cents) = Ann.annBuildIndex(embed(base), "doc_id", "__vec", nCentroids = 4)
+    Ann.annWriteIndex(cells, cents, annDir)
+
+    val epoch = Seq((100L, doc("base3")), (101L, doc("fresh_a")),
+      (102L, doc("fresh_a")), (103L, doc("fresh_b"))).toDF("doc_id", "text")
+    val surv = StreamOps.ingestEpochPipeline(epoch, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", ann = Some((annDir, emb)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(101L, 103L))
+
+    val grown = Ann.annOpenIndex(spark, annDir)
+    assert(grown.nRows.contains(22L) && grown.appendedRows == 2L)
+    // an absorbed survivor is retrievable by its own embedding
+    def selfHit(): Long = Ann.annSearchIndex(Ann.annOpenIndex(spark, annDir),
+        embed(Seq((500L, doc("fresh_a"))).toDF("doc_id", "text")),
+        "doc_id", "__vec", k = 1, nProbe = 4)
+      .collect().head.getAs[Long]("right_id")
+    assert(selfHit() == 101L)
+
+    // crash between appends: wipe the ANN batch, replay — survivors come
+    // from the manifest (a recompute would be empty) and are RE-EMBEDDED
+    // for the idempotent re-append; the minhash corpus is untouched
+    val fs = new org.apache.hadoop.fs.Path(annDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$annDir/batches/e0"), true)
+    assert(Ann.annOpenIndex(spark, annDir).appendedRows == 0L)
+    StreamOps.ingestEpochPipeline(epoch, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", ann = Some((annDir, emb)))
+    assert(Ann.annOpenIndex(spark, annDir).appendedRows == 2L)
+    assert(selfHit() == 101L)
+    // committed replay: the embed-skip guard makes it a pure no-op
+    StreamOps.ingestEpochPipeline(epoch, "doc_id", "text", mhDir,
+      jaccardThreshold = 0.5, batchId = "e0", ann = Some((annDir, emb)))
+    assert(Ann.annOpenIndex(spark, annDir).nRows.contains(22L))
+  }
+
   test("qualityGate: streaming keep-set equals the batch approx gate, stateless plan") {
     import graft.operators.Sampling
     import spark.implicits._
