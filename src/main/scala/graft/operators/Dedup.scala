@@ -405,7 +405,18 @@ object Dedup extends Logging {
   final case class MinHashIndex(
       postings: DataFrame, shingles: DataFrame,
       shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String,
-      nRows: Option[Long] = None)
+      nRows: Option[Long] = None,
+      appendedBatches: Int = 0) {
+    /** The triad's third cadence signal (vs [[graft.operators.Ann.AnnIndex
+      * .appendStaleness]] and [[graft.operators.Lexical.Bm25Index
+      * .appendFraction]]): MinHash appends cost NOTHING in result quality —
+      * postings are per-document, no global stat goes stale — so what
+      * accumulates is purely physical: every committed batch adds one more
+      * union branch (and parquet root) to each search's scan.
+      * [[minhashCompactIndex]] when the fan-in grows past taste.
+      */
+    def unionFanIn: Int = appendedBatches + 1
+  }
 
   /** Build the persistable structures: banded postings + shingle sets (same
     * kernels as [[minhashLsh]]/[[contamination]] — same params → the search
@@ -596,7 +607,8 @@ object Dedup extends Logging {
       node.get("num_bands").asInt(),
       node.get("rows_per_band").asInt(),
       node.get("hash_family").asText(),
-      nRows)
+      nRows,
+      appendedBatches = committed.size)
   }
 
   /** Near-dup pairs between an incoming batch and the persisted corpus:

@@ -805,6 +805,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$mhDir/ingest_manifests/wrap_0/_COMMITTED")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bmDir/batches/wrap_0/_COMMITTED")))
+    // the compaction-cadence signal counts exactly the committed batches
+    // (e0, e1, wrap_0 → union fan-in 4 roots)
+    val mhFinal = Dedup.minhashOpenIndex(spark, mhDir)
+    assert(mhFinal.appendedBatches == 3 && mhFinal.unionFanIn == 4)
   }
 
   test("ingestEpochPipeline: ANN leg embeds survivors once and absorbs against frozen centroids") {
