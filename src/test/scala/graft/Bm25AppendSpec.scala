@@ -159,6 +159,37 @@ class Bm25AppendSpec extends AnyFunSuite {
     assert(search(idx, q) === search(ref, q) && search(idx, q).nonEmpty)
   }
 
+  test("randomized: append == rebuild bit-for-bit across seeds, splits, params") {
+    import spark.implicits._
+    // seeded random corpora with the nasty shapes: empty docs, duplicate
+    // texts, skewed doc lengths, df from 1 to near-n — and random
+    // base/held splits, so the exact-stats merge and the in-plan df
+    // recompute are exercised far off the deterministic spec's happy path
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh", "iii", "jj", "k", "lll")
+    for (seed <- Seq(11L, 42L, 99L)) {
+      val rnd = new java.util.Random(seed)
+      val docs = (0 until 80).map { i =>
+        val n = rnd.nextInt(11) // 0..10 tokens; 0 = empty doc
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val cut = 2 + rnd.nextInt(5)
+      val base = docs.filter(col("doc_id") % cut =!= 0)
+      val held = docs.filter(col("doc_id") % cut === 0)
+      val appDir = tmp(s"graft_bm25_prop_app_$seed")
+      val refDir = tmp(s"graft_bm25_prop_ref_$seed")
+      build(base, appDir)
+      build(docs, refDir)
+      assert(Lexical.bm25AppendIndex(spark, appDir, held, "doc_id", "text", "b"))
+      val appended = Lexical.bm25OpenIndex(spark, appDir)
+      val rebuilt = Lexical.bm25OpenIndex(spark, refDir)
+      assert(appended.statsRow === rebuilt.statsRow, s"stats drift at seed=$seed")
+      val q = docs.filter(col("doc_id") < 10)
+      assert(search(appended, q) === search(rebuilt, q), s"default params, seed=$seed")
+      assert(search(appended, q, k1 = 0.6, b = 0.9) ===
+        search(rebuilt, q, k1 = 0.6, b = 0.9), s"custom params, seed=$seed")
+    }
+  }
+
   test("pre-r10 meta without n_docs/sum_dl: append refuses with a rebuild hint") {
     val dir = tmp("graft_bm25_old_spec")
     build(docs(0 until 20), dir)
