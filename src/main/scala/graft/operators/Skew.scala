@@ -17,9 +17,6 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
-  /** Inner/left equi-join with the LEFT side treated as big+skewed.
-    * `saltFactor` = number of ways each hot key is split.
-    */
   /** Per-key skew census — the diagnostic a pipeline runs BEFORE choosing a
     * [[saltedJoin]] salt factor or trusting AQE's skew split: the top `topN`
     * keys by row count with each key's share of the table and its skew
@@ -70,8 +67,9 @@ object Skew {
     * to-overwhelm-one-task-even-after-AQE regime: null-heavy or
     * default-valued keys at 100 TB). Output is row-identical either way —
     * salting only changes partitioning — so callers adopt it as a drop-in
-    * equi-join; the spec differential-tests both branches against the
-    * plain join.
+    * equi-join for any of inner/left/right/full (the LEFT argument is the
+    * big+skewed side in all four); the spec differential-tests both
+    * branches against the plain join per join type.
     *
     * The census costs one partial-agg pass over the big side's key
     * columns. At 100 TB amortize it: compute [[keySkewStats]] once per
@@ -91,12 +89,20 @@ object Skew {
     } else big.join(other, keys, joinType)
   }
 
+  private val BigMarkCol = "__graft_big_mark"
+
   def saltedJoin(
       big: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    require(Set("inner", "left", "left_outer")(joinType),
-      s"saltedJoin supports inner/left joins, got $joinType")
+    val jt = joinType.toLowerCase.replace("outer", "").replace("_", "") match {
+      case "inner" => "inner"
+      case "left"  => "left"
+      case "right" => "right"
+      case "full" | "" => "full" // "outer"/"full_outer" both normalize here
+      case _ => throw new IllegalArgumentException(
+        s"saltedJoin supports inner/left/right/full equi-joins, got $joinType")
+    }
     // per-row salt spread over the salt domain. The monotonic id makes
     // duplicate rows of a hot key land on different salts, but it is
     // partition-layout-dependent, so the salt assignment is NOT stable across
@@ -109,6 +115,21 @@ object Skew {
     val domain = other.sparkSession.range(saltFactor)
       .select(col("id").cast("int").as(SaltCol))
     val replicated = other.crossJoin(broadcast(domain))
-    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+    if (jt == "inner" || jt == "left") {
+      // every big row carries exactly one salt, so inner/left are
+      // row-identical to the plain join as-is
+      salted.join(replicated, keys :+ SaltCol, jt).drop(SaltCol)
+    } else {
+      // right/full: an `other` row UNMATCHED under (keys, salt) surfaces once
+      // per salt replica — saltFactor copies where the plain join emits one.
+      // Keep only the salt-0 replica of unmatched rows (matched rows carry
+      // the big side's non-null marker and pass regardless); row-identical
+      // to the plain right/full join because each unmatched `other` row has
+      // exactly one salt-0 replica and matched multiplicity is untouched.
+      val marked = salted.withColumn(BigMarkCol, lit(1))
+      marked.join(replicated, keys :+ SaltCol, jt)
+        .filter(col(BigMarkCol).isNotNull || col(SaltCol) === 0)
+        .drop(SaltCol, BigMarkCol)
+    }
   }
 }

@@ -343,17 +343,37 @@ class EngineSpec extends AnyFunSuite {
     assert(t.getDouble(1) == 3.5)
   }
 
-  test("saltedJoin result-identical to plain join on skewed keys") {
+  test("saltedJoin result-identical to plain join on skewed keys (all four join types)") {
     import spark.implicits._
-    // 90% of left rows share one hot key
+    // 90% of left rows share one hot key; `other` has a duplicated key (42)
+    // so right/full matched-multiplicity is exercised, plus unmatched rows
+    // on both sides (9999 only in other; most big keys absent from other)
     val big = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong, i)).toDF("k", "v")
+    val other = Seq((7L, "hot"), (950L, "cold"), (42L, "dup1"), (42L, "dup2"),
+      (9999L, "nomatch")).toDF("k", "w")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.mkString("|")).sorted.toSeq
+    for (jt <- Seq("inner", "left", "right", "full", "right_outer", "full_outer", "outer")) {
+      val plain = rows(big.join(other, Seq("k"), jt))
+      val salted = rows(graft.operators.Skew.saltedJoin(big, other, Seq("k"), 8, jt))
+      assert(salted == plain, s"$jt: salted result diverged from the plain join")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(big, other, Seq("k"), 8, "left_semi")
+    }
+  }
+
+  test("skewAwareJoin: decision + parity hold for every supported join type") {
+    import spark.implicits._
+    val skewed = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong, i)).toDF("k", "v")
     val other = Seq((7L, "hot"), (950L, "cold"), (9999L, "nomatch")).toDF("k", "w")
-    for (jt <- Seq("inner", "left")) {
-      val plain = big.join(other, Seq("k"), jt)
-        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val salted = graft.operators.Skew.saltedJoin(big, other, Seq("k"), 8, jt)
-        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(salted == plain, s"$jt: $salted != $plain")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.mkString("|")).sorted.toSeq
+    for (jt <- Seq("inner", "left", "right", "full")) {
+      val before = graft.operators.Skew.saltedJoinDecisions.get()
+      val via = graft.operators.Skew.skewAwareJoin(skewed, other, Seq("k"), joinType = jt)
+      assert(graft.operators.Skew.saltedJoinDecisions.get() === before + 1, s"$jt decision")
+      assert(rows(via) === rows(skewed.join(other, Seq("k"), jt)), s"$jt parity")
     }
   }
 
