@@ -1595,6 +1595,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // The dedup family's SQL surface: graft_minhash_dedup TVF over a temp
+    // view — must equal q_minhash_dedup exactly (same oracle), proving the
+    // catalog-resolved composed plan carries the identical shingle/minhash/
+    // band/verify/CC chain as the DataFrame API.
+    "q_minhash_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      ld(s, dir, "documents").select("doc_id", "text")
+        .createOrReplaceTempView("graft_minhash_sql_docs")
+      s.sql(
+        """SELECT id, cluster
+          |FROM graft_minhash_dedup('graft_minhash_sql_docs', 'doc_id', 'text', 0.4)
+          |ORDER BY id""".stripMargin)
+    }),
+
     // Levenshtein fuzzy self-pairs via symmetric-deletion blocking: customer
     // names differ only in digit positions — exactly the shared-prefix regime
     // where q-gram blocking degenerates and deletion variants stay exact
@@ -1679,6 +1693,22 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
           jaccardThreshold = 0.8)
         .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
+    // Contamination on the SQL surface: graft_contamination TVF over temp
+    // views — identical relation to q_contamination (same oracle text).
+    "q_contamination_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val docs = ld(s, dir, "documents")
+      docs.select("doc_id", "text")
+        .createOrReplaceTempView("graft_contam_sql_corpus")
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0).select("doc_id", "text")
+        .createOrReplaceTempView("graft_contam_sql_bench")
+      s.sql(
+        """SELECT corpus_id, benchmark_id, jaccard
+          |FROM graft_contamination('graft_contam_sql_corpus', 'graft_contam_sql_bench',
+          |                         'doc_id', 'text', 'doc_id', 'text', 0.8)
+          |ORDER BY corpus_id, benchmark_id""".stripMargin)
     }),
 
     // The incremental regime: the same contamination relation, but the
@@ -2348,6 +2378,27 @@ object SparkEntry {
        |JOIN bs sb ON sb.doc_id = cand.benchmark_id
        |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
        |ORDER BY corpus_id, benchmark_id""".stripMargin
+
+  /** MinHash-LSH self-dedup oracle — shared by the DataFrame path
+    * (`q_minhash_dedup`) and the `graft_minhash_dedup` TVF (`q_minhash_sql`).
+    */
+  private lazy val MinhashDedupOracleSql: String =
+    s"""WITH RECURSIVE ms AS (${minhashSig("doc_id", "text", "documents")}),
+       |bands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+       |          FROM ms, unnest(range(0, 8)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+       |         FROM bands a JOIN bands b2
+       |           ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+       |edges AS (SELECT i, j FROM cand
+       |          JOIN ms sa ON sa.doc_id = cand.i
+       |          JOIN ms sb ON sb.doc_id = cand.j
+       |          WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.4),
+       |e2 AS (SELECT i AS s, j AS d FROM edges UNION ALL SELECT j, i FROM edges),
+       |r(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id)
+       |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin
 
   private lazy val NgramContaminationOracleSql: String =
     s"""WITH cs AS (${shinglesSql("doc_id", "text", "documents")}),
@@ -3262,23 +3313,11 @@ object SparkEntry {
          |  JOIN sh sb ON sb.doc_id = cand.j)
          |WHERE jaccard >= 0.4 ORDER BY i, j""".stripMargin,
 
-    "q_minhash_dedup" ->
-      s"""WITH RECURSIVE ms AS (${minhashSig("doc_id", "text", "documents")}),
-         |bands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
-         |          FROM ms, unnest(range(0, 8)) AS u(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
-         |         FROM bands a JOIN bands b2
-         |           ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
-         |edges AS (SELECT i, j FROM cand
-         |          JOIN ms sa ON sa.doc_id = cand.i
-         |          JOIN ms sb ON sb.doc_id = cand.j
-         |          WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.4),
-         |e2 AS (SELECT i AS s, j AS d FROM edges UNION ALL SELECT j, i FROM edges),
-         |r(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e2.d, r.lbl FROM r JOIN e2 ON e2.s = r.id)
-         |SELECT id, min(lbl) AS cluster FROM r GROUP BY id ORDER BY id""".stripMargin,
+    "q_minhash_dedup" -> MinhashDedupOracleSql,
+
+    // the TVF must return EXACTLY the DataFrame path's relation — one
+    // oracle text serves both surfaces
+    "q_minhash_sql" -> MinhashDedupOracleSql,
 
     // the whole ingest epoch in SQL: batch construction, self keep-first
     // (bands -> exact-Jaccard edges -> recursive CC -> min-id), corpus-dup
@@ -3323,6 +3362,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" -> MinhashContaminationOracleSql,
+
+    // graft_contamination TVF ≡ the DataFrame path, same oracle text
+    "q_contamination_sql" -> MinhashContaminationOracleSql,
 
     // persisted-index search ≡ the ad-hoc two-table run, same oracle text
     "q_minhash_index_search" -> MinhashContaminationOracleSql,

@@ -256,6 +256,60 @@ object GraftPlans {
       graft.operators.Sampling.tokenBudgetSelect(df, Seq(key), id, toks, budget))
   }
 
+  /** `graft_minhash_dedup('tbl','id','text', threshold[, shingleSize[, numBands[, rowsPerBand]]])`
+    * — MinHash+LSH near-duplicate clustering from SQL
+    * ([[graft.operators.Dedup.minhashLsh]]): returns `(id, cluster)` with
+    * cluster = min doc id of each verified near-duplicate group. Composed-plan
+    * builder (the fuzzy-join move — shingle/minhash/band kernels are all
+    * codegen'd builtins and the CC iteration is driver-bounded, so no custom
+    * node is needed); the table name resolves through the session catalog and
+    * the child is pre-projected to the two used columns.
+    */
+  private def minhashDedupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 7,
+      "graft_minhash_dedup(table, idCol, textCol, jaccardThreshold" +
+        "[, shingleSize[, numBands[, rowsPerBand]]])")
+    val t = str(args(0), "table")
+    val id = str(args(1), "idCol")
+    val text = str(args(2), "textCol")
+    val tau = dbl(args(3), "jaccardThreshold")
+    val shingleSize = if (args.length > 4) int(args(4), "shingleSize") else 3
+    val numBands = if (args.length > 5) int(args(5), "numBands") else 8
+    val rowsPerBand = if (args.length > 6) int(args(6), "rowsPerBand") else 4
+    val spark = SparkSession.active
+    val df = ColumnBridge.ofRows(spark, rel(t, Seq(id, text)))
+    ColumnBridge.analyzedPlan(graft.operators.Dedup.minhashLsh(
+      df, id, text, shingleSize, numBands, rowsPerBand, tau))
+  }
+
+  /** `graft_contamination('corpus_tbl','bench_tbl','cid','ctext','bid','btext', threshold[, shingleSize])`
+    * — benchmark-contamination pairs from SQL
+    * ([[graft.operators.Dedup.contamination]]): every
+    * `(corpus_id, benchmark_id, jaccard)` with exact-verified Jaccard at or
+    * above the threshold, candidates from the banded equi-join (never
+    * corpus × benchmark). Composed-plan builder; anti-join the corpus
+    * against the result to decontaminate.
+    */
+  private def contaminationBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 || args.length == 8,
+      "graft_contamination(corpusTable, benchTable, corpusId, corpusText, " +
+        "benchId, benchText, jaccardThreshold[, shingleSize])")
+    val ct = str(args(0), "corpusTable")
+    val bt = str(args(1), "benchTable")
+    val cid = str(args(2), "corpusId")
+    val ctext = str(args(3), "corpusText")
+    val bid = str(args(4), "benchId")
+    val btext = str(args(5), "benchText")
+    val tau = dbl(args(6), "jaccardThreshold")
+    val shingleSize = if (args.length > 7) int(args(7), "shingleSize") else 3
+    val spark = SparkSession.active
+    val corpus = ColumnBridge.ofRows(spark, rel(ct, Seq(cid, ctext)))
+    val bench = ColumnBridge.ofRows(spark, rel(bt, Seq(bid, btext)))
+    ColumnBridge.analyzedPlan(graft.operators.Dedup.contamination(
+      corpus, cid, ctext, bench, bid, btext,
+      shingleSize = shingleSize, jaccardThreshold = tau))
+  }
+
   /** `graft_rrf_fuse('sys0_tbl','sys1_tbl', k[, k0])` — reciprocal-rank
     * fusion of two retrieval systems' top-k relations (each view carries
     * `(query_id, doc_id, rank)`) via
@@ -306,7 +360,13 @@ object GraftPlans {
         tokenBudgetBuilder _),
       (FunctionIdentifier("graft_rrf_fuse"),
         new ExpressionInfo("graft", "graft_rrf_fuse"),
-        rrfFuseBuilder _))
+        rrfFuseBuilder _),
+      (FunctionIdentifier("graft_minhash_dedup"),
+        new ExpressionInfo("graft", "graft_minhash_dedup"),
+        minhashDedupBuilder _),
+      (FunctionIdentifier("graft_contamination"),
+        new ExpressionInfo("graft", "graft_contamination"),
+        contaminationBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -228,50 +228,43 @@ object StreamOps {
     * the index, which is why this scales where a `flatMapGroupsWithState`
     * shingle store would not.
     *
-    * Exactly-once nuances, stated honestly:
-    *  - the APPEND is exactly-once: Structured Streaming replays a failed
-    *    epoch under the SAME epochId, and the `_COMMITTED` marker makes the
-    *    re-append an idempotent no-op;
-    *  - `onBatch` delivery of survivors is at-most-once across a replay
-    *    that follows a successful append (the replayed search finds the
-    *    batch's own rows already in the corpus and drops them). Sinks that
-    *    need the survivor set durably should read it back from the index's
-    *    committed batch dir instead;
-    *  - `ingestTag` must be unique per LOGICAL stream run: epoch ids
+    * Since r11 this DELEGATES to [[ingestEpochPipeline]] (MinHash leg
+    * only), so every epoch is survivor-manifest-backed and the old
+    * at-most-once `onBatch` caveat is gone: a replay after a successful
+    * append reads the committed manifest back and re-delivers the SAME
+    * survivor set (exactly-once delivery, the [[streamingIngestPipeline]]
+    * contract). Deprecated in favor of [[streamingIngestPipeline]], which
+    * is this plus the optional BM25/ANN lockstep legs.
+    *
+    *  - `ingestTag` must still be unique per LOGICAL stream run: epoch ids
     *    restart at 0 for a query started on a fresh checkpoint, and a
-    *    colliding `<tag>_<epoch>` batchId hits the earlier run's
-    *    `_COMMITTED` marker — the append then no-ops and the batch's
-    *    survivors are silently dropped. Resuming from the SAME checkpoint
-    *    keeps the same tag (that is what makes replays idempotent).
+    *    colliding `<tag>_<epoch>` batchId replays the EARLIER run's
+    *    committed manifest — that epoch's true survivors are never
+    *    computed. Resuming from the SAME checkpoint keeps the same tag
+    *    (that is what makes replays idempotent).
     */
+  @deprecated("use streamingIngestPipeline (same exactly-once semantics, " +
+    "plus optional BM25/ANN lockstep legs)", "r11")
   def streamingIngestDedup(
       stream: DataFrame, idCol: String, textCol: String,
       indexPath: String,
       jaccardThreshold: Double = 0.5,
       ingestTag: String = "ingest",
       onBatch: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
-    stream.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty)
-          onBatch(ingestEpoch(batch, idCol, textCol, indexPath,
-            jaccardThreshold, s"${ingestTag}_$epochId"))
-      }
+    streamingIngestPipeline(stream, idCol, textCol, indexPath,
+      jaccardThreshold, ingestTag, onBatch = onBatch)
 
-  /** One [[streamingIngestDedup]] epoch as a batch call (the foreachBatch
-    * body, also usable for bulk backfills): self-dedup → corpus-dedup →
-    * atomic append under `batchId`; returns the absorbed survivors.
+  /** One ingest epoch as a batch call (also usable for bulk backfills):
+    * self-dedup → corpus-dedup → atomic append under `batchId`; returns the
+    * absorbed survivors. Delegates to [[ingestEpochPipeline]] (MinHash leg
+    * only) since r11, so the epoch is survivor-manifest-backed: replaying a
+    * committed `batchId` re-delivers the SAME survivor set instead of
+    * recomputing an empty one against the already-grown corpus.
     */
   def ingestEpoch(
       batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, jaccardThreshold: Double, batchId: String): DataFrame = {
-    val spark = batch.sparkSession
-    val fresh = computeFreshSurvivors(batch, idCol, textCol, indexPath, jaccardThreshold)
-    // (3) atomic absorb; idempotent on batchId replay
-    graft.operators.Dedup.minhashAppendIndex(
-      spark, indexPath, fresh, idCol, textCol, batchId)
-    fresh
-  }
+      indexPath: String, jaccardThreshold: Double, batchId: String): DataFrame =
+    ingestEpochPipeline(batch, idCol, textCol, indexPath, jaccardThreshold, batchId)
 
   /** Steps (1)+(2) of an ingest epoch — the survivor computation shared by
     * [[ingestEpoch]] and [[ingestEpochPipeline]]: intra-batch keep-first
@@ -305,10 +298,12 @@ object StreamOps {
       .localCheckpoint(true) // consumed by the append(s) AND the sink
   }
 
-  /** [[ingestEpoch]] upgraded with a durable SURVIVOR MANIFEST — the fix
-    * for the two honest caveats in [[streamingIngestDedup]]'s contract:
+  /** One ingest epoch with a durable SURVIVOR MANIFEST — the primitive
+    * every ingest entry point routes through (r11: [[ingestEpoch]] and
+    * [[streamingIngestDedup]] both delegate here, so there is no
+    * manifestless path left to pick by accident):
     *
-    *  - **survivor delivery becomes exactly-once**: the survivor set is
+    *  - **survivor delivery is exactly-once**: the survivor set is
     *    parquet-committed to `<minhashPath>/ingest_manifests/<batchId>`
     *    (visible only via its `_COMMITTED` marker) BEFORE any index is
     *    touched, and a replayed epoch READS the manifest back instead of

@@ -714,6 +714,34 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.minhashOpenIndex(spark, dir).postings.count() // open still healthy
   }
 
+  test("ingestEpoch (legacy entry): replay of a committed epoch re-delivers the same survivors") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def doc(tag: Any) = s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon $tag zeta"
+    val base = (0L until 6L).map(i => (i, doc(s"base$i"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_legacy").toString
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(base, "doc_id", "text"), dir)
+    val batch = Seq((100L, doc("fresh_a")), (101L, doc("base2"))).toDF("doc_id", "text")
+    val first = graft.streaming.StreamOps
+      .ingestEpoch(batch, "doc_id", "text", dir, 0.5, "legacy_0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(100L))
+    // replay under the same batchId: the committed survivor manifest is
+    // read back — before r11 this path recomputed against the grown corpus
+    // and silently returned the EMPTY set (at-most-once delivery)
+    val replay = graft.streaming.StreamOps
+      .ingestEpoch(batch, "doc_id", "text", dir, 0.5, "legacy_0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == first, "replay must re-deliver the committed survivor set")
+    // and the index absorbed the survivor exactly once
+    val idx = Dedup.minhashOpenIndex(spark, dir)
+    assert(idx.appendedBatches == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/ingest_manifests/legacy_0/_COMMITTED")))
+  }
+
   test("ingestEpochPipeline: manifest-backed exactly-once delivery; BM25 kept in lockstep") {
     import graft.operators.{Dedup, Lexical}
     import spark.implicits._

@@ -336,6 +336,43 @@ class PlansSpec extends AnyFunSuite {
     assert(err.getMessage.contains("graft_token_budget"))
   }
 
+  test("SQL table functions graft_minhash_dedup / graft_contamination match their DataFrame APIs") {
+    import spark.implicits._
+    // three exact-dup groups + distinct singles: clusters are non-trivial
+    val docs = (0L until 30L).map { i =>
+      val tag = if (i % 3 == 0) s"grp${i % 9}" else s"solo$i"
+      (i, s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon")
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("plans_spec_mh_docs")
+    GraftPlans.install(spark)
+    val dedupSql = spark.sql(
+      """SELECT id, cluster
+        |FROM graft_minhash_dedup('plans_spec_mh_docs', 'doc_id', 'text', 0.5)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dedupDirect = graft.operators.Dedup
+      .minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dedupSql == dedupDirect)
+    assert(dedupSql.exists { case (id, cl) => id != cl }, "expected non-trivial clusters")
+
+    docs.filter($"doc_id" % 5 === 0).createOrReplaceTempView("plans_spec_mh_bench")
+    val contamSql = spark.sql(
+      """SELECT corpus_id, benchmark_id, jaccard
+        |FROM graft_contamination('plans_spec_mh_docs', 'plans_spec_mh_bench',
+        |                         'doc_id', 'text', 'doc_id', 'text', 0.8)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val contamDirect = graft.operators.Dedup.contamination(
+        docs, "doc_id", "text", docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+        jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(contamSql == contamDirect)
+    assert(contamSql.nonEmpty, "benchmark docs must at least flag themselves")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_minhash_dedup('plans_spec_mh_docs', 'x')").collect()
+    }
+    assert(err.getMessage.contains("graft_minhash_dedup"))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
