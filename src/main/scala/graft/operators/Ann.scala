@@ -306,6 +306,8 @@ object Ann {
     val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED")
     if (fs.exists(marker)) return false
+    // folded into the base by a compaction — the ledger witnesses it now
+    if (IndexMaintenance.absorbedBatches(fs, path).contains(batchId)) return false
     // uncommitted leftover from a failed attempt: invisible to open(), safe
     // to drop wholesale and rewrite
     if (fs.exists(batchDir)) fs.delete(batchDir, true)
@@ -360,6 +362,10 @@ object Ann {
     // every code): compacted searches stay row-identical to the source's
     writeLayout(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
       idx.centroids, dstPath, idx.pqCodebook)
+    // ledger the folded batch ids so a crash-replayed append of one of them
+    // against the compacted layout stays an idempotent no-op
+    IndexMaintenance.carryLedger(new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), srcPath, dstPath)
   }
 
   /** Open an [[annWriteIndex]] directory: the base cell layout unioned with

@@ -508,6 +508,10 @@ object Dedup extends Logging {
     val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED")
     if (fs.exists(marker)) return false
+    // a compaction folded this batch into the base layout and deleted its
+    // dir — the generation's ledger witnesses it now (replaying it as new
+    // would double-add its rows)
+    if (IndexMaintenance.absorbedBatches(fs, path).contains(batchId)) return false
     // uncommitted leftover from a failed attempt: invisible to open(), safe
     // to drop wholesale and rewrite
     if (fs.exists(batchDir)) fs.delete(batchDir, true)
@@ -559,6 +563,10 @@ object Dedup extends Logging {
       "compact is non-in-place: dstPath must differ from srcPath " +
         "(an overwrite of the layout being read would destroy the input)")
     minhashWriteIndex(minhashOpenIndex(spark, srcPath), dstPath)
+    // ledger the folded batch ids so a crash-replayed append of one of them
+    // against the compacted layout stays an idempotent no-op
+    IndexMaintenance.carryLedger(new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), srcPath, dstPath)
   }
 
   def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {

@@ -383,6 +383,8 @@ object Lexical {
     val batchDir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED")
     if (fs.exists(marker)) return false
+    // folded into the base by a compaction — the ledger witnesses it now
+    if (IndexMaintenance.absorbedBatches(fs, path).contains(batchId)) return false
     // uncommitted leftover from a failed attempt: invisible to open(), safe
     // to drop wholesale and rewrite
     if (fs.exists(batchDir)) fs.delete(batchDir, true)
@@ -439,6 +441,10 @@ object Lexical {
     val idx = bm25OpenIndex(spark, srcPath)
     bm25WriteIndex(idx.postings.select("doc_id", "term", "tf", "dl"),
       idx.stats, dstPath, idx.nBuckets)
+    // ledger the folded batch ids so a crash-replayed append of one of them
+    // against the compacted layout stays an idempotent no-op
+    IndexMaintenance.carryLedger(new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), srcPath, dstPath)
   }
 
   /** Driver materialization bound for a search's exploded (query_id, term)
