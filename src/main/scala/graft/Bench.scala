@@ -380,21 +380,27 @@ object Bench {
         mh.shingles.persist(); mh.shingles.count()
         val docSlices = slices("documents", "doc_id", "text")
         val embSlices = slices("embeddings", "vec_id", "embedding")
+        // consumer = collect(), not count(): a retrieval service READS the
+        // result rows, and collect() on the driver-resident paths'
+        // LocalRelation output is a zero-job driver read (r11) — count()
+        // would re-attach a scheduler round-trip the serving path no longer
+        // has. Non-resident paths cost the same single job either way.
         Seq(
           timeServing("bm25_index", docSlices.map(q => () =>
-            graft.operators.Lexical.bm25SearchIndex(bm25, q, "doc_id", "text", k = 5).count())),
+            graft.operators.Lexical.bm25SearchIndex(bm25, q, "doc_id", "text", k = 5)
+              .collect().length.toLong)),
           timeServing("ann_index", embSlices.map(q => () =>
             graft.operators.Ann.annSearchIndex(ann, q, "vec_id", "embedding",
-              k = 5, nProbe = 8).count())),
+              k = 5, nProbe = 8).collect().length.toLong)),
           timeServing("ann_index_int8", embSlices.map(q => () =>
             graft.operators.Ann.annSearchIndexInt8(ann, q, "vec_id", "embedding",
-              k = 5, nProbe = 8).count())),
+              k = 5, nProbe = 8).collect().length.toLong)),
           // the fourth persisted index: incremental-dedup serving (each
           // arriving batch is shingled/signed and banded against the
           // persisted postings, candidates verified by exact Jaccard)
           timeServing("minhash_index", docSlices.map(q => () =>
             graft.operators.Dedup.minhashSearchIndex(mh, q, "doc_id", "text",
-              jaccardThreshold = 0.8).count())))
+              jaccardThreshold = 0.8).collect().length.toLong)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving section failed: $e"); Nil
       } finally {

@@ -176,6 +176,12 @@ object Ann {
       */
     lazy val centroidMat: VecScan.Mat =
       VecScan.collectMat(centroids, "centroid_id", "centroid_vec")
+    /** Driver-resident cell mirror, built ONCE per open on first eligible
+      * search (see [[Resident]] — gated on pinned frames + the row bound,
+      * so it never fires on a cold batch read or a large corpus).
+      */
+    @transient private[operators] lazy val resident: Resident.AnnResident =
+      Resident.buildAnn(this)
   }
 
   /** Build the IVF structures: refined centroids + the cell-assigned corpus
@@ -457,6 +463,15 @@ object Ann {
     *    probe frame stays distributed and the restriction is a broadcast
     *    semi-join.
     */
+  /** LocalProbes' exploded rows regrouped per query (probe order preserved;
+    * TopK selection is order-invariant anyway) — the [[Resident]] search
+    * input shape.
+    */
+  private def groupProbes(lp: LocalProbes): Seq[(Long, Array[Double], Double, Seq[Long])] =
+    lp.exploded.groupBy(_._1).toSeq.map { case (qid, es) =>
+      (qid, es.head._2, es.head._3, es.map(_._4))
+    }
+
   private sealed trait ProbeResult { def restrict: DataFrame => DataFrame }
   private final case class LocalProbes(
       qRows: Array[(Long, Array[Double])],
@@ -552,6 +567,17 @@ object Ann {
     val spark = queries.sparkSession
     import spark.implicits._
     val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    // driver-resident serving (see [[Resident]]): the probe assignment is
+    // already driver-known (LocalProbes), so with the cell mirror resident
+    // the whole search is driver arithmetic — zero Spark jobs. Same
+    // dot/cosine/TopKBuffer kernels as the scan, spec-pinned bit-identical.
+    pr match {
+      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+        return Resident.toDf(spark,
+          Resident.searchAnnFloat(index.resident, groupProbes(lp), k),
+          Resident.AnnSchema)
+      case _ =>
+    }
     val pruned = pr.restrict(index.cells)
     val scored = pr match {
       // Serving fast path: the probe assignment is driver-known, so the
@@ -639,6 +665,16 @@ object Ann {
     val spark = queries.sparkSession
     import spark.implicits._
     val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    // driver-resident serving: same gate as the float path; the fused
+    // coarse-select → exact-rerank chain reuses the identical
+    // TopKPayloadBuffer/TopKBuffer pair — spec-pinned bit-identical.
+    pr match {
+      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+        return Resident.toDf(spark,
+          Resident.searchAnnInt8(index.resident, groupProbes(lp), k, rerankFactor),
+          Resident.AnnSchema)
+      case _ =>
+    }
     // shared output tail: per-query exact-cosine top-k → ranked long form
     def rankedTopK(scored: DataFrame): DataFrame = scored
       .groupBy(col("query_id"))

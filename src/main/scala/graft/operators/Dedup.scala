@@ -416,6 +416,11 @@ object Dedup extends Logging {
       * [[minhashCompactIndex]] when the fan-in grows past taste.
       */
     def unionFanIn: Int = appendedBatches + 1
+    /** Driver-resident (band, bucket) → postings + shingle-set mirror,
+      * built ONCE per open on first eligible search (see [[Resident]]).
+      */
+    @transient private[operators] lazy val resident: Resident.MinhashResident =
+      Resident.buildMinhash(this)
   }
 
   /** Build the persistable structures: banded postings + shingle sets (same
@@ -698,6 +703,23 @@ object Dedup extends Logging {
       if (folded) b.collect()
       else b.coalesce(1).limit(MaxSingleStageBatchDocs + 1).collect()
     if (rows.length > MaxSingleStageBatchDocs) return None
+    // driver-resident serving (see [[Resident]]): the per-open (band,
+    // bucket) → postings mirror answers the whole search driver-side —
+    // zero Spark jobs. Candidates are the exact bucket-equality set (the
+    // plan's xxhash64 INSET is only a prefilter), Jaccard the same
+    // size(intersect)/size(union) division — spec-pinned row-identical.
+    if (Resident.eligible(index.postings.sparkSession, index.nRows,
+        index.postings, index.shingles)) {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val res = index.resident
+      return Some(Resident.toDf(index.postings.sparkSession,
+        Resident.searchMinhash(res, rows, index.numBands, index.rowsPerBand,
+          jaccardThreshold),
+        StructType(Seq(
+          StructField("corpus_id", res.corpusIdType, nullable = true),
+          StructField("batch_id", b.schema("id").dataType, nullable = true),
+          StructField("jaccard", DoubleType, nullable = false)))))
+    }
     val r = index.rowsPerBand
     val localRows: Seq[org.apache.spark.sql.Row] = for {
       row <- rows.toSeq

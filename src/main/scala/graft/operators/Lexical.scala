@@ -177,6 +177,12 @@ object Lexical {
       val r = stats.select(col("n_docs"), col("avgdl")).head()
       (r.getDouble(0), r.getDouble(1))
     }
+    /** Driver-resident term → posting-slice mirror, built ONCE per open on
+      * first eligible search (see [[Resident]]) — the sub-bucket layout the
+      * cached scan cannot express.
+      */
+    @transient private[operators] lazy val resident: Resident.Bm25Resident =
+      Resident.buildBm25(this)
   }
 
   /** Persist a [[bm25BuildIndex]] index: postings land term-hash-bucketed as
@@ -572,6 +578,19 @@ object Lexical {
       index.postings.filter(col("__bkt").isin(qb: _*)).drop("__bkt"))
     val (nDocs, avgdl) = index.statsRow
     if (distinctTerms.length <= 4096) {
+      // driver-resident serving (see [[Resident]]): pinned index under the
+      // row bound → the whole search is driver arithmetic over the per-open
+      // term → posting-slice mirror, zero Spark jobs. Same df, same contrib
+      // op order, same fold order, same TopKBuffer — spec-pinned
+      // bit-identical to the batch-fold plan below.
+      if (Resident.eligible(spark, index.nRows, index.postings)) {
+        val qSets = qtRows.groupBy(_.getLong(0)).toSeq
+          .map { case (qid, rs) => (qid, rs.map(_.getString(1)).toSeq) }
+        return Resident.toDf(spark,
+          Resident.searchBm25(index.resident, qSets, nDocs, avgdl, k, k1, b,
+            useBake = index.bakedParams.contains((k1, b))),
+          Resident.Bm25Schema)
+      }
       // batch-fold path: with the query term sets driver-known and small,
       // the per-(query, doc) join fan-out (Σ|q∩d| rows into the widest
       // shuffle) is avoidable — restrict the scan to the query vocabulary

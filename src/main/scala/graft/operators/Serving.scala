@@ -25,6 +25,16 @@ object Serving {
     * the big lever (each job removed is a floor paid once less); what
     * remains is dominated by the floor itself, which belongs to Spark's
     * scheduler, not to these plans.
+    *
+    * r11 removed the floor too: under the same pinned precondition and a
+    * total-row bound, the [[Resident]] tier mirrors the index into driver
+    * structures once per open and serves searches as plain driver
+    * arithmetic — zero jobs, so neither the scheduler floor nor the
+    * bucket-granularity cache scan is paid at all (measured sf0.1 census:
+    * 0.06/0.025/0.023/0.021 s per bm25/ann/int8/minhash search, from
+    * 0.164/0.088/0.115/0.169 at r10's 1-job paths). The 1-job single-stage
+    * plans below remain the fallback between the resident bound and the
+    * parallel plan.
     */
   val SingleStageRowsKey = "spark.graft.serving.singleStageRows"
 

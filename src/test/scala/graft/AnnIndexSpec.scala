@@ -95,6 +95,10 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cold.queryExecution.executedPlan.toString.contains("Exchange"),
       "cold (unpinned) search must keep the parallel plan")
     index.cells.persist(); index.cells.count()
+    // this test pins the single-stage PLAN tier's shape: disable the r11
+    // driver-resident tier (which would answer from driver memory with a
+    // LocalTableScan — its own contract is ResidentSpec's)
+    spark.conf.set(graft.operators.Resident.DriverResidentRowsKey, "0")
     try {
       val fast = Ann.annSearchIndex(index, q, "vec_id", "embedding", k = 3, nProbe = 2)
       // under the scan budget the whole scoring chain is one single-partition
@@ -123,7 +127,10 @@ class AnnIndexSpec extends AnyFunSuite {
         assert(sortedRows(par8) === fast8Rows)
       } finally spark.conf.unset(graft.operators.Serving.SingleStageRowsKey)
       assert(fast8Rows.nonEmpty)
-    } finally index.cells.unpersist()
+    } finally {
+      spark.conf.unset(graft.operators.Resident.DriverResidentRowsKey)
+      index.cells.unpersist()
+    }
   }
 
   test("append: an empty batch is a committed no-op — no batch dir, open stays healthy") {

@@ -749,6 +749,9 @@ class EngineSpec extends AnyFunSuite {
     // exact rerank reproduces the double search bit-for-bit. The serving
     // fast path additionally requires the index PINNED (r10 regime split)
     idx.cells.persist(); idx.cells.count()
+    // pinning the single-stage PLAN shape: keep the r11 driver-resident
+    // tier out of the way (bit-parity of that tier is ResidentSpec's job)
+    spark.conf.set(graft.operators.Resident.DriverResidentRowsKey, "0")
     val viaSq8 = Ann.annSearchIndexInt8(idx, q, "vec_id", "embedding",
       k = 5, nProbe = 4, rerankFactor = 50)
     val viaDouble = Ann.annSearchIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
@@ -765,6 +768,7 @@ class EngineSpec extends AnyFunSuite {
     val servingPlan = viaSq8.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(servingPlan.contains("graft_top_k_payload"), servingPlan)
+    spark.conf.unset(graft.operators.Resident.DriverResidentRowsKey)
     // unpin before the distributed-regime check: the narrow-coarse-scan
     // property is a PARQUET ReadSchema property, invisible through a cache
     idx.cells.unpersist()

@@ -86,6 +86,10 @@ class ServingJobsSpec extends AnyFunSuite {
   }
 
   test("serving: one job per search for ann, int8, bm25, minhash") {
+    // this budget pins the single-stage PLAN tier (the fallback between the
+    // r11 driver-resident bound and the parallel plan) — run with residency
+    // disabled; the resident tier's ZERO-job budget is ResidentSpec's
+    spark.conf.set(graft.operators.Resident.DriverResidentRowsKey, "0")
     val tmp = java.nio.file.Files.createTempDirectory("graft_serving_jobs").toString
 
     // ANN index (float + int8 share the layout)
@@ -138,5 +142,6 @@ class ServingJobsSpec extends AnyFunSuite {
       k = 3, nProbe = 2).count() > 0)
     assert(graft.operators.Lexical.bm25SearchIndex(bm25, dq, "id", "text", k = 3)
       .count() > 0)
+    spark.conf.unset(graft.operators.Resident.DriverResidentRowsKey)
   }
 }
