@@ -143,6 +143,23 @@ object Bench {
     // beats a silent one (BENCH_r05's failure mode).
     val maxAttempts = iters * 3
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    // prior round's per-query walls, read BEFORE this run overwrites the
+    // file: the repo-committed BENCH_DETAIL.json is the reliable
+    // round-over-round history (the driver's BENCH_r*.json keeps only a
+    // front-truncated stdout tail) — consumed by the drift self-report below
+    val priorWalls: Map[String, Double] = try {
+      val f = new java.io.File(detailPath)
+      if (!f.exists()) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          .fields().asScala
+          .filter(_.getValue.has("wall"))
+          .map(e => (e.getKey, e.getValue.get("wall").asDouble())).toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior-detail read skipped: $e"); Map.empty
+    }
     val tally = new TaskTally
     spark.sparkContext.addSparkListener(tally)
 
@@ -440,6 +457,28 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // round-over-round drift self-report (judge r10 #8): compare each
+    // query's recorded wall against the prior round's committed
+    // BENCH_DETAIL.json (read before this run overwrote it) and flag
+    // unchanged-name regressions past 1.4x with a 0.25 s absolute floor so
+    // sub-second jitter never flags — the sentinel-retake convention. The
+    // sentinel guards WITHIN-run ambience; this guards ACROSS rounds,
+    // self-reporting what the judge reconstructed by hand in r9/r10.
+    // Advisory: a flagged query may be a real regression OR an honest
+    // remeasurement of a formerly lucky window — read it with the sentinel
+    // numbers.
+    val driftFlags: Seq[(String, Double, Double)] =
+      results.flatMap { case (name, r, _, _) =>
+        priorWalls.get(name).collect {
+          case p if r.wall > p * 1.4 && r.wall - p > 0.25 => (name, p, r.wall)
+        }
+      }
+    driftFlags.foreach { case (name, p, now) =>
+      System.err.println(f"[bench] DRIFT $name: ${p}%.3fs -> ${now}%.3fs " +
+        f"(${now / p}%.2fx round-over-round)")
+    }
+    val driftJson = driftFlags.map { case (name, p, now) =>
+      s""""$name":{"prev":${fmt(p)},"now":${fmt(now)}}""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, r, _, _) => s""""$k":${fmt(r.wall)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
@@ -458,6 +497,7 @@ object Bench {
       s""""attempts":$attemptsTotal,"contended":$contendedNames,""" +
       s""""sentinel":$sentinelJson,""" +
       s""""serving_sec_per_search":$servingJson,""" +
+      s""""drift_flags":$driftJson,""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -434,8 +434,14 @@ object Stress {
     * (measured sf0.01: 56 → 78 jobs over five epochs at fan-in 2 → 6).
     */
   def ingestTriadSummary(docs: DataFrame, idCol: String, textCol: String,
-      embedder: graft.embed.Embedder, epochs: Int = 5, m: Int = 10): DataFrame = {
+      embedder: graft.embed.Embedder, epochs: Int = 5, m: Int = 10,
+      sliceMod: Int = 0): DataFrame = {
     require(epochs >= 1 && m >= 1, s"epochs/m must be >= 1, got $epochs/$m")
+    // epoch batches are disjoint 1/sliceMod corpus slices; the default keeps
+    // them as large as disjointness allows, a bigger modulus trims the
+    // per-epoch wall without changing what the census shows
+    val mod = if (sliceMod > 0) sliceMod else epochs + 1
+    require(mod > epochs, s"sliceMod must exceed epochs, got $mod/$epochs")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stress_ingest").toString
@@ -474,7 +480,7 @@ object Stress {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       (1 to epochs).map { e =>
         val slice = docs
-          .filter(pmod(col(idCol).cast("long"), lit((epochs + 1).toLong)) === e)
+          .filter(pmod(col(idCol).cast("long"), lit(mod.toLong)) === e)
           .select(col(idCol), reverse(col(textCol)).as(textCol))
         val batch = multiplied(slice, idCol, m)
           .withColumn(textCol,
