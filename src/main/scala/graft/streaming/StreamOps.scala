@@ -411,4 +411,54 @@ object StreamOps {
           onBatch(ingestEpochPipeline(batch, idCol, textCol, minhashPath,
             jaccardThreshold, s"${ingestTag}_$epochId", bm25Path, ann))
       }
+
+  /** The SELF-MAINTAINING streaming ingest (r11 — the full loop in one
+    * call): indexes live under [[graft.operators.IndexMaintenance]]
+    * generation roots, every micro-batch ingests against whatever
+    * generation is CURRENT, and a maintenance pass runs after each epoch —
+    * compaction (or an ANN refit) fires whenever a cadence signal crosses
+    * the policy, and the NEXT epoch picks up the fresh generation
+    * automatically. The append-accumulation curve `q_stress_ingest`
+    * measures (jobs/epoch growing with union fan-in) stays flat under a
+    * firing policy.
+    *
+    * Crash safety across the path swap, stated precisely: a replayed epoch
+    * re-resolves `currentPath`, which may now be a LATER generation than
+    * the one the failed attempt wrote to. Exactly-once still holds —
+    * compaction CARRIES the survivor manifests (the replay re-delivers the
+    * committed survivor set from the new generation) and writes the
+    * absorbed-batch ledger (a re-append of a folded `batchId` is an
+    * idempotent no-op), which is precisely what those two mechanisms exist
+    * for. Same `ingestTag` uniqueness contract as the unmanaged form.
+    */
+  def streamingIngestPipelineManaged(
+      stream: DataFrame, idCol: String, textCol: String,
+      minhashRoot: String,
+      jaccardThreshold: Double = 0.5,
+      ingestTag: String = "ingest",
+      bm25Root: Option[String] = None,
+      annRoot: Option[(String, Embedder)] = None,
+      policy: graft.operators.IndexMaintenance.Policy =
+        graft.operators.IndexMaintenance.Policy(),
+      onBatch: DataFrame => Unit = _ => (),
+      onMaintenance: Seq[graft.operators.IndexMaintenance.Event] => Unit =
+        _ => ()): DataStreamWriter[Row] = {
+    import graft.operators.IndexMaintenance
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          onBatch(ingestEpochPipeline(batch, idCol, textCol,
+            IndexMaintenance.currentPath(spark, minhashRoot),
+            jaccardThreshold, s"${ingestTag}_$epochId",
+            bm25Root.map(IndexMaintenance.currentPath(spark, _)),
+            annRoot.map { case (r, e) =>
+              (IndexMaintenance.currentPath(spark, r), e)
+            }))
+          onMaintenance(IndexMaintenance.maintainIndexes(spark,
+            Some(minhashRoot), bm25Root, annRoot.map(_._1), policy))
+        }
+      }
+  }
 }

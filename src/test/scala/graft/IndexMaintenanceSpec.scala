@@ -139,6 +139,49 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       docs(Seq(100L), i => s"fresh$i"), "doc_id", "text", "b1"))
   }
 
+  test("streamingIngestPipelineManaged: epochs follow the current generation; compaction fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("graft_maint_stream")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"), "doc_id", "text"),
+      genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val maint = scala.collection.mutable.ArrayBuffer.empty[IndexMaintenance.Event]
+    val stream = MemoryStream[(Long, String)]
+    // fanIn > 1 after every epoch's single append → compaction EVERY epoch
+    val q = graft.streaming.StreamOps.streamingIngestPipelineManaged(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", root,
+      jaccardThreshold = 0.5,
+      policy = Policy(minhashMaxFanIn = 1),
+      onBatch = b => survivors += b.select("doc_id").as[Long].collect().toSet,
+      onMaintenance = evs => maint ++= evs.filter(_.index == "minhash"))
+      .start()
+    try {
+      for (e <- 1 to 3) {
+        // one new doc + one dup of the PREVIOUS epoch's survivor: catching
+        // it proves the epoch searched the post-compaction current gen
+        stream.addData((100L + e, doc(s"fresh_s$e")),
+          (200L + e, doc(s"fresh_s${e - 1}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // epoch 1: both docs new (fresh_s0 never existed); epochs 2-3: the dup
+    // of the previous survivor is dropped by a search against the CURRENT
+    // (freshly compacted) generation
+    assert(survivors.toList == List(Set(101L, 201L), Set(102L), Set(103L)),
+      s"got $survivors")
+    assert(maint.map(_.action).toList == List("compact", "compact", "compact"))
+    assert(maint.map(_.genAfter).toList == List(1, 2, 3))
+    val cur = Dedup.minhashOpenIndex(spark, currentPath(spark, root))
+    assert(cur.unionFanIn == 1, "fan-in must return to 1 after each compact")
+    // ledger across TWO swaps: epoch 1's batch id still refuses to re-append
+    assert(!Dedup.minhashAppendIndex(spark, currentPath(spark, root),
+      docs(Seq(101L), _ => "fresh_s1"), "doc_id", "text", "ingest_0"))
+  }
+
   test("maintainIndexes: ann compact preserves results + refit watermark; refit fires on staleness") {
     import spark.implicits._
     val root = tmp("graft_maint_ann")
