@@ -502,7 +502,10 @@ object Lexical {
     // each dominated by fixed job overhead, not data. Whether the limit
     // truncated decides the regime (no separate count job).
     val boundQt = math.min(maxQueryTermRows(spark), (Int.MaxValue - 1).toLong).toInt
-    val qtPlan = queries.select(
+    // lazy: only the non-folded / over-bound regimes consume this plan, and
+    // Dataset creation runs full ANALYSIS eagerly — a measurable per-search
+    // cost on the serving path that never touches it
+    lazy val qtPlan = queries.select(
       col(queryId).cast("long").as("query_id"),
       explode(array_distinct(terms(col(queryText)))).as("term"))
     // serving regime: a pre-explode projection over a LocalRelation batch

@@ -69,6 +69,50 @@ object Resident {
 
   private val Utf8Order = graft.functions.MultiOrderedSumAggregate.ByteOrder
 
+  /** Primitive open-addressing long → double sum accumulator: the per-doc
+    * score map of a resident BM25 search touches every matched posting
+    * (hundreds of thousands of adds for common-term queries), and boxed
+    * java.util map entries dominated its wall. Accumulation ORDER is the
+    * caller's (terms iterated sorted — the fold-order contract lives
+    * there); this map only holds running sums, and iteration order is
+    * irrelevant to the order-invariant TopKBuffer selection downstream.
+    */
+  private final class LongDoubleSumMap(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(expected, 8) * 4 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var vals = new Array[Double](cap)
+    private var n = 0
+    private def idx(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def add(k: Long, v: Double): Unit = {
+      val i = idx(k)
+      if (used(i)) vals(i) += v
+      else {
+        if ((n + 1) * 10 >= cap * 7) { grow(); add(k, v) }
+        else { used(i) = true; keys(i) = k; vals(i) = v; n += 1 }
+      }
+    }
+    private def grow(): Unit = {
+      val (ok, ou, ov, oc) = (keys, used, vals, cap)
+      cap <<= 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      vals = new Array[Double](cap); n = 0
+      var i = 0
+      while (i < oc) {
+        if (ou(i)) { val j = idx(ok(i)); used(j) = true; keys(j) = ok(i); vals(j) = ov(i); n += 1 }
+        i += 1
+      }
+    }
+    def foreach(f: (Long, Double) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+  }
+
   // ------------------------------------------------------------------
   // BM25
   // ------------------------------------------------------------------
@@ -141,9 +185,15 @@ object Resident {
       val sorted = ts.distinct.map(t => (t, t.getBytes("UTF-8"))).sortWith {
         (a, bb) => Utf8Order.compare(a._2, bb._2) < 0
       }
-      // insertion-ordered per-doc accumulator: each doc's contributions
-      // arrive in global sorted-term order — the MultiOrderedSum fold order
-      val scores = new java.util.LinkedHashMap[java.lang.Long, java.lang.Double]
+      // per-doc accumulator: each doc's contributions arrive in global
+      // sorted-term order (the outer loop IS the MultiOrderedSum fold
+      // order); the primitive map only holds running sums
+      var expected = 0
+      sorted.foreach { case (t, _) =>
+        val p = res.byTerm.get(t)
+        if (p != null) expected += p.docIds.length
+      }
+      val scores = new LongDoubleSumMap(expected)
       sorted.foreach { case (t, _) =>
         val p = res.byTerm.get(t)
         if (p != null) {
@@ -154,16 +204,13 @@ object Resident {
               if (useBake && p.contrib0 != null) p.contrib0(i)
               else w * p.tf(i) * k1p1 /
                 (p.tf(i) + k1 * (oneMinusB + b * p.dl(i) / avgdl))
-            val key = java.lang.Long.valueOf(p.docIds(i))
-            val prev = scores.get(key)
-            scores.put(key, java.lang.Double.valueOf(
-              if (prev == null) contrib else prev.doubleValue() + contrib))
+            scores.add(p.docIds(i), contrib)
             i += 1
           }
         }
       }
       val buf = new TopKBuffer(k)
-      scores.forEach((d, s) => buf.insert(s.doubleValue(), d.longValue()))
+      scores.foreach((d, s) => buf.insert(s, d))
       var r = 0
       while (r < buf.n) {
         out += Row(qid, (r + 1).toLong, buf.ids(r), buf.scores(r))
