@@ -137,6 +137,9 @@ object IndexMaintenance {
   def pruneGenerations(spark: SparkSession, root: String): Seq[Int] = {
     val fs = fsOf(spark, root)
     val cur = currentGeneration(spark, root)
+    // mirror currentGeneration's missing-root tolerance: pruning a
+    // not-yet-seeded root is a no-op, not a FileNotFoundException
+    if (cur < 0 || !fs.exists(new Path(root))) return Seq.empty
     val old = fs.listStatus(new Path(root)).toSeq
       .collect { case st if st.isDirectory => st.getPath.getName }
       .collect { case GenRe(n) if n.toInt < cur &&

@@ -89,8 +89,6 @@ object Skew {
     } else big.join(other, keys, joinType)
   }
 
-  private val BigMarkCol = "__graft_big_mark"
-
   def saltedJoin(
       big: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
@@ -120,16 +118,35 @@ object Skew {
       // row-identical to the plain join as-is
       salted.join(replicated, keys :+ SaltCol, jt).drop(SaltCol)
     } else {
-      // right/full: an `other` row UNMATCHED under (keys, salt) surfaces once
-      // per salt replica — saltFactor copies where the plain join emits one.
-      // Keep only the salt-0 replica of unmatched rows (matched rows carry
-      // the big side's non-null marker and pass regardless); row-identical
-      // to the plain right/full join because each unmatched `other` row has
-      // exactly one salt-0 replica and matched multiplicity is untouched.
-      val marked = salted.withColumn(BigMarkCol, lit(1))
-      marked.join(replicated, keys :+ SaltCol, jt)
-        .filter(col(BigMarkCol).isNotNull || col(SaltCol) === 0)
-        .drop(SaltCol, BigMarkCol)
+      // right/full: unmatched-ness must be decided PER OTHER ROW across all
+      // of its salt replicas, not per replica — a key matched only on
+      // nonzero salts would otherwise emit a spurious null-extended salt-0
+      // row next to the real matches. Build the outer result as
+      //   (inner salted join)                           — matched pairs
+      //   ∪ (other LEFT ANTI big-keys, null-extended)   — unmatched other
+      //   ∪ (big LEFT ANTI other-keys, null-extended)   — unmatched big (full)
+      // Matched multiplicity is exactly the plain join's (the inner leg);
+      // an `other` row is null-extended iff its key appears in NO big row
+      // (equality semantics — null keys never match, same as Catalyst).
+      // Skew-safe: the anti legs join against DISTINCT key sets (the hot
+      // key collapses in the map-side partial agg), and the other-side key
+      // set is small by the big/other contract, so it broadcasts.
+      val bigNonKey = big.columns.filterNot(keys.contains).toSeq
+      val otherNonKey = other.columns.filterNot(keys.contains).toSeq
+      def nulls(src: DataFrame, cols: Seq[String]) =
+        cols.map(c => lit(null).cast(src.schema(c).dataType).as(c))
+      val inner = salted.join(replicated, keys :+ SaltCol, "inner").drop(SaltCol)
+      val unmatchedOther = other
+        .join(big.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .select(keys.map(col) ++ nulls(big, bigNonKey) ++ otherNonKey.map(col): _*)
+      val rightResult = inner.union(unmatchedOther)
+      if (jt == "right") rightResult
+      else {
+        val unmatchedBig = big
+          .join(broadcast(other.select(keys.map(col): _*).distinct()), keys, "left_anti")
+          .select(keys.map(col) ++ bigNonKey.map(col) ++ nulls(other, otherNonKey): _*)
+        rightResult.union(unmatchedBig)
+      }
     }
   }
 }
