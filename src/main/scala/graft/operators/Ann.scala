@@ -178,10 +178,14 @@ object Ann {
       VecScan.collectMat(centroids, "centroid_id", "centroid_vec")
     /** Driver-resident cell mirror, built ONCE per open on first eligible
       * search (see [[Resident]] — gated on pinned frames + the row bound,
-      * so it never fires on a cold batch read or a large corpus).
+      * so it never fires on a cold batch read or a large corpus). Held in
+      * a [[Resident.Holder]] so a serving session can release it
+      * explicitly on a generation swap.
       */
-    @transient private[operators] lazy val resident: Resident.AnnResident =
-      Resident.buildAnn(this)
+    @transient private[operators] val residentHolder =
+      new Resident.Holder[Resident.AnnResident]("ann")
+    private[operators] def resident: Resident.AnnResident =
+      residentHolder.get(Resident.buildAnn(this))
   }
 
   /** Build the IVF structures: refined centroids + the cell-assigned corpus
@@ -815,10 +819,13 @@ object Ann {
     * in-plan in the distributed regime); each candidate then costs m table
     * lookups, zero multiplies.
     *
-    * No single-stage serving variant on purpose: the serving regime's wall
-    * is scheduler round-trips, not scan bytes, and [[annSearchIndexInt8]]
+    * No single-stage plan variant on purpose: the serving regime's wall is
+    * scheduler round-trips, not scan bytes, and [[annSearchIndexInt8]]
     * already owns that regime — PQ's lever is the scan-bound batch regime
-    * where candidate IO dominates.
+    * where candidate IO dominates. The RESIDENT tier (r12) is the
+    * exception: a pinned under-bound IVF_PQ index serves zero-job like the
+    * other three families, ADC + rerank as driver arithmetic over the
+    * mirrored codes (see [[Resident.searchAnnPq]]).
     */
   def annSearchIndexPq(
       index: AnnIndex, queries: DataFrame, qId: String, qVec: String,
@@ -831,6 +838,17 @@ object Ann {
     val spark = queries.sparkSession
     import spark.implicits._
     val pr = probeAndPrune(index, queries, qId, qVec, nProbe, maxProbeRowsOverride)
+    // driver-resident serving (see [[Resident]]): same gate as the float /
+    // int8 paths; the LUT, ADC coarse pass, and exact rerank all reuse the
+    // plan's kernels verbatim — spec-pinned bit-identical
+    pr match {
+      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+        return Resident.toDf(spark,
+          Resident.searchAnnPq(index.resident, groupProbes(lp),
+            cb.flat, cb.m, cb.ks, cb.dsub, k, rerankFactor),
+          Resident.AnnSchema)
+      case _ =>
+    }
     val coarseCells = pr.restrict(index.cells)
       .select(col("corpus_id"), col("pq"), col("cn"), col("__cell"))
     val isLocal = pr.isInstanceOf[LocalProbes]

@@ -418,9 +418,13 @@ object Dedup extends Logging {
     def unionFanIn: Int = appendedBatches + 1
     /** Driver-resident (band, bucket) → postings + shingle-set mirror,
       * built ONCE per open on first eligible search (see [[Resident]]).
+      * Held in a [[Resident.Holder]] so a serving session can release it
+      * explicitly on a generation swap.
       */
-    @transient private[operators] lazy val resident: Resident.MinhashResident =
-      Resident.buildMinhash(this)
+    @transient private[operators] val residentHolder =
+      new Resident.Holder[Resident.MinhashResident]("minhash")
+    private[operators] def resident: Resident.MinhashResident =
+      residentHolder.get(Resident.buildMinhash(this))
   }
 
   /** Build the persistable structures: banded postings + shingle sets (same

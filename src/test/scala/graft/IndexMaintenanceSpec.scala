@@ -51,6 +51,42 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     Dedup.minhashOpenIndex(spark, currentPath(spark, root)) // still opens
   }
 
+  test("persisted maintenance log: append-only passes, marker-gated visibility, eventsDf replay") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft_maint_log")
+    // no log yet → empty frame, not an error
+    assert(IndexMaintenance.eventsDf(spark, root).collect().isEmpty)
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"), "doc_id", "text"),
+      genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    // pass 0: fan-in 1 ≤ 8 → none; pass 1 after an append with fanIn
+    // policy 1 → compact. Both land in the log in order.
+    IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(root))
+    Dedup.minhashAppendIndex(spark, currentPath(spark, root),
+      docs(100L until 104L, i => s"new$i"), "doc_id", "text", "b1")
+    IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(root),
+      policy = IndexMaintenance.Policy(minhashMaxFanIn = 1))
+    val log = IndexMaintenance.eventsDf(spark, root)
+      .select("pass", "idx", "action", "gen_before", "gen_after")
+      .orderBy(col("pass"))
+      .collect().map(_.toSeq).toSeq
+    assert(log == Seq(
+      Seq(0, "minhash", "none", 0, 0),
+      Seq(1, "minhash", "compact", 0, 1)), s"log was $log")
+    // an UNCOMMITTED pass dir (crash before the marker) stays invisible
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = new org.apache.hadoop.fs.Path(s"$root/maintenance_log/pass-2")
+    fs.mkdirs(ghost)
+    assert(IndexMaintenance.eventsDf(spark, root).count() == 2)
+    // and the next pass takes over the leftover number cleanly
+    IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(root))
+    val last = IndexMaintenance.eventsDf(spark, root)
+      .orderBy(col("pass").desc).select("pass", "action").head()
+    assert(last.getInt(0) == 2 && last.getString(1) == "none")
+  }
+
   test("maintainIndexes: fan-in policy fires mid-run, search parity across the boundary, ledger idempotence") {
     val root = tmp("graft_maint_mh")
     val base = docs(0L until 10L, i => s"base$i")

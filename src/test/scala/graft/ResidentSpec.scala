@@ -148,6 +148,40 @@ class ResidentSpec extends AnyFunSuite {
     assert(iRes.nonEmpty)
   }
 
+  test("ann resident PQ: bit-identical to the ADC+rerank plan; zero jobs when pinned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resident_pq").toString
+    val (cells, cents) =
+      graft.operators.Ann.annBuildIndex(vecs(200), "vec_id", "embedding", nCentroids = 4)
+    graft.operators.Ann.annWriteIndex(cells, cents, tmp, pqM = 4)
+    val idx0 = graft.operators.Ann.annOpenIndex(spark, tmp)
+    // gate: unpinned stays on the plan
+    val before = Resident.residentSearches.get()
+    val q = vecs(7, from = 500).localCheckpoint(true)
+    graft.operators.Ann.annSearchIndexPq(idx0, q, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(Resident.residentSearches.get() == before,
+      "resident PQ fired on an unpinned index")
+    val idx = idx0.copy(cells = idx0.cells.coalesce(1))
+    idx.cells.persist(); idx.cells.count()
+    val (viaRes, d) = residentDelta(bits(graft.operators.Ann
+      .annSearchIndexPq(idx, q, "vec_id", "embedding", k = 3, nProbe = 2)))
+    assert(d == 1, "resident PQ path must fire on the pinned bounded index")
+    val viaPlan = withoutResidency(bits(graft.operators.Ann
+      .annSearchIndexPq(idx, q, "vec_id", "embedding", k = 3, nProbe = 2)))
+    assert(viaRes == viaPlan, "resident PQ diverged from the ADC+rerank plan")
+    assert(viaRes.nonEmpty)
+    // and with a non-default rerankFactor (tighter coarse pool)
+    val (viaRes2, d2) = residentDelta(bits(graft.operators.Ann
+      .annSearchIndexPq(idx, q, "vec_id", "embedding", k = 3, nProbe = 2,
+        rerankFactor = 2)))
+    assert(d2 == 1)
+    val viaPlan2 = withoutResidency(bits(graft.operators.Ann
+      .annSearchIndexPq(idx, q, "vec_id", "embedding", k = 3, nProbe = 2,
+        rerankFactor = 2)))
+    assert(viaRes2 == viaPlan2, "resident PQ (rerankFactor=2) diverged")
+    idx.cells.unpersist()
+  }
+
   test("resident searches cost zero Spark jobs; gate refuses unpinned indexes") {
     val jobCount = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
