@@ -428,7 +428,7 @@ object Bench {
         // LocalRelation output is a zero-job driver read (r11) — count()
         // would re-attach a scheduler round-trip the serving path no longer
         // has. Non-resident paths cost the same single job either way.
-        Seq(
+        val out = Seq(
           timeServing("bm25_index", docSlices.map(q => () =>
             graft.operators.Lexical.bm25SearchIndex(bm25, q, "doc_id", "text", k = 5)
               .collect().length.toLong)),
@@ -449,6 +449,15 @@ object Bench {
           timeServing("minhash_index", docSlices.map(q => () =>
             graft.operators.Dedup.minhashSearchIndex(mh, q, "doc_id", "text",
               jaccardThreshold = 0.8).collect().length.toLong)))
+        // resident-footprint census (r12): what the zero-job tier holds in
+        // driver heap while serving — exact-array byte estimates per live
+        // mirror (see Resident.residentCensus)
+        val census = graft.operators.Resident.residentCensus
+        System.err.println(census
+          .map { case (k, b) => f"$k=${b / 1048576.0}%.1fMB" }
+          .mkString("[bench] resident mirrors: ",
+            ", ", f" (total ${graft.operators.Resident.residentBytes / 1048576.0}%.1fMB)"))
+        out
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving section failed: $e"); Nil
       } finally {

@@ -51,13 +51,16 @@ final class ServingSession[I] private[operators] (
     frames: I => Seq[DataFrame],
     holder: I => Resident.Holder[_ <: Resident.Mirror],
     prewarm: I => Unit,
-    checkIntervalMs: Long) extends AutoCloseable {
+    checkIntervalMs: Long,
+    asyncSwap: Boolean) extends AutoCloseable {
 
   @volatile private var closed = false
   // monotonic clock for the TTL — wall clock can step
   @volatile private var lastCheck = System.nanoTime()
   @volatile private var cur: (Int, I) =
     openGen(IndexMaintenance.currentGeneration(spark, root))
+  // one in-flight background swap at a time (asyncSwap mode)
+  private val swapping = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def openGen(gen: Int): (Int, I) = {
     require(gen >= 0, s"no committed generation under $root " +
@@ -71,24 +74,47 @@ final class ServingSession[I] private[operators] (
   /** Generation currently being served. */
   def generation: Int = cur._1
 
+  /** True while a background swap is opening a newer generation
+    * (asyncSwap mode) — observable for callers that want to quiesce
+    * before pruning.
+    */
+  def swapInFlight: Boolean = swapping.get()
+
+  private def swapTo(latest: Int): Unit = synchronized {
+    if (!closed && latest > cur._1) {
+      val next = openGen(latest)
+      val old = cur
+      cur = next
+      release(old._2)
+    }
+  }
+
   /** The atomic (generation, index) pair to search with — swapped to the
     * latest committed generation first when the check cadence says to
-    * look. Never blocks searches on maintenance: between checks (and
-    * while a swap opens the new generation) the old pinned pair keeps
-    * serving.
+    * look. Concurrent searches never block on a swap another thread is
+    * performing (they serve the old pinned pair until `cur` flips); with
+    * `asyncSwap` the DETECTING search doesn't block either — it hands the
+    * open+pin+prewarm to a background thread and keeps serving the old
+    * generation, so no search ever pays the swap wall (the trade: a few
+    * more old-generation-served searches while the swap runs).
     */
   def resolved: (Int, I) = {
-    if (!closed) {
+    if (!closed && !swapping.get()) {
       val now = System.nanoTime()
       if (checkIntervalMs <= 0 || (now - lastCheck) / 1000000L >= checkIntervalMs) {
         lastCheck = now
         val latest = IndexMaintenance.currentGeneration(spark, root)
-        if (latest > cur._1) synchronized {
-          if (!closed && latest > cur._1) {
-            val next = openGen(latest)
-            val old = cur
-            cur = next
-            release(old._2)
+        if (latest > cur._1) {
+          if (!asyncSwap) swapTo(latest)
+          else if (swapping.compareAndSet(false, true)) {
+            val t = new Thread(() => {
+              try swapTo(latest)
+              catch { case e: Throwable =>
+                System.err.println(s"[graft] background swap to gen-$latest of $root failed: $e")
+              } finally swapping.set(false)
+            }, s"graft-serving-swap")
+            t.setDaemon(true)
+            t.start()
           }
         }
       }
@@ -124,10 +150,12 @@ object ServingSession {
 
   /** Serve a maintained BM25 root ([[Lexical.bm25OpenIndex]] per
     * generation). `checkIntervalMs` ≤ 0 checks the generation markers on
-    * every [[ServingSession.resolved]] call.
+    * every [[ServingSession.resolved]] call; `asyncSwap` moves the
+    * open+pin+prewarm of a new generation off the search path entirely.
     */
   def bm25(spark: SparkSession, root: String,
-      checkIntervalMs: Long = 0L): ServingSession[Lexical.Bm25Index] =
+      checkIntervalMs: Long = 0L,
+      asyncSwap: Boolean = false): ServingSession[Lexical.Bm25Index] =
     new ServingSession[Lexical.Bm25Index](
       spark, root, p => Lexical.bm25OpenIndex(spark, p),
       i => Seq(i.postings), _.residentHolder,
@@ -135,13 +163,14 @@ object ServingSession {
         i.statsRow
         if (Resident.eligible(spark, i.nRows, i.postings)) i.resident
       },
-      checkIntervalMs)
+      checkIntervalMs, asyncSwap)
 
   /** Serve a maintained ANN root ([[Ann.annOpenIndex]] per generation) —
     * float, int8, and PQ searches all route through the one pinned index.
     */
   def ann(spark: SparkSession, root: String,
-      checkIntervalMs: Long = 0L): ServingSession[Ann.AnnIndex] =
+      checkIntervalMs: Long = 0L,
+      asyncSwap: Boolean = false): ServingSession[Ann.AnnIndex] =
     new ServingSession[Ann.AnnIndex](
       spark, root, p => Ann.annOpenIndex(spark, p),
       i => Seq(i.cells), _.residentHolder,
@@ -149,16 +178,17 @@ object ServingSession {
         i.centroidMat
         if (Resident.eligible(spark, i.nRows, i.cells)) i.resident
       },
-      checkIntervalMs)
+      checkIntervalMs, asyncSwap)
 
   /** Serve a maintained MinHash root ([[Dedup.minhashOpenIndex]] per
     * generation) — the incremental-dedup serving tier.
     */
   def minhash(spark: SparkSession, root: String,
-      checkIntervalMs: Long = 0L): ServingSession[Dedup.MinHashIndex] =
+      checkIntervalMs: Long = 0L,
+      asyncSwap: Boolean = false): ServingSession[Dedup.MinHashIndex] =
     new ServingSession[Dedup.MinHashIndex](
       spark, root, p => Dedup.minhashOpenIndex(spark, p),
       i => Seq(i.postings, i.shingles), _.residentHolder,
       i => if (Resident.eligible(spark, i.nRows, i.postings, i.shingles)) i.resident,
-      checkIntervalMs)
+      checkIntervalMs, asyncSwap)
 }

@@ -230,6 +230,44 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(mhSess.residentBytes == 0L)
   }
 
+  test("asyncSwap: the detecting search keeps serving the old generation; the swap lands in the background") {
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root, asyncSwap = true)
+    try {
+      val q = docs(4, from = 300)
+      assert(sess.resolved._1 == 0)
+      graft.operators.Lexical.bm25AppendIndex(spark,
+        IndexMaintenance.currentPath(spark, root),
+        docs(25, from = 7000), "id", "text", "b1")
+      IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root), policy = anyAppend)
+      assert(IndexMaintenance.currentGeneration(spark, root) == 1)
+      // the detecting call returns the OLD pinned pair immediately — the
+      // open+pin+prewarm (several Spark jobs) runs on the background
+      // thread, which cannot have finished between start() and this read
+      val (g0, idx0) = sess.resolved
+      assert(g0 == 0, "detecting search must not block on the swap")
+      assert(bits(graft.operators.Lexical
+        .bm25SearchIndex(idx0, q, "id", "text", k = 3)).nonEmpty)
+      // the background swap lands; the session flips to gen-1
+      val deadline = System.nanoTime() + 30000000000L
+      while (sess.generation == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(50); sess.resolved
+      }
+      assert(sess.generation == 1, "background swap never landed")
+      while (sess.swapInFlight && System.nanoTime() < deadline) Thread.sleep(20)
+      val fresh0 = graft.operators.Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root))
+      val fresh = fresh0.copy(postings = fresh0.postings.coalesce(1))
+      fresh.postings.persist(); fresh.postings.count()
+      assert(bits(graft.operators.Lexical
+          .bm25SearchIndex(sess.index, q, "id", "text", k = 3)) ==
+        bits(graft.operators.Lexical
+          .bm25SearchIndex(fresh, q, "id", "text", k = 3)),
+        "post-async-swap results diverged from a fresh open")
+      fresh.postings.unpersist()
+    } finally sess.close()
+  }
+
   test("pruneGenerations reader contract: unpinned old-gen reader breaks, re-resolved session survives") {
     val root = seedBm25Root()
     // commit gen-1
