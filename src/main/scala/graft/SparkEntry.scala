@@ -1533,14 +1533,19 @@ object SparkEntry {
     // pass number + action + generation transition all deterministic
     // given the policy.
     "q_maintenance_log" -> ((s, dir) => {
-      import graft.operators.IndexMaintenance
       val f = steadyMaintenance(s, dir)
-      IndexMaintenance.eventsDf(s, f.mhRoot)
-        .unionByName(IndexMaintenance.eventsDf(s, f.bmRoot))
-        .unionByName(IndexMaintenance.eventsDf(s, f.annRoot))
-        .select(col("pass"), col("idx"), col("action"),
-          col("gen_before"), col("gen_after"))
-        .orderBy(col("pass"), col("idx"))
+      graft.plans.GraftPlans.install(s)
+      // through the SQL TVF on purpose: the audit surface a SQL user gets
+      s.sql(
+        s"""SELECT pass, idx, action, gen_before, gen_after
+           |FROM graft_maintenance_log('${f.mhRoot}')
+           |UNION ALL
+           |SELECT pass, idx, action, gen_before, gen_after
+           |FROM graft_maintenance_log('${f.bmRoot}')
+           |UNION ALL
+           |SELECT pass, idx, action, gen_before, gen_after
+           |FROM graft_maintenance_log('${f.annRoot}')
+           |ORDER BY pass, idx""".stripMargin)
     }),
 
     // Drift → degradation → refit recovery (judge r10 #2): after two

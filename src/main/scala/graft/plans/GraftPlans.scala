@@ -331,6 +331,21 @@ object GraftPlans {
     ColumnBridge.analyzedPlan(graft.operators.Retrieval.rrfFuse(Seq(a, b), k, k0))
   }
 
+  /** `graft_maintenance_log('root')` — the persisted maintenance history of
+    * a managed generation root from SQL
+    * ([[graft.operators.IndexMaintenance.eventsDf]]): one row per recorded
+    * decision `(pass, idx, signal, value, threshold, action, gen_before,
+    * gen_after)`. The audit half of the maintenance loop — `maintainIndexes`
+    * appends each pass to the root's atomic-marker parquet log; this reads
+    * only committed passes.
+    */
+  private def maintenanceLogBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_maintenance_log(root)")
+    val root = str(args(0), "root")
+    ColumnBridge.analyzedPlan(
+      graft.operators.IndexMaintenance.eventsDf(SparkSession.active, root))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -366,7 +381,10 @@ object GraftPlans {
         minhashDedupBuilder _),
       (FunctionIdentifier("graft_contamination"),
         new ExpressionInfo("graft", "graft_contamination"),
-        contaminationBuilder _))
+        contaminationBuilder _),
+      (FunctionIdentifier("graft_maintenance_log"),
+        new ExpressionInfo("graft", "graft_maintenance_log"),
+        maintenanceLogBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -218,6 +218,48 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       docs(Seq(101L), _ => "fresh_s1"), "doc_id", "text", "ingest_0"))
   }
 
+  test("live ServingSession serves THROUGH the self-maintaining streaming loop (r12 capstone)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("graft_sess_stream")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"), "doc_id", "text"),
+      genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    val sess = graft.operators.ServingSession.minhash(spark, root)
+    assert(sess.generation == 0)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingIngestPipelineManaged(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", root,
+      jaccardThreshold = 0.5,
+      policy = Policy(minhashMaxFanIn = 1)) // compaction fires every epoch
+      .start()
+    try {
+      for (e <- 1 to 3) {
+        stream.addData((100L + e, doc(s"live$e")))
+        q.processAllAvailable()
+        // the session follows each mid-stream compaction...
+        val (g, idx) = sess.resolved
+        assert(g == e, s"session at gen $g after epoch $e")
+        // ...and SERVES the epoch's just-ingested doc: a probe duplicating
+        // it must match against the corpus id the stream committed
+        val probe = docs(Seq(999L), _ => s"live$e")
+        val hits = Dedup.minhashSearchIndex(idx, probe, "doc_id", "text", 0.5)
+          .select("corpus_id").collect().map(_.getLong(0)).toSet
+        assert(hits.contains(100L + e),
+          s"epoch-$e session search missed the just-ingested doc: $hits")
+        // parity with a fresh open of the generation it claims to serve
+        val fresh = Dedup.minhashOpenIndex(spark, genPath(root, g))
+        val freshHits = Dedup.minhashSearchIndex(fresh, probe, "doc_id", "text", 0.5)
+          .select("corpus_id").collect().map(_.getLong(0)).toSet
+        assert(hits == freshHits, s"epoch-$e session ≠ fresh open")
+      }
+    } finally { q.stop(); sess.close() }
+    // all superseded generations prunable after the session re-resolved
+    assert(IndexMaintenance.pruneGenerations(spark, root) == Seq(0, 1, 2))
+  }
+
   test("maintainIndexes: ann compact preserves results + refit watermark; refit fires on staleness") {
     import spark.implicits._
     val root = tmp("graft_maint_ann")

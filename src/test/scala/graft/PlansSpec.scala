@@ -373,6 +373,36 @@ class PlansSpec extends AnyFunSuite {
     assert(err.getMessage.contains("graft_minhash_dedup"))
   }
 
+  test("SQL table function graft_maintenance_log reads the persisted audit trail") {
+    import spark.implicits._
+    import graft.operators.IndexMaintenance
+    val root = java.nio.file.Files.createTempDirectory("plans_spec_maint_log").toString
+    val docs = (0L until 8L).map(i => (i, s"base$i alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.operators.Dedup.minhashWriteIndex(
+      graft.operators.Dedup.minhashBuildIndex(docs, "doc_id", "text"),
+      IndexMaintenance.genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(root))
+    GraftPlans.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT pass, idx, action FROM graft_maintenance_log('$root')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(viaSql == Seq((0, "minhash", "none")))
+    // matches the DataFrame API, full schema
+    val direct = IndexMaintenance.eventsDf(spark, root)
+      .select("pass", "idx", "action")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(viaSql == direct)
+    // empty-root behavior carries through the TVF: empty frame, not an error
+    val emptyRoot = java.nio.file.Files.createTempDirectory("plans_spec_maint_empty").toString
+    assert(spark.sql(
+      s"SELECT * FROM graft_maintenance_log('$emptyRoot/none')").collect().isEmpty)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_maintenance_log('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("graft_maintenance_log"))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
