@@ -423,6 +423,22 @@ object Bench {
         pq.cells.persist(); pq.cells.count()
         val docSlices = slices("documents", "doc_id", "text")
         val embSlices = slices("embeddings", "vec_id", "embedding")
+        // r12: the generation-following lifecycle measured — the same bm25
+        // searches through a ServingSession over a managed root, so the
+        // census quantifies what resolved() adds per search (one
+        // generation-marker listStatus + swap bookkeeping) on top of the
+        // pinned-index number above. Setup (index build + gen-0 commit +
+        // session open/pin/prewarm) is untimed, like the other opens.
+        val sessRoot = java.nio.file.Files
+          .createTempDirectory("graft_bench_sess").toString
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val (bp, bs) = graft.operators.Lexical.bm25BuildIndex(docsDf, "doc_id", "text")
+        graft.operators.Lexical.bm25WriteIndex(bp, bs,
+          graft.operators.IndexMaintenance.genPath(sessRoot, 0), nBuckets = 16)
+        graft.operators.IndexMaintenance.commitGeneration(spark, sessRoot, 0)
+        val sess = graft.operators.ServingSession.bm25(spark, sessRoot)
         // consumer = collect(), not count(): a retrieval service READS the
         // result rows, and collect() on the driver-resident paths'
         // LocalRelation output is a zero-job driver read (r11) — count()
@@ -448,7 +464,13 @@ object Bench {
           // candidates verified by exact Jaccard)
           timeServing("minhash_index", docSlices.map(q => () =>
             graft.operators.Dedup.minhashSearchIndex(mh, q, "doc_id", "text",
-              jaccardThreshold = 0.8).collect().length.toLong)))
+              jaccardThreshold = 0.8).collect().length.toLong)),
+          // the r12 session leg: bm25 searches through ServingSession
+          // (compare with bm25_index above for the lifecycle overhead)
+          timeServing("bm25_session", docSlices.map(q => () =>
+            graft.operators.Lexical.bm25SearchIndex(sess.index, q,
+              "doc_id", "text", k = 5).collect().length.toLong)))
+        sess.close()
         // resident-footprint census (r12): what the zero-job tier holds in
         // driver heap while serving — exact-array byte estimates per live
         // mirror (see Resident.residentCensus)
