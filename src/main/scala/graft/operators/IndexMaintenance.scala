@@ -130,21 +130,31 @@ object IndexMaintenance {
     if (!fs.exists(marker)) fs.create(marker, false).close()
   }
 
-  /** Delete all committed generations below the current one — the caller's
-    * own-cadence cleanup (never automatic: in-flight readers may still hold
-    * scans over an old generation). Returns the deleted generation numbers.
+  /** Delete committed generations superseded by at least `keepLatest`
+    * newer ones — the caller's own-cadence cleanup (never automatic). The
+    * reader contract: a [[ServingSession]] that RE-RESOLVED keeps serving
+    * a pruned generation from its pinned blocks + resident mirror, but an
+    * un-materialized reader over a pruned generation fails at scan time
+    * (both orderings spec-demonstrated) — so prune only after every
+    * session re-resolved, or raise `keepLatest` to cover the worst-case
+    * session check TTL × maintenance cadence (e.g. `keepLatest = 2` keeps
+    * the generation a TTL-lagged session may still be opening). Returns
+    * the deleted generation numbers.
     */
-  def pruneGenerations(spark: SparkSession, root: String): Seq[Int] = {
+  def pruneGenerations(spark: SparkSession, root: String,
+      keepLatest: Int = 1): Seq[Int] = {
+    require(keepLatest >= 1, s"keepLatest must be >= 1, got $keepLatest")
     val fs = fsOf(spark, root)
     val cur = currentGeneration(spark, root)
     // mirror currentGeneration's missing-root tolerance: pruning a
     // not-yet-seeded root is a no-op, not a FileNotFoundException
     if (cur < 0 || !fs.exists(new Path(root))) return Seq.empty
-    val old = fs.listStatus(new Path(root)).toSeq
+    val committed = fs.listStatus(new Path(root)).toSeq
       .collect { case st if st.isDirectory => st.getPath.getName }
-      .collect { case GenRe(n) if n.toInt < cur &&
+      .collect { case GenRe(n) if
         fs.exists(new Path(genPath(root, n.toInt), GenMarker)) => n.toInt }
       .sorted
+    val old = committed.dropRight(keepLatest)
     old.foreach(n => fs.delete(new Path(genPath(root, n)), true))
     old
   }
@@ -210,7 +220,13 @@ object IndexMaintenance {
         .collect { case st if st.isDirectory &&
           fs.exists(new Path(st.getPath, LogMarker)) => st.getPath.getName }
         .collect { case PassRe(n) => n.toInt + 1 }.foldLeft(0)(_ max _)
-    val dir = new Path(logRoot, s"pass-$next")
+    // a COMMITTED pass is never deleted: if another writer committed this
+    // number since the listing (two maintainers on one root), skip past it
+    // — only an uncommitted leftover may be overwritten (the nextGenDir
+    // guard, applied to the log)
+    var n = next
+    while (fs.exists(new Path(new Path(logRoot, s"pass-$n"), LogMarker))) n += 1
+    val dir = new Path(logRoot, s"pass-$n")
     if (fs.exists(dir)) fs.delete(dir, true) // uncommitted leftover
     import spark.implicits._
     events.map(e => (next, e.index, e.signal, e.value, e.threshold,

@@ -85,16 +85,19 @@ object Resident {
     */
   sealed trait Mirror { def bytes: Long }
 
-  /** Live mirrors by identity → kind label. Registered at build, removed by
-    * [[Holder.drop]] — so [[residentBytes]] reports what is explicitly
-    * HELD, not what the GC has yet to collect. A mirror abandoned without
-    * drop() (an index object going unreferenced) still frees heap via GC
-    * but lingers in this census until dropped — the reason
-    * [[ServingSession]] releases explicitly on swap/close.
+  /** Live mirrors → kind label. Registered at build, removed by
+    * [[Holder.drop]]. Keys are WEAK references on purpose: the census must
+    * never extend a mirror's lifetime — a mirror abandoned without drop()
+    * (an index object going unreferenced, e.g. the plain pinned-index path
+    * with no [[ServingSession]]) is reclaimed by GC exactly as the old
+    * bare `lazy val` was, and falls out of this census with it. Mirror
+    * classes do not override equals, so WeakHashMap's equals() lookup IS
+    * identity here. [[ServingSession]] still drops explicitly on
+    * swap/close — deterministic release beats waiting for GC.
     */
   private val live =
     java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[Mirror, String]())
+      new java.util.WeakHashMap[Mirror, String]())
 
   private def register(kind: String, m: Mirror): Unit = live.put(m, kind)
   private def deregister(m: Mirror): Unit = live.remove(m)

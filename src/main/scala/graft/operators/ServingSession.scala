@@ -66,8 +66,18 @@ final class ServingSession[I] private[operators] (
     require(gen >= 0, s"no committed generation under $root " +
       "(seed gen-0 and commitGeneration first)")
     val idx = opener(IndexMaintenance.genPath(root, gen))
-    frames(idx).foreach { f => f.persist(); f.count() }
-    prewarm(idx)
+    // unpin on ANY failure past the first persist: a corrupt generation or
+    // a failing prewarm must not leave cache entries behind — the session
+    // keeps serving the old generation and retries on the next check, and
+    // without this cleanup every retry would accumulate persisted frames
+    try {
+      frames(idx).foreach { f => f.persist(); f.count() }
+      prewarm(idx)
+    } catch {
+      case e: Throwable =>
+        frames(idx).foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
+        throw e
+    }
     (gen, idx)
   }
 
@@ -92,11 +102,16 @@ final class ServingSession[I] private[operators] (
   /** The atomic (generation, index) pair to search with — swapped to the
     * latest committed generation first when the check cadence says to
     * look. Concurrent searches never block on a swap another thread is
-    * performing (they serve the old pinned pair until `cur` flips); with
-    * `asyncSwap` the DETECTING search doesn't block either — it hands the
-    * open+pin+prewarm to a background thread and keeps serving the old
-    * generation, so no search ever pays the swap wall (the trade: a few
-    * more old-generation-served searches while the swap runs).
+    * performing — the `swapping` CAS admits exactly ONE swapper per
+    * committed generation (every other thread returns the old pinned pair
+    * immediately, in BOTH modes); with `asyncSwap` the detecting search
+    * doesn't pay the swap either — it hands the open+pin+prewarm to a
+    * background thread and keeps serving the old generation, so no search
+    * ever pays the swap wall (the trade: a few more
+    * old-generation-served searches while the swap runs). A FAILED swap
+    * (corrupt generation, prewarm error) unpins whatever it touched, is
+    * reported, and retries on the next check cadence while the old
+    * generation keeps serving.
     */
   def resolved: (Int, I) = {
     if (!closed && !swapping.get()) {
@@ -104,9 +119,10 @@ final class ServingSession[I] private[operators] (
       if (checkIntervalMs <= 0 || (now - lastCheck) / 1000000L >= checkIntervalMs) {
         lastCheck = now
         val latest = IndexMaintenance.currentGeneration(spark, root)
-        if (latest > cur._1) {
-          if (!asyncSwap) swapTo(latest)
-          else if (swapping.compareAndSet(false, true)) {
+        if (latest > cur._1 && swapping.compareAndSet(false, true)) {
+          if (!asyncSwap) {
+            try swapTo(latest) finally swapping.set(false)
+          } else {
             val t = new Thread(() => {
               try swapTo(latest)
               catch { case e: Throwable =>

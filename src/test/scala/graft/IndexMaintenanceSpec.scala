@@ -49,6 +49,20 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(IndexMaintenance.pruneGenerations(spark, root) == Seq(0))
     assert(currentPath(spark, root) == genPath(root, 1))
     Dedup.minhashOpenIndex(spark, currentPath(spark, root)) // still opens
+    // keepLatest margin (r12): with three committed generations, a
+    // keepLatest=2 prune deletes only the oldest — the slack a TTL-lagged
+    // session needs — and a default prune then drops the next
+    Dedup.minhashCompactIndex(spark, genPath(root, 1), genPath(root, 2))
+    IndexMaintenance.commitGeneration(spark, root, 2)
+    Dedup.minhashCompactIndex(spark, genPath(root, 2), genPath(root, 3))
+    IndexMaintenance.commitGeneration(spark, root, 3)
+    assert(IndexMaintenance.pruneGenerations(spark, root, keepLatest = 2) == Seq(1))
+    assert(currentPath(spark, root) == genPath(root, 3))
+    Dedup.minhashOpenIndex(spark, genPath(root, 2)) // the kept margin opens
+    assert(IndexMaintenance.pruneGenerations(spark, root) == Seq(2))
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.pruneGenerations(spark, root, keepLatest = 0)
+    }
   }
 
   test("persisted maintenance log: append-only passes, marker-gated visibility, eventsDf replay") {
@@ -85,6 +99,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val last = IndexMaintenance.eventsDf(spark, root)
       .orderBy(col("pass").desc).select("pass", "action").head()
     assert(last.getInt(0) == 2 && last.getString(1) == "none")
+    // a COMMITTED pass is never overwritten (review: two maintainers on one
+    // root): fake another writer committing pass-3, then run a pass — it
+    // must land at 4 and leave pass-3's content intact
+    val foreign = new org.apache.hadoop.fs.Path(s"$root/maintenance_log/pass-3")
+    fs.mkdirs(foreign)
+    fs.create(new org.apache.hadoop.fs.Path(foreign, "_COMMITTED"), false).close()
+    IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(root))
+    assert(fs.exists(foreign), "committed foreign pass must survive")
+    val top = IndexMaintenance.eventsDf(spark, root)
+      .orderBy(col("pass").desc).select("pass").head().getInt(0)
+    assert(top == 4, s"new pass must skip the foreign committed number, got $top")
   }
 
   test("maintainIndexes: fan-in policy fires mid-run, search parity across the boundary, ledger idempotence") {

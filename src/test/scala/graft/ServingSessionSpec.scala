@@ -241,13 +241,17 @@ class ServingSessionSpec extends AnyFunSuite {
         docs(25, from = 7000), "id", "text", "b1")
       IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root), policy = anyAppend)
       assert(IndexMaintenance.currentGeneration(spark, root) == 1)
-      // the detecting call returns the OLD pinned pair immediately — the
-      // open+pin+prewarm (several Spark jobs) runs on the background
-      // thread, which cannot have finished between start() and this read
+      // the detecting call returns a servable pair immediately — almost
+      // always the OLD generation (the open+pin+prewarm runs several Spark
+      // jobs on the background thread), but a preempted detecting thread
+      // CAN legitimately observe the already-landed swap, so assert
+      // servability, not the specific generation (review: strict g0==0 was
+      // a scheduling-dependent flake)
       val (g0, idx0) = sess.resolved
-      assert(g0 == 0, "detecting search must not block on the swap")
+      assert(g0 == 0 || g0 == 1)
       assert(bits(graft.operators.Lexical
-        .bm25SearchIndex(idx0, q, "id", "text", k = 3)).nonEmpty)
+        .bm25SearchIndex(idx0, q, "id", "text", k = 3)).nonEmpty,
+        s"pair served mid-swap (gen $g0) must answer searches")
       // the background swap lands; the session flips to gen-1
       val deadline = System.nanoTime() + 30000000000L
       while (sess.generation == 0 && System.nanoTime() < deadline) {
@@ -265,6 +269,37 @@ class ServingSessionSpec extends AnyFunSuite {
           .bm25SearchIndex(fresh, q, "id", "text", k = 3)),
         "post-async-swap results diverged from a fresh open")
       fresh.postings.unpersist()
+    } finally sess.close()
+  }
+
+  test("concurrent resolved calls during a sync swap: one swapper, nobody else blocks on its monitor") {
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      graft.operators.Lexical.bm25AppendIndex(spark,
+        IndexMaintenance.currentPath(spark, root),
+        docs(20, from = 8000), "id", "text", "b1")
+      IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root), policy = anyAppend)
+      // 8 threads hammer resolved while the swap happens: the CAS admits
+      // one swapper; every call must return a servable pair (gen 0 or 1)
+      // and the session must settle on gen 1 with no thread wedged
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val gens = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val futures = (1 to 32).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = { gens.add(sess.resolved._1); () }
+        })
+      }
+      futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      val seen = { val b = Set.newBuilder[Int]; gens.forEach(g => b += g); b.result() }
+      assert(seen.subsetOf(Set(0, 1)), s"unexpected generations served: $seen")
+      // settle: the swap (performed by whichever thread won the CAS) lands
+      val deadline = System.nanoTime() + 30000000000L
+      while (sess.generation == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(20); sess.resolved
+      }
+      assert(sess.generation == 1)
     } finally sess.close()
   }
 
