@@ -25,6 +25,42 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("saltedJoin ≡ plain join under randomized key distributions, all four join types") {
+    import spark.implicits._
+    // seeded-random scenarios (deterministic test): a hot key holding most
+    // big-side rows, many single-row matched keys (the advisor-r11 regime
+    // where a per-replica unmatched-ness decision fails), null keys on both
+    // sides (equality semantics: never match), duplicate other-side keys
+    // (matched multiplicity), keys present on only one side, and varying
+    // salt factors including 1 (degenerate) and 32 (every key multi-salt)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.mkString("|")).sorted.toSeq
+    for ((seed, saltFactor) <- Seq((1, 32), (7, 8), (42, 2), (13, 1))) {
+      val rnd = new scala.util.Random(seed)
+      val hot = rnd.nextInt(5).toLong
+      val big = (0 until 400).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextDouble() < 0.6) java.lang.Long.valueOf(hot)
+          else if (rnd.nextDouble() < 0.05) null
+          else java.lang.Long.valueOf(rnd.nextInt(60).toLong)
+        (k, i)
+      }.toDF("k", "v")
+      val other = (0 until 40).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextDouble() < 0.05) null
+          else java.lang.Long.valueOf(rnd.nextInt(80).toLong)
+        (k, s"w$i")
+      }.toDF("k", "w")
+      for (jt <- Seq("inner", "left", "right", "full")) {
+        val plain = rows(big.join(other, Seq("k"), jt))
+        val salted = rows(
+          graft.operators.Skew.saltedJoin(big, other, Seq("k"), saltFactor, jt))
+        assert(salted == plain,
+          s"seed=$seed saltFactor=$saltFactor jt=$jt: salted ≠ plain")
+      }
+    }
+  }
+
   test("DetHash: buckets land in [0, modulus), deterministic, gumbel finite; md5 reference parity") {
     import spark.implicits._
     // one batch job over generated keys (strings with junk + longs), three
