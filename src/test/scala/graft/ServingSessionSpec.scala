@@ -158,14 +158,15 @@ class ServingSessionSpec extends AnyFunSuite {
 
   test("ann + minhash sessions swap and release the same way") {
     import org.apache.spark.sql.functions._
-    // ann
+    // ann — PQ layout, so the session serves float, int8, AND PQ searches
+    // through the one pinned generation
     val annRoot = java.nio.file.Files.createTempDirectory("graft_sess_ann").toString
     val vecs = docs(200).select(col("id").as("vec_id"),
       graft.functions.HashEmbedExpr.hashEmbed(col("text"), 8, tokenMix = true).as("embedding"))
     val (cells, cents) = graft.operators.Ann.annBuildIndex(
       vecs, "vec_id", "embedding", nCentroids = 4)
     graft.operators.Ann.annWriteIndex(cells, cents,
-      IndexMaintenance.genPath(annRoot, 0))
+      IndexMaintenance.genPath(annRoot, 0), pqM = 4)
     IndexMaintenance.commitGeneration(spark, annRoot, 0)
     val annSess = ServingSession.ann(spark, annRoot)
     val qv = docs(5, from = 900).select(col("id").as("vec_id"),
@@ -192,6 +193,13 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(a1 == bits(graft.operators.Ann.annSearchIndexInt8(
       freshAnn, qv, "vec_id", "embedding", k = 3, nProbe = 2)),
       "ann post-swap diverged from fresh open")
+    // the SAME session pair serves the PQ search (r12 resident ADC+rerank):
+    // post-swap parity against the fresh open holds there too
+    val p1 = bits(graft.operators.Ann.annSearchIndexPq(
+      aidx, qv, "vec_id", "embedding", k = 3, nProbe = 2))
+    assert(p1.nonEmpty && p1 == bits(graft.operators.Ann.annSearchIndexPq(
+      freshAnn, qv, "vec_id", "embedding", k = 3, nProbe = 2)),
+      "ann PQ post-swap diverged from fresh open")
     freshAnn.cells.unpersist()
     annSess.close()
     assert(annSess.residentBytes == 0L)
