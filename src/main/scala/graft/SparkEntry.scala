@@ -2091,6 +2091,30 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // The FIXED right/full salted path under the oracle gate (r12 — the
+    // r11 advisor's spurious-null-extended-rows bug class): unmatched rows
+    // manufactured on BOTH sides by complementary filters, full-outer
+    // salted join ≡ the plain FULL JOIN (matched pairs from the inner
+    // salted leg, each unmatched row null-extended exactly once by the
+    // per-row anti-join legs).
+    "q_salted_join_outer" -> ((s, dir) => {
+      val li = ld(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = ld(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      // null-extended cells coalesced to -1 sentinels (impossible values):
+      // a spurious or missing null-extended row still changes the multiset,
+      // and the compare never sorts NULL against a value
+      Skew.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8, joinType = "full")
+        .select(col("l_orderkey"),
+          coalesce(col("l_linenumber"), lit(-1)).as("l_linenumber"),
+          coalesce(col("l_quantity"), lit(-1.0)).as("l_quantity"),
+          coalesce(col("o_custkey"), lit(-1)).as("o_custkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // The census + mitigation COMPOSED (judge r8 #6): skewAwareJoin measures
     // the hottest key's skew in one bounded pass and picks plain-vs-salted;
     // either branch is row-identical to the plain equi-join, so the leg
@@ -4222,6 +4246,21 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // full-outer salted ≡ plain FULL JOIN: complementary filters leave
+    // unmatched rows on both sides (orders with no surviving lineitems,
+    // lineitems whose order is filtered out of the other side)
+    "q_salted_join_outer" ->
+      """SELECT COALESCE(l.l_orderkey, o.o_orderkey) AS l_orderkey,
+        |       COALESCE(l_linenumber, -1) AS l_linenumber,
+        |       COALESCE(l_quantity, -1.0) AS l_quantity,
+        |       COALESCE(o_custkey, -1) AS o_custkey
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |      WHERE l_orderkey % 5 <> 0) l
+        |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |           WHERE o_orderkey % 3 = 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |ORDER BY 1, 2""".stripMargin,
 
     // skewAwareJoin is row-identical to the plain equi-join whichever
     // branch the census picks — same oracle as q_salted_join
