@@ -121,7 +121,14 @@ final class ServingSession[I] private[operators] (
         val latest = IndexMaintenance.currentGeneration(spark, root)
         if (latest > cur._1 && swapping.compareAndSet(false, true)) {
           if (!asyncSwap) {
-            try swapTo(latest) finally swapping.set(false)
+            // a failed sync swap must not propagate to the search caller:
+            // the docstring's contract is "reported, old generation keeps
+            // serving, retried next cadence" — same as the async branch
+            // (openGen already unpinned whatever the failure touched)
+            try swapTo(latest)
+            catch { case e: Throwable =>
+              System.err.println(s"[graft] swap to gen-$latest of $root failed: $e")
+            } finally swapping.set(false)
           } else {
             val t = new Thread(() => {
               try swapTo(latest)

