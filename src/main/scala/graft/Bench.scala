@@ -166,14 +166,20 @@ object Bench {
         else try om.readTree(priorFile).path("__round").asInt(-1)
         catch { case _: Throwable => -1 }
       if (priorRound != roundNow) {
+        // parse + mutate + serialize, not string splicing: a non-object
+        // top level or stray trailing content in BENCH_DETAIL.json must
+        // fail HERE (caught below, drift report disabled with a message),
+        // not produce silently invalid JSON (advisor r12)
         val detailFile = new java.io.File(detailPath)
-        val inner =
-          if (!detailFile.exists()) ""
-          else new String(java.nio.file.Files.readAllBytes(detailFile.toPath), "UTF-8")
-            .trim.stripPrefix("{").stripSuffix("}").trim
-        val sep = if (inner.isEmpty) "" else ",\n"
-        java.nio.file.Files.write(priorFile.toPath,
-          s"""{$inner$sep"__round":$roundNow\n}""".getBytes("UTF-8"))
+        val node: com.fasterxml.jackson.databind.node.ObjectNode =
+          if (!detailFile.exists()) om.createObjectNode()
+          else om.readTree(detailFile) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+            case other => throw new IllegalStateException(
+              s"$detailPath top level is ${other.getNodeType}, expected OBJECT")
+          }
+        node.put("__round", roundNow)
+        om.writerWithDefaultPrettyPrinter().writeValue(priorFile, node)
         System.err.println(s"[bench] snapshotted round-$roundNow baseline -> ${priorFile.getPath}")
       }
       import scala.jdk.CollectionConverters._
@@ -400,6 +406,12 @@ object Bench {
           f"$jobsPer%.1f jobs/$stagesPer%.1f stages per search)")
         (name, med, walls.sum, jobsPer, stagesPer, minW)
       }
+      // declared OUTSIDE the try: a serving leg that throws must still
+      // close the session (pinned frames + resident mirror) and delete the
+      // temp root in the finally below (advisor r12 — they leaked for the
+      // process lifetime on the failure path)
+      var sess: graft.operators.ServingSession[graft.operators.Lexical.Bm25Index] = null
+      var sessRoot: String = null
       try {
         val bm250 = SparkEntry.steadyBm25Index(spark, sfDir)
         val ann0 = SparkEntry.steadyAnnIndex(spark, sfDir)
@@ -429,7 +441,7 @@ object Bench {
         // generation-marker listStatus + swap bookkeeping) on top of the
         // pinned-index number above. Setup (index build + gen-0 commit +
         // session open/pin/prewarm) is untimed, like the other opens.
-        val sessRoot = java.nio.file.Files
+        sessRoot = java.nio.file.Files
           .createTempDirectory("graft_bench_sess").toString
         val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -438,7 +450,7 @@ object Bench {
         graft.operators.Lexical.bm25WriteIndex(bp, bs,
           graft.operators.IndexMaintenance.genPath(sessRoot, 0), nBuckets = 16)
         graft.operators.IndexMaintenance.commitGeneration(spark, sessRoot, 0)
-        val sess = graft.operators.ServingSession.bm25(spark, sessRoot)
+        sess = graft.operators.ServingSession.bm25(spark, sessRoot)
         // consumer = collect(), not count(): a retrieval service READS the
         // result rows, and collect() on the driver-resident paths'
         // LocalRelation output is a zero-job driver read (r11) — count()
@@ -486,6 +498,13 @@ object Bench {
         // the census listener must not outlive the section: every later
         // query would keep paying its callback (advisor r8)
         spark.sparkContext.removeSparkListener(servingListener)
+        // failure-path cleanup (advisor r12): close() is idempotent, so
+        // the success path's inline close (kept there so the footprint
+        // census prints WITHOUT the session mirror) costs nothing here
+        if (sess != null) try sess.close() catch { case _: Throwable => () }
+        if (sessRoot != null)
+          try org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sessRoot))
+          catch { case _: Throwable => () }
       }
     }
 
