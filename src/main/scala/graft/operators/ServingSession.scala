@@ -62,20 +62,31 @@ final class ServingSession[I] private[operators] (
   // one in-flight background swap at a time (asyncSwap mode)
   private val swapping = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Pin-refcount identity: the opener's shareKey — qualified path PLUS
+    * the committed-batch set, i.e. exactly what determines the frames'
+    * canonicalized plans (two sessions on one gen dir opened around an
+    * append hold DIFFERENT plans and must not share a pin count).
+    */
+  private def pinKey(gen: Int, idx: I): String =
+    holder(idx).shareKey.getOrElse(IndexMaintenance.genPath(root, gen))
+
   private def openGen(gen: Int): (Int, I) = {
     require(gen >= 0, s"no committed generation under $root " +
       "(seed gen-0 and commitGeneration first)")
     val idx = opener(IndexMaintenance.genPath(root, gen))
+    val key = pinKey(gen, idx)
     // unpin on ANY failure past the first persist: a corrupt generation or
     // a failing prewarm must not leave cache entries behind — the session
     // keeps serving the old generation and retries on the next check, and
     // without this cleanup every retry would accumulate persisted frames
+    ServingSession.PinRegistry.pin(key)
     try {
       frames(idx).foreach { f => f.persist(); f.count() }
       prewarm(idx)
     } catch {
       case e: Throwable =>
-        frames(idx).foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
+        if (ServingSession.PinRegistry.unpin(key))
+          frames(idx).foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
         throw e
     }
     (gen, idx)
@@ -95,7 +106,7 @@ final class ServingSession[I] private[operators] (
       val next = openGen(latest)
       val old = cur
       cur = next
-      release(old._2)
+      release(old._1, old._2)
     }
   }
 
@@ -155,21 +166,52 @@ final class ServingSession[I] private[operators] (
   def residentBytes: Long =
     if (closed) 0L else holder(cur._2).peek.map(_.bytes).getOrElse(0L)
 
-  private def release(idx: I): Unit = {
+  private def release(gen: Int, idx: I): Unit = {
+    // mirror first (per-session reference; shared slots refcount their
+    // own), then the frames — but ONLY when this session was the LAST
+    // pinner of this generation: Spark's CacheManager is PLAN-keyed, so a
+    // blind unpersist here would also unpin a SIBLING session's identical
+    // frames (r13 — the two-session sharing spec caught exactly that)
     holder(idx).drop()
-    frames(idx).foreach(_.unpersist(false))
+    if (ServingSession.PinRegistry.unpin(pinKey(gen, idx)))
+      frames(idx).foreach(_.unpersist(false))
   }
 
   /** Release the pin and the resident mirror. Idempotent; a closed
     * session keeps answering [[resolved]] with its last pair (now
-    * unpinned — searches fall back to the cold distributed plans).
+    * unpinned — searches fall back to the cold distributed plans). A
+    * sibling session still serving the same generation keeps its pin AND
+    * its zero-job mirror (pin refcounts + shared mirror slots).
     */
   def close(): Unit = synchronized {
-    if (!closed) { closed = true; release(cur._2) }
+    if (!closed) { closed = true; release(cur._1, cur._2) }
   }
 }
 
 object ServingSession {
+
+  /** Generation-pin refcounts across sessions (r13): Spark's CacheManager
+    * dedupes cache entries by canonicalized plan, so two sessions over one
+    * generation share ONE cache entry — the unpersist must belong to the
+    * LAST session releasing that generation, or closing one session
+    * silently unpins its sibling (whose searches then fall back to cold
+    * plans until the next swap). Keyed by generation path; only sessions
+    * register here — a NON-session pinner of the same files (a parity
+    * fixture's own open) is a different DataFrame lineage the registry
+    * can't see, same as before.
+    */
+  private object PinRegistry {
+    private val refs = new java.util.HashMap[String, Integer]
+    def pin(key: String): Unit = synchronized {
+      refs.merge(key, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b)); ()
+    }
+    /** True when the caller was the LAST pinner and owns the unpersist. */
+    def unpin(key: String): Boolean = synchronized {
+      val n = Option(refs.get(key)).map(_.intValue()).getOrElse(0) - 1
+      if (n <= 0) { refs.remove(key); true }
+      else { refs.put(key, Integer.valueOf(n)); false }
+    }
+  }
 
   /** Serve a maintained BM25 root ([[Lexical.bm25OpenIndex]] per
     * generation). `checkIntervalMs` ≤ 0 checks the generation markers on

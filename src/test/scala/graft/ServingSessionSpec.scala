@@ -354,14 +354,20 @@ class ServingSessionSpec extends AnyFunSuite {
       assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0 + 1,
         "mirror must outlive the first holder's close")
       assert(s2.residentBytes > 0)
-      // …and s2 keeps serving correct results. (Operational note, spec-
-      // pinned here: Spark's CacheManager is PLAN-keyed, so s1's close
-      // also unpinned s2's identical frames — s2's searches fall back to
-      // the cold distributed plan until its next swap re-pins; results
-      // stay correct either way, which is what this asserts.)
+      // …s2's frames STAY pinned (Spark's CacheManager is PLAN-keyed, so
+      // the two sessions share one cache entry — the pin refcount makes
+      // the LAST session own the unpersist; without it s1's close would
+      // silently unpin s2)…
+      assert(s2.index.postings.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "sibling close must not unpin a still-serving session's frames")
+      // …and s2 keeps serving through the RESIDENT zero-job tier
       val q = docs(3, from = 300)
+      val searches1 = Resident.residentSearches.get()
       assert(bits(graft.operators.Lexical
         .bm25SearchIndex(s2.index, q, "id", "text", k = 3)).nonEmpty)
+      assert(Resident.residentSearches.get() == searches1 + 1,
+        "the surviving session's search must stay on the resident path")
     } finally { s1.close(); s2.close() }
     // the LAST close releases the shared slot and the census entry
     assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0)
