@@ -161,6 +161,60 @@ object SparkEntry {
       Lexical.bm25OpenIndex(s, sub)
     })
 
+  /** Tombstoned sibling of [[steadyBm25Index]] (r13): the full-corpus index
+    * with every `doc_id % 10 == 3` document REMOVED via
+    * [[Lexical.bm25DeleteFromIndex]]. `q_bm25_index_delete` checks its
+    * searches against an INDEPENDENT DuckDB BM25 recomputation over the
+    * survivor corpus — n_docs/avgdl shrinkage, per-term df over survivors,
+    * and the score shifts on every surviving document included — not just
+    * self-parity with a rebuild.
+    */
+  private val steadyBm25DelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Lexical.Bm25Index]
+  private def steadyBm25DeletedIndex(s: SparkSession, dir: String): Lexical.Bm25Index =
+    steadyBm25DelCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_bm25_del")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // done-marker = the tombstone's own _COMMITTED sentinel (the append
+      // fixtures' crash-resume lesson); the delete is idempotent on delId
+      if (!new java.io.File(s"$sub/deletes/takedown/_COMMITTED").exists()) {
+        val docs = ld(s, dir, "documents")
+        if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
+          val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+          Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
+        }
+        Lexical.bm25DeleteFromIndex(s, sub,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+          "doc_id", "takedown")
+      }
+      Lexical.bm25OpenIndex(s, sub)
+    })
+
+  /** Tombstoned sibling of [[steadyMinhashIndex]] (r13): full-corpus index
+    * minus the `doc_id % 10 == 3` takedown set. `q_minhash_index_delete`
+    * probes it with a batch containing copies of BOTH deleted and surviving
+    * docs, against the DuckDB banding+jaccard oracle restricted to the
+    * survivor corpus — a taken-down doc must stop matching immediately.
+    */
+  private val steadyMinhashDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.MinHashIndex]
+  private def steadyMinhashDeletedIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
+    steadyMinhashDelCache.computeIfAbsent(dir, _ => {
+      val sub = s"${perProcessTmpDir("graft_minhash_del")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(s"$sub/deletes/takedown/_COMMITTED").exists()) {
+        val docs = ld(s, dir, "documents")
+        if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+          Dedup.minhashWriteIndex(
+            Dedup.minhashBuildIndex(docs, "doc_id", "text"), sub)
+        }
+        Dedup.minhashDeleteFromIndex(s, sub,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+          "doc_id", "takedown")
+      }
+      Dedup.minhashOpenIndex(s, sub)
+    })
+
   /** ANN sibling of [[steadyIngestBm25Pair]] — the triad's semantic leg:
     * a fresh MinHash+ANN index pair over md5-embedded documents, one
     * ingest epoch run with `ann = Some((path, md5Embedder))` (survivors
@@ -845,6 +899,54 @@ object SparkEntry {
         Ann.annAppendIndex(s, subApp, held, "vec_id", "embedding", "heldout")
       }
       (Ann.annOpenIndex(s, subApp), Ann.annOpenIndex(s, subRef))
+    })
+
+  /** Tombstoned sibling of [[steadyAnnIndex]] plus its reference (r13): the
+    * live index is the FULL corpus with the `vec_id % 10 == 3` slice removed
+    * via [[graft.operators.Ann.annDeleteFromIndex]]; the reference assigns
+    * only the SURVIVORS to the SAME centroids in one shot (the
+    * [[steadyAnnAppendedPair]] move, inverted). `q_ann_index_delete` proves
+    * search-via-tombstones ≡ search-via-rebuild row-identically: surviving
+    * vectors keep their cells and scores bit-for-bit, deleted ids never
+    * surface (emptiness oracle).
+    */
+  private val steadyAnnDelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex)]
+  private def steadyAnnDeletedPair(s: SparkSession, dir: String)
+      : (graft.operators.Ann.AnnIndex, graft.operators.Ann.AnnIndex) =
+    steadyAnnDelCache.computeIfAbsent(dir, _ => {
+      import graft.operators.Ann
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val subLive = s"${perProcessTmpDir("graft_ann_del")}/$tag"
+      val subRef = s"${perProcessTmpDir("graft_ann_delref")}/$tag"
+      val emb = ld(s, dir, "embeddings")
+      if (!new java.io.File(s"$subLive/ann_meta.json").exists()) {
+        val (cells, cents) = Ann.annBuildIndex(emb, "vec_id", "embedding", nCentroids = 16)
+        Ann.annWriteIndex(cells, cents, subLive)
+      }
+      if (!new java.io.File(s"$subRef/ann_meta.json").exists()) {
+        // the centroid table is delete-invariant, so reading it from the
+        // live index is safe in any order relative to the delete below
+        val cents = Ann.annOpenIndex(s, subLive).centroids
+        val survivors = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+        val assign = graft.operators.SemanticJoin.knnJoinVec(
+          survivors, "vec_id", "embedding",
+          cents, "centroid_id", "centroid_vec", k = 1, skipSizeCheck = true)
+          .select(col("left_id").as("corpus_id"), col("right_id").as("__cell"))
+        val refCells = survivors
+          .select(col("vec_id").cast("long").as("corpus_id"),
+            graft.functions.VectorOps.asDouble(col("embedding")).as("cv"))
+          .join(assign, "corpus_id")
+        Ann.annWriteIndex(refCells, cents, subRef)
+      }
+      // idempotent on delId: safe to re-run after a partial build/crash
+      // (done-marker = the tombstone's own _COMMITTED)
+      if (!new java.io.File(s"$subLive/deletes/takedown/_COMMITTED").exists()) {
+        Ann.annDeleteFromIndex(s, subLive,
+          emb.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"),
+          "vec_id", "takedown")
+      }
+      (Ann.annOpenIndex(s, subLive), Ann.annOpenIndex(s, subRef))
     })
 
   /** Per-process LinearModel artifact with the md5 featurizer and an
@@ -2183,6 +2285,22 @@ object SparkEntry {
       a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
+    // Exact-delete parity against an INDEPENDENT oracle (r13 — the removal
+    // verb of the lifecycle): searches through the TOMBSTONED index (full
+    // corpus, doc_id % 10 == 3 removed via bm25DeleteFromIndex) must equal
+    // DuckDB's BM25 recomputed from scratch over the survivor corpus —
+    // n_docs/avgdl shrinkage from the tombstones' exact recorded sums, df
+    // recomputed in-plan over the excluded scan, and the score shift on
+    // every SURVIVING doc that a smaller corpus implies, all hash-covered.
+    "q_bm25_index_delete" -> ((s, dir) => {
+      val queries = ld(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25SearchIndex(
+          steadyBm25DeletedIndex(s, dir), queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The lexical family's SQL surface: graft_bm25_search TVF over the
     // steady persisted index — must equal q_bm25/q_bm25_index_search exactly
     // (same oracle), proving the catalog-resolved SQL path carries the
@@ -2469,6 +2587,20 @@ object SparkEntry {
     "q_minhash_index_append" -> ((s, dir) => {
       val batch = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
       Dedup.minhashSearchIndex(steadyMinhashAppendedIndex(s, dir), batch, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .withColumnRenamed("batch_id", "benchmark_id")
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
+    // Takedown semantics against the INDEPENDENT banding oracle (r13): the
+    // probe batch (doc_id % 5 == 3) contains copies of BOTH deleted
+    // (doc_id % 10 == 3) and surviving (doc_id % 10 == 8) corpus docs —
+    // searched through the tombstoned index, survivors still self-match at
+    // jaccard 1.0 while taken-down docs return NOTHING, exactly what the
+    // DuckDB re-banding over the survivor corpus computes.
+    "q_minhash_index_delete" -> ((s, dir) => {
+      val batch = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 3)
+      Dedup.minhashSearchIndex(steadyMinhashDeletedIndex(s, dir), batch, "doc_id", "text",
           jaccardThreshold = 0.8)
         .withColumnRenamed("batch_id", "benchmark_id")
         .orderBy(col("corpus_id"), col("benchmark_id"))
@@ -2770,12 +2902,42 @@ object SparkEntry {
       a.exceptAll(b).unionByName(b.exceptAll(a))
     }),
 
+    // Exact-delete parity for the vector family (r13): the tombstoned index
+    // (full corpus, vec_id % 10 == 3 removed) must search row-identically to
+    // a one-shot rebuild of the SURVIVORS at the same centroids — surviving
+    // vectors keep their cell assignments and score doubles bit-for-bit, and
+    // deleted ids never surface. Symmetric difference; oracle = the empty
+    // relation (the q_ann_index_append contract, inverted).
+    "q_ann_index_delete" -> ((s, dir) => {
+      val (live, rebuilt) = steadyAnnDeletedPair(s, dir)
+      val q = ld(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val a = Ann.annSearchIndex(live, q, "vec_id", "embedding", k = 5, nProbe = 8)
+      val b = Ann.annSearchIndex(rebuilt, q, "vec_id", "embedding", k = 5, nProbe = 8)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+    }),
+
     // Steady-state ANN search timing leg (rows-only; value semantics gated
     // by hash-green q_ann_index_recall): probe -> pruned cell scan -> top-5
     // for 100 queries from an already-written index.
     "q_ann_index_search" -> ((s, dir) => {
       val q = ld(s, dir, "embeddings").filter(col("vec_id") < 100)
       Ann.annSearchIndex(steadyAnnIndex(s, dir), q, "vec_id", "embedding", k = 5, nProbe = 8)
+    }),
+
+    // Filtered search (r13 — the vector-DB metadata-predicate primitive):
+    // top-5 over ONLY the allowed ids (vec_id % 3 == 0) through a semi-join
+    // filtered view of the steady index, probed exhaustively (nProbe = all
+    // 16 cells) so the result is exactly brute force over the allowed set —
+    // which is what the independent oracle computes. Lower-nProbe recall
+    // behavior is the same IVF trade q_ann_recall already gates.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = ld(s, dir, "embeddings")
+      val view = Ann.annFilteredView(steadyAnnIndex(s, dir),
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id"), "vec_id")
+      val q = emb.filter(col("vec_id") < 10)
+      Ann.annSearchIndex(view, q, "vec_id", "embedding", k = 5, nProbe = 16)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy(col("left_id"), col("rnk"))
     }),
 
     // ------------------------------------------------------------ scale stress
@@ -4144,6 +4306,29 @@ object SparkEntry {
     // the same contamination relation
     "q_minhash_index_append" -> MinhashContaminationOracleSql,
 
+    // tombstone-delete leg (r13): the same banding+verify recomputation,
+    // restricted to the survivor corpus (doc_id % 10 <> 3), probed with a
+    // batch (doc_id % 5 = 3) holding copies of both deleted and surviving
+    // docs — survivors self-match at 1.0, taken-down docs return nothing
+    "q_minhash_index_delete" ->
+      s"""WITH cs AS (${minhashSig("doc_id", "text",
+             "(SELECT * FROM documents WHERE doc_id % 10 <> 3)")}),
+         |bs AS (${minhashSig("doc_id", "text",
+             "(SELECT * FROM documents WHERE doc_id % 5 = 3)")}),
+         |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM cs, unnest(range(0, 8)) AS u(b)),
+         |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM bs, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+         |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket)
+         |SELECT cand.corpus_id, cand.benchmark_id,
+         |  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+         |FROM cand
+         |JOIN cs sa ON sa.doc_id = cand.corpus_id
+         |JOIN bs sb ON sb.doc_id = cand.benchmark_id
+         |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
+         |ORDER BY corpus_id, benchmark_id""".stripMargin,
+
     // Membership-overlap contamination: per corpus doc, the count of its
     // distinct 3-grams present anywhere in the benchmark slice's gram set.
     // Shared by the exact path and the Bloom path — identical results is the
@@ -4560,6 +4745,46 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
         |WHERE FALSE""".stripMargin,
 
+    // tombstone-delete leg (r13): BM25 recomputed FROM SCRATCH over the
+    // survivor corpus (doc_id % 10 <> 3) — queries keep the full documents
+    // table (a query's text exists whether or not its doc was taken down),
+    // corpus stats and df shrink to the survivors. The engine side serves
+    // this through tombstone exclusion + recorded stat deltas, never
+    // rebuilding — the hash proves exact delete ≡ rebuild independently.
+    "q_bm25_index_delete" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |qterms AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> ''))) AS term
+        |  FROM documents WHERE doc_id < 10),
+        |tfa AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+        |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM corpus)
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY doc_id, term),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM corpus),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, t.doc_id, t.term,
+        |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+        |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |bmranked AS (
+        |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+        |FROM bmranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // build leg: the persisted postings read back from the bucketed layout
     // must equal the (doc_id, term) tf/dl aggregate computed from scratch
     "q_bm25_index_build" ->
@@ -4768,6 +4993,25 @@ object SparkEntry {
     // the symmetric difference of (search via appended index) and (search
     // via rebuild-with-the-same-centroids), which must be empty.
     "q_ann_index_append" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
+        |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
+        |WHERE FALSE""".stripMargin,
+
+    // filtered search (r13): exhaustive-probe filtered view ≡ brute-force
+    // top-k over the allowed subset, computed independently
+    "q_ann_filtered" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a,
+         |       (SELECT * FROM embeddings WHERE vec_id % 3 = 0) b),
+         |r AS (SELECT left_id, right_id, score,
+         |  row_number() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rnk FROM s)
+         |SELECT left_id, right_id, score, rnk FROM r WHERE rnk <= 5
+         |ORDER BY left_id, rnk""".stripMargin,
+
+    // tombstone-delete emptiness contract (r13): search-via-tombstones ≡
+    // search-via-survivor-rebuild at the same centroids, row-identically
+    "q_ann_index_delete" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS BIGINT) AS right_id,
         |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank
         |WHERE FALSE""".stripMargin,

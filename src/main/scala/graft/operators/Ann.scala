@@ -157,7 +157,15 @@ object Ann {
     */
   final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int,
       nRows: Option[Long] = None, appendedRows: Long = 0L,
-      pqCodebook: Option[Pq.PqCodebook] = None) {
+      pqCodebook: Option[Pq.PqCodebook] = None,
+      deletedRows: Long = 0L) {
+    /** Tombstoned vectors ÷ scanned vectors — the delete-cadence signal.
+      * Deletes cost nothing in recall (cell assignments of SURVIVING vectors
+      * are untouched; see [[annDeleteFromIndex]]); what accumulates is
+      * physical scan waste. Compact when it grows past taste.
+      */
+    def deleteFraction: Double =
+      nRows.filter(_ > 0).map(deletedRows.toDouble / _).getOrElse(0.0)
     /** Staleness of the frozen-centroid appends: appended rows as a fraction
       * of ALL indexed rows. The rebuild-cadence signal — centroids were
       * fitted before any appended row existed, so recall degrades as this
@@ -372,10 +380,14 @@ object Ann {
     // every code): compacted searches stay row-identical to the source's
     writeLayout(idx.cells.select(col("corpus_id"), col("cv"), col("__cell")),
       idx.centroids, dstPath, idx.pqCodebook)
-    // ledger the folded batch ids so a crash-replayed append of one of them
-    // against the compacted layout stays an idempotent no-op
-    IndexMaintenance.carryLedger(new org.apache.hadoop.fs.Path(srcPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), srcPath, dstPath)
+    // ledger the folded batch ids (and applied tombstones — the opened cells
+    // already exclude them, so the compaction applies deletes physically) so
+    // a crash-replayed append/delete of one of them against the compacted
+    // layout stays an idempotent no-op
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.carryLedger(fs, srcPath, dstPath)
+    Tombstones.carryDeleteLedger(fs, srcPath, dstPath)
   }
 
   /** Open an [[annWriteIndex]] directory: the base cell layout unioned with
@@ -408,23 +420,104 @@ object Ann {
       val s = try scala.io.Source.fromInputStream(bin, "UTF-8").mkString finally bin.close()
       mapper.readTree(s).get("n_rows").asLong()
     }.sum
-    val cells = (s"$path/cells" +: committed.map(b => s"$b/cells"))
+    val raw = (s"$path/cells" +: committed.map(b => s"$b/cells"))
       .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // committed tombstones (r13): exclusion over the merged scan — filters
+    // AFTER the `__cell=` partition pruning, so probe-restricted reads keep
+    // their pruned shape; surviving vectors' cell assignments are untouched
+    val dels = Tombstones.read(spark, path)
+    val cells = dels.map(_.exclude(raw, "corpus_id")).getOrElse(raw)
     val idx = AnnIndex(
       cells,
       spark.read.parquet(s"$path/centroids"),
       node.get("n_centroids").asInt(),
-      // absent in pre-r8 layouts: searches simply skip the size-gated fast path
+      // absent in pre-r8 layouts: searches simply skip the size-gated fast
+      // path; tombstoned rows are still SCANNED, so the estimate keeps them
       Option(node.get("n_rows")).map(_.asLong() + appendedRows),
       appendedRows,
       // absent in non-PQ layouts: annSearchIndexPq refuses, everything else
       // is unaffected
-      Pq.loadCodebook(spark, s"$path/pq_codebook.json"))
-    // shared-mirror key (judge r12 #5): see Lexical.bm25OpenIndex
+      Pq.loadCodebook(spark, s"$path/pq_codebook.json"),
+      deletedRows = dels.map(_.nRows).getOrElse(0L))
+    // shared-mirror key (judge r12 #5): see Lexical.bm25OpenIndex — the
+    // tombstone names key a NEW mirror after a delete
     idx.residentHolder.shareKey = Some(
       s"ann:${fs.makeQualified(new org.apache.hadoop.fs.Path(path))}#" +
-        committed.map(_.getName).mkString(","))
+        committed.map(_.getName).mkString(",") + "!" +
+        dels.map(_.names.mkString(",")).getOrElse(""))
     idx
+  }
+
+  /** Tombstone-delete vectors from a persisted ANN index — the removal verb
+    * of the lifecycle (see [[Tombstones]] for the shared protocol). Unlike
+    * the frozen-centroid append there is NO recall trade: surviving vectors
+    * keep their cell assignments and scores bit-for-bit, so `open → search`
+    * after a delete is row-identical to a rebuild at the SAME centroids over
+    * the surviving corpus (`q_ann_index_delete` hash-checks it; the top-k
+    * may surface different docs simply because the deleted ones are gone —
+    * that's the semantics, not an approximation). Centroids fitted over
+    * since-deleted data drift from the surviving distribution the same slow
+    * way append-staleness drifts — [[IndexMaintenance]]'s refit signal is
+    * the repair, unchanged.
+    *
+    * Ids not present (never indexed, or already tombstoned) are ignored with
+    * zero movement. @return true if the tombstone was written (or resolved
+    * to an empty no-op), false if `delId` was already committed or applied
+    * by a compaction (idempotent no-op).
+    */
+  def annDeleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, delId: String): Boolean = {
+    require(delId.matches("[A-Za-z0-9._-]+"),
+      s"delId must match [A-Za-z0-9._-]+ (it names a directory), got '$delId'")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Tombstones.alreadyDeleted(fs, path, delId)) return false
+    // open() excludes prior tombstones: re-deleting an already-deleted id
+    // under a new delId resolves to "not present"
+    val idx = annOpenIndex(spark, path)
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val found = idx.cells
+      .join(del, idx.cells("corpus_id") === del("id"), "left_semi")
+      .select(col("corpus_id").as("id"))
+      .localCheckpoint(false) // two consumers below: one compute
+    val n = found.count()
+    // nothing present: a committed no-op with NO tombstone dir
+    if (n == 0) { found.unpersist(); return true }
+    // one cell row per vector: ids dropped == rows dropped
+    Tombstones.writeDelete(spark, path, delId, found,
+      nIds = n, nRows = n, nDocs = 0.0, sumDl = 0.0)
+    found.unpersist()
+    true
+  }
+
+  /** A FILTERED view of a persisted index — the vector-DB "filtered search"
+    * primitive (top-k under a metadata predicate: language = 'en', licensed
+    * = true, tenant = X): searches through the view see only `allowed` ids.
+    * The filter is a left-semi join applied BELOW the scoring kernels, so
+    * only surviving vectors are ever scored (AQE broadcasts the allow-list
+    * while it fits; at allow-lists of corpus scale it degrades to a shuffle
+    * semi-join, never a driver materialization) and `__cell` partition
+    * pruning is untouched. All three search paths (exact, int8, PQ) accept
+    * the view unchanged.
+    *
+    * Semantics are POST-FILTER ANN, exact within the probed cells: with
+    * `nProbe = nCentroids` the result is exactly the brute-force top-k over
+    * the allowed set (`q_ann_filtered` hash-checks that against an
+    * independent oracle); at lower nProbe the usual selective-filter caveat
+    * applies — a highly selective filter empties probed cells, so raise
+    * nProbe with selectivity (the candidate pool is per-cell, not global).
+    *
+    * The view is cheap to build (no data moves) but collects its centroid
+    * matrix lazily on first search — REUSE one view across a query stream
+    * rather than rebuilding it per search. Driver-resident serving stays off
+    * for views (their frames are never pinned), so filtered searches always
+    * run the distributed plan.
+    */
+  def annFilteredView(index: AnnIndex, allowed: DataFrame, idCol: String): AnnIndex = {
+    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
+    index.copy(cells = index.cells
+      .join(ids, index.cells("corpus_id") === col("__allow_id"), "left_semi"))
   }
 
   /** Driver materialization bound for a persisted-index search's probe set,

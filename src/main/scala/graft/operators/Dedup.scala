@@ -406,7 +406,15 @@ object Dedup extends Logging {
       postings: DataFrame, shingles: DataFrame,
       shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String,
       nRows: Option[Long] = None,
-      appendedBatches: Int = 0) {
+      appendedBatches: Int = 0,
+      deletedPostings: Long = 0L) {
+    /** Tombstoned postings ÷ scanned postings — the delete-cadence signal.
+      * Deletes are exact here for the same reason appends are (no corpus-
+      * global stats; see [[minhashDeleteFromIndex]]); what accumulates is
+      * scan waste. Compact when it grows past taste.
+      */
+    def deleteFraction: Double =
+      nRows.filter(_ > 0).map(deletedPostings.toDouble / _).getOrElse(0.0)
     /** The triad's third cadence signal (vs [[graft.operators.Ann.AnnIndex
       * .appendStaleness]] and [[graft.operators.Lexical.Bm25Index
       * .appendFraction]]): MinHash appends cost NOTHING in result quality —
@@ -572,10 +580,14 @@ object Dedup extends Logging {
       "compact is non-in-place: dstPath must differ from srcPath " +
         "(an overwrite of the layout being read would destroy the input)")
     minhashWriteIndex(minhashOpenIndex(spark, srcPath), dstPath)
-    // ledger the folded batch ids so a crash-replayed append of one of them
-    // against the compacted layout stays an idempotent no-op
-    IndexMaintenance.carryLedger(new org.apache.hadoop.fs.Path(srcPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), srcPath, dstPath)
+    // ledger the folded batch ids (and applied tombstones — the opened
+    // frames already exclude them, so the compaction applies deletes
+    // physically) so a crash-replayed append/delete of one of them against
+    // the compacted layout stays an idempotent no-op
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.carryLedger(fs, srcPath, dstPath)
+    Tombstones.carryDeleteLedger(fs, srcPath, dstPath)
   }
 
   def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
@@ -617,20 +629,75 @@ object Dedup extends Logging {
       if (batchCounts.exists(_.isEmpty)) None
       else Some(base + batchCounts.flatten.sum)
     }
+    // committed tombstones (r13): exclusion over both merged layouts —
+    // filters AFTER the `band=` partition pruning, so banded probes keep
+    // their pruned shape in every union branch
+    val dels = Tombstones.read(spark, path)
+    def excl(df: DataFrame): DataFrame =
+      dels.map(_.exclude(df, "id")).getOrElse(df)
     val idx = MinHashIndex(
-      layout("postings"),
-      layout("shingles"),
+      excl(layout("postings")),
+      excl(layout("shingles")),
       node.get("shingle_size").asInt(),
       node.get("num_bands").asInt(),
       node.get("rows_per_band").asInt(),
       node.get("hash_family").asText(),
+      // tombstoned rows are still SCANNED: the estimate keeps them
       nRows,
-      appendedBatches = committed.size)
-    // shared-mirror key (judge r12 #5): see Lexical.bm25OpenIndex
+      appendedBatches = committed.size,
+      deletedPostings = dels.map(_.nRows).getOrElse(0L))
+    // shared-mirror key (judge r12 #5): see Lexical.bm25OpenIndex — the
+    // tombstone names key a NEW mirror after a delete
     idx.residentHolder.shareKey = Some(
       s"minhash:${fs.makeQualified(new org.apache.hadoop.fs.Path(path))}#" +
-        committed.map(b => new org.apache.hadoop.fs.Path(b).getName).mkString(","))
+        committed.map(b => new org.apache.hadoop.fs.Path(b).getName).mkString(",") + "!" +
+        dels.map(_.names.mkString(",")).getOrElse(""))
     idx
+  }
+
+  /** Tombstone-delete documents from a persisted MinHash index — the removal
+    * verb of the lifecycle (see [[Tombstones]] for the shared protocol).
+    * Exact for the same reason the append is: the index holds no
+    * corpus-global statistics — postings rows and shingle sets are
+    * per-document — so excluding a document's rows IS the incremental
+    * un-build, and `open → search` after a delete is row-identical to a
+    * full rebuild over the surviving corpus (`q_minhash_index_delete`
+    * hash-checks it). A deleted document stops matching incoming batches
+    * immediately: a re-crawled copy of a taken-down page is NOT a duplicate
+    * of the (now absent) corpus entry and will be admitted as new — exactly
+    * the takedown semantics a dedup corpus needs.
+    *
+    * Ids not present (never indexed, or already tombstoned) are ignored
+    * with zero movement. @return true if the tombstone was written (or
+    * resolved to an empty no-op), false if `delId` was already committed or
+    * applied by a compaction (idempotent no-op).
+    */
+  def minhashDeleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, delId: String): Boolean = {
+    require(delId.matches("[A-Za-z0-9._-]+"),
+      s"delId must match [A-Za-z0-9._-]+ (it names a directory), got '$delId'")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Tombstones.alreadyDeleted(fs, path, delId)) return false
+    // open() excludes prior tombstones: re-deleting an already-deleted id
+    // under a new delId resolves to "not present"
+    val idx = minhashOpenIndex(spark, path)
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // one shingle row per document — the membership table
+    val found = idx.shingles
+      .join(del, idx.shingles("id") === del("id"), "left_semi")
+      .select(col("id"))
+      .localCheckpoint(false) // two consumers below: one compute
+    val n = found.count()
+    // nothing present: a committed no-op with NO tombstone dir
+    if (n == 0) { found.unpersist(); return true }
+    // exactly numBands posting rows per document (posexplode over the fixed
+    // band sequence), so the dropped-row count needs no second scan
+    Tombstones.writeDelete(spark, path, delId, found,
+      nIds = n, nRows = n * idx.numBands, nDocs = 0.0, sumDl = 0.0)
+    found.unpersist()
+    true
   }
 
   /** Near-dup pairs between an incoming batch and the persisted corpus:

@@ -181,7 +181,12 @@ object IndexMaintenance {
       minhashMaxFanIn: Int = 8,
       bm25MaxAppendFraction: Double = 0.25,
       annMaxAppendFraction: Double = 0.25,
-      annRefitStaleness: Double = Double.PositiveInfinity)
+      annRefitStaleness: Double = Double.PositiveInfinity,
+      // tombstoned rows ÷ scanned rows (r13): past this, every search wastes
+      // too much scan on excluded rows — compact applies deletes physically.
+      // Secondary to each family's primary signal (whose compaction applies
+      // the tombstones anyway), so a pass still emits ONE event per family.
+      maxDeleteFraction: Double = 0.25)
 
   /** One maintenance decision: which signal was read on which index, what
     * it said, and what happened (`none` | `compact` | `refit`). `at` is the
@@ -369,21 +374,32 @@ object IndexMaintenance {
       val src = genPath(root, cur)
       val idx = Dedup.minhashOpenIndex(spark, src)
       val fanIn = idx.unionFanIn
-      val ev = if (fanIn > policy.minhashMaxFanIn) {
-        val fs = fsOf(spark, root)
-        val dst = nextGenDir(spark, root, cur)
-        Dedup.minhashCompactIndex(spark, src, dst) // carries the batch ledger
-        // carry the epoch manifests so a crash-replayed ingest epoch still
-        // reads its committed survivor set back from the NEW current path
-        val mani = new Path(src, "ingest_manifests")
-        if (fs.exists(mani))
-          FileUtil.copy(fs, mani, fs, new Path(dst, "ingest_manifests"),
-            false, spark.sparkContext.hadoopConfiguration)
-        commitGeneration(spark, root, cur + 1)
-        Event("minhash", "unionFanIn", fanIn.toDouble,
-          policy.minhashMaxFanIn.toDouble, "compact", cur, cur + 1)
-      } else Event("minhash", "unionFanIn", fanIn.toDouble,
-        policy.minhashMaxFanIn.toDouble, "none", cur, cur)
+      val delFrac = idx.deleteFraction
+      // primary signal first; the delete signal (r13) is secondary — the
+      // SAME compaction applies tombstones physically either way, so a pass
+      // still emits one event naming whichever signal fired
+      val fired =
+        if (fanIn > policy.minhashMaxFanIn)
+          Some(("unionFanIn", fanIn.toDouble, policy.minhashMaxFanIn.toDouble))
+        else if (delFrac > policy.maxDeleteFraction)
+          Some(("deleteFraction", delFrac, policy.maxDeleteFraction))
+        else None
+      val ev = fired match {
+        case Some((sig, v, thr)) =>
+          val fs = fsOf(spark, root)
+          val dst = nextGenDir(spark, root, cur)
+          Dedup.minhashCompactIndex(spark, src, dst) // carries both ledgers
+          // carry the epoch manifests so a crash-replayed ingest epoch still
+          // reads its committed survivor set back from the NEW current path
+          val mani = new Path(src, "ingest_manifests")
+          if (fs.exists(mani))
+            FileUtil.copy(fs, mani, fs, new Path(dst, "ingest_manifests"),
+              false, spark.sparkContext.hadoopConfiguration)
+          commitGeneration(spark, root, cur + 1)
+          Event("minhash", sig, v, thr, "compact", cur, cur + 1)
+        case None => Event("minhash", "unionFanIn", fanIn.toDouble,
+          policy.minhashMaxFanIn.toDouble, "none", cur, cur)
+      }
       val evS = stamped(ev, t0)
       appendLog(spark, root, Seq(evS))
       events += evS
@@ -393,15 +409,24 @@ object IndexMaintenance {
       val t0 = System.nanoTime()
       val cur = currentGeneration(spark, root)
       val src = genPath(root, cur)
-      val frac = Lexical.bm25OpenIndex(spark, src).appendFraction
-      val ev = if (frac > policy.bm25MaxAppendFraction) {
-        val dst = nextGenDir(spark, root, cur)
-        Lexical.bm25CompactIndex(spark, src, dst) // carries the batch ledger
-        commitGeneration(spark, root, cur + 1)
-        Event("bm25", "appendFraction", frac,
-          policy.bm25MaxAppendFraction, "compact", cur, cur + 1)
-      } else Event("bm25", "appendFraction", frac,
-        policy.bm25MaxAppendFraction, "none", cur, cur)
+      val idx = Lexical.bm25OpenIndex(spark, src)
+      val frac = idx.appendFraction
+      val delFrac = idx.deleteFraction
+      val fired =
+        if (frac > policy.bm25MaxAppendFraction)
+          Some(("appendFraction", frac, policy.bm25MaxAppendFraction))
+        else if (delFrac > policy.maxDeleteFraction)
+          Some(("deleteFraction", delFrac, policy.maxDeleteFraction))
+        else None
+      val ev = fired match {
+        case Some((sig, v, thr)) =>
+          val dst = nextGenDir(spark, root, cur)
+          Lexical.bm25CompactIndex(spark, src, dst) // carries both ledgers
+          commitGeneration(spark, root, cur + 1)
+          Event("bm25", sig, v, thr, "compact", cur, cur + 1)
+        case None => Event("bm25", "appendFraction", frac,
+          policy.bm25MaxAppendFraction, "none", cur, cur)
+      }
       val evS = stamped(ev, t0)
       appendLog(spark, root, Seq(evS))
       events += evS
@@ -418,7 +443,9 @@ object IndexMaintenance {
         yield 1.0 - b.toDouble / n).getOrElse(0.0)
       val ev = if (sinceRefit > policy.annRefitStaleness) {
         // true rebuild: refit centroids (and the PQ codebook, if any) on
-        // the grown corpus — the one action that repairs recall drift
+        // the grown corpus — the one action that repairs recall drift. The
+        // opened cells already exclude tombstones, so the refit fits the
+        // SURVIVING corpus and applies deletes physically.
         val dst = nextGenDir(spark, root, cur)
         val corpus = idx.cells.select(col("corpus_id"), col("cv"))
         val (cells, cents) = Ann.annBuildIndex(corpus, "corpus_id", "cv",
@@ -426,19 +453,27 @@ object IndexMaintenance {
         Ann.annWriteIndex(cells, cents, dst,
           pqM = idx.pqCodebook.map(_.m).getOrElse(0))
         carryLedger(fs, src, dst)
+        Tombstones.carryDeleteLedger(fs, src, dst)
         writeRefitMeta(fs, dst, idx.nRows.getOrElse(0L))
         commitGeneration(spark, root, cur + 1)
         Event("ann", "stalenessSinceRefit", sinceRefit,
           policy.annRefitStaleness, "refit", cur, cur + 1)
       } else if (idx.appendStaleness > policy.annMaxAppendFraction) {
         val dst = nextGenDir(spark, root, cur)
-        Ann.annCompactIndex(spark, src, dst) // carries the batch ledger
+        Ann.annCompactIndex(spark, src, dst) // carries both ledgers
         // compaction folds batches but does NOT refit: the rows-at-refit
         // watermark carries so the refit signal keeps accumulating
         baseRows.foreach(writeRefitMeta(fs, dst, _))
         commitGeneration(spark, root, cur + 1)
         Event("ann", "appendFraction", idx.appendStaleness,
           policy.annMaxAppendFraction, "compact", cur, cur + 1)
+      } else if (idx.deleteFraction > policy.maxDeleteFraction) {
+        val dst = nextGenDir(spark, root, cur)
+        Ann.annCompactIndex(spark, src, dst) // applies tombstones physically
+        baseRows.foreach(writeRefitMeta(fs, dst, _))
+        commitGeneration(spark, root, cur + 1)
+        Event("ann", "deleteFraction", idx.deleteFraction,
+          policy.maxDeleteFraction, "compact", cur, cur + 1)
       } else Event("ann", "appendFraction", idx.appendStaleness,
         policy.annMaxAppendFraction, "none", cur, cur)
       val evS = stamped(ev, t0)

@@ -210,6 +210,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Ann.annOpenIndex(spark, dir).nRows.contains(400L))
   }
 
+  test("filtered view (r13): exhaustive probe ≡ brute force over allowed; disallowed never surface; int8/pq paths accept the view") {
+    import graft.operators.SemanticJoin
+    val e = emb(300)
+    val allowed = e.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val view = Ann.annFilteredView(index, allowed, "vec_id")
+    val q = e.filter(col("vec_id") < 8)
+    // nProbe = all 8 cells → exact top-k over the allowed subset, same
+    // kernel as the brute-force kNN join (bit-equal scores)
+    val viaView = sortedRows(
+      Ann.annSearchIndex(view, q, "vec_id", "embedding", k = 3, nProbe = 8))
+    val brute = sortedRows(SemanticJoin.knnJoinVec(
+      q, "vec_id", "embedding",
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      k = 3, skipSizeCheck = true))
+    assert(viaView === brute)
+    // selective probing still never leaks a disallowed id
+    val lowProbe = Ann.annSearchIndex(view, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(_.getLong(1))
+    assert(lowProbe.nonEmpty && lowProbe.forall(_ % 3 == 0))
+    // the quantized path takes the same view unchanged
+    val int8 = Ann.annSearchIndexInt8(view, q, "vec_id", "embedding", k = 3, nProbe = 8)
+      .collect().map(_.getLong(1))
+    assert(int8.nonEmpty && int8.forall(_ % 3 == 0))
+  }
+
   test("stress leg: multiplied census equals base census at m x counts, through the join path") {
     val e = emb(60)
     val m = 4

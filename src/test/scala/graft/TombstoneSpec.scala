@@ -1,0 +1,243 @@
+package graft
+
+import graft.operators.{Ann, Dedup, IndexMaintenance, Lexical, Tombstones}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tombstone deletes (r13): the removal verb of the persisted-index
+  * lifecycle. The contract per family: `delete → open → search` is
+  * row-identical (bit-equal scores) to a full rebuild over the surviving
+  * corpus; deletes are atomic (uncommitted tombstones invisible), idempotent
+  * (committed/ledgered `delId` replays are no-ops, and already-deleted ids
+  * resolve to "not present" with zero stat movement); compaction applies
+  * tombstones physically and ledgers them; the maintenance loop compacts on
+  * the delete-fraction signal.
+  */
+class TombstoneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(n: Int, from: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = (from until from + n).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        s"shared alpha beta gamma delta epsilon zeta eta theta token$i doc body word${i % 7}")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+  }
+
+  private def emb(n: Int, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def idsDf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  private def bits(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x => String.valueOf(x)
+    }.mkString("|")).toSet
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tomb_$tag").toString
+
+  private val doomed: Seq[Long] = Seq(5L, 17L, 33L, 64L, 99L)
+
+  // ------------------------------------------------------------------
+  // BM25 — the stats-bearing family: every OTHER doc's score must shift
+  // ------------------------------------------------------------------
+
+  private def bm25Search(dir: String, qFrom: Int = 300): Set[String] =
+    bits(Lexical.bm25SearchIndex(
+      Lexical.bm25OpenIndex(spark, dir), docs(8, from = qFrom), "id", "text", k = 5))
+
+  test("bm25: delete → search ≡ rebuild over survivors, bit-identical scores") {
+    val live = tmp("bm_live"); val ref = tmp("bm_ref")
+    val (p, st) = Lexical.bm25BuildIndex(docs(120), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(doomed), "id", "d1"))
+    val (rp, rst) = Lexical.bm25BuildIndex(
+      docs(120).filter(!col("id").isin(doomed: _*)), "id", "text")
+    Lexical.bm25WriteIndex(rp, rst, ref, nBuckets = 8)
+    val a = bm25Search(live); val b = bm25Search(ref)
+    assert(a == b, "tombstoned search must equal the rebuild's (n_docs/avgdl/df all moved)")
+    assert(a.nonEmpty)
+    // the deletion is OBSERVABLE: scores differ from the pre-delete index
+    val pre = tmp("bm_pre")
+    Lexical.bm25WriteIndex(p, st, pre, nBuckets = 8)
+    assert(a != bm25Search(pre), "deleting docs must shift corpus stats")
+  }
+
+  test("bm25: deletes spanning base AND append batches stay exact") {
+    val live = tmp("bm_mix"); val ref = tmp("bm_mixref")
+    val (p, st) = Lexical.bm25BuildIndex(docs(100), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    assert(Lexical.bm25AppendIndex(spark, live, docs(30, from = 100), "id", "text", "b1"))
+    // doomed ids from the base (5, 17) and the batch (101, 115)
+    val mixed = Seq(5L, 17L, 101L, 115L)
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(mixed), "id", "d1"))
+    val (rp, rst) = Lexical.bm25BuildIndex(
+      docs(130).filter(!col("id").isin(mixed: _*)), "id", "text")
+    Lexical.bm25WriteIndex(rp, rst, ref, nBuckets = 8)
+    assert(bm25Search(live) == bm25Search(ref))
+    val idx = Lexical.bm25OpenIndex(spark, live)
+    assert(idx.deletedPostings > 0L && idx.deleteFraction > 0.0)
+  }
+
+  test("bm25: idempotency — delId replay is false; re-deleting absent ids moves nothing") {
+    val live = tmp("bm_idem"); val ref = tmp("bm_idemref")
+    val (p, st) = Lexical.bm25BuildIndex(docs(80), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(7L, 11L)), "id", "d1"))
+    assert(!Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(7L, 11L)), "id", "d1"),
+      "committed delId must be an idempotent no-op")
+    // same ids under a NEW delId: already excluded → "not present" → no-op
+    // true, and crucially no double-subtraction of n_docs/sum_dl
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(7L, 11L)), "id", "d2"))
+    // never-indexed ids: no-op true, nothing lands
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(9999L)), "id", "d3"))
+    val (rp, rst) = Lexical.bm25BuildIndex(
+      docs(80).filter(!col("id").isin(7L, 11L)), "id", "text")
+    Lexical.bm25WriteIndex(rp, rst, ref, nBuckets = 8)
+    assert(bm25Search(live) == bm25Search(ref),
+      "overlapping/absent deletes must not corrupt the merged stats")
+  }
+
+  test("bm25: uncommitted tombstone leftovers are invisible to open()") {
+    val live = tmp("bm_crash")
+    val (p, st) = Lexical.bm25BuildIndex(docs(60), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    val before = bm25Search(live)
+    // simulate a crash mid-delete: ids written, no _COMMITTED marker
+    idsDf(Seq(3L, 4L)).coalesce(1).write.parquet(s"$live/deletes/crashed/ids")
+    assert(bm25Search(live) == before, "no marker → not there")
+    // the retry overwrites the leftover wholesale and commits
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(3L, 4L)), "id", "crashed"))
+    assert(bm25Search(live) != before)
+  }
+
+  test("bm25: compact applies tombstones physically and ledgers them") {
+    val live = tmp("bm_cpt"); val dst = tmp("bm_cptdst")
+    val (p, st) = Lexical.bm25BuildIndex(docs(90), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(doomed), "id", "d1"))
+    val viaTomb = bm25Search(live)
+    Lexical.bm25CompactIndex(spark, live, dst)
+    assert(bm25Search(dst) == viaTomb, "compacted ≡ tombstoned, row-identical")
+    val cIdx = Lexical.bm25OpenIndex(spark, dst)
+    assert(cIdx.deletedPostings == 0L, "tombstones folded in physically")
+    assert(cIdx.bakedParams.nonEmpty, "compaction restores the serving bake")
+    // the ledger makes a crash-replayed delete a no-op on the new layout
+    assert(!Lexical.bm25DeleteFromIndex(spark, dst, idsDf(doomed), "id", "d1"))
+  }
+
+  test("bm25: over-bound exclusion takes the anti-join path, row-identical") {
+    val live = tmp("bm_bound")
+    val (p, st) = Lexical.bm25BuildIndex(docs(70), "id", "text")
+    Lexical.bm25WriteIndex(p, st, live, nBuckets = 8)
+    assert(Lexical.bm25DeleteFromIndex(spark, live, idsDf(Seq(2L, 9L, 21L)), "id", "d1"))
+    val viaSet = bm25Search(live)
+    spark.conf.set(Tombstones.MaxDriverDeleteIdsKey, "1")
+    try {
+      val viaJoin = bm25Search(live)
+      assert(viaJoin == viaSet, "anti-join exclusion must equal the literal-set probe")
+    } finally spark.conf.unset(Tombstones.MaxDriverDeleteIdsKey)
+  }
+
+  // ------------------------------------------------------------------
+  // ANN — frozen-centroid family: survivors keep assignments bit-for-bit
+  // ------------------------------------------------------------------
+
+  test("ann: delete → search ≡ rebuild at the SAME centroids over survivors") {
+    val live = tmp("ann_live"); val ref = tmp("ann_ref")
+    val (cells, cents) = Ann.annBuildIndex(emb(300), "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, live)
+    val del = Seq(10L, 42L, 77L, 150L, 233L)
+    assert(Ann.annDeleteFromIndex(spark, live, idsDf(del), "id", "d1"))
+    Ann.annWriteIndex(cells.filter(!col("corpus_id").isin(del: _*)), cents, ref)
+    val q = emb(300).filter(col("vec_id") < 12)
+    val a = bits(Ann.annSearchIndex(Ann.annOpenIndex(spark, live), q,
+      "vec_id", "embedding", k = 4, nProbe = 3))
+    val b = bits(Ann.annSearchIndex(Ann.annOpenIndex(spark, ref), q,
+      "vec_id", "embedding", k = 4, nProbe = 3))
+    assert(a == b && a.nonEmpty)
+    // deleted ids never surface
+    val hits = Ann.annSearchIndex(Ann.annOpenIndex(spark, live), q,
+      "vec_id", "embedding", k = 4, nProbe = 3)
+      .filter(col("right_id").isin(del: _*)).count()
+    assert(hits == 0L)
+    assert(!Ann.annDeleteFromIndex(spark, live, idsDf(del), "id", "d1"))
+    assert(Ann.annOpenIndex(spark, live).deleteFraction > 0.0)
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash — takedown semantics: a deleted doc stops matching immediately
+  // ------------------------------------------------------------------
+
+  test("minhash: delete → search ≡ rebuild over survivors; re-crawl of a deleted doc is new") {
+    val live = tmp("mh_live"); val ref = tmp("mh_ref")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(120), "id", "text"), live)
+    assert(Dedup.minhashDeleteFromIndex(spark, live, idsDf(doomed), "id", "d1"))
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(
+        docs(120).filter(!col("id").isin(doomed: _*)), "id", "text"), ref)
+    // probe with exact copies of deleted docs (ids shifted) + live docs
+    val probe = docs(120).filter(col("id").isin(5L, 17L, 50L, 51L))
+      .select((col("id") + 1000L).as("id"), col("text"))
+    val a = bits(Dedup.minhashSearchIndex(
+      Dedup.minhashOpenIndex(spark, live), probe, "id", "text", 0.8))
+    val b = bits(Dedup.minhashSearchIndex(
+      Dedup.minhashOpenIndex(spark, ref), probe, "id", "text", 0.8))
+    assert(a == b)
+    // copies of SURVIVING docs still match; copies of deleted docs don't
+    val matched = Dedup.minhashSearchIndex(
+      Dedup.minhashOpenIndex(spark, live), probe, "id", "text", 0.8)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(matched.contains(50L) && matched.contains(51L))
+    assert(!matched.contains(5L) && !matched.contains(17L),
+      "a taken-down doc must stop matching incoming batches immediately")
+    assert(Dedup.minhashOpenIndex(spark, live).deleteFraction > 0.0)
+  }
+
+  // ------------------------------------------------------------------
+  // Maintenance — the delete-fraction signal compacts, physically
+  // ------------------------------------------------------------------
+
+  test("maintenance: deleteFraction signal fires a compaction that folds tombstones in") {
+    val root = tmp("mt_root")
+    val (p, st) = Lexical.bm25BuildIndex(docs(100), "id", "text")
+    Lexical.bm25WriteIndex(p, st, IndexMaintenance.genPath(root, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    val cur = IndexMaintenance.currentPath(spark, root)
+    assert(Lexical.bm25DeleteFromIndex(spark, cur, idsDf(doomed), "id", "d1"))
+    val viaTomb = bm25Search(cur)
+    // no deletes → signal 0 → no action at any threshold
+    val quiet = IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+      policy = IndexMaintenance.Policy(maxDeleteFraction = 0.9)).head
+    assert(quiet.action == "none")
+    val ev = IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+      policy = IndexMaintenance.Policy(maxDeleteFraction = 0.0)).head
+    assert(ev.signal == "deleteFraction" && ev.action == "compact"
+      && ev.genBefore == 0 && ev.genAfter == 1)
+    val next = IndexMaintenance.currentPath(spark, root)
+    assert(bm25Search(next) == viaTomb, "post-compact generation ≡ tombstoned search")
+    val nIdx = Lexical.bm25OpenIndex(spark, next)
+    assert(nIdx.deletedPostings == 0L && nIdx.bakedParams.nonEmpty)
+    // ledgered on the new generation: replaying the delete is a no-op
+    assert(!Lexical.bm25DeleteFromIndex(spark, next, idsDf(doomed), "id", "d1"))
+  }
+}
