@@ -213,6 +213,109 @@ class TombstoneSpec extends AnyFunSuite {
     assert(Dedup.minhashOpenIndex(spark, live).deleteFraction > 0.0)
   }
 
+  test("ann: PQ and int8 search paths honor tombstones; compact carries the codebook and applies them") {
+    val live = tmp("ann_pq"); val dst = tmp("ann_pqdst")
+    val (cells, cents) = Ann.annBuildIndex(emb(300), "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, live, pqM = 4)
+    val del = Seq(3L, 21L, 88L, 199L)
+    assert(Ann.annDeleteFromIndex(spark, live, idsDf(del), "id", "d1"))
+    // reference = compact of the tombstoned index: deletes applied
+    // physically, the PERSISTED codebook passed through unchanged — so ADC
+    // scores and the exact rerank stay bit-comparable across the boundary
+    Ann.annCompactIndex(spark, live, dst)
+    val q = emb(300).filter(col("vec_id") < 10)
+    def pq(d: String) = bits(Ann.annSearchIndexPq(
+      Ann.annOpenIndex(spark, d), q, "vec_id", "embedding", k = 4, nProbe = 8))
+    def i8(d: String) = bits(Ann.annSearchIndexInt8(
+      Ann.annOpenIndex(spark, d), q, "vec_id", "embedding", k = 4, nProbe = 8))
+    assert(pq(live) == pq(dst) && pq(live).nonEmpty)
+    assert(i8(live) == i8(dst) && i8(live).nonEmpty)
+    val surfaced = Ann.annSearchIndexPq(Ann.annOpenIndex(spark, live), q,
+      "vec_id", "embedding", k = 4, nProbe = 8)
+      .filter(col("right_id").isin(del: _*)).count()
+    assert(surfaced == 0L)
+  }
+
+  test("resident 0-job tier honors tombstones: takedowns hold in the driver-resident path too") {
+    import graft.operators.Resident
+    def residentDelta[A](f: => A): (A, Long) = {
+      val before = Resident.residentSearches.get()
+      val a = f
+      (a, Resident.residentSearches.get() - before)
+    }
+    def withoutResidency[A](f: => A): A = {
+      spark.conf.set(Resident.DriverResidentRowsKey, "0")
+      try f finally spark.conf.unset(Resident.DriverResidentRowsKey)
+    }
+    // bm25: the stats-bearing family — the mirror's df comes from the
+    // FILTERED posting slices, so resident scores shift exactly like the
+    // plan's
+    val bmDir = tmp("bm_res")
+    val (p, st) = Lexical.bm25BuildIndex(docs(150), "id", "text")
+    Lexical.bm25WriteIndex(p, st, bmDir, nBuckets = 8)
+    assert(Lexical.bm25DeleteFromIndex(spark, bmDir, idsDf(Seq(5L, 17L, 33L)), "id", "d1"))
+    val bm0 = Lexical.bm25OpenIndex(spark, bmDir)
+    val bm = bm0.copy(postings = bm0.postings.coalesce(1))
+    bm.postings.persist(); bm.postings.count()
+    val q = docs(6, from = 300)
+    val (viaRes, d1) = residentDelta(bits(
+      Lexical.bm25SearchIndex(bm, q, "id", "text", k = 4)))
+    assert(d1 == 1, "resident path must fire on the pinned tombstoned index")
+    val viaPlan = withoutResidency(bits(
+      Lexical.bm25SearchIndex(bm, q, "id", "text", k = 4)))
+    assert(viaRes == viaPlan && viaRes.nonEmpty)
+    bm.postings.unpersist()
+    // ann: a deleted vector must not surface from the resident cell mirror
+    val annDir = tmp("ann_res")
+    val (cells, cents) = Ann.annBuildIndex(emb(300), "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, annDir)
+    val del = Seq(10L, 42L, 77L)
+    assert(Ann.annDeleteFromIndex(spark, annDir, idsDf(del), "id", "d1"))
+    val an0 = Ann.annOpenIndex(spark, annDir)
+    val an = an0.copy(cells = an0.cells.coalesce(1))
+    an.cells.persist(); an.cells.count()
+    val qv = emb(300).filter(col("vec_id") < 8)
+    val (viaResA, dA) = residentDelta(bits(
+      Ann.annSearchIndex(an, qv, "vec_id", "embedding", k = 4, nProbe = 8)))
+    assert(dA == 1)
+    val viaPlanA = withoutResidency(bits(
+      Ann.annSearchIndex(an, qv, "vec_id", "embedding", k = 4, nProbe = 8)))
+    assert(viaResA == viaPlanA && viaResA.nonEmpty)
+    assert(!viaResA.exists(s => del.exists(id => s.contains(s"|$id|"))),
+      "a taken-down vector surfaced from the resident mirror")
+    an.cells.unpersist()
+  }
+
+  test("serving session follows a delete-triggered generation swap") {
+    import graft.operators.ServingSession
+    val root = tmp("sess_root")
+    val (p, st) = Lexical.bm25BuildIndex(docs(100), "id", "text")
+    Lexical.bm25WriteIndex(p, st, IndexMaintenance.genPath(root, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      assert(sess.generation == 0)
+      val q = docs(6, from = 300)
+      val r0 = bits(Lexical.bm25SearchIndex(sess.index, q, "id", "text", k = 4))
+      assert(r0.nonEmpty)
+      // takedown lands on the CURRENT generation; the session keeps serving
+      // its open snapshot until maintenance commits the compacted gen-1
+      assert(Lexical.bm25DeleteFromIndex(spark,
+        IndexMaintenance.currentPath(spark, root), idsDf(doomed), "id", "d1"))
+      val ev = IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+        policy = IndexMaintenance.Policy(maxDeleteFraction = 0.0)).head
+      assert(ev.signal == "deleteFraction" && ev.action == "compact")
+      val (_, postIdx) = sess.resolved
+      val post = bits(Lexical.bm25SearchIndex(postIdx, q, "id", "text", k = 4))
+      assert(sess.generation == 1, "session must follow the delete-triggered swap")
+      val fresh = bits(Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(spark, IndexMaintenance.genPath(root, 1)),
+        q, "id", "text", k = 4))
+      assert(post == fresh && post != r0,
+        "post-swap session results must equal a fresh open of the compacted generation")
+    } finally sess.close()
+  }
+
   // ------------------------------------------------------------------
   // Maintenance — the delete-fraction signal compacts, physically
   // ------------------------------------------------------------------
