@@ -171,24 +171,26 @@ object SparkEntry {
     */
   private val steadyBm25DelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Lexical.Bm25Index]
-  private def steadyBm25DeletedIndex(s: SparkSession, dir: String): Lexical.Bm25Index =
-    steadyBm25DelCache.computeIfAbsent(dir, _ => {
-      val sub = s"${perProcessTmpDir("graft_bm25_del")}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      // done-marker = the tombstone's own _COMMITTED sentinel (the append
-      // fixtures' crash-resume lesson); the delete is idempotent on delId
-      if (!new java.io.File(s"$sub/deletes/takedown/_COMMITTED").exists()) {
-        val docs = ld(s, dir, "documents")
-        if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
-          val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
-          Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
-        }
-        Lexical.bm25DeleteFromIndex(s, sub,
-          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
-          "doc_id", "takedown")
+  private def steadyBm25DeletedDir(s: SparkSession, dir: String): String = {
+    val sub = s"${perProcessTmpDir("graft_bm25_del")}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // done-marker = the tombstone's own _COMMITTED sentinel (the append
+    // fixtures' crash-resume lesson); the delete is idempotent on delId
+    if (!new java.io.File(s"$sub/deletes/takedown/_COMMITTED").exists()) {
+      val docs = ld(s, dir, "documents")
+      if (!new java.io.File(s"$sub/bm25_meta.json").exists()) {
+        val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(postings, stats, sub, nBuckets = 16)
       }
-      Lexical.bm25OpenIndex(s, sub)
-    })
+      Lexical.bm25DeleteFromIndex(s, sub,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+        "doc_id", "takedown")
+    }
+    sub
+  }
+  private def steadyBm25DeletedIndex(s: SparkSession, dir: String): Lexical.Bm25Index =
+    steadyBm25DelCache.computeIfAbsent(dir,
+      _ => Lexical.bm25OpenIndex(s, steadyBm25DeletedDir(s, dir)))
 
   /** Tombstoned sibling of [[steadyMinhashIndex]] (r13): full-corpus index
     * minus the `doc_id % 10 == 3` takedown set. `q_minhash_index_delete`
@@ -843,17 +845,19 @@ object SparkEntry {
       (Lexical.bm25OpenIndex(s, bmSub), Lexical.bm25OpenIndex(s, refSub))
     })
 
+  private def steadyAnnDir(s: SparkSession, dir: String): String = {
+    val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$sub/ann_meta.json").exists()) {
+      val (cells, cents) = graft.operators.Ann.annBuildIndex(
+        ld(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+      graft.operators.Ann.annWriteIndex(cells, cents, sub)
+    }
+    sub
+  }
   private[graft] def steadyAnnIndex(s: SparkSession, dir: String): graft.operators.Ann.AnnIndex =
-    steadyAnnCache.computeIfAbsent(dir, _ => {
-      val sub = s"${perProcessTmpDir("graft_ann_steady")}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(s"$sub/ann_meta.json").exists()) {
-        val (cells, cents) = graft.operators.Ann.annBuildIndex(
-          ld(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
-        graft.operators.Ann.annWriteIndex(cells, cents, sub)
-      }
-      graft.operators.Ann.annOpenIndex(s, sub)
-    })
+    steadyAnnCache.computeIfAbsent(dir,
+      _ => graft.operators.Ann.annOpenIndex(s, steadyAnnDir(s, dir)))
 
   /** Incrementally-assembled sibling of [[steadyAnnIndex]] plus its
     * rebuild-with-same-centroids reference: the appended index is built on
@@ -2940,6 +2944,41 @@ object SparkEntry {
         .orderBy(col("left_id"), col("rnk"))
     }),
 
+    // The SQL surface for filtered search (r13): the same allow-list
+    // restriction through the graft_ann_search TVF's optional trailing
+    // (allowedTable, allowedIdCol) pair — must equal q_ann_filtered exactly
+    // (same oracle), proving the catalog-resolved path carries the identical
+    // semi-join-below-scoring plan as the DataFrame API.
+    "q_ann_filtered_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val emb = ld(s, dir, "embeddings")
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_annflt_q")
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id")
+        .createOrReplaceTempView("graft_annflt_allow")
+      val p = steadyAnnDir(s, dir)
+      s.sql(
+        s"""SELECT left_id, right_id, score, CAST(rank AS BIGINT) AS rnk
+           |FROM graft_ann_search('$p', 'graft_annflt_q', 'vec_id', 'embedding',
+           |                      5, 16, 'graft_annflt_allow', 'vec_id')
+           |ORDER BY left_id, rnk""".stripMargin)
+    }),
+
+    // Tombstone audit from SQL (r13): graft_index_deletes over the
+    // takedown-fixture index — del_id and every recorded delta recomputed
+    // independently by the oracle from the documents table (n_ids = deleted
+    // docs, n_rows = their summed distinct-term counts = postings dropped,
+    // sum_dl = their summed token counts), the wall timestamp bounds-checked
+    // like the maintenance log's.
+    "q_index_deletes" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val p = steadyBm25DeletedDir(s, dir)
+      s.sql(
+        s"""SELECT del_id, n_ids, n_rows, n_docs, sum_dl,
+           |  (at BETWEEN 1600000000000 AND 4000000000000) AS at_ok
+           |FROM graft_index_deletes('$p')
+           |ORDER BY del_id""".stripMargin)
+    }),
+
     // ------------------------------------------------------------ scale stress
     // The 100 TB posture exercised instead of argued: each leg multiplies the
     // bench tables in-plan (operators/Stress.scala — salted ids over a
@@ -3452,6 +3491,21 @@ object SparkEntry {
         |    doc_id, score
         |  FROM scored),""".stripMargin +
       s"\nbmtop AS (SELECT * FROM bmranked WHERE rank <= $maxRank)"
+
+  /** Filtered-ANN oracle shared by q_ann_filtered (DataFrame path) and
+    * q_ann_filtered_sql (graft_ann_search TVF with the allow-list pair):
+    * brute-force cosine top-5 over ONLY the allowed subset — exhaustive
+    * probing makes the IVF path exactly this.
+    */
+  private lazy val AnnFilteredOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a,
+       |       (SELECT * FROM embeddings WHERE vec_id % 3 = 0) b),
+       |r AS (SELECT left_id, right_id, score,
+       |  row_number() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rnk FROM s)
+       |SELECT left_id, right_id, score, rnk FROM r WHERE rnk <= 5
+       |ORDER BY left_id, rnk""".stripMargin
 
   private val Bm25OracleSql: String =
     s"""WITH ${bm25Ctes(5)}
@@ -4998,16 +5052,26 @@ object SparkEntry {
         |WHERE FALSE""".stripMargin,
 
     // filtered search (r13): exhaustive-probe filtered view ≡ brute-force
-    // top-k over the allowed subset, computed independently
-    "q_ann_filtered" ->
-      s"""WITH s AS (
-         |  SELECT a.vec_id AS left_id, b.vec_id AS right_id, $CosSelf AS score
-         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a,
-         |       (SELECT * FROM embeddings WHERE vec_id % 3 = 0) b),
-         |r AS (SELECT left_id, right_id, score,
-         |  row_number() OVER (PARTITION BY left_id ORDER BY score DESC, right_id) AS rnk FROM s)
-         |SELECT left_id, right_id, score, rnk FROM r WHERE rnk <= 5
-         |ORDER BY left_id, rnk""".stripMargin,
+    // top-k over the allowed subset, computed independently (DataFrame API
+    // and the graft_ann_search TVF's allow-list form share the oracle)
+    "q_ann_filtered" -> AnnFilteredOracleSql,
+    "q_ann_filtered_sql" -> AnnFilteredOracleSql,
+
+    // tombstone audit (r13): every recorded delta recomputed from the
+    // documents table — docs with zero tokens leave no postings, hence the
+    // len(toks) > 0 guard (the engine's found-set contract)
+    "q_index_deletes" ->
+      """WITH del AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 10 = 3)
+        |SELECT 'takedown' AS del_id,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(coalesce(sum(len(list_distinct(toks))), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(coalesce(sum(len(toks)), 0) AS DOUBLE) AS sum_dl,
+        |  TRUE AS at_ok
+        |FROM del WHERE len(toks) > 0""".stripMargin,
 
     // tombstone-delete emptiness contract (r13): search-via-tombstones ≡
     // search-via-survivor-rebuild at the same centroids, row-identically

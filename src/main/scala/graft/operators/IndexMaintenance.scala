@@ -454,7 +454,10 @@ object IndexMaintenance {
           pqM = idx.pqCodebook.map(_.m).getOrElse(0))
         carryLedger(fs, src, dst)
         Tombstones.carryDeleteLedger(fs, src, dst)
-        writeRefitMeta(fs, dst, idx.nRows.getOrElse(0L))
+        // the watermark is the corpus the centroids were FITTED on: nRows is
+        // a scan estimate that still counts tombstoned rows, but the refit
+        // trained on the excluded frame — record survivors only
+        writeRefitMeta(fs, dst, idx.nRows.getOrElse(0L) - idx.deletedRows)
         commitGeneration(spark, root, cur + 1)
         Event("ann", "stalenessSinceRefit", sinceRefit,
           policy.annRefitStaleness, "refit", cur, cur + 1)

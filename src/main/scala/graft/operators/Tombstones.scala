@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Tombstone deletes for the three persisted index families — the lifecycle
   * verb the append/compact/refit triad was missing. Real corpora shrink as
   * well as grow (takedown requests, retroactive dedup, license filtering),
@@ -161,9 +163,40 @@ object Tombstones {
     val meta = fs.create(new Path(dir, MetaFile), false)
     try meta.write(
       (s"""{"n_ids": $nIds, "n_rows": $nRows, """ +
-        s""""n_docs": $nDocs, "sum_dl": $sumDl}""").getBytes("UTF-8"))
+        s""""n_docs": $nDocs, "sum_dl": $sumDl, """ +
+        // wall timestamp for the audit surface (the maintenance-log move):
+        // WHEN was this takedown applied — compliance wants the answer
+        s""""at": ${System.currentTimeMillis()}}""").getBytes("UTF-8"))
     finally meta.close()
     fs.create(new Path(dir, Marker), false).close()
+  }
+
+  /** The tombstone audit surface of one index as a DataFrame — one row per
+    * committed delete (`del_id`, the exact recorded deltas, and the wall
+    * timestamp the takedown was applied). Compliance's question — "what was
+    * removed, how much, and when" — answered from the index directory alone;
+    * exposed to SQL as the `graft_index_deletes` TVF. Empty frame when the
+    * index has no tombstones; pre-r13 metas without `at` read back as null.
+    */
+  def deletesDf(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("del_id", StringType), StructField("n_ids", LongType),
+      StructField("n_rows", LongType), StructField("n_docs", DoubleType),
+      StructField("sum_dl", DoubleType), StructField("at", LongType)))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      committedDeleteDirs(fs, path).map { d =>
+        val in = fs.open(new Path(d, MetaFile))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val n = mapper.readTree(s)
+        org.apache.spark.sql.Row(d.getName, n.get("n_ids").asLong(),
+          n.get("n_rows").asLong(), n.get("n_docs").asDouble(),
+          n.get("sum_dl").asDouble(),
+          Option(n.get("at")).map(v => java.lang.Long.valueOf(v.asLong())).orNull)
+      }.asJava
+    spark.createDataFrame(rows, schema)
   }
 
   /** Read `path`'s committed tombstones into one [[Deletes]] view; None when

@@ -161,14 +161,20 @@ object GraftPlans {
       graft.operators.Lexical.bm25OpenIndex(spark, path), queries, qid, qtext, k))
   }
 
-  /** `graft_ann_search('index_path','queries_tbl','qid','qvec', k[, nProbe])`
-    * — cell-partition-pruned vector search of a
-    * [[graft.operators.Ann.annWriteIndex]] directory from SQL; same
-    * resolution-time probe collection as the BM25 sibling.
+  /** `graft_ann_search('index_path','queries_tbl','qid','qvec', k[, nProbe
+    * [, allowedTable, allowedIdCol]])` — cell-partition-pruned vector search
+    * of a [[graft.operators.Ann.annWriteIndex]] directory from SQL; same
+    * resolution-time probe collection as the BM25 sibling. The optional
+    * trailing pair (r13) restricts the search to the allow-list table's ids
+    * via [[graft.operators.Ann.annFilteredView]] — the filtered-search
+    * primitive (metadata predicates like language/tenant/license) with the
+    * allow-list resolved through the session catalog like every other TVF
+    * table argument.
     */
   private def annSearchBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 5 || args.length == 6,
-      "graft_ann_search(indexPath, queriesTable, queryId, queryVec, k[, nProbe])")
+    require(args.length >= 5 && args.length <= 8 && args.length != 7,
+      "graft_ann_search(indexPath, queriesTable, queryId, queryVec, k" +
+        "[, nProbe[, allowedTable, allowedIdCol]])")
     val path = str(args(0), "indexPath")
     val qt = str(args(1), "queriesTable")
     val qid = str(args(2), "queryId")
@@ -177,8 +183,29 @@ object GraftPlans {
     val nProbe = if (args.length > 5) int(args(5), "nProbe") else 4
     val spark = SparkSession.active
     val queries = ColumnBridge.ofRows(spark, rel(qt, Seq(qid, qvec)))
+    val idx0 = graft.operators.Ann.annOpenIndex(spark, path)
+    val idx =
+      if (args.length > 6) {
+        val at = str(args(6), "allowedTable")
+        val aid = str(args(7), "allowedIdCol")
+        graft.operators.Ann.annFilteredView(idx0,
+          ColumnBridge.ofRows(spark, rel(at, Seq(aid))), aid)
+      } else idx0
     ColumnBridge.analyzedPlan(graft.operators.Ann.annSearchIndex(
-      graft.operators.Ann.annOpenIndex(spark, path), queries, qid, qvec, k, nProbe))
+      idx, queries, qid, qvec, k, nProbe))
+  }
+
+  /** `graft_index_deletes('index_path')` — the tombstone audit surface of a
+    * persisted index from SQL ([[graft.operators.Tombstones.deletesDf]]):
+    * one row per committed delete with its exact recorded deltas and wall
+    * timestamp. Compliance's "what was removed, how much, and when" without
+    * leaving the catalog. Empty on an index with no tombstones.
+    */
+  private def indexDeletesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_index_deletes(indexPath)")
+    val path = str(args(0), "indexPath")
+    ColumnBridge.analyzedPlan(
+      graft.operators.Tombstones.deletesDf(SparkSession.active, path))
   }
 
   /** `graft_dsir_select('raw_tbl','target_tbl','id','text', n[, buckets[, seed]])`
@@ -384,7 +411,10 @@ object GraftPlans {
         contaminationBuilder _),
       (FunctionIdentifier("graft_maintenance_log"),
         new ExpressionInfo("graft", "graft_maintenance_log"),
-        maintenanceLogBuilder _))
+        maintenanceLogBuilder _),
+      (FunctionIdentifier("graft_index_deletes"),
+        new ExpressionInfo("graft", "graft_index_deletes"),
+        indexDeletesBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

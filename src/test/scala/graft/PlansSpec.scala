@@ -269,6 +269,51 @@ class PlansSpec extends AnyFunSuite {
     assert(annRows(annSql) == annRows(annDirect) && annRows(annSql).nonEmpty)
   }
 
+  test("graft_ann_search allow-list form ≡ annFilteredView; graft_index_deletes audits tombstones (r13)") {
+    import graft.operators.{Ann, Tombstones}
+    val e = vecs(80)
+    val annDir = java.nio.file.Files.createTempDirectory("plans_annflt").toString
+    val (cells, cents) = Ann.annBuildIndex(e, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, annDir)
+    GraftPlans.install(spark)
+    e.filter(col("vec_id") < 5).createOrReplaceTempView("plans_flt_q")
+    e.filter(col("vec_id") % 2 === 0).select("vec_id")
+      .createOrReplaceTempView("plans_flt_allow")
+    def annRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Int]("rank"), java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSet
+    val viaSql = spark.sql(
+      s"""SELECT * FROM graft_ann_search('$annDir', 'plans_flt_q', 'vec_id',
+         |  'embedding', 3, 8, 'plans_flt_allow', 'vec_id')""".stripMargin)
+    val direct = Ann.annSearchIndex(
+      Ann.annFilteredView(Ann.annOpenIndex(spark, annDir),
+        e.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id"),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 8)
+    assert(annRows(viaSql) == annRows(direct) && annRows(viaSql).nonEmpty)
+    assert(viaSql.collect().forall(_.getAs[Long]("right_id") % 2 == 0))
+    // 7-arg form (allowedTable without allowedIdCol) is malformed
+    val err = intercept[Exception] {
+      spark.sql(s"""SELECT * FROM graft_ann_search('$annDir', 'plans_flt_q',
+        |  'vec_id', 'embedding', 3, 8, 'plans_flt_allow')""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("graft_ann_search"))
+
+    // audit TVF: empty before any delete, one exact row after
+    assert(spark.sql(s"SELECT * FROM graft_index_deletes('$annDir')").isEmpty)
+    import spark.implicits._
+    assert(Ann.annDeleteFromIndex(spark, annDir,
+      Seq(2L, 4L, 6L).toDF("id"), "id", "take1"))
+    val audit = spark.sql(
+      s"SELECT del_id, n_ids, n_rows, at FROM graft_index_deletes('$annDir')").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getString(0) == "take1" && audit(0).getLong(1) == 3L
+      && audit(0).getLong(2) == 3L)
+    assert(audit(0).getLong(3) > 1600000000000L, "wall timestamp recorded")
+    // deletesDf parity with the TVF path
+    assert(Tombstones.deletesDf(spark, annDir).collect().map(_.getString(0)).toSeq
+      == Seq("take1"))
+  }
+
   test("SQL table function graft_dsir_select: matches the DataFrame API, validates args") {
     import spark.implicits._
     val docs = ((0L until 20L).map(i => (i, s"alpha compile parse emit token $i")) ++
