@@ -632,6 +632,109 @@ object SparkEntry {
         Dedup.minhashOpenIndex(s, currentPath(s, mhRoot)))
     })
 
+  /** The streaming-TAKEDOWN capstone fixture (r13), run ONCE per process:
+    * minhash + bm25 generation roots on the full documents corpus, one
+    * takedown epoch streaming every `doc_id % 10 == 3` through
+    * [[graft.streaming.StreamOps.streamingTakedownPipelineManaged]] with an
+    * always-fire delete policy (tombstones land on gen-0, the maintenance
+    * pass compacts them physically, generation swaps to 1, `denyFuture`
+    * records the ids in the root-level denylist) while live
+    * [[graft.operators.ServingSession]]s follow the swap; then one managed
+    * INGEST epoch re-offers the taken-down ids under fresh text (the
+    * denylist must refuse them BY ID) alongside offset synthetic docs with
+    * globally-unique vocabulary (which must all survive). Searches are
+    * collected through the sessions on the compacted generation, BEFORE the
+    * re-ingest epoch.
+    */
+  private final case class StreamTakedownFixture(
+      census: Seq[(Int, String, Int)],
+      bmRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
+      mhRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
+      ingestSurvivors: Seq[Long],
+      denylist: Seq[Long])
+  private val steadyStreamTakedownCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamTakedownFixture]
+  private def steadyStreamTakedown(s: SparkSession, dir: String): StreamTakedownFixture =
+    steadyStreamTakedownCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IndexMaintenance, ServingSession}
+      import graft.operators.IndexMaintenance.genPath
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mhRoot = s"${perProcessTmpDir("graft_tkdn_mh")}/$tag"
+      val bmRoot = s"${perProcessTmpDir("graft_tkdn_bm")}/$tag"
+      val docs = ld(s, dir, "documents")
+      if (!new java.io.File(s"${genPath(mhRoot, 0)}/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), genPath(mhRoot, 0))
+      }
+      IndexMaintenance.commitGeneration(s, mhRoot, 0)
+      if (!new java.io.File(s"${genPath(bmRoot, 0)}/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, genPath(bmRoot, 0), nBuckets = 16)
+      }
+      IndexMaintenance.commitGeneration(s, bmRoot, 0)
+      val sessBm = ServingSession.bm25(s, bmRoot)
+      val sessMh = ServingSession.minhash(s, mhRoot)
+      val delIds = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val del = MemoryStream[Long]
+      val dq = graft.streaming.StreamOps.streamingTakedownPipelineManaged(
+        del.toDF().toDF("doc_id"), "doc_id", mhRoot,
+        takedownTag = "tkdn", bm25Root = Some(bmRoot),
+        policy = IndexMaintenance.Policy(maxDeleteFraction = 0.0),
+        denyFuture = true).start()
+      try {
+        del.addData(delIds: _*)
+        dq.processAllAvailable()
+      } finally dq.stop()
+      // resolve BEFORE reading generations: the census is what the sessions
+      // actually serve after following the delete-triggered swap
+      val (gb, ib) = sessBm.resolved
+      val (gm, im) = sessMh.resolved
+      val census = Seq((1, "bm25", gb), (1, "minhash", gm))
+      val bm = Lexical.bm25SearchIndex(ib, steadyQueries(s, dir), "qid", "text", k = 5)
+      val probe = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+        .select("doc_id", "text")
+      val mh = Dedup.minhashSearchIndex(im, probe, "doc_id", "text", 0.8)
+      val bmRows = (bm.collect().toSeq, bm.schema)
+      val mhRows = (mh.collect().toSeq, mh.schema)
+      sessBm.close(); sessMh.close()
+      // re-offer taken-down ids under FRESH text (the refusal must be by
+      // id, not content) + offset novel docs whose vocabulary is unique by
+      // construction (`tkdn<axis>_<id>` tokens — zero shingle overlap with
+      // anything, so the expected survivor set is exactly the offset ids)
+      val reoffer = docs
+        .filter(pmod(col("doc_id"), lit(10)) === 3 && col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit("recrawl_"), col("doc_id"), lit(" fresh text")).as("text"))
+      val novel = docs
+        .filter(pmod(col("doc_id"), lit(10)) === 7 && col("doc_id") < 400)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("tkdna_"), col("doc_id"), lit(" tkdnb_"), col("doc_id"),
+            lit(" tkdnc_"), col("doc_id"), lit(" tkdnd_"), col("doc_id")).as("text"))
+      val batchRows = reoffer.unionByName(novel)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ing = MemoryStream[(Long, String)]
+      val survivors = Seq.newBuilder[Long]
+      val iq = graft.streaming.StreamOps.streamingIngestPipelineManaged(
+        ing.toDF().toDF("doc_id", "text"), "doc_id", "text", mhRoot,
+        jaccardThreshold = 0.5, ingestTag = "tkdn_re",
+        bm25Root = Some(bmRoot),
+        onBatch = b => survivors ++=
+          b.select("doc_id").collect().map(_.getLong(0)))
+        .start()
+      try {
+        ing.addData(batchRows: _*)
+        iq.processAllAvailable()
+      } finally iq.stop()
+      val denylist = graft.streaming.Denylist.read(s, mhRoot)
+        .map(_.collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Seq.empty)
+      StreamTakedownFixture(census, bmRows, mhRows,
+        survivors.result().sorted, denylist)
+    })
+
   /** Drift → recall degradation → refit recovery (judge r10 #2), run ONCE
     * per process: an ANN index fitted on the embeddings corpus absorbs two
     * DISTRIBUTION-SHIFTED batches against its frozen centroids — tight
@@ -2979,6 +3082,120 @@ object SparkEntry {
            |ORDER BY del_id""".stripMargin)
     }),
 
+    // Filtered lexical search (r13 — the BM25 leg of the metadata-filtered
+    // retrieval surface, completing q_ann_filtered's vector leg): top-5
+    // over ONLY the allowed docs (doc_id % 3 == 0) through a filtered view
+    // of the steady index. Filter-context semantics: the oracle recomputes
+    // BM25 with FULL-corpus stats/df and restricts candidates before
+    // ranking — an allowed doc's score is bit-identical to the unfiltered
+    // search's.
+    "q_bm25_filtered" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val view = Lexical.bm25FilteredView(steadyBm25Index(s, dir),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"), "doc_id")
+      Lexical.bm25SearchIndex(view, queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The SQL surface for filtered lexical search (r13): the same allow-list
+    // restriction through graft_bm25_search's optional trailing
+    // (allowedTable, allowedIdCol) pair — must equal q_bm25_filtered exactly
+    // (same oracle), proving the catalog-resolved path carries the identical
+    // semi-join-after-df plan as the DataFrame API.
+    "q_bm25_filtered_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val docs = ld(s, dir, "documents")
+      docs.filter(col("doc_id") < 10).select(col("doc_id").as("qid"), col("text"))
+        .createOrReplaceTempView("graft_bmflt_q")
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+        .createOrReplaceTempView("graft_bmflt_allow")
+      val p = steadyBm25Dir(s, dir)
+      s.sql(
+        s"""SELECT query_id, rank, doc_id, round(score, 6) AS score
+           |FROM graft_bm25_search('$p', 'graft_bmflt_q', 'qid', 'text', 5,
+           |                       'graft_bmflt_allow', 'doc_id')
+           |ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // Filtered near-dup search (r13 — the MinHash leg): contamination probe
+    // against ONLY the allowed corpus docs through a filtered view of the
+    // steady minhash index. Jaccard has no corpus-global stats, so the
+    // oracle is simply the banding recomputation with the corpus side
+    // restricted — the semi-join lands on the postings scan, before band
+    // candidates form.
+    "q_minhash_filtered" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val view = Dedup.minhashFilteredView(steadyMinhashIndex(s, dir),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"), "doc_id")
+      Dedup.minhashSearchIndex(view, batch, "doc_id", "text", jaccardThreshold = 0.8)
+        .withColumnRenamed("batch_id", "benchmark_id")
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+
+    // Filtered HYBRID retrieval (r13): both legs of the RRF fusion restricted
+    // to the same allow-list — the filtered BM25 view for the lexical leg and
+    // the allow-restricted corpus for the vector leg — then fused exactly as
+    // q_hybrid_rrf. The oracle recomputes both filtered rankings and the RRF
+    // fold independently; ranks shift as disallowed docs vacate positions,
+    // so the hash covers the re-ranking, not just the row filter.
+    "q_hybrid_filtered" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val allowed = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val bm = Lexical.bm25SearchIndex(
+          Lexical.bm25FilteredView(steadyBm25Index(s, dir), allowed, "doc_id"),
+          queries, "qid", "text", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qe = md5Embedder.embed(queries, "text", "__v").select("qid", "__v")
+      val de = md5Embedder.embed(docs.join(allowed, Seq("doc_id"), "left_semi"),
+          "text", "__v").select("doc_id", "__v")
+      val knn = SemanticJoin.knnJoinVec(qe, "qid", "__v", de, "doc_id", "__v", k = 20)
+        .select(col("left_id").as("query_id"), col("right_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, knn), k = 5)
+        .withColumn("rrf_score", round(col("rrf_score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Streaming TAKEDOWN capstone (r13): the removal half of the lifecycle
+    // under one oracle. One takedown epoch tombstones doc_id % 10 == 3
+    // across minhash+bm25 through streamingTakedownPipelineManaged,
+    // compaction applies the tombstones, live sessions follow the swap, and
+    // a re-ingest epoch is refused by the denylist. Five legs, ALL
+    // independently recomputed by DuckDB: bm25 session search ≡ survivor-
+    // corpus BM25 from scratch; minhash session probe ≡ banding over
+    // survivors; denylist ≡ the taken-down id set from the documents table;
+    // ingest survivors ≡ exactly the offset novel ids; census ≡ VALUES
+    // generation trace.
+    "q_stream_takedown" -> ((s, dir) => {
+      import s.implicits._
+      val f = steadyStreamTakedown(s, dir)
+      def fromRows(rows: Seq[org.apache.spark.sql.Row],
+          schema: org.apache.spark.sql.types.StructType) =
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val bm = fromRows(f.bmRows._1, f.bmRows._2)
+        .select(lit("bm25").as("leg"), col("query_id").cast("long").as("a"),
+          col("doc_id").cast("long").as("b"), round(col("score"), 6).as("v"),
+          col("rank").cast("int").as("g"))
+      val mh = fromRows(f.mhRows._1, f.mhRows._2)
+        .select(lit("minhash").as("leg"), col("corpus_id").cast("long").as("a"),
+          col("batch_id").cast("long").as("b"),
+          col("jaccard").cast("double").as("v"), lit(1).as("g"))
+      val censusDf = f.census
+        .map { case (e, fam, g) => (s"census_$fam", e.toLong, g.toLong, 0.0, g) }
+        .toDF("leg", "a", "b", "v", "g")
+      val deny = f.denylist.map(id => ("denylist", id, 0L, 0.0, 1))
+        .toDF("leg", "a", "b", "v", "g")
+      val ing = f.ingestSurvivors.map(id => ("ingest", id, 0L, 0.0, 1))
+        .toDF("leg", "a", "b", "v", "g")
+      bm.unionByName(mh).unionByName(censusDf).unionByName(deny).unionByName(ing)
+        .orderBy(col("leg"), col("a"), col("b"))
+    }),
+
     // ------------------------------------------------------------ scale stress
     // The 100 TB posture exercised instead of argued: each leg multiplies the
     // bench tables in-plan (operators/Stress.scala — salted ids over a
@@ -3459,9 +3676,14 @@ object SparkEntry {
   /** The BM25 CTE chain shared by q_bm25 (ad-hoc plan), q_bm25_index
     * (persisted-index plan), and the hybrid fusion (q_hybrid_rrf): all must
     * hash-match this exact relation. Yields CTEs up to
-    * `bmtop` = top-`maxRank` rows per query.
+    * `bmtop` = top-`maxRank` rows per query. `allowedPred` (r13) injects an
+    * allow-list predicate on the scored candidates BEFORE ranking — the
+    * filtered-view oracle: full-corpus stats/df untouched (they're computed
+    * upstream of the filter), candidate set restricted, exactly
+    * [[graft.operators.Lexical.bm25FilteredView]]'s filter-context
+    * semantics.
     */
-  private def bm25Ctes(maxRank: Int): String =
+  private def bm25Ctes(maxRank: Int, allowedPred: String = ""): String =
       """base AS (
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
@@ -3489,7 +3711,8 @@ object SparkEntry {
         |bmranked AS (
         |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
         |    doc_id, score
-        |  FROM scored),""".stripMargin +
+        |  FROM scored""".stripMargin +
+      (if (allowedPred.isEmpty) "" else s" WHERE $allowedPred") + ")," +
       s"\nbmtop AS (SELECT * FROM bmranked WHERE rank <= $maxRank)"
 
   /** Filtered-ANN oracle shared by q_ann_filtered (DataFrame path) and
@@ -3512,6 +3735,77 @@ object SparkEntry {
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
        |FROM bmtop ORDER BY query_id, rank""".stripMargin
+
+  /** Filtered-BM25 oracle shared by q_bm25_filtered (DataFrame view) and
+    * q_bm25_filtered_sql (graft_bm25_search TVF with the allow-list pair):
+    * the SAME full-corpus BM25 recomputation as Bm25OracleSql with the
+    * candidate set restricted BEFORE ranking — filter-context semantics, so
+    * an allowed doc's score is identical with and without the filter and
+    * only the rank positions close up.
+    */
+  private lazy val Bm25FilteredOracleSql: String =
+    s"""WITH ${bm25Ctes(5, "doc_id % 3 = 0")}
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+       |FROM bmtop ORDER BY query_id, rank""".stripMargin
+
+  /** Filtered-MinHash oracle (q_minhash_filtered): the contamination
+    * banding recomputation with the CORPUS side restricted to the allow
+    * set — Jaccard carries no corpus-global statistics, so restricting the
+    * corpus input IS the filtered-view semantics.
+    */
+  private lazy val MinhashFilteredOracleSql: String =
+    s"""WITH cs AS (${minhashSig("doc_id", "text",
+           "(SELECT * FROM documents WHERE doc_id % 3 = 0)")}),
+       |bs AS (${minhashSig("doc_id", "text", "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}),
+       |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+       |       FROM cs, unnest(range(0, 8)) AS u(b)),
+       |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+       |       FROM bs, unnest(range(0, 8)) AS u(b)),
+       |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+       |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket)
+       |SELECT cand.corpus_id, cand.benchmark_id,
+       |  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |FROM cand
+       |JOIN cs sa ON sa.doc_id = cand.corpus_id
+       |JOIN bs sb ON sb.doc_id = cand.benchmark_id
+       |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
+       |ORDER BY corpus_id, benchmark_id""".stripMargin
+
+  /** Filtered-hybrid oracle (q_hybrid_filtered): both RRF legs recomputed
+    * under the allow-list — BM25 with full-corpus stats and restricted
+    * candidates, kNN over the restricted corpus — then the same padded-tag
+    * ordered RRF fold as HybridRrfOracleSql. Ranks re-close over the
+    * allowed set in both legs, so fused scores differ from a mere
+    * post-filter of the unfiltered fusion.
+    */
+  private lazy val HybridFilteredOracleSql: String =
+    s"""WITH ${bm25Ctes(20, "doc_id % 3 = 0")},
+       |feats AS (${md5Vec("doc_id", "text", "documents")}),
+       |knnranked AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+       |    row_number() OVER (PARTITION BY q.doc_id
+       |      ORDER BY list_cosine_similarity(q.v, d.v) DESC, d.doc_id) AS rank
+       |  FROM (SELECT * FROM feats WHERE doc_id < 10) q,
+       |       (SELECT * FROM feats WHERE doc_id % 3 = 0) d),
+       |knntop AS (SELECT * FROM knnranked WHERE rank <= 20),
+       |pool AS (
+       |  SELECT query_id, doc_id, 0 AS sys, 1.0 / (60 + rank) AS contrib FROM bmtop
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1 AS sys, 1.0 / (60 + rank) AS contrib FROM knntop),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(contrib ORDER BY printf('%03d', sys))), (p, q) -> p + q) AS rrf
+       |  FROM pool GROUP BY query_id, doc_id),
+       |rrfranked AS (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank,
+       |    doc_id, rrf
+       |  FROM fused)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       |  CAST(doc_id AS BIGINT) AS doc_id, round(rrf, 6) AS rrf_score
+       |FROM rrfranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Hybrid retrieval oracle shared by q_hybrid_rrf (DataFrame path) and
     * q_hybrid_sql (graft_rrf_fuse TVF): BM25 top-20 ⊕ exact md5-embedding
@@ -4790,6 +5084,72 @@ object SparkEntry {
         |) AS t(leg, a, b, v, g)
         |ORDER BY leg, a, b""".stripMargin,
 
+    // streaming takedown capstone (r13): all five legs recomputed
+    // independently — survivor-corpus BM25 from scratch, banding over
+    // survivors for the minhash probe, the denylist and expected ingest
+    // survivors straight from the documents table, the generation trace as
+    // VALUES
+    "q_stream_takedown" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 10 <> 3),
+         |qterms AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+         |    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> ''))) AS term
+         |  FROM documents WHERE doc_id < 10),
+         |tfa AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM corpus)
+         |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+         |  GROUP BY doc_id, term),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM corpus),
+         |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+         |contrib AS (
+         |  SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+         |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |bmranked AS (
+         |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         |    doc_id, score
+         |  FROM scored),
+         |cs AS (${minhashSig("doc_id", "text",
+             "(SELECT * FROM documents WHERE doc_id % 10 <> 3)")}),
+         |bs AS (${minhashSig("doc_id", "text",
+             "(SELECT * FROM documents WHERE doc_id % 5 = 3)")}),
+         |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM cs, unnest(range(0, 8)) AS u(b)),
+         |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM bs, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+         |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket),
+         |united AS (
+         |  SELECT 'bm25' AS leg, query_id AS a, doc_id AS b, round(score, 6) AS v, rank AS g
+         |  FROM bmranked WHERE rank <= 5
+         |  UNION ALL
+         |  SELECT 'minhash', cand.corpus_id, cand.benchmark_id,
+         |    ${jaccardSql("sa.sh", "sb.sh")}, 1
+         |  FROM cand
+         |  JOIN cs sa ON sa.doc_id = cand.corpus_id
+         |  JOIN bs sb ON sb.doc_id = cand.benchmark_id
+         |  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8
+         |  UNION ALL SELECT 'census_bm25', 1, 1, 0.0, 1
+         |  UNION ALL SELECT 'census_minhash', 1, 1, 0.0, 1
+         |  UNION ALL
+         |  SELECT 'denylist', doc_id, 0, 0.0, 1 FROM documents WHERE doc_id % 10 = 3
+         |  UNION ALL
+         |  SELECT 'ingest', doc_id + 2000000, 0, 0.0, 1
+         |  FROM documents WHERE doc_id % 10 = 7 AND doc_id < 400)
+         |SELECT leg, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |  CAST(v AS DOUBLE) AS v, CAST(g AS INTEGER) AS g
+         |FROM united ORDER BY leg, a, b""".stripMargin,
+
     // Emptiness contract for exact-append parity: the query emits the
     // symmetric difference of (search via appended index) and (search via
     // the full steady index) — empty means the append path reproduced every
@@ -5056,6 +5416,15 @@ object SparkEntry {
     // and the graft_ann_search TVF's allow-list form share the oracle)
     "q_ann_filtered" -> AnnFilteredOracleSql,
     "q_ann_filtered_sql" -> AnnFilteredOracleSql,
+
+    // filtered lexical / near-dup / hybrid legs (r13): the allow-list
+    // surface across the remaining retrieval families — DataFrame view and
+    // TVF forms of BM25 share one oracle; the hybrid oracle re-ranks BOTH
+    // legs under the filter before fusing
+    "q_bm25_filtered" -> Bm25FilteredOracleSql,
+    "q_bm25_filtered_sql" -> Bm25FilteredOracleSql,
+    "q_minhash_filtered" -> MinhashFilteredOracleSql,
+    "q_hybrid_filtered" -> HybridFilteredOracleSql,
 
     // tombstone audit (r13): every recorded delta recomputed from the
     // documents table — docs with zero tokens leave no postings, hence the

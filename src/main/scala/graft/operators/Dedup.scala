@@ -708,6 +708,29 @@ object Dedup extends Logging {
     * and signed per run; the band equi-join shuffles the batch's ≤numBands
     * rows per doc against the persisted postings.
     */
+  /** Allow-list-restricted view of a MinHash index — the near-dup leg of
+    * the metadata-filtered-retrieval surface ([[graft.operators.Ann
+    * .annFilteredView]] / [[graft.operators.Lexical.bm25FilteredView]] are
+    * the vector/lexical legs). Searches against the view return only
+    * matches whose `corpus_id` is in the allow set.
+    *
+    * Jaccard has no corpus-global statistics, so the restriction point is
+    * pure efficiency, not semantics: the semi-join lands on the POSTINGS
+    * scan, before the band equi-join, so disallowed docs never generate
+    * candidates (a post-filter on the output would verify and then discard
+    * them). No broadcast hint — AQE broadcasts a small allow set. The
+    * view's postings plan is unpinned by construction, so the single-stage
+    * / resident fast paths stay off and filtered searches run the
+    * distributed plan, same posture as the other two views. Search-only:
+    * append/delete/compact take the index PATH and ignore views.
+    */
+  def minhashFilteredView(
+      index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex = {
+    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
+    index.copy(postings = index.postings
+      .join(ids, index.postings("id").cast("long") === col("__allow_id"), "left_semi"))
+  }
+
   def minhashSearchIndex(
       index: MinHashIndex, batch: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.5): DataFrame = {

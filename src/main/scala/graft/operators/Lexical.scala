@@ -160,7 +160,8 @@ object Lexical {
     */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame, nBuckets: Int,
       nRows: Option[Long] = None, bakedParams: Option[(Double, Double)] = None,
-      appendedPostings: Long = 0L, deletedPostings: Long = 0L) {
+      appendedPostings: Long = 0L, deletedPostings: Long = 0L,
+      allowed: Option[DataFrame] = None) {
     /** Tombstoned postings ÷ scanned postings — the delete-cadence signal
       * (judge r13 direction: real corpora shrink too). Deletes are EXACT in
       * the scores (see [[bm25DeleteFromIndex]]); what accumulates is
@@ -196,6 +197,48 @@ object Lexical {
     private[operators] def resident: Resident.Bm25Resident =
       residentHolder.get(Resident.buildBm25(this))
   }
+
+  /** Allow-list-restricted view of a persisted BM25 index — the lexical leg
+    * of the metadata-filtered-retrieval surface ([[graft.operators.Ann
+    * .annFilteredView]] is the vector leg). `allowed` is any frame whose
+    * `idCol` enumerates the permitted doc ids (tenant slice, date range,
+    * license class …); searches against the view return top-k over ONLY
+    * those docs.
+    *
+    * Semantics are FILTER-CONTEXT scoring (the convention of every
+    * production lexical engine): corpus-global statistics — n_docs, avgdl,
+    * per-term df — stay those of the FULL live corpus; only the candidate
+    * set shrinks. An allowed doc therefore scores identically with and
+    * without the filter, and results are exactly the full search's rows
+    * restricted to allowed docs (`q_bm25_filtered` hash-checks that against
+    * an independent oracle). This is deliberately NOT what tombstone deletes
+    * do ([[bm25DeleteFromIndex]] shrinks the corpus and its stats): a filter
+    * scopes one query; a delete changes the corpus.
+    *
+    * Physical shape: the allow set rides as a `left_semi` join on `doc_id`
+    * applied AFTER df attachment (so stale-bake/appended indexes still
+    * recompute full-corpus df) and BEFORE the contribution fan-out and
+    * top-k — candidates drop as early as semantics permit. No broadcast
+    * hint: AQE broadcasts a small allow-list and shuffles a tenant-sized
+    * one, both correct at 100 TB. Driver-resident serving and the
+    * single-stage elision stay OFF for views (their mirrors encode the
+    * unfiltered corpus), so filtered searches always run the distributed
+    * plan — same posture as the ANN view. Search-only: append/delete/
+    * compact take the index PATH and are unaffected by views.
+    */
+  def bm25FilteredView(index: Bm25Index, allowed: DataFrame, idCol: String): Bm25Index =
+    index.copy(allowed = Some(
+      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+
+  /** The view's candidate restriction: a semi-join keeps every posting
+    * column (df/contrib0 included) so scoring is untouched. No-op without a
+    * view.
+    */
+  private def restrictDocs(df: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed match {
+      case Some(ids) => df.join(ids, df("doc_id") === ids("__allow_id"), "left_semi")
+      case None => df
+    }
 
   /** Persist a [[bm25BuildIndex]] index: postings land term-hash-bucketed as
     * `nBuckets` parquet partitions so a search reads only the buckets its
@@ -677,7 +720,8 @@ object Lexical {
       val pruned = dropStaleBake(index, k1, b, index.postings
         .join(broadcast(wanted), Seq("__bkt"), "left_semi").drop("__bkt"))
       val (nDocs, avgdl) = index.statsRow
-      return scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b)
+      return scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b,
+        allowed = index.allowed)
     }
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val distinctTerms = qtRows.map(_.getString(1)).distinct
@@ -691,7 +735,7 @@ object Lexical {
     // meant to remove (judge r11 advice). Same contrib op order, same fold
     // order, same TopKBuffer — spec-pinned bit-identical to the batch-fold
     // plan below.
-    if (distinctTerms.length <= 4096 &&
+    if (distinctTerms.length <= 4096 && index.allowed.isEmpty &&
         Resident.eligible(spark, index.nRows, index.postings)) {
       val qSets = qtRows.groupBy(_.getLong(0)).toSeq
         .map { case (qid, rs) => (qid, rs.map(_.getString(1)).toSeq) }
@@ -733,10 +777,16 @@ object Lexical {
       // budget the whole fold chain runs one single-partition stage — the
       // doc-fold AND the per-query top-k aggregates both elide their
       // exchanges (results identical: both are partition-order-invariant)
-      val singleStage = Serving.pinned(index.postings) && index.nRows.exists(n =>
+      val singleStage = index.allowed.isEmpty &&
+        Serving.pinned(index.postings) && index.nRows.exists(n =>
         n * qb.size / math.max(index.nBuckets, 1) <= Serving.singleStageRows(spark))
+      // allow-list semi-join AFTER ensureDf: df must come from the FULL
+      // corpus's term-restricted postings (filter-context semantics, see
+      // [[bm25FilteredView]]) — filtering docs first would turn an appended
+      // (stale-bake) index's recomputed df into subset-df silently
       val contrib0 = withContrib(
-        ensureDf(pruned.filter(col("term").isin(distinctTerms: _*))), nDocs, avgdl, k1, b)
+        restrictDocs(ensureDf(pruned.filter(col("term").isin(distinctTerms: _*))),
+          index.allowed), nDocs, avgdl, k1, b)
       val contrib = if (singleStage) contrib0.coalesce(1) else contrib0
       val scores = contrib
         .groupBy("doc_id")
@@ -752,7 +802,8 @@ object Lexical {
       // unbounded query side. The vocabulary is driver-known here, so the
       // int-fold ranking costs zero Spark jobs
       scoreAndTopK(pruned, qterms, nDocs, avgdl, k, k1, b,
-        ranked = Some(rankTermsDriverSide(spark, distinctTerms)))
+        ranked = Some(rankTermsDriverSide(spark, distinctTerms)),
+        allowed = index.allowed)
     }
   }
 
@@ -794,8 +845,11 @@ object Lexical {
   private def scoreAndTopK(
       tf: DataFrame, qterms: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double,
-      ranked: Option[DataFrame] = None): DataFrame = {
-    val withDf = ensureDf(tf)
+      ranked: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    // the allow-list restriction sits after df attachment (filter-context
+    // semantics, [[bm25FilteredView]]) and before the contribution fan-out
+    val withDf = restrictDocs(ensureDf(tf), allowed)
     // contrib(d,t) does not depend on the query, so evaluate it per POSTING
     // and only then fan out with the query join: joining qterms first
     // multiplied every posting by the queries sharing its term and ran the

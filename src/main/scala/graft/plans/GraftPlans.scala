@@ -140,16 +140,22 @@ object GraftPlans {
       graft.operators.Fuzzy.fuzzyJoin(left, lid, lstr, right, rid, rstr, maxDist, maxLen))
   }
 
-  /** `graft_bm25_search('index_path','queries_tbl','qid','qtext', k)` —
-    * bucket-pruned BM25 search of a [[graft.operators.Lexical.bm25WriteIndex]]
-    * directory from SQL. The index is opened and the query vocabulary
-    * collected at resolution time (bounded by the query side — the
-    * operator's regime contract), so the returned plan is the same
-    * partition-pruned scan → batch-fold → top-k the DataFrame API builds.
+  /** `graft_bm25_search('index_path','queries_tbl','qid','qtext', k
+    * [, allowedTable, allowedIdCol])` — bucket-pruned BM25 search of a
+    * [[graft.operators.Lexical.bm25WriteIndex]] directory from SQL. The
+    * index is opened and the query vocabulary collected at resolution time
+    * (bounded by the query side — the operator's regime contract), so the
+    * returned plan is the same partition-pruned scan → batch-fold → top-k
+    * the DataFrame API builds. The optional trailing pair (r13) restricts
+    * scoring to the allow-list table's doc ids via [[graft.operators
+    * .Lexical.bm25FilteredView]] — filter-context semantics (full-corpus
+    * stats, candidates restricted), same surface shape as
+    * `graft_ann_search`'s pair.
     */
   private def bm25SearchBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 5,
-      "graft_bm25_search(indexPath, queriesTable, queryId, queryText, k)")
+    require(args.length == 5 || args.length == 7,
+      "graft_bm25_search(indexPath, queriesTable, queryId, queryText, k" +
+        "[, allowedTable, allowedIdCol])")
     val path = str(args(0), "indexPath")
     val qt = str(args(1), "queriesTable")
     val qid = str(args(2), "queryId")
@@ -157,8 +163,16 @@ object GraftPlans {
     val k = int(args(4), "k")
     val spark = SparkSession.active
     val queries = ColumnBridge.ofRows(spark, rel(qt, Seq(qid, qtext)))
+    val idx0 = graft.operators.Lexical.bm25OpenIndex(spark, path)
+    val idx =
+      if (args.length == 7) {
+        val at = str(args(5), "allowedTable")
+        val aid = str(args(6), "allowedIdCol")
+        graft.operators.Lexical.bm25FilteredView(idx0,
+          ColumnBridge.ofRows(spark, rel(at, Seq(aid))), aid)
+      } else idx0
     ColumnBridge.analyzedPlan(graft.operators.Lexical.bm25SearchIndex(
-      graft.operators.Lexical.bm25OpenIndex(spark, path), queries, qid, qtext, k))
+      idx, queries, qid, qtext, k))
   }
 
   /** `graft_ann_search('index_path','queries_tbl','qid','qvec', k[, nProbe

@@ -346,11 +346,20 @@ object StreamOps {
       minhashPath: String,
       jaccardThreshold: Double, batchId: String,
       bm25Path: Option[String] = None,
-      ann: Option[(String, Embedder)] = None): DataFrame = {
+      ann: Option[(String, Embedder)] = None,
+      denylistRoot: Option[String] = None): DataFrame = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"batchId must match [A-Za-z0-9._-]+ (it names a directory), got '$batchId'")
     import graft.operators.{Dedup, Lexical}
     val spark = batch.sparkSession
+    // denylist BEFORE survivor computation (r13): a re-crawled taken-down
+    // doc must not re-enter. Only the FRESH path below applies it — a
+    // committed manifest replays its recorded survivors unchanged even if
+    // the denylist grew since (those rows' erasure is a tombstone's job)
+    val admitted = denylistRoot match {
+      case Some(r) => Denylist.exclude(batch, idCol, r)
+      case None => batch
+    }
     val maniDir = new org.apache.hadoop.fs.Path(s"$minhashPath/ingest_manifests/$batchId")
     val marker = new org.apache.hadoop.fs.Path(maniDir, "_COMMITTED")
     val fs = maniDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,7 +370,7 @@ object StreamOps {
         spark.read.parquet(s"$maniDir/rows")
       } else {
         if (fs.exists(maniDir)) fs.delete(maniDir, true) // failed attempt
-        val f = computeFreshSurvivors(batch, idCol, textCol, minhashPath, jaccardThreshold)
+        val f = computeFreshSurvivors(admitted, idCol, textCol, minhashPath, jaccardThreshold)
         // unpartitioned write: an EMPTY survivor set still produces a
         // readable parquet file (only partitioned empty dirs are footerless),
         // so fully-duplicated epochs replay as committed empty manifests
@@ -455,10 +464,163 @@ object StreamOps {
             bm25Root.map(IndexMaintenance.currentPath(spark, _)),
             annRoot.map { case (r, e) =>
               (IndexMaintenance.currentPath(spark, r), e)
-            }))
+            },
+            // managed loops always honor the root-level denylist — absent
+            // (no takedown ever ran) it costs one existence check
+            denylistRoot = Some(minhashRoot)))
           onMaintenance(IndexMaintenance.maintainIndexes(spark,
             Some(minhashRoot), bm25Root, annRoot.map(_._1), policy))
         }
       }
   }
+
+  /** The REMOVAL half of the streaming lifecycle (r13): a takedown stream —
+    * each row names a document id that must leave the corpus (GDPR erasure,
+    * DMCA, retroactive policy filters) — applied as tombstone deletes
+    * against whatever generation of each managed index is CURRENT, with the
+    * same exactly-once discipline as the ingest loop.
+    *
+    * Per micro-batch: one tombstone per managed index under
+    * `delId = <takedownTag>_<epochId>` ([[graft.operators.Dedup
+    * .minhashDeleteFromIndex]] / [[graft.operators.Lexical
+    * .bm25DeleteFromIndex]] / [[graft.operators.Ann.annDeleteFromIndex]] —
+    * each idempotent on `delId`, each recording exact stat deltas measured
+    * against the live index, ids not present resolving to no-ops), then an
+    * optional maintenance pass whose `deleteFraction` signal compacts the
+    * tombstones physically once scan waste crosses the policy.
+    *
+    * Exactly-once across generation swaps, same story as ingest: a replayed
+    * epoch re-resolves `currentPath`, which may be a LATER generation than
+    * the failed attempt targeted — compaction both APPLIES committed
+    * tombstones physically and CARRIES their `delId` ledger into the new
+    * generation, so the replay's `alreadyDeleted` check short-circuits. The
+    * `takedownTag` uniqueness contract is [[streamingIngestPipeline]]'s:
+    * unique per logical stream run, stable across checkpoint resumes.
+    *
+    * `denyFuture = true` additionally records each batch's ids in a
+    * persisted denylist at the MINHASH ROOT level (outside the generation
+    * dirs, so it survives compaction without carrying):
+    * [[ingestEpochPipeline]] in the managed ingest loop anti-joins every
+    * incoming batch against it, so a re-crawled taken-down document never
+    * re-enters the corpus. The denylist applies at INGEST time; documents
+    * already absorbed are handled by the tombstones, and a committed
+    * survivor manifest replays unchanged even if the denylist grew since
+    * (the erasure for those rows is the tombstone, not the manifest).
+    *
+    * Two-maintainer note: when this runs alongside a
+    * [[streamingIngestPipelineManaged]] on the SAME roots, leave
+    * `runMaintenance = true` on exactly one of the two — concurrent passes
+    * serialize safely through the atomic markers (the
+    * [[graft.operators.IndexMaintenance]] contract) but the loser's work is
+    * wasted.
+    */
+  def streamingTakedownPipelineManaged(
+      deletes: DataFrame, idCol: String,
+      minhashRoot: String,
+      takedownTag: String = "takedown",
+      bm25Root: Option[String] = None,
+      annRoot: Option[String] = None,
+      policy: graft.operators.IndexMaintenance.Policy =
+        graft.operators.IndexMaintenance.Policy(),
+      runMaintenance: Boolean = true,
+      denyFuture: Boolean = false,
+      onBatch: Long => Unit = _ => (),
+      onMaintenance: Seq[graft.operators.IndexMaintenance.Event] => Unit =
+        _ => ()): DataStreamWriter[Row] = {
+    import graft.operators.{Ann, Dedup, IndexMaintenance, Lexical}
+    deletes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delId = s"${takedownTag}_$epochId"
+          // localCheckpoint: the ids frame fans out to up to four consumers
+          // (three deletes + the denylist) — a streaming batch source must
+          // not be re-evaluated per consumer
+          val ids = batch.select(col(idCol).cast("long").as(idCol))
+            .distinct().localCheckpoint(true)
+          Dedup.minhashDeleteFromIndex(spark,
+            IndexMaintenance.currentPath(spark, minhashRoot), ids, idCol, delId)
+          bm25Root.foreach(r => Lexical.bm25DeleteFromIndex(spark,
+            IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
+          annRoot.foreach(r => Ann.annDeleteFromIndex(spark,
+            IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
+          if (denyFuture) Denylist.append(spark, minhashRoot, ids, idCol, delId)
+          onBatch(epochId)
+          if (runMaintenance)
+            onMaintenance(IndexMaintenance.maintainIndexes(spark,
+              Some(minhashRoot), bm25Root, annRoot, policy))
+        }
+      }
+  }
+}
+
+/** The persisted ingest denylist (r13): taken-down document ids that must
+  * never RE-ENTER the corpus, recorded by
+  * [[StreamOps.streamingTakedownPipelineManaged]] (`denyFuture = true`) and
+  * honored by [[StreamOps.ingestEpochPipeline]]'s managed callers before
+  * survivor computation.
+  *
+  * Layout: `<root>/denylist/<delId>/ids` parquet + `_COMMITTED` — the
+  * engine's universal atomic-marker idiom (a crashed append is invisible
+  * and overwritten by the retry; a committed one replays as a no-op). The
+  * dir sits at the generation ROOT, outside `gen-N/`, so compaction/refit
+  * swaps never have to carry it.
+  *
+  * Scale: exclusion is one `left_anti` join of the incoming batch against
+  * the unioned id lists — AQE broadcasts a small denylist and shuffles a
+  * jurisdiction-sized one, no driver materialization either way. What
+  * accumulates is one tiny parquet dir per takedown epoch; a year of
+  * hourly takedowns is ~10k small files read once per ingest epoch —
+  * acceptable audit-grade overhead, and the committed-dir listing is one
+  * `listStatus` per epoch.
+  */
+object Denylist {
+  import org.apache.hadoop.fs.Path
+
+  private val Dir = "denylist"
+  private val Marker = "_COMMITTED"
+
+  /** Record `ids` under `delId`; idempotent (a committed `delId` returns
+    * false and writes nothing — the takedown replay contract).
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: DataFrame, idCol: String, delId: String): Boolean = {
+    require(delId.matches("[A-Za-z0-9._-]+"),
+      s"delId must match [A-Za-z0-9._-]+ (it names a directory), got '$delId'")
+    val dir = new Path(new Path(root, Dir), delId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, Marker))) return false
+    if (fs.exists(dir)) fs.delete(dir, true) // failed attempt
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(new Path(dir, "ids").toString)
+    fs.create(new Path(dir, Marker), false).close()
+    true
+  }
+
+  /** All committed denylist ids as one `(id: long)` frame; None when no
+    * committed entry exists (the common case — zero cost for pipelines that
+    * never take anything down).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val dlRoot = new Path(root, Dir)
+    val fs = dlRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dlRoot)) return None
+    val dirs = fs.listStatus(dlRoot).toSeq
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, Marker)))
+      .map(st => new Path(st.getPath, "ids").toString)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct())
+  }
+
+  /** Drop denylisted rows from `df` — a distributed anti-join; no-op
+    * without a committed denylist.
+    */
+  def exclude(df: DataFrame, idCol: String, root: String): DataFrame =
+    read(df.sparkSession, root) match {
+      case Some(dl) =>
+        df.join(dl, df(idCol).cast("long") === dl("id"), "left_anti")
+      case None => df
+    }
 }

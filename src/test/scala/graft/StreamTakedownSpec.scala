@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.{Dedup, IndexMaintenance, Lexical, ServingSession}
+import graft.operators.IndexMaintenance.{Policy, currentPath, genPath}
+import graft.streaming.{Denylist, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming takedown loop ([[StreamOps
+  * .streamingTakedownPipelineManaged]]): each micro-batch of doc ids lands
+  * as idempotent tombstone deletes on the CURRENT generation of every
+  * managed index, `deleteFraction` drives physical compaction through the
+  * same maintenance pass as the ingest loop, a live [[ServingSession]]
+  * follows the delete-triggered swap, and `denyFuture` keeps re-crawled
+  * taken-down docs out of later ingest epochs via the root-level
+  * [[Denylist]].
+  */
+class StreamTakedownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def doc(tag: Any) =
+    s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon $tag zeta"
+
+  private def docs(ids: Seq[Long], tagOf: Long => String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, doc(tagOf(i)))).toDF("doc_id", "text")
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def minhashHits(idx: Dedup.MinHashIndex, probe: DataFrame): Set[Long] =
+    Dedup.minhashSearchIndex(idx, probe, "doc_id", "text", 0.5)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+
+  test("takedown epochs tombstone minhash+bm25 on the current generation; " +
+      "deleteFraction compacts; a live session follows the swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mhRoot = tmp("graft_takedown_mh")
+    val bmRoot = tmp("graft_takedown_bm")
+    val corpus = docs(0L until 12L, i => s"base$i")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(corpus, "doc_id", "text"), genPath(mhRoot, 0))
+    IndexMaintenance.commitGeneration(spark, mhRoot, 0)
+    val (p, s) = Lexical.bm25BuildIndex(corpus, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, s, genPath(bmRoot, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, bmRoot, 0)
+
+    val sess = ServingSession.minhash(spark, mhRoot)
+    val probe3 = docs(Seq(999L), _ => "base3")
+    assert(minhashHits(sess.resolved._2, probe3) == Set(3L),
+      "pre-takedown: the session must serve doc 3")
+
+    val maint = scala.collection.mutable.ArrayBuffer.empty[IndexMaintenance.Event]
+    val stream = MemoryStream[Long]
+    // any tombstoned row compacts immediately → the swap fires mid-stream
+    val q = StreamOps.streamingTakedownPipelineManaged(
+      stream.toDF().toDF("doc_id"), "doc_id", mhRoot,
+      bm25Root = Some(bmRoot),
+      policy = Policy(maxDeleteFraction = 0.0),
+      denyFuture = true,
+      onMaintenance = evs => maint ++= evs)
+      .start()
+    try {
+      stream.addData(3L)
+      q.processAllAvailable()
+      stream.addData(5L, 7L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // both epochs compacted both indexes (deleteFraction > 0.0 each time)
+    assert(maint.filter(_.index == "minhash").map(_.action) == Seq("compact", "compact"))
+    assert(maint.filter(_.index == "bm25").map(_.action) == Seq("compact", "compact"))
+    assert(currentPath(spark, mhRoot) == genPath(mhRoot, 2))
+
+    // the live session followed to gen 2 and no longer serves any taken-down doc
+    val (g, idx) = sess.resolved
+    assert(g == 2)
+    for (d <- Seq(3L, 5L, 7L))
+      assert(minhashHits(idx, docs(Seq(999L), _ => s"base$d")).isEmpty,
+        s"taken-down doc $d still served")
+    // survivors still match through the compacted generations
+    assert(minhashHits(idx, docs(Seq(999L), _ => "base4")) == Set(4L))
+    sess.close()
+
+    // bm25: the takedown result equals a survivor-corpus rebuild, bit-for-bit
+    val queries = docs(Seq(0L, 1L, 4L), i => s"base$i")
+    val got = Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(spark, currentPath(spark, bmRoot)),
+        queries, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val rebuiltDir = tmp("graft_takedown_rebuild")
+    val survivors = corpus.filter(!col("doc_id").isin(3L, 5L, 7L))
+    val (rp, rs) = Lexical.bm25BuildIndex(survivors, "doc_id", "text")
+    Lexical.bm25WriteIndex(rp, rs, rebuiltDir, nBuckets = 8)
+    val want = Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(spark, rebuiltDir), queries, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == want, "takedown+compact must equal the survivor rebuild")
+
+    // denyFuture: the denylist recorded every epoch's ids at the ROOT level
+    val dl = Denylist.read(spark, mhRoot).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dl == Set(3L, 5L, 7L))
+
+    // a re-crawl of a taken-down doc does NOT re-enter through the managed
+    // ingest loop (the denylist anti-join runs before survivor computation)
+    val ingest = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val iq = StreamOps.streamingIngestPipelineManaged(
+      ingest.toDF().toDF("doc_id", "text"), "doc_id", "text", mhRoot,
+      jaccardThreshold = 0.5,
+      onBatch = b => seen += b.select("doc_id").as[Long].collect().toSet)
+      .start()
+    try {
+      ingest.addData((303L, doc("base3")), (400L, doc("genuinely_new")))
+      iq.processAllAvailable()
+    } finally iq.stop()
+    // 303 carries doc 3's text but a new id — it passes the denylist (ids,
+    // not content) yet near-dup-dedups against... nothing: doc 3 is gone,
+    // so it survives. The CONTENT gate for re-entry is dedup; the ID gate
+    // is the denylist. Prove the id gate with doc 3's own id:
+    assert(seen.head == Set(303L, 400L))
+    val ingest2 = MemoryStream[(Long, String)]
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val iq2 = StreamOps.streamingIngestPipelineManaged(
+      ingest2.toDF().toDF("doc_id", "text"), "doc_id", "text", mhRoot,
+      jaccardThreshold = 0.5, ingestTag = "ingest2",
+      onBatch = b => seen2 += b.select("doc_id").as[Long].collect().toSet)
+      .start()
+    try {
+      ingest2.addData((3L, doc("recrawled_base3_fresh_text")), (401L, doc("another_new")))
+      iq2.processAllAvailable()
+    } finally iq2.stop()
+    assert(seen2.head == Set(401L), s"denylisted id 3 re-entered: ${seen2.head}")
+  }
+
+  test("denylist protocol: idempotent append, absent-root no-op, exclusion anti-join") {
+    val root = tmp("graft_denylist")
+    assert(Denylist.read(spark, root).isEmpty)
+    val d = docs(Seq(1L, 2L), i => s"t$i")
+    assert(Denylist.exclude(d, "doc_id", root).count() == 2) // no denylist → no-op
+    assert(Denylist.append(spark, root, docs(Seq(1L), i => s"t$i"), "doc_id", "del_a"))
+    assert(!Denylist.append(spark, root,
+      docs(Seq(2L), i => s"t$i"), "doc_id", "del_a"), "committed delId must no-op")
+    assert(Denylist.read(spark, root).get.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(Denylist.exclude(d, "doc_id", root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+}
