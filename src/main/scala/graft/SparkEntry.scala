@@ -91,16 +91,18 @@ object SparkEntry {
     */
   private val steadyMinhashCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.MinHashIndex]
+  private def steadyMinhashDir(s: SparkSession, dir: String): String = {
+    val sub = s"${perProcessTmpDir("graft_minhash_steady")}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
+      Dedup.minhashWriteIndex(
+        Dedup.minhashBuildIndex(ld(s, dir, "documents"), "doc_id", "text"), sub)
+    }
+    sub
+  }
   private[graft] def steadyMinhashIndex(s: SparkSession, dir: String): Dedup.MinHashIndex =
-    steadyMinhashCache.computeIfAbsent(dir, _ => {
-      val sub = s"${perProcessTmpDir("graft_minhash_steady")}/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(s"$sub/minhash_meta.json").exists()) {
-        Dedup.minhashWriteIndex(
-          Dedup.minhashBuildIndex(ld(s, dir, "documents"), "doc_id", "text"), sub)
-      }
-      Dedup.minhashOpenIndex(s, sub)
-    })
+    steadyMinhashCache.computeIfAbsent(dir, _ =>
+      Dedup.minhashOpenIndex(s, steadyMinhashDir(s, dir)))
 
   /** Incrementally-assembled sibling of [[steadyMinhashIndex]]: built on the
     * corpus MINUS a held-out slice, then the slice is absorbed via
@@ -651,7 +653,8 @@ object SparkEntry {
       bmRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
       mhRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType),
       ingestSurvivors: Seq[Long],
-      denylist: Seq[Long])
+      denylist: Seq[Long],
+      mhRoot: String)
   private val steadyStreamTakedownCache =
     new java.util.concurrent.ConcurrentHashMap[String, StreamTakedownFixture]
   private def steadyStreamTakedown(s: SparkSession, dir: String): StreamTakedownFixture =
@@ -732,7 +735,7 @@ object SparkEntry {
       val denylist = graft.streaming.Denylist.read(s, mhRoot)
         .map(_.collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Seq.empty)
       StreamTakedownFixture(census, bmRows, mhRows,
-        survivors.result().sorted, denylist)
+        survivors.result().sorted, denylist, mhRoot)
     })
 
   /** Drift → recall degradation → refit recovery (judge r10 #2), run ONCE
@@ -3196,6 +3199,34 @@ object SparkEntry {
         .orderBy(col("leg"), col("a"), col("b"))
     }),
 
+    // The SQL surface for filtered near-dup search (r13): graft_minhash_search
+    // with the optional allow-list pair must equal q_minhash_filtered exactly
+    // (same oracle) — the TVF's catalog-resolved batch and allow tables carry
+    // the identical postings-scan semi-join as the DataFrame view.
+    "q_minhash_search_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val docs = ld(s, dir, "documents")
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .createOrReplaceTempView("graft_mhflt_batch")
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+        .createOrReplaceTempView("graft_mhflt_allow")
+      val p = steadyMinhashDir(s, dir)
+      s.sql(
+        s"""SELECT corpus_id, batch_id AS benchmark_id, jaccard
+           |FROM graft_minhash_search('$p', 'graft_mhflt_batch', 'doc_id', 'text',
+           |                          0.8, 'graft_mhflt_allow', 'doc_id')
+           |ORDER BY corpus_id, benchmark_id""".stripMargin)
+    }),
+
+    // Denylist audit from SQL (r13): graft_denylist over the takedown
+    // fixture's root — the "which ids can never re-enter" compliance view,
+    // oracle-recomputed from the documents table.
+    "q_denylist_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val root = steadyStreamTakedown(s, dir).mhRoot
+      s.sql(s"SELECT id FROM graft_denylist('$root') ORDER BY id")
+    }),
+
     // ------------------------------------------------------------ scale stress
     // The 100 TB posture exercised instead of argued: each leg multiplies the
     // bench tables in-plan (operators/Stress.scala — salted ids over a
@@ -5424,7 +5455,14 @@ object SparkEntry {
     "q_bm25_filtered" -> Bm25FilteredOracleSql,
     "q_bm25_filtered_sql" -> Bm25FilteredOracleSql,
     "q_minhash_filtered" -> MinhashFilteredOracleSql,
+    "q_minhash_search_sql" -> MinhashFilteredOracleSql,
     "q_hybrid_filtered" -> HybridFilteredOracleSql,
+
+    // denylist audit TVF (r13): the recorded never-re-enter ids are exactly
+    // the takedown fixture's id slice, recomputed from the documents table
+    "q_denylist_sql" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |WHERE doc_id % 10 = 3 ORDER BY id""".stripMargin,
 
     // tombstone audit (r13): every recorded delta recomputed from the
     // documents table — docs with zero tokens leave no postings, hence the

@@ -407,7 +407,8 @@ object Dedup extends Logging {
       shingleSize: Int, numBands: Int, rowsPerBand: Int, hashFamily: String,
       nRows: Option[Long] = None,
       appendedBatches: Int = 0,
-      deletedPostings: Long = 0L) {
+      deletedPostings: Long = 0L,
+      allowed: Option[DataFrame] = None) {
     /** Tombstoned postings ÷ scanned postings — the delete-cadence signal.
       * Deletes are exact here for the same reason appends are (no corpus-
       * global stats; see [[minhashDeleteFromIndex]]); what accumulates is
@@ -433,6 +434,15 @@ object Dedup extends Logging {
       new Resident.Holder[Resident.MinhashResident]("minhash")
     private[operators] def resident: Resident.MinhashResident =
       residentHolder.get(Resident.buildMinhash(this))
+    /** Driver-collected allow set for filtered RESIDENT serving (r13) — the
+      * [[graft.operators.Lexical.Bm25Index.allowedServingSet]] pattern:
+      * present iff this is a filtered view whose allow-list fits
+      * [[Serving.maxDriverAllowIds]]; over-bound views keep the distributed
+      * semi-join plan.
+      */
+    @transient private[operators] lazy val allowedServingSet
+        : Option[java.util.HashSet[java.lang.Long]] =
+      allowed.flatMap(Serving.collectAllowSet)
   }
 
   /** Build the persistable structures: banded postings + shingle sets (same
@@ -715,21 +725,20 @@ object Dedup extends Logging {
     * matches whose `corpus_id` is in the allow set.
     *
     * Jaccard has no corpus-global statistics, so the restriction point is
-    * pure efficiency, not semantics: the semi-join lands on the POSTINGS
-    * scan, before the band equi-join, so disallowed docs never generate
-    * candidates (a post-filter on the output would verify and then discard
-    * them). No broadcast hint — AQE broadcasts a small allow set. The
-    * view's postings plan is unpinned by construction, so the single-stage
-    * / resident fast paths stay off and filtered searches run the
-    * distributed plan, same posture as the other two views. Search-only:
-    * append/delete/compact take the index PATH and ignore views.
+    * pure efficiency, not semantics: on the distributed plan the semi-join
+    * lands on the POSTINGS scan, before the band equi-join, so disallowed
+    * docs never generate candidates (a post-filter on the output would
+    * verify and then discard them). No broadcast hint — AQE broadcasts a
+    * small allow set. A PINNED index with a driver-sized allow-list still
+    * serves from the resident tier (r13, [[Serving.maxDriverAllowIds]]):
+    * candidate ids are filtered in the driver fold before Jaccard
+    * verification — zero jobs, same rows. Search-only: append/delete/
+    * compact take the index PATH and ignore views.
     */
   def minhashFilteredView(
-      index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex = {
-    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
-    index.copy(postings = index.postings
-      .join(ids, index.postings("id").cast("long") === col("__allow_id"), "left_semi"))
-  }
+      index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex =
+    index.copy(allowed = Some(
+      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
 
   def minhashSearchIndex(
       index: MinHashIndex, batch: DataFrame, idCol: String, textCol: String,
@@ -739,15 +748,23 @@ object Dedup extends Logging {
     // serving fast path (see [[Serving]]): when the meta's postings row
     // count fits the single-stage budget AND the batch is small enough to
     // collect bounded, the whole search runs as one single-partition stage
-    if (Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
+    if ((index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
+        Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
         Serving.singleStageRows(index.postings.sparkSession))) {
       minhashSearchSingleStage(index, b, jaccardThreshold) match {
         case Some(fast) => return fast
         case None => // batch blew the bound — parallel plan below
       }
     }
+    // distributed plan: a view's allow semi-join sits on the postings scan,
+    // before band candidates form (see [[minhashFilteredView]])
+    val posts = index.allowed match {
+      case Some(ids) => index.postings
+        .join(ids, index.postings("id").cast("long") === col("__allow_id"), "left_semi")
+      case None => index.postings
+    }
     val candidates = bandJoin(
-      index.postings, "corpus_id",
+      posts, "corpus_id",
       bandBuckets(b, index.numBands, index.rowsPerBand), "batch_id")
     candidates
       .join(index.shingles.select(col("id").as("corpus_id"), col("sh").as("cs")), "corpus_id")
@@ -813,12 +830,16 @@ object Dedup extends Logging {
       val res = index.resident
       return Some(Resident.toDf(index.postings.sparkSession,
         Resident.searchMinhash(res, rows, index.numBands, index.rowsPerBand,
-          jaccardThreshold),
+          jaccardThreshold, allowed = index.allowedServingSet.orNull),
         StructType(Seq(
           StructField("corpus_id", res.corpusIdType, nullable = true),
           StructField("batch_id", b.schema("id").dataType, nullable = true),
           StructField("jaccard", DoubleType, nullable = false)))))
     }
+    // the 1-job single-stage PLAN below has no allow seam — filtered views
+    // between the resident bound and the single-stage budget keep the
+    // distributed semi-join plan
+    if (index.allowed.isDefined) return None
     val r = index.rowsPerBand
     val localRows: Seq[org.apache.spark.sql.Row] = for {
       row <- rows.toSeq

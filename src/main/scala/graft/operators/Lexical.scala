@@ -196,6 +196,15 @@ object Lexical {
       new Resident.Holder[Resident.Bm25Resident]("bm25")
     private[operators] def resident: Resident.Bm25Resident =
       residentHolder.get(Resident.buildBm25(this))
+    /** Driver-collected allow set for filtered RESIDENT serving (r13):
+      * present iff this is a filtered view whose allow-list fits
+      * [[Serving.maxDriverAllowIds]]; collected once per view and reused by
+      * every search. Absent on over-bound views — they keep the distributed
+      * semi-join plan.
+      */
+    @transient private[operators] lazy val allowedServingSet
+        : Option[java.util.HashSet[java.lang.Long]] =
+      allowed.flatMap(Serving.collectAllowSet)
   }
 
   /** Allow-list-restricted view of a persisted BM25 index — the lexical leg
@@ -735,13 +744,19 @@ object Lexical {
     // meant to remove (judge r11 advice). Same contrib op order, same fold
     // order, same TopKBuffer — spec-pinned bit-identical to the batch-fold
     // plan below.
-    if (distinctTerms.length <= 4096 && index.allowed.isEmpty &&
+    // a filtered view still serves resident when its allow set is
+    // driver-sized (collected once per view): the fold computes every score
+    // from the full-corpus mirror and filters MEMBERSHIP only — exactly the
+    // distributed semi-join's filter-context semantics at zero jobs
+    if (distinctTerms.length <= 4096 &&
+        (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
         Resident.eligible(spark, index.nRows, index.postings)) {
       val qSets = qtRows.groupBy(_.getLong(0)).toSeq
         .map { case (qid, rs) => (qid, rs.map(_.getString(1)).toSeq) }
       return Resident.toDf(spark,
         Resident.searchBm25(index.resident, qSets, nDocs, avgdl, k, k1, b,
-          useBake = index.bakedParams.contains((k1, b))),
+          useBake = index.bakedParams.contains((k1, b)),
+          allowed = index.allowedServingSet.orNull),
         Resident.Bm25Schema)
     }
     lazy val qterms = spark.createDataFrame(

@@ -383,7 +383,8 @@ object Resident {
   private[operators] def searchBm25(
       res: Bm25Resident, qSets: Seq[(Long, Seq[String])],
       nDocs: Double, avgdl: Double, k: Int, k1: Double, b: Double,
-      useBake: Boolean): Seq[Row] = {
+      useBake: Boolean,
+      allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
@@ -428,7 +429,10 @@ object Resident {
         }
       }
       val buf = new TopKBuffer(k)
-      scores.foreach((d, s) => buf.insert(s, d))
+      // allow-list filters MEMBERSHIP only, after scoring: df/idf above came
+      // from the full-corpus mirror (filter-context, [[graft.operators
+      // .Lexical.bm25FilteredView]])
+      scores.foreach((d, s) => if (allowed == null || allowed.contains(d)) buf.insert(s, d))
       var r = 0
       while (r < buf.n) {
         out += Row(qid, (r + 1).toLong, buf.ids(r), buf.scores(r))
@@ -497,7 +501,8 @@ object Resident {
     */
   private[operators] def searchMinhash(
       res: MinhashResident, batchRows: Array[Row],
-      numBands: Int, rowsPerBand: Int, jaccardThreshold: Double): Seq[Row] = {
+      numBands: Int, rowsPerBand: Int, jaccardThreshold: Double,
+      allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
     val seen = new java.util.HashSet[(Any, Any)]
     val out = Seq.newBuilder[Row]
@@ -510,7 +515,11 @@ object Resident {
         val bucket = sig.slice(band * rowsPerBand, band * rowsPerBand + rowsPerBand)
         val cands = res.byBucket.get((band, bucket))
         if (cands != null) cands.foreach { corpusId =>
-          if (seen.add((corpusId, batchId))) {
+          // allow-list filters candidates before Jaccard verification —
+          // Jaccard has no corpus stats, so this is the semi-join, verbatim
+          if ((allowed == null ||
+              allowed.contains(corpusId.asInstanceOf[Number].longValue())) &&
+              seen.add((corpusId, batchId))) {
             val cs = res.shingles.get(corpusId)
             if (cs != null) {
               // size(array_intersect) / size(array_union) on distinct arrays

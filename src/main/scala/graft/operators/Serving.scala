@@ -66,4 +66,42 @@ object Serving {
     */
   def pinned(dfs: org.apache.spark.sql.DataFrame*): Boolean =
     dfs.forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+
+  /** Filtered serving (r13): a filtered VIEW can still serve from the
+    * driver-resident tier when its allow-list is itself driver-sized — the
+    * id set is collected ONCE per view (one bounded job, amortized across
+    * the view's searches) and each resident search filters candidate ids in
+    * the driver fold. Filter-context exact: scores and corpus stats are
+    * computed BEFORE the membership check, so filtering changes top-k
+    * membership only, never a score. Over the bound the view keeps the
+    * distributed semi-join plan — a tenant-sized allow-list has no business
+    * on the driver.
+    */
+  val MaxDriverAllowIdsKey = "spark.graft.serving.maxDriverAllowIds"
+
+  /** Same order as the resident row bound: an allow-list bigger than the
+    * index rows it filters has stopped being a "filter".
+    */
+  val DefaultMaxDriverAllowIds: Int = 1 << 17
+
+  def maxDriverAllowIds(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(MaxDriverAllowIdsKey).map(_.toInt)
+      .getOrElse(DefaultMaxDriverAllowIds)
+
+  /** Collect a view's `(__allow_id: long)` frame into a driver set, or None
+    * when it exceeds [[maxDriverAllowIds]] (the limit stops the single task
+    * at bound + 1 rows — no unbounded driver materialization either way).
+    */
+  private[operators] def collectAllowSet(
+      allowed: org.apache.spark.sql.DataFrame)
+      : Option[java.util.HashSet[java.lang.Long]] = {
+    val bound = maxDriverAllowIds(allowed.sparkSession)
+    val rows = allowed.coalesce(1).limit(bound + 1).collect()
+    if (rows.length > bound) None
+    else {
+      val s = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      rows.foreach(r => s.add(r.getLong(0)))
+      Some(s)
+    }
+  }
 }

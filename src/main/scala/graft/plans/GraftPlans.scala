@@ -387,6 +387,58 @@ object GraftPlans {
       graft.operators.IndexMaintenance.eventsDf(SparkSession.active, root))
   }
 
+  /** `graft_minhash_search('index_path','batch_tbl','id','text', threshold
+    * [, allowedTable, allowedIdCol])` — near-dup probe of a persisted
+    * [[graft.operators.Dedup.minhashWriteIndex]] directory from SQL:
+    * `(corpus_id, batch_id, jaccard)` for every index doc whose exact
+    * shingle Jaccard with a batch doc clears the threshold, candidates from
+    * the banded equi-join. The optional trailing pair (r13) restricts
+    * matches to the allow-list's corpus ids via [[graft.operators.Dedup
+    * .minhashFilteredView]] — completing the filtered-search SQL surface
+    * across all three index families.
+    */
+  private def minhashSearchBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5 || args.length == 7,
+      "graft_minhash_search(indexPath, batchTable, idCol, textCol, " +
+        "jaccardThreshold[, allowedTable, allowedIdCol])")
+    val path = str(args(0), "indexPath")
+    val bt = str(args(1), "batchTable")
+    val id = str(args(2), "idCol")
+    val text = str(args(3), "textCol")
+    val tau = dbl(args(4), "jaccardThreshold")
+    val spark = SparkSession.active
+    val batch = ColumnBridge.ofRows(spark, rel(bt, Seq(id, text)))
+    val idx0 = graft.operators.Dedup.minhashOpenIndex(spark, path)
+    val idx =
+      if (args.length == 7) {
+        val at = str(args(5), "allowedTable")
+        val aid = str(args(6), "allowedIdCol")
+        graft.operators.Dedup.minhashFilteredView(idx0,
+          ColumnBridge.ofRows(spark, rel(at, Seq(aid))), aid)
+      } else idx0
+    ColumnBridge.analyzedPlan(
+      graft.operators.Dedup.minhashSearchIndex(idx, batch, id, text, tau))
+  }
+
+  /** `graft_denylist('root')` — the ingest denylist of a managed root from
+    * SQL ([[graft.streaming.Denylist]]): one `(id)` row per taken-down doc
+    * id that [[graft.streaming.StreamOps.streamingTakedownPipelineManaged]]
+    * recorded with `denyFuture`. The compliance audit sibling of
+    * `graft_index_deletes` for the INGEST side: "which ids can never
+    * re-enter this corpus". Empty frame when no takedown ever ran.
+    */
+  private def denylistBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_denylist(root)")
+    val root = str(args(0), "root")
+    val spark = SparkSession.active
+    val df = graft.streaming.Denylist.read(spark, root).getOrElse {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("id", LongType, nullable = false))))
+    }
+    ColumnBridge.analyzedPlan(df)
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -428,7 +480,13 @@ object GraftPlans {
         maintenanceLogBuilder _),
       (FunctionIdentifier("graft_index_deletes"),
         new ExpressionInfo("graft", "graft_index_deletes"),
-        indexDeletesBuilder _))
+        indexDeletesBuilder _),
+      (FunctionIdentifier("graft_minhash_search"),
+        new ExpressionInfo("graft", "graft_minhash_search"),
+        minhashSearchBuilder _),
+      (FunctionIdentifier("graft_denylist"),
+        new ExpressionInfo("graft", "graft_denylist"),
+        denylistBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -108,26 +108,98 @@ class FilteredViewSpec extends AnyFunSuite {
     assert(flt(appDir) == flt(fullDir))
   }
 
-  test("bm25 filtered view ignores residency: a pinned resident-eligible index " +
-      "still serves the filtered search correctly (distributed plan)") {
+  private val jobCount = new java.util.concurrent.atomic.AtomicLong
+  private lazy val listener = {
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+  private def quiesce(): Unit = {
+    var last = -1L
+    var stable = 0
+    val deadline = System.nanoTime() + 5000000000L
+    while (stable < 4 && System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      val n = jobCount.get()
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
+  }
+  private def jobsFor(search: () => Long): Long = {
+    listener
+    search(); quiesce()
+    val before = jobCount.get()
+    search(); quiesce()
+    jobCount.get() - before
+  }
+
+  test("bm25 filtered RESIDENT serving: pinned index + driver-sized allow set " +
+      "serves at ZERO jobs with the distributed plan's exact rows; over-bound " +
+      "allow sets fall back to the semi-join plan") {
     val d = docs(0 until 60)
     val dir = tmp("graft_bmflt_res")
     val (p, s) = Lexical.bm25BuildIndex(d, "doc_id", "text")
     Lexical.bm25WriteIndex(p, s, dir, nBuckets = 8)
     val idx = Lexical.bm25OpenIndex(spark, dir)
     idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      .count() // pin → unfiltered searches are resident-eligible
+      .count() // pin → resident-eligible
     try {
-      val q = d.filter(col("doc_id") < 4)
-      // prime the resident mirror via an unfiltered search
-      Lexical.bm25SearchIndex(idx, q, "doc_id", "text", k = 3).collect()
+      // LocalRelation queries: the serving shape (no query-side jobs)
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val qRows = d.filter(col("doc_id") < 4).collect()
+      val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("text", StringType, nullable = true))))
       val all = bm25Rows(Lexical.bm25SearchIndex(idx, q, "doc_id", "text", k = 60))
       val expected = expectedFiltered(all, _ % 2 == 0, k = 3)
-      val view = Lexical.bm25FilteredView(idx,
-        d.filter(col("doc_id") % 2 === 0).select("doc_id"), "doc_id")
+      val allowDf = d.filter(col("doc_id") % 2 === 0).select("doc_id")
+      val view = Lexical.bm25FilteredView(idx, allowDf, "doc_id")
       val got = bm25Rows(Lexical.bm25SearchIndex(view, q, "doc_id", "text", k = 3))
       assert(got == expected)
+      // steady state: the filtered search is pure driver arithmetic — the
+      // allow set was collected once on the first search, the mirror shared
+      assert(jobsFor(() =>
+        Lexical.bm25SearchIndex(view, q, "doc_id", "text", k = 3).collect().length) == 0L)
+      // over-bound allow set: fresh view under a zero budget keeps the
+      // distributed semi-join plan, rows identical
+      spark.conf.set(graft.operators.Serving.MaxDriverAllowIdsKey, "0")
+      try {
+        val view2 = Lexical.bm25FilteredView(idx, allowDf, "doc_id")
+        val got2 = bm25Rows(Lexical.bm25SearchIndex(view2, q, "doc_id", "text", k = 3))
+        assert(got2 == expected)
+      } finally spark.conf.unset(graft.operators.Serving.MaxDriverAllowIdsKey)
     } finally idx.postings.unpersist()
+  }
+
+  test("minhash filtered resident serving ≡ the distributed semi-join plan") {
+    import spark.implicits._
+    val d = (0 until 80).map { i =>
+      val core = s"shared text block number ${i / 2} with stable words"
+      (i.toLong, s"$core tail$i")
+    }.toDF("doc_id", "text")
+    val dir = tmp("graft_mhflt_res")
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(d, "doc_id", "text"), dir)
+    val idx = Dedup.minhashOpenIndex(spark, dir)
+    idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY).count()
+    idx.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY).count()
+    try {
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val allowDf = d.filter(col("doc_id") % 3 === 0).select("doc_id")
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("corpus_id").cast("long"), col("batch_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val resident = pairs(Dedup.minhashSearchIndex(
+        Dedup.minhashFilteredView(idx, allowDf, "doc_id"), batch, "doc_id", "text", 0.5))
+      spark.conf.set(graft.operators.Serving.MaxDriverAllowIdsKey, "0")
+      val distributed =
+        try pairs(Dedup.minhashSearchIndex(
+          Dedup.minhashFilteredView(idx, allowDf, "doc_id"), batch, "doc_id", "text", 0.5))
+        finally spark.conf.unset(graft.operators.Serving.MaxDriverAllowIdsKey)
+      assert(resident == distributed)
+      assert(resident.nonEmpty && resident.forall(_._1 % 3 == 0))
+    } finally { idx.postings.unpersist(); idx.shingles.unpersist() }
   }
 
   test("minhash filtered view: exactly the unfiltered matches restricted to " +

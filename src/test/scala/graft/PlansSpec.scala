@@ -448,6 +448,51 @@ class PlansSpec extends AnyFunSuite {
     assert(err.getMessage.contains("graft_maintenance_log"))
   }
 
+  test("graft_minhash_search TVF ≡ DataFrame search, allow-list form ≡ filtered " +
+      "view; graft_denylist audits the takedown denylist (r13)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val tag = s"grp${i / 2}" // consecutive pairs near-dup
+      (i, s"$tag alpha $tag beta $tag gamma $tag delta $tag epsilon tail$i")
+    }.toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("plans_spec_mhsearch").toString
+    graft.operators.Dedup.minhashWriteIndex(
+      graft.operators.Dedup.minhashBuildIndex(docs, "doc_id", "text"), idxDir)
+    val idx = graft.operators.Dedup.minhashOpenIndex(spark, idxDir)
+    docs.filter($"doc_id" % 10 === 0).createOrReplaceTempView("plans_spec_mhs_batch")
+    docs.filter($"doc_id" % 2 === 1).select("doc_id")
+      .createOrReplaceTempView("plans_spec_mhs_allow")
+    GraftPlans.install(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(spark.sql(
+      s"""SELECT corpus_id, batch_id, jaccard
+         |FROM graft_minhash_search('$idxDir', 'plans_spec_mhs_batch',
+         |                          'doc_id', 'text', 0.5)""".stripMargin))
+    val direct = rows(graft.operators.Dedup.minhashSearchIndex(
+      idx, docs.filter($"doc_id" % 10 === 0), "doc_id", "text", 0.5))
+    assert(plain == direct)
+    assert(plain.exists { case (c, b, _) => c != b }, "expected cross-doc near-dups")
+    val filtered = rows(spark.sql(
+      s"""SELECT corpus_id, batch_id, jaccard
+         |FROM graft_minhash_search('$idxDir', 'plans_spec_mhs_batch',
+         |  'doc_id', 'text', 0.5, 'plans_spec_mhs_allow', 'doc_id')""".stripMargin))
+    assert(filtered == plain.filter(_._1 % 2 == 1))
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_minhash_search('$idxDir', 'x')").collect()
+    }
+    assert(err.getMessage.contains("graft_minhash_search"))
+
+    // denylist TVF: empty on a root with no takedowns, exact ids after
+    val root = java.nio.file.Files.createTempDirectory("plans_spec_deny").toString
+    assert(spark.sql(s"SELECT * FROM graft_denylist('$root')").collect().isEmpty)
+    graft.streaming.Denylist.append(spark, root,
+      Seq(7L, 3L, 7L).toDF("doc_id"), "doc_id", "del_0")
+    val ids = spark.sql(s"SELECT id FROM graft_denylist('$root') ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(3L, 7L))
+  }
+
   test("self-join via the TVF keeps both sides independently bound") {
     // regression guard for the duplicate-exprId self-join hazard: both sides
     // read the SAME view; by-name binding must keep left/right separate
