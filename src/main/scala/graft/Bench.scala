@@ -481,7 +481,21 @@ object Bench {
           // (compare with bm25_index above for the lifecycle overhead)
           timeServing("bm25_session", docSlices.map(q => () =>
             graft.operators.Lexical.bm25SearchIndex(sess.index, q,
-              "doc_id", "text", k = 5).collect().length.toLong)))
+              "doc_id", "text", k = 5).collect().length.toLong)),
+          // the r13 filtered leg: the same pinned index through an
+          // allow-list view (doc_id % 3 == 0) — quantifies the resident
+          // tier's driver-side membership filter (the allow set collects
+          // once on the untimed warm search; compare with bm25_index)
+          timeServing("bm25_filtered", {
+            val view = graft.operators.Lexical.bm25FilteredView(bm25,
+              docsDf.filter(org.apache.spark.sql.functions.pmod(
+                  org.apache.spark.sql.functions.col("doc_id"),
+                  org.apache.spark.sql.functions.lit(3)) === 0)
+                .select("doc_id"), "doc_id")
+            docSlices.map(q => () =>
+              graft.operators.Lexical.bm25SearchIndex(view, q, "doc_id", "text", k = 5)
+                .collect().length.toLong)
+          }))
         sess.close()
         // resident-footprint census (r12): what the zero-job tier holds in
         // driver heap while serving — exact-array byte estimates per live

@@ -158,7 +158,8 @@ object Ann {
   final case class AnnIndex(cells: DataFrame, centroids: DataFrame, nCentroids: Int,
       nRows: Option[Long] = None, appendedRows: Long = 0L,
       pqCodebook: Option[Pq.PqCodebook] = None,
-      deletedRows: Long = 0L) {
+      deletedRows: Long = 0L,
+      allowed: Option[DataFrame] = None) {
     /** Tombstoned vectors ÷ scanned vectors — the delete-cadence signal.
       * Deletes cost nothing in recall (cell assignments of SURVIVING vectors
       * are untouched; see [[annDeleteFromIndex]]); what accumulates is
@@ -194,6 +195,16 @@ object Ann {
       new Resident.Holder[Resident.AnnResident]("ann")
     private[operators] def resident: Resident.AnnResident =
       residentHolder.get(Resident.buildAnn(this))
+    /** Driver-collected allow set for filtered RESIDENT serving (r13) — the
+      * [[graft.operators.Lexical.Bm25Index.allowedServingSet]] pattern:
+      * present iff this is a filtered view whose allow-list fits
+      * [[Serving.maxDriverAllowIds]]; collected once per view. The mirror
+      * itself stays the UNFILTERED index (shared with plain opens via the
+      * holder's shareKey) — the set filters candidates at search time.
+      */
+    @transient private[operators] lazy val allowedServingSet
+        : Option[java.util.HashSet[java.lang.Long]] =
+      allowed.flatMap(Serving.collectAllowSet)
   }
 
   /** Build the IVF structures: refined centroids + the cell-assigned corpus
@@ -510,15 +521,32 @@ object Ann {
     *
     * The view is cheap to build (no data moves) but collects its centroid
     * matrix lazily on first search — REUSE one view across a query stream
-    * rather than rebuilding it per search. Driver-resident serving stays off
-    * for views (their frames are never pinned), so filtered searches always
-    * run the distributed plan.
+    * rather than rebuilding it per search. A PINNED index with a
+    * driver-sized allow-list (r13, [[Serving.maxDriverAllowIds]], collected
+    * once per view) serves filtered searches from the RESIDENT tier at
+    * zero jobs — candidate ids filtered in the driver scoring loops, the
+    * mirror itself shared with plain opens; over-bound views keep the
+    * distributed semi-join plan.
     */
   def annFilteredView(index: AnnIndex, allowed: DataFrame, idCol: String): AnnIndex = {
-    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
-    index.copy(cells = index.cells
-      .join(ids, index.cells("corpus_id") === col("__allow_id"), "left_semi"))
+    val v = index.copy(allowed = Some(
+      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+    // inherit the mirror identity: the view's resident mirror IS the base
+    // index's (unfiltered — the allow set applies at search time), so two
+    // opens + a view share one census entry
+    v.residentHolder.shareKey = index.residentHolder.shareKey
+    v
   }
+
+  /** A view's candidate restriction on the distributed plans: a `left_semi`
+    * on `corpus_id` keeping every cell column. No-op without a view; AQE
+    * broadcasts a small allow side.
+    */
+  private def allowRestrict(df: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed match {
+      case Some(ids) => df.join(ids, df("corpus_id") === ids("__allow_id"), "left_semi")
+      case None => df
+    }
 
   /** Driver materialization bound for a persisted-index search's probe set,
     * in probe rows (|queries| × nProbe). Under the bound, `bound / nProbe`
@@ -674,13 +702,16 @@ object Ann {
     // the whole search is driver arithmetic — zero Spark jobs. Same
     // dot/cosine/TopKBuffer kernels as the scan, spec-pinned bit-identical.
     pr match {
-      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+      case lp: LocalProbes
+          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
+            Resident.eligible(spark, index.nRows, index.cells) =>
         return Resident.toDf(spark,
-          Resident.searchAnnFloat(index.resident, groupProbes(lp), k),
+          Resident.searchAnnFloat(index.resident, groupProbes(lp), k,
+            allowed = index.allowedServingSet.orNull),
           Resident.AnnSchema)
       case _ =>
     }
-    val pruned = pr.restrict(index.cells)
+    val pruned = allowRestrict(pr.restrict(index.cells), index.allowed)
     val scored = pr match {
       // Serving fast path: the probe assignment is driver-known, so the
       // query side enters the plan as a LITERAL map `cell -> [(query_id,
@@ -694,7 +725,11 @@ object Ann {
       // try_element_at (vs element_at) keeps a miss a no-row, not an ANSI
       // error. Scoring expressions are identical, so scores stay bit-equal
       // to the join form (spec-pinned).
-      case LocalProbes(_, exploded, _, _) if estScanFitsSingleStage(index, pr, spark) =>
+      // filtered views skip the literal-map single-stage shape (no allow
+      // seam without a join above the coalesce) — they score through the
+      // broadcast branch below with the semi-joined pruned scan
+      case LocalProbes(_, exploded, _, _)
+          if index.allowed.isEmpty && estScanFitsSingleStage(index, pr, spark) =>
         val byCell: Map[Long, Seq[(Long, Seq[Double], Double)]] = exploded
           .groupBy(_._4)
           .map { case (c, es) => (c, es.map(e => (e._1, e._2.toSeq, e._3))) }
@@ -771,9 +806,12 @@ object Ann {
     // coarse-select → exact-rerank chain reuses the identical
     // TopKPayloadBuffer/TopKBuffer pair — spec-pinned bit-identical.
     pr match {
-      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+      case lp: LocalProbes
+          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
+            Resident.eligible(spark, index.nRows, index.cells) =>
         return Resident.toDf(spark,
-          Resident.searchAnnInt8(index.resident, groupProbes(lp), k, rerankFactor),
+          Resident.searchAnnInt8(index.resident, groupProbes(lp), k, rerankFactor,
+            allowed = index.allowedServingSet.orNull),
           Resident.AnnSchema)
       case _ =>
     }
@@ -804,7 +842,7 @@ object Ann {
     // (same (score desc, id asc) TopK order on the same coarse stream), so
     // the kept pairs and their exact scores are bit-identical — the guard
     // spec differential-tests the two regimes.
-    if (estScanFitsSingleStage(index, pr, spark)) {
+    if (index.allowed.isEmpty && estScanFitsSingleStage(index, pr, spark)) {
       val exploded = pr.asInstanceOf[LocalProbes].exploded
       // query quantization runs as plain driver arithmetic — the Catalyst
       // form (`max(|x|)/127` scale, `floor(x/scale + 0.5)` cast tinyint,
@@ -853,8 +891,11 @@ object Ann {
           col("__s.score").as("score"),
           (col("__pos") + 1).cast("int").as("rank"))
     }
-    // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here
-    val coarseCells = pr.restrict(index.cells)
+    // coarse: narrow scan — corpus_id, codes, cn2 only; cv never read here.
+    // The allow semi-join sits on the coarse scan, so disallowed vectors
+    // never enter the candidate pool (the rerank join below fetches vectors
+    // for already-filtered candidates only)
+    val coarseCells = allowRestrict(pr.restrict(index.cells), index.allowed)
       .select(col("corpus_id"), col("codes"), col("cn2"), col("__cell"))
     // local regime: quantize runs in-plan over the fused LocalRelation (once
     // per probe row instead of once per query — same deterministic codes),
@@ -940,14 +981,19 @@ object Ann {
     // int8 paths; the LUT, ADC coarse pass, and exact rerank all reuse the
     // plan's kernels verbatim — spec-pinned bit-identical
     pr match {
-      case lp: LocalProbes if Resident.eligible(spark, index.nRows, index.cells) =>
+      case lp: LocalProbes
+          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
+            Resident.eligible(spark, index.nRows, index.cells) =>
         return Resident.toDf(spark,
           Resident.searchAnnPq(index.resident, groupProbes(lp),
-            cb.flat, cb.m, cb.ks, cb.dsub, k, rerankFactor),
+            cb.flat, cb.m, cb.ks, cb.dsub, k, rerankFactor,
+            allowed = index.allowedServingSet.orNull),
           Resident.AnnSchema)
       case _ =>
     }
-    val coarseCells = pr.restrict(index.cells)
+    // the allow semi-join sits on the ADC coarse scan (disallowed vectors
+    // never form candidates); the rerank join fetches filtered ids only
+    val coarseCells = allowRestrict(pr.restrict(index.cells), index.allowed)
       .select(col("corpus_id"), col("pq"), col("cn"), col("__cell"))
     val isLocal = pr.isInstanceOf[LocalProbes]
     val qLut0 = pr match {

@@ -736,9 +736,14 @@ object Dedup extends Logging {
     * compact take the index PATH and ignore views.
     */
   def minhashFilteredView(
-      index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex =
-    index.copy(allowed = Some(
+      index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex = {
+    val v = index.copy(allowed = Some(
       allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+    // inherit the mirror identity (see [[graft.operators.Lexical
+    // .bm25FilteredView]]) — the mirror is the unfiltered index, shared
+    v.residentHolder.shareKey = index.residentHolder.shareKey
+    v
+  }
 
   def minhashSearchIndex(
       index: MinHashIndex, batch: DataFrame, idCol: String, textCol: String,

@@ -235,9 +235,15 @@ object Lexical {
     * plan — same posture as the ANN view. Search-only: append/delete/
     * compact take the index PATH and are unaffected by views.
     */
-  def bm25FilteredView(index: Bm25Index, allowed: DataFrame, idCol: String): Bm25Index =
-    index.copy(allowed = Some(
+  def bm25FilteredView(index: Bm25Index, allowed: DataFrame, idCol: String): Bm25Index = {
+    val v = index.copy(allowed = Some(
       allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+    // inherit the mirror identity: the view's resident mirror IS the base
+    // index's (unfiltered — the allow set applies at search time), so a
+    // view never duplicates a mirror the plain open already holds
+    v.residentHolder.shareKey = index.residentHolder.shareKey
+    v
+  }
 
   /** The view's candidate restriction: a semi-join keeps every posting
     * column (df/contrib0 included) so scoring is untouched. No-op without a

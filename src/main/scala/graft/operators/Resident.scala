@@ -626,7 +626,8 @@ object Resident {
     */
   private[operators] def searchAnnFloat(
       res: AnnResident,
-      probes: Seq[(Long, Array[Double], Double, Seq[Long])], k: Int): Seq[Row] = {
+      probes: Seq[(Long, Array[Double], Double, Seq[Long])], k: Int,
+      allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
     val out = Seq.newBuilder[Row]
     probes.foreach { case (qid, qv, qn, cellIds) =>
@@ -636,8 +637,10 @@ object Resident {
         if (m != null) {
           var i = 0
           while (i < m.ids.length) {
-            buf.insert(VecScan.cosine(VecScan.dot(qv, m.vecs(i)), qn, m.norms(i)),
-              m.ids(i))
+            // allow-list = the semi-join: disallowed ids never enter top-k
+            if (allowed == null || allowed.contains(m.ids(i)))
+              buf.insert(VecScan.cosine(VecScan.dot(qv, m.vecs(i)), qn, m.norms(i)),
+                m.ids(i))
             i += 1
           }
         }
@@ -659,7 +662,8 @@ object Resident {
   private[operators] def searchAnnInt8(
       res: AnnResident,
       probes: Seq[(Long, Array[Double], Double, Seq[Long])],
-      k: Int, rerankFactor: Int): Seq[Row] = {
+      k: Int, rerankFactor: Int,
+      allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
     val out = Seq.newBuilder[Row]
     probes.foreach { case (qid, qv, qn, cellIds) =>
@@ -670,10 +674,14 @@ object Resident {
         if (m != null) {
           var i = 0
           while (i < m.ids.length) {
-            val coarse = Quantize.cosineI8Scalar(
-              Quantize.dotI8Array(qCodes, m.codes(i)), qn2, m.cn2(i))
-            val exact = VecScan.cosine(VecScan.dot(qv, m.vecs(i)), qn, m.norms(i))
-            pool.insert(coarse, m.ids(i), exact)
+            // filter BEFORE the coarse pool — the distributed plan's allow
+            // semi-join sits on the coarse scan, so the candidate pools match
+            if (allowed == null || allowed.contains(m.ids(i))) {
+              val coarse = Quantize.cosineI8Scalar(
+                Quantize.dotI8Array(qCodes, m.codes(i)), qn2, m.cn2(i))
+              val exact = VecScan.cosine(VecScan.dot(qv, m.vecs(i)), qn, m.norms(i))
+              pool.insert(coarse, m.ids(i), exact)
+            }
             i += 1
           }
         }
@@ -705,7 +713,8 @@ object Resident {
       res: AnnResident,
       probes: Seq[(Long, Array[Double], Double, Seq[Long])],
       flat: Array[Double], m: Int, ks: Int, dsub: Int,
-      k: Int, rerankFactor: Int): Seq[Row] = {
+      k: Int, rerankFactor: Int,
+      allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
     val out = Seq.newBuilder[Row]
     probes.foreach { case (qid, qv, qn, cellIds) =>
@@ -716,11 +725,15 @@ object Resident {
         if (mt != null && mt.pq != null) {
           var i = 0
           while (i < mt.ids.length) {
-            val s =
-              if (qn == 0.0 || mt.cn(i) == 0.0) 0.0
-              else graft.functions.PqKernels.adcArray(mt.pq(i), lut, m, ks) /
-                (qn * mt.cn(i))
-            coarse.insert(s, mt.ids(i))
+            // filter at the ADC coarse pass — mirrors the distributed
+            // plan's semi-joined coarse scan
+            if (allowed == null || allowed.contains(mt.ids(i))) {
+              val s =
+                if (qn == 0.0 || mt.cn(i) == 0.0) 0.0
+                else graft.functions.PqKernels.adcArray(mt.pq(i), lut, m, ks) /
+                  (qn * mt.cn(i))
+              coarse.insert(s, mt.ids(i))
+            }
             i += 1
           }
         }

@@ -173,6 +173,47 @@ class FilteredViewSpec extends AnyFunSuite {
     } finally idx.postings.unpersist()
   }
 
+  test("ann filtered resident serving ≡ the distributed semi-join plan across " +
+      "float / int8 / PQ paths; float serves at zero jobs") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = tmp("graft_annflt_res")
+    val (cells, cents) = Ann.annBuildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    Ann.annWriteIndex(cells, cents, dir, pqM = 4) // PQ layout carries codes+cn2+cv
+    val idx = Ann.annOpenIndex(spark, dir)
+    idx.cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY).count()
+    try {
+      // LocalRelation queries (the serving shape)
+      val qRows = emb.filter(col("vec_id") < 8).collect()
+      val q = spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), emb.schema)
+      val allowDf = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSeq.sortBy(t => (t._1, t._4))
+      def searches(view: Ann.AnnIndex): Seq[Seq[(Long, Long, Double, Int)]] = Seq(
+        rows(Ann.annSearchIndex(view, q, "vec_id", "embedding", k = 3, nProbe = 8)),
+        rows(Ann.annSearchIndexInt8(view, q, "vec_id", "embedding", k = 3, nProbe = 8)),
+        rows(Ann.annSearchIndexPq(view, q, "vec_id", "embedding", k = 3, nProbe = 8)))
+      val view = Ann.annFilteredView(idx, allowDf, "vec_id")
+      val resident = searches(view)
+      resident.foreach { legs =>
+        assert(legs.nonEmpty && legs.forall(_._2 % 3 == 0), "disallowed id leaked")
+      }
+      spark.conf.set(graft.operators.Serving.MaxDriverAllowIdsKey, "0")
+      val distributed =
+        try searches(Ann.annFilteredView(idx, allowDf, "vec_id"))
+        finally spark.conf.unset(graft.operators.Serving.MaxDriverAllowIdsKey)
+      assert(resident == distributed,
+        "resident filtered ann must equal the distributed semi-join plan, all paths")
+      assert(jobsFor(() => Ann.annSearchIndex(
+        view, q, "vec_id", "embedding", k = 3, nProbe = 8).collect().length) == 0L)
+    } finally idx.cells.unpersist()
+  }
+
   test("minhash filtered resident serving ≡ the distributed semi-join plan") {
     import spark.implicits._
     val d = (0 until 80).map { i =>
