@@ -61,6 +61,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 filtered view ≡ allow-restricted unfiltered search under randomized " +
+      "corpora, allow fractions, and k — pinned (resident) and unpinned regimes") {
+    import spark.implicits._
+    import graft.operators.Lexical
+    // reference semantics from the UNFILTERED search at k = corpus size:
+    // drop disallowed docs, re-close ranks, cut to k — filter-context
+    // scoring means every surviving (qid, doc, score) triple carries over
+    // bit-for-bit (FilteredViewSpec pins the regimes; this pins the space)
+    def expected(all: Seq[(Long, Long, Long, Double)], allow: Long => Boolean,
+        k: Int): Seq[(Long, Long, Long, Double)] =
+      all.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(_._2).filter(t => allow(t._3)).take(k).zipWithIndex
+          .map { case ((q, _, d, s), i) => (q, (i + 1).toLong, d, s) }
+      }.sortBy(t => (t._1, t._2))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.select("query_id", "rank", "doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for ((seed, pin) <- Seq((11, false), (23, true), (37, false), (59, true))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(80)
+      val mod = 2 + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(5)
+      val d = (0 until n).map { i =>
+        val words = (0 until 2 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, (words :+ s"id$i").mkString(" "))
+      }.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_prop_bmflt$seed").toString
+      val (p, s) = Lexical.bm25BuildIndex(d, "doc_id", "text")
+      Lexical.bm25WriteIndex(p, s, dir, nBuckets = 4 + rnd.nextInt(8))
+      val idx = Lexical.bm25OpenIndex(spark, dir)
+      if (pin) idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .count()
+      try {
+        val q = d.filter(col("doc_id") < 5)
+        val all = rows(Lexical.bm25SearchIndex(idx, q, "doc_id", "text", k = n))
+        val view = Lexical.bm25FilteredView(idx,
+          d.filter(col("doc_id") % mod === 0).select("doc_id"), "doc_id")
+        val got = rows(Lexical.bm25SearchIndex(view, q, "doc_id", "text", k = k))
+        assert(got == expected(all, _ % mod == 0, k),
+          s"seed=$seed pin=$pin n=$n mod=$mod k=$k")
+      } finally if (pin) idx.postings.unpersist()
+    }
+  }
+
   test("DetHash: buckets land in [0, modulus), deterministic, gumbel finite; md5 reference parity") {
     import spark.implicits._
     // one batch job over generated keys (strings with junk + longs), three
