@@ -2997,6 +2997,31 @@ object SparkEntry {
           .select(lit(-1L).as("left_id"), col("recall")))
     }),
 
+    // FILTERED recall gate (r13): the selective-filter caveat the
+    // annFilteredView scaladoc documents, measured WITH its documented
+    // mitigation — a 1-in-3 allow-list shrinks every probed cell's
+    // candidate pool, so the probe width scales with selectivity: nProbe
+    // 12 of 16 (1.5x the unfiltered gate's 8; at 8 the sf0.1 workload has
+    // 2 queries below the 0.3 floor, measured mean 0.77 → 0.91 at 12).
+    // Per-query recall against brute force OVER THE ALLOWED SUBSET clears
+    // the same floors as the unfiltered gate. Emptiness oracle: rows
+    // appear only on violation.
+    "q_ann_filtered_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val allowed = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val view = Ann.annFilteredView(steadyAnnIndex(s, dir),
+        allowed.select("vec_id"), "vec_id")
+      val viaIndex = Ann.annSearchIndex(view, q, "vec_id", "embedding", k = 5, nProbe = 12)
+      val bf = Ann.bruteForceTopK(q, "vec_id", "embedding",
+        allowed, "vec_id", "embedding", k = 5)
+      val rec = Ann.recallAtK(viaIndex, bf, 5).localCheckpoint(true)
+      rec.filter(col("recall") < 0.3)
+        .unionByName(rec.agg(avg(col("recall")).as("recall"))
+          .filter(col("recall") < 0.7)
+          .select(lit(-1L).as("left_id"), col("recall")))
+    }),
+
     // Frozen-centroid append parity (judge r8 #4): the appended index (4/5
     // base + held-out slice absorbed by Ann.annAppendIndex) must search
     // row-identically to a one-shot rebuild that assigned the FULL corpus
@@ -5431,6 +5456,12 @@ object SparkEntry {
 
     // same emptiness contract for the persisted cell-partitioned index
     "q_ann_index_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
+        |WHERE FALSE""".stripMargin,
+
+    // filtered recall gate (r13): same emptiness contract, recall measured
+    // against brute force over the allowed subset
+    "q_ann_filtered_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS left_id, CAST(NULL AS DOUBLE) AS recall
         |WHERE FALSE""".stripMargin,
 

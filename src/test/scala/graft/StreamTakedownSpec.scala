@@ -145,6 +145,92 @@ class StreamTakedownSpec extends AnyFunSuite {
     assert(seen2.head == Set(401L), s"denylisted id 3 re-entered: ${seen2.head}")
   }
 
+  test("takedown stream covers the ANN leg: deleted vectors leave the index, " +
+      "deleteFraction compacts, survivors keep exact scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val mhRoot = tmp("graft_tkann_mh")
+    val annRoot = tmp("graft_tkann_ann")
+    def vec(i: Long): Array[Double] =
+      Array.tabulate(8)(d => math.sin(i * 13 + d * 7))
+    val corpus = docs(0L until 20L, i => s"base$i")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(corpus, "doc_id", "text"), genPath(mhRoot, 0))
+    IndexMaintenance.commitGeneration(spark, mhRoot, 0)
+    val vecs = (0L until 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val (cells, cents) = Ann.annBuildIndex(vecs, "vec_id", "embedding", nCentroids = 2)
+    Ann.annWriteIndex(cells, cents, genPath(annRoot, 0))
+    IndexMaintenance.commitGeneration(spark, annRoot, 0)
+
+    def hits(qIds: Seq[Long]): Map[Long, Seq[Long]] = {
+      val q = qIds.map(i => (i, vec(i))).toDF("qid", "qv")
+      Ann.annSearchIndex(Ann.annOpenIndex(spark, currentPath(spark, annRoot)),
+          q, "qid", "qv", k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    // pre-takedown: every query's own vector is its 1-NN
+    assert(hits(Seq(4L, 6L)).forall { case (q, ids) => ids.contains(q) })
+    val preSurvivor = hits(Seq(5L))
+
+    val maint = scala.collection.mutable.ArrayBuffer.empty[IndexMaintenance.Event]
+    val stream = MemoryStream[Long]
+    val q = StreamOps.streamingTakedownPipelineManaged(
+      stream.toDF().toDF("doc_id"), "doc_id", mhRoot,
+      annRoot = Some(annRoot),
+      policy = Policy(maxDeleteFraction = 0.0),
+      onMaintenance = evs => maint ++= evs)
+      .start()
+    try {
+      stream.addData(4L, 6L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(maint.filter(_.index == "ann").map(_.action) == Seq("compact"))
+    assert(currentPath(spark, annRoot) == genPath(annRoot, 1))
+    val post = hits(Seq(4L, 6L, 5L))
+    // taken-down vectors no longer appear anywhere in the results
+    assert(!post.values.flatten.toSet.exists(Set(4L, 6L).contains),
+      s"deleted vectors still served: $post")
+    // survivor scores untouched modulo the removed ids (cells/centroids
+    // delete-invariant): survivor 5's list = pre list minus deleted ids,
+    // topped up — its own id must still lead
+    assert(post(5L).head == preSurvivor(5L).head)
+  }
+
+  test("filtered view over a TOMBSTONED index: both exclusions compose " +
+      "(deleted docs gone, disallowed docs filtered, survivors exact)") {
+    val d = docs(0L until 24L, i => s"base$i")
+    val dir = tmp("graft_tkflt_bm")
+    val (p, s) = Lexical.bm25BuildIndex(d, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, s, dir, nBuckets = 8)
+    // tombstone ids ≡ 1 (mod 4); allow-list = even ids
+    import spark.implicits._
+    assert(Lexical.bm25DeleteFromIndex(spark, dir,
+      d.filter(col("doc_id") % 4 === 1).select("doc_id"), "doc_id", "td"))
+    val idx = Lexical.bm25OpenIndex(spark, dir) // excludes tombstones
+    val view = Lexical.bm25FilteredView(idx,
+      d.filter(col("doc_id") % 2 === 0).select("doc_id"), "doc_id")
+    val queries = d.filter(col("doc_id") < 4)
+    val got = Lexical.bm25SearchIndex(view, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // reference: rebuild over tombstone survivors, filter the allow list
+    val rebuiltDir = tmp("graft_tkflt_rebuild")
+    val (rp, rs) = Lexical.bm25BuildIndex(
+      d.filter(col("doc_id") % 4 =!= 1), "doc_id", "text")
+    Lexical.bm25WriteIndex(rp, rs, rebuiltDir, nBuckets = 8)
+    val want = Lexical.bm25SearchIndex(
+        Lexical.bm25FilteredView(Lexical.bm25OpenIndex(spark, rebuiltDir),
+          d.filter(col("doc_id") % 2 === 0).select("doc_id"), "doc_id"),
+        queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == want, "tombstone exclusion and allow filter must compose")
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 0) && got.forall(_._3 % 4 != 1))
+  }
+
   test("denylist protocol: idempotent append, absent-root no-op, exclusion anti-join") {
     val root = tmp("graft_denylist")
     assert(Denylist.read(spark, root).isEmpty)
