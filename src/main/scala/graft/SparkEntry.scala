@@ -3360,6 +3360,16 @@ object SparkEntry {
         ld(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Filtered search at tenant scale (r13): an allow frame of ~40x corpus
+    // rows (even corpus ids + synthetic surplus) through the distributed
+    // semi-join path — the census's n_disallowed must be 0 (the filter
+    // held) and the extrema are m-invariant, value-gated by hash-green
+    // q_bm25_filtered at 1x.
+    "q_stress_filtered" -> ((s, dir) => {
+      Stress.filteredSummary(steadyBm25Index(s, dir),
+        ld(s, dir, "documents"), "doc_id", "text", m = 40)
+    }),
+
     "q_stress_ann_guard" -> ((s, dir) => {
       Stress.annGuardDefaultSummary(ld(s, dir, "embeddings"),
         "vec_id", "embedding")

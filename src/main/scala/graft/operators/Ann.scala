@@ -703,8 +703,8 @@ object Ann {
     // dot/cosine/TopKBuffer kernels as the scan, spec-pinned bit-identical.
     pr match {
       case lp: LocalProbes
-          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
-            Resident.eligible(spark, index.nRows, index.cells) =>
+          if Resident.eligible(spark, index.nRows, index.cells) &&
+            (index.allowed.isEmpty || index.allowedServingSet.isDefined) =>
         return Resident.toDf(spark,
           Resident.searchAnnFloat(index.resident, groupProbes(lp), k,
             allowed = index.allowedServingSet.orNull),
@@ -807,8 +807,8 @@ object Ann {
     // TopKPayloadBuffer/TopKBuffer pair — spec-pinned bit-identical.
     pr match {
       case lp: LocalProbes
-          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
-            Resident.eligible(spark, index.nRows, index.cells) =>
+          if Resident.eligible(spark, index.nRows, index.cells) &&
+            (index.allowed.isEmpty || index.allowedServingSet.isDefined) =>
         return Resident.toDf(spark,
           Resident.searchAnnInt8(index.resident, groupProbes(lp), k, rerankFactor,
             allowed = index.allowedServingSet.orNull),
@@ -982,8 +982,8 @@ object Ann {
     // plan's kernels verbatim — spec-pinned bit-identical
     pr match {
       case lp: LocalProbes
-          if (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
-            Resident.eligible(spark, index.nRows, index.cells) =>
+          if Resident.eligible(spark, index.nRows, index.cells) &&
+            (index.allowed.isEmpty || index.allowedServingSet.isDefined) =>
         return Resident.toDf(spark,
           Resident.searchAnnPq(index.resident, groupProbes(lp),
             cb.flat, cb.m, cb.ks, cb.dsub, k, rerankFactor,

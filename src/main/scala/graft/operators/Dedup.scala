@@ -753,9 +753,11 @@ object Dedup extends Logging {
     // serving fast path (see [[Serving]]): when the meta's postings row
     // count fits the single-stage budget AND the batch is small enough to
     // collect bounded, the whole search runs as one single-partition stage
-    if ((index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
-        Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
-        Serving.singleStageRows(index.postings.sparkSession))) {
+    // pinned-ness BEFORE the allow-set check: allowedServingSet's first
+    // evaluation is a bounded collect job an unpinned view must not pay
+    if (Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
+        Serving.singleStageRows(index.postings.sparkSession)) &&
+        (index.allowed.isEmpty || index.allowedServingSet.isDefined)) {
       minhashSearchSingleStage(index, b, jaccardThreshold) match {
         case Some(fast) => return fast
         case None => // batch blew the bound — parallel plan below

@@ -754,9 +754,12 @@ object Lexical {
     // driver-sized (collected once per view): the fold computes every score
     // from the full-corpus mirror and filters MEMBERSHIP only — exactly the
     // distributed semi-join's filter-context semantics at zero jobs
+    // eligibility BEFORE the allow-set check: allowedServingSet's first
+    // evaluation is a bounded collect job, which an unpinned (never
+    // resident-eligible) view must not pay
     if (distinctTerms.length <= 4096 &&
-        (index.allowed.isEmpty || index.allowedServingSet.isDefined) &&
-        Resident.eligible(spark, index.nRows, index.postings)) {
+        Resident.eligible(spark, index.nRows, index.postings) &&
+        (index.allowed.isEmpty || index.allowedServingSet.isDefined)) {
       val qSets = qtRows.groupBy(_.getLong(0)).toSeq
         .map { case (qid, rs) => (qid, rs.map(_.getString(1)).toSeq) }
       return Resident.toDf(spark,

@@ -159,6 +159,39 @@ final class ServingSession[I] private[operators] (
   /** Current index, following generation swaps per the check cadence. */
   def index: I = resolved._2
 
+  // single-slot generation-keyed cache for [[derived]]
+  @volatile private var derivedCache: (Int, AnyRef, I) = null
+
+  /** A per-generation DERIVED view of the served index (r13) — the
+    * composition seam for filtered serving on a LIVE root: pass e.g.
+    * `sess.derived(allowDf)(i => Lexical.bm25FilteredView(i, allowDf,
+    * "doc_id"))` and search the returned view. `derive` runs once per
+    * (generation, key) and is re-applied automatically after every swap,
+    * so a view's one-time driver work (the resident allow-set collect)
+    * amortizes across searches AND follows the lifecycle — a stale view
+    * serving a superseded generation is exactly the bug this prevents.
+    *
+    * Keyed by reference identity of `key` (the allow frame itself is the
+    * natural key); a different key evicts the single slot — a server
+    * fanning out to many tenants should hold one derived view per tenant
+    * and refresh on [[generation]] change. The derived view shares the
+    * base generation's pinned frames and mirror (the filtered-view
+    * constructors inherit the holder's shareKey), so swap/release
+    * accounting is untouched. Benign race: two threads deriving the same
+    * (generation, key) both compute; last write wins, both results are
+    * equivalent views.
+    */
+  def derived(key: AnyRef)(derive: I => I): (Int, I) = {
+    val (g, idx) = resolved
+    val c = derivedCache
+    if (c != null && c._1 == g && (c._2 eq key)) (g, c._3)
+    else {
+      val d = derive(idx)
+      derivedCache = (g, key, d)
+      (g, d)
+    }
+  }
+
   /** Estimated heap bytes of the CURRENT generation's resident mirror —
     * 0 before the mirror exists (above-bound or unpinned indexes never
     * build one) and 0 again after [[close]].

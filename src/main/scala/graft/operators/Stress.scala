@@ -364,6 +364,37 @@ object Stress {
       .withColumn("guard_trips", lit(trips))
   }
 
+  /** Filtered search with a tenant-scale allow-list (r13): the allow frame
+    * is the corpus's even ids plus `(m-1)·N` synthetic ids beyond the
+    * corpus range — large enough to defeat [[Serving.maxDriverAllowIds]]
+    * at bench scale, so the restriction runs as the distributed semi-join
+    * (AQE picks broadcast vs shuffle from the DISTINCT matched side). The
+    * synthetic surplus matches no posting, so the result census is
+    * m-invariant and value-gated by hash-green `q_bm25_filtered` at 1x.
+    * `n_disallowed` (odd result docs) must read 0 — the filter held at
+    * scale.
+    */
+  def filteredSummary(index: Lexical.Bm25Index, docs: DataFrame,
+      idCol: String, textCol: String, m: Int,
+      nRealQueries: Int = 8, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val evens = docs.select(col(idCol).cast("long").as("id"))
+      .filter(col("id") % 2 === 0)
+    val n = docs.count()
+    val synth = spark.range(n * (m - 1).toLong)
+      .select((col("id") + lit(1000000000L)).as("id"))
+    val view = Lexical.bm25FilteredView(index, evens.unionByName(synth), "id")
+    val queries = docs.filter(col(idCol) < nRealQueries)
+      .select(col(idCol).cast("long").as("qid"), col(textCol).as("qtext"))
+    val res = Lexical.bm25SearchIndex(view, queries, "qid", "qtext", k = k)
+      .localCheckpoint(true)
+    res.agg(count(lit(1)).as("n_results"),
+      countDistinct(col("query_id")).as("n_queries"),
+      round(min(col("score")), 6).as("min_score"),
+      round(max(col("score")), 6).as("max_score"),
+      sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_disallowed"))
+  }
+
   /** Naturally-tripped ANN probe guard: the multiplied query batch exceeds
     * the DEFAULT [[Ann.maxProbeRows]] (|queries| x nProbe probe rows), so
     * the distributed probe assignment + broadcast-semi-join cell

@@ -454,6 +454,53 @@ class ServingSessionSpec extends AnyFunSuite {
     } finally sess.close()
   }
 
+  test("derived filtered view follows generation swaps: cached per (gen, key), " +
+      "rebuilt after a swap, filtered results ≡ fresh filtered open (r13)") {
+    import org.apache.spark.sql.functions.col
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      val q = docs(5, from = 300)
+      val allowDf = docs(150).filter(col("id") % 2 === 0).select("id")
+      def view(i: graft.operators.Lexical.Bm25Index) =
+        graft.operators.Lexical.bm25FilteredView(i, allowDf, "id")
+      val (g0, v0) = sess.derived(allowDf)(view)
+      assert(g0 == 0)
+      // cache: same generation + same key → the SAME view instance (the
+      // allow-set collect amortizes across searches)
+      assert(sess.derived(allowDf)(view)._2 eq v0)
+      val r0 = bits(graft.operators.Lexical
+        .bm25SearchIndex(v0, q, "id", "text", k = 4))
+      assert(r0.nonEmpty)
+      // filtered results contain only allowed (even) docs
+      assert(graft.operators.Lexical.bm25SearchIndex(v0, q, "id", "text", k = 4)
+        .collect().forall(_.getLong(2) % 2 == 0))
+
+      // maintenance commits gen-1; the derived view must follow
+      graft.operators.Lexical.bm25AppendIndex(spark,
+        IndexMaintenance.currentPath(spark, root),
+        docs(30, from = 1000), "id", "text", "b1")
+      IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root), policy = anyAppend)
+      val (g1, v1) = sess.derived(allowDf)(view)
+      assert(g1 == 1 && !(v1 eq v0), "swap must evict the cached view")
+      val viaSession = bits(graft.operators.Lexical
+        .bm25SearchIndex(v1, q, "id", "text", k = 4))
+      // ≡ a fresh filtered open of the new generation
+      val fresh = graft.operators.Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root))
+      val viaFresh = bits(graft.operators.Lexical.bm25SearchIndex(
+        graft.operators.Lexical.bm25FilteredView(fresh, allowDf, "id"),
+        q, "id", "text", k = 4))
+      assert(viaSession == viaFresh,
+        "derived view after swap diverged from a fresh filtered open")
+      // a different key evicts the slot (single-slot contract)
+      val otherAllow = docs(150).filter(col("id") % 3 === 0).select("id")
+      val (_, v2) = sess.derived(otherAllow)(i =>
+        graft.operators.Lexical.bm25FilteredView(i, otherAllow, "id"))
+      assert(!(v2 eq v1))
+    } finally sess.close()
+  }
+
   test("randomized swap atomicity: N searchers × M maintenance commits — every (gen, result) pair internally consistent, generations monotone per thread (judge r12 #8)") {
     val root = seedBm25Root()
     val sess = ServingSession.bm25(spark, root)
