@@ -738,6 +738,52 @@ object SparkEntry {
         survivors.result().sorted, denylist, mhRoot)
     })
 
+  /** Content-based takedown fixture (r13), run ONCE per process: dedicated
+    * minhash + bm25 generation roots over the full documents corpus; the
+    * "notice" is copies of every `doc_id % 10 == 6` document under offset
+    * ids (content known, corpus ids not);
+    * [[graft.operators.IndexMaintenance.takedownByContent]] resolves them
+    * through the banded near-dup search at 0.8 and tombstones the resolved
+    * ids in both indexes. The oracle recomputes the RESOLUTION (banding +
+    * Jaccard verify — so near-dups of noticed content count too, and
+    * blank-shingle docs never match) and the post-takedown BM25 relation
+    * over the survivors it derives itself.
+    */
+  private final case class ContentTakedownFixture(
+      resolved: Seq[Long],
+      bmRows: (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType))
+  private val steadyContentTakedownCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ContentTakedownFixture]
+  private def steadyContentTakedown(s: SparkSession, dir: String): ContentTakedownFixture =
+    steadyContentTakedownCache.computeIfAbsent(dir, _ => {
+      import graft.operators.IndexMaintenance
+      import graft.operators.IndexMaintenance.{currentPath, genPath}
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mhRoot = s"${perProcessTmpDir("graft_ctd_mh")}/$tag"
+      val bmRoot = s"${perProcessTmpDir("graft_ctd_bm")}/$tag"
+      val docs = ld(s, dir, "documents")
+      if (!new java.io.File(s"${genPath(mhRoot, 0)}/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), genPath(mhRoot, 0))
+      }
+      IndexMaintenance.commitGeneration(s, mhRoot, 0)
+      if (!new java.io.File(s"${genPath(bmRoot, 0)}/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, genPath(bmRoot, 0), nBuckets = 16)
+      }
+      IndexMaintenance.commitGeneration(s, bmRoot, 0)
+      val probes = docs.filter(pmod(col("doc_id"), lit(10)) === 6)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val resolved = IndexMaintenance.takedownByContent(s,
+          probes, "doc_id", "text", mhRoot, "notice_ctd",
+          bm25Root = Some(bmRoot), jaccardThreshold = 0.8)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val bm = Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(s, currentPath(s, bmRoot)),
+        steadyQueries(s, dir), "qid", "text", k = 5)
+      ContentTakedownFixture(resolved, (bm.collect().toSeq, bm.schema))
+    })
+
   /** Drift → recall degradation → refit recovery (judge r10 #2), run ONCE
     * per process: an ANN index fitted on the embeddings corpus absorbs two
     * DISTRIBUTION-SHIFTED batches against its frozen centroids — tight
@@ -3224,6 +3270,26 @@ object SparkEntry {
         .orderBy(col("leg"), col("a"), col("b"))
     }),
 
+    // Content-based takedown (r13): the notice names CONTENT (copies of the
+    // doc_id % 10 == 6 documents under offset ids), takedownByContent
+    // resolves it through the banded near-dup search and tombstones both
+    // indexes. Two legs, both DuckDB-recomputed end to end: the resolved id
+    // set (banding + Jaccard >= 0.8 — sweeps near-dups of noticed content,
+    // never blank-shingle docs) and the post-takedown BM25 relation over
+    // the oracle's OWN survivor derivation.
+    "q_takedown_content" -> ((s, dir) => {
+      import s.implicits._
+      val f = steadyContentTakedown(s, dir)
+      val bm = s.createDataFrame(
+          java.util.Arrays.asList(f.bmRows._1: _*), f.bmRows._2)
+        .select(lit("bm25").as("leg"), col("query_id").cast("long").as("a"),
+          col("doc_id").cast("long").as("b"), round(col("score"), 6).as("v"),
+          col("rank").cast("int").as("g"))
+      val res = f.resolved.map(id => ("resolved", id, 0L, 0.0, 0))
+        .toDF("leg", "a", "b", "v", "g")
+      bm.unionByName(res).orderBy(col("leg"), col("a"), col("b"))
+    }),
+
     // The SQL surface for filtered near-dup search (r13): graft_minhash_search
     // with the optional allow-list pair must equal q_minhash_filtered exactly
     // (same oracle) — the TVF's catalog-resolved batch and allow tables carry
@@ -5149,6 +5215,64 @@ object SparkEntry {
         |  ('census_minhash', 3, 3, 0.0, 3)
         |) AS t(leg, a, b, v, g)
         |ORDER BY leg, a, b""".stripMargin,
+
+    // content-based takedown (r13): the oracle derives the resolved set
+    // itself — banding candidates between the corpus and the offset-id
+    // probe copies, Jaccard-verified at 0.8 — then recomputes BM25 from
+    // scratch over everything it did NOT resolve
+    "q_takedown_content" ->
+      s"""WITH cs AS (${minhashSig("doc_id", "text", "documents")}),
+         |bs AS (${minhashSig("doc_id", "text",
+             "(SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 6)")}),
+         |cb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM cs, unnest(range(0, 8)) AS u(b)),
+         |bb AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bucket
+         |       FROM bs, unnest(range(0, 8)) AS u(b)),
+         |cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, bb.doc_id AS benchmark_id
+         |         FROM cb JOIN bb ON cb.b = bb.b AND cb.bucket = bb.bucket),
+         |resolved AS (
+         |  SELECT DISTINCT cand.corpus_id AS doc_id
+         |  FROM cand
+         |  JOIN cs sa ON sa.doc_id = cand.corpus_id
+         |  JOIN bs sb ON sb.doc_id = cand.benchmark_id
+         |  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.8),
+         |corpus AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM resolved)),
+         |qterms AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+         |    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> ''))) AS term
+         |  FROM documents WHERE doc_id < 10),
+         |tfa AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(dl) AS DOUBLE) AS dl
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM corpus)
+         |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+         |  GROUP BY doc_id, term),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM corpus),
+         |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+         |contrib AS (
+         |  SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * t.tf * (1.2 + 1.0) / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS contrib
+         |  FROM tfa t JOIN qterms q USING (term) JOIN dfc d USING (term) CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)), (p,q) -> p+q) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |bmranked AS (
+         |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         |    doc_id, score
+         |  FROM scored),
+         |united AS (
+         |  SELECT 'bm25' AS leg, query_id AS a, doc_id AS b, round(score, 6) AS v, rank AS g
+         |  FROM bmranked WHERE rank <= 5
+         |  UNION ALL
+         |  SELECT 'resolved', doc_id, 0, 0.0, 0 FROM resolved)
+         |SELECT leg, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |  CAST(v AS DOUBLE) AS v, CAST(g AS INTEGER) AS g
+         |FROM united ORDER BY leg, a, b""".stripMargin,
 
     // streaming takedown capstone (r13): all five legs recomputed
     // independently — survivor-corpus BM25 from scratch, banding over

@@ -186,7 +186,18 @@ object IndexMaintenance {
       // too much scan on excluded rows — compact applies deletes physically.
       // Secondary to each family's primary signal (whose compaction applies
       // the tombstones anyway), so a pass still emits ONE event per family.
-      maxDeleteFraction: Double = 0.25)
+      maxDeleteFraction: Double = 0.25,
+      // generations kept per root AFTER a pass (r13): every firing compact/
+      // refit leaves one more superseded gen-N dir on disk, and a long-lived
+      // self-maintaining loop leaks disk without a prune in the loop. 0
+      // (default) = never prune from maintenance (the manual/session-driven
+      // [[pruneGenerations]] contract, unchanged); >= 1 = prune after the
+      // pass, keeping that many newest committed generations. Set >= 2 when
+      // lagging [[ServingSession]]s serve the root — the reader contract
+      // needs the margin (a session that last resolved gen-N keeps serving
+      // its pinned blocks either way, but a session OPENING mid-prune needs
+      // the generation dir present).
+      pruneKeepLatest: Int = 0)
 
   /** One maintenance decision: which signal was read on which index, what
     * it said, and what happened (`none` | `compact` | `refit`). `at` is the
@@ -300,6 +311,58 @@ object IndexMaintenance {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema).parquet(committed: _*)
+  }
+
+  /** Content-based takedown (r13): real takedown notices (DMCA, GDPR
+    * erasure, license revocations) name CONTENT, not corpus ids. Resolve
+    * the probe documents to corpus ids through the minhash index's banded
+    * near-dup search (exact copies match at Jaccard 1.0; paraphrased
+    * re-uploads match down to `jaccardThreshold` — and a near-dup of the
+    * noticed content that entered under a DIFFERENT id is correctly swept
+    * too), then tombstone the resolved ids across every managed index under
+    * ONE `delId` and optionally denylist them against re-ingest.
+    *
+    * Returns the resolved `(doc_id)` frame (eagerly pinned — the caller
+    * audits what was removed; `graft_index_deletes` records the deltas).
+    * Docs whose text yields no shingles (blank) never match any probe —
+    * content that cannot be identified cannot be content-taken-down; use
+    * the id-based delete for those.
+    *
+    * Scale: resolution is the bucketed band equi-join (never all-pairs);
+    * the resolved set rides the Tombstones bound — ids under
+    * `spark.graft.index.maxDriverDeleteIds` land as a codegen InSet probe,
+    * above it the exclusion joins distributed. Idempotent on `delId` like
+    * every delete. Same current-generation semantics as the streaming
+    * takedown loop: resolution and deletes both target `currentPath`.
+    */
+  def takedownByContent(
+      spark: SparkSession,
+      probes: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minhashRoot: String, delId: String,
+      bm25Root: Option[String] = None,
+      annRoot: Option[String] = None,
+      jaccardThreshold: Double = 0.8,
+      denyFuture: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val idx = Dedup.minhashOpenIndex(spark, currentPath(spark, minhashRoot))
+    val resolved = Dedup.minhashSearchIndex(idx, probes, idCol, textCol, jaccardThreshold)
+      .select(org.apache.spark.sql.functions.col("corpus_id")
+        .cast("long").as("doc_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // denylist BEFORE the deletes: resolution reads the LIVE index, so a
+    // crash between a committed delete and the denylist append would make
+    // the replay resolve nothing and lose the ids forever — in this order a
+    // replay either finds the denylist committed (no-op) or re-resolves the
+    // still-present ids correctly
+    if (denyFuture)
+      graft.streaming.Denylist.append(spark, minhashRoot, resolved, "doc_id", delId)
+    Dedup.minhashDeleteFromIndex(spark,
+      currentPath(spark, minhashRoot), resolved, "doc_id", delId)
+    bm25Root.foreach(r => Lexical.bm25DeleteFromIndex(spark,
+      currentPath(spark, r), resolved, "doc_id", delId))
+    annRoot.foreach(r => Ann.annDeleteFromIndex(spark,
+      currentPath(spark, r), resolved, "doc_id", delId))
+    resolved
   }
 
   private val RefitMetaFile = "refit_meta.json"
@@ -482,6 +545,27 @@ object IndexMaintenance {
       val evS = stamped(ev, t0)
       appendLog(spark, root, Seq(evS))
       events += evS
+    }
+
+    // policy-driven generation pruning (r13): bound every managed root's
+    // disk inside the self-maintaining loop itself. Emits a logged "prune"
+    // event per root only when something was deleted, so the default-off
+    // knob leaves existing logs byte-stable.
+    if (policy.pruneKeepLatest >= 1) {
+      Seq(minhashRoot.map(("minhash", _)), bm25Root.map(("bm25", _)),
+          annRoot.map(("ann", _))).flatten.foreach { case (fam, root) =>
+        val t0 = System.nanoTime()
+        val cur = currentGeneration(spark, root)
+        val pruned = pruneGenerations(spark, root, policy.pruneKeepLatest)
+        if (pruned.nonEmpty) {
+          // value = committed generations BEFORE the prune (pruned + kept)
+          val ev = stamped(Event(fam, "generations",
+            (pruned.size + policy.pruneKeepLatest).toDouble,
+            policy.pruneKeepLatest.toDouble, "prune", cur, cur), t0)
+          appendLog(spark, root, Seq(ev))
+          events += ev
+        }
+      }
     }
 
     events.result()

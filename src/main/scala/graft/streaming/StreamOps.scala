@@ -524,6 +524,8 @@ object StreamOps {
         graft.operators.IndexMaintenance.Policy(),
       runMaintenance: Boolean = true,
       denyFuture: Boolean = false,
+      contentTextCol: Option[String] = None,
+      contentJaccardThreshold: Double = 0.8,
       onBatch: Long => Unit = _ => (),
       onMaintenance: Seq[graft.operators.IndexMaintenance.Event] => Unit =
         _ => ()): DataStreamWriter[Row] = {
@@ -534,18 +536,30 @@ object StreamOps {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val delId = s"${takedownTag}_$epochId"
-          // localCheckpoint: the ids frame fans out to up to four consumers
-          // (three deletes + the denylist) — a streaming batch source must
-          // not be re-evaluated per consumer
-          val ids = batch.select(col(idCol).cast("long").as(idCol))
-            .distinct().localCheckpoint(true)
-          Dedup.minhashDeleteFromIndex(spark,
-            IndexMaintenance.currentPath(spark, minhashRoot), ids, idCol, delId)
-          bm25Root.foreach(r => Lexical.bm25DeleteFromIndex(spark,
-            IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
-          annRoot.foreach(r => Ann.annDeleteFromIndex(spark,
-            IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
-          if (denyFuture) Denylist.append(spark, minhashRoot, ids, idCol, delId)
+          contentTextCol match {
+            case Some(textCol) =>
+              // CONTENT mode (r13): the stream carries takedown NOTICES
+              // (id + text); each epoch resolves them to corpus ids through
+              // the banded near-dup search and tombstones the resolved set
+              // — [[graft.operators.IndexMaintenance.takedownByContent]],
+              // same delId idempotence, same denylist wiring
+              IndexMaintenance.takedownByContent(spark,
+                batch, idCol, textCol, minhashRoot, delId,
+                bm25Root, annRoot, contentJaccardThreshold, denyFuture)
+            case None =>
+              // localCheckpoint: the ids frame fans out to up to four
+              // consumers (three deletes + the denylist) — a streaming
+              // batch source must not be re-evaluated per consumer
+              val ids = batch.select(col(idCol).cast("long").as(idCol))
+                .distinct().localCheckpoint(true)
+              Dedup.minhashDeleteFromIndex(spark,
+                IndexMaintenance.currentPath(spark, minhashRoot), ids, idCol, delId)
+              bm25Root.foreach(r => Lexical.bm25DeleteFromIndex(spark,
+                IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
+              annRoot.foreach(r => Ann.annDeleteFromIndex(spark,
+                IndexMaintenance.currentPath(spark, r), ids, idCol, delId))
+              if (denyFuture) Denylist.append(spark, minhashRoot, ids, idCol, delId)
+          }
           onBatch(epochId)
           if (runMaintenance)
             onMaintenance(IndexMaintenance.maintainIndexes(spark,

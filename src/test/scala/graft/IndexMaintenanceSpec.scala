@@ -290,6 +290,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       docs(Seq(101L), _ => "fresh_s1"), "doc_id", "text", "ingest_0"))
   }
 
+  test("Policy(pruneKeepLatest): the maintenance pass bounds the root's disk; " +
+      "prune events logged; lagging session margin respected (r13)") {
+    val root = tmp("graft_maint_prune")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"), "doc_id", "text"),
+      genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    def committedGens(): Seq[Int] = {
+      val d = new java.io.File(root)
+      d.listFiles().toSeq.map(_.getName)
+        .collect { case n if n.startsWith("gen-") &&
+          new java.io.File(s"$root/$n/_GEN_COMMITTED").exists() =>
+          n.stripPrefix("gen-").toInt }
+        .sorted
+    }
+    // three epochs, always-compact, keepLatest = 2: after each pass only
+    // the newest two generations remain on disk
+    val firing = Policy(minhashMaxFanIn = 0, pruneKeepLatest = 2)
+    for (e <- 1 to 3) {
+      assert(Dedup.minhashAppendIndex(spark, currentPath(spark, root),
+        docs(Seq(100L + e), i => s"fresh$i"), "doc_id", "text", s"b$e"))
+      val evs = IndexMaintenance.maintainIndexes(spark,
+        minhashRoot = Some(root), policy = firing)
+      assert(evs.exists(ev => ev.action == "compact" && ev.genAfter == e))
+      if (e >= 2) {
+        assert(evs.exists(_.action == "prune"),
+          s"pass $e should have pruned gen-${e - 2}")
+        assert(committedGens() == Seq(e - 1, e), s"pass $e gens: ${committedGens()}")
+      } else assert(committedGens() == Seq(0, 1))
+    }
+    // prune events made the persisted log (audit trail)
+    val logged = IndexMaintenance.eventsDf(spark, root)
+      .filter(org.apache.spark.sql.functions.col("action") === "prune")
+      .collect()
+    assert(logged.length == 2, s"expected 2 logged prunes, got ${logged.length}")
+    assert(logged.forall(r => r.getString(1) == "minhash" &&
+      r.getDouble(4) == 2.0)) // threshold = keepLatest
+    // default policy: nothing pruned (byte-stable contract)
+    val root2 = tmp("graft_maint_noprune")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"), "doc_id", "text"),
+      genPath(root2, 0))
+    IndexMaintenance.commitGeneration(spark, root2, 0)
+    assert(Dedup.minhashAppendIndex(spark, currentPath(spark, root2),
+      docs(Seq(200L), i => s"x$i"), "doc_id", "text", "b1"))
+    val evs2 = IndexMaintenance.maintainIndexes(spark,
+      minhashRoot = Some(root2), policy = Policy(minhashMaxFanIn = 0))
+    assert(!evs2.exists(_.action == "prune"))
+    assert(new java.io.File(s"$root2/gen-0/_GEN_COMMITTED").exists())
+  }
+
   test("live ServingSession serves THROUGH the self-maintaining streaming loop (r12 capstone)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

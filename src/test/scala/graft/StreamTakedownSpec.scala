@@ -231,6 +231,100 @@ class StreamTakedownSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 % 2 == 0) && got.forall(_._3 % 4 != 1))
   }
 
+  test("takedownByContent: probes resolve to near-dup corpus ids; resolved ids " +
+      "tombstoned across indexes + denylisted; blank probes resolve nothing") {
+    import spark.implicits._
+    val mhRoot = tmp("graft_ctd_mh")
+    val bmRoot = tmp("graft_ctd_bm")
+    // docs 0..19; doc 7 has a near-dup twin 17 (same core text)
+    val corpus = (0L until 20L).map { i =>
+      val core = if (i == 17L) doc("core7") else doc(s"core$i")
+      (i, core)
+    }.toDF("doc_id", "text")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(corpus, "doc_id", "text"), genPath(mhRoot, 0))
+    IndexMaintenance.commitGeneration(spark, mhRoot, 0)
+    val (p, s) = Lexical.bm25BuildIndex(corpus, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, s, genPath(bmRoot, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, bmRoot, 0)
+
+    // the notice: doc 7's text (id unknown to the notifier) + a blank probe
+    val probes = Seq((900L, doc("core7")), (901L, "")).toDF("doc_id", "text")
+    val resolved = IndexMaintenance.takedownByContent(spark,
+      probes, "doc_id", "text", mhRoot, "notice_1",
+      bm25Root = Some(bmRoot), denyFuture = true)
+      .collect().map(_.getLong(0)).toSet
+    // the notice swept BOTH the original and its near-dup twin; the blank
+    // probe resolved nothing
+    assert(resolved == Set(7L, 17L), s"got $resolved")
+    // gone from minhash: a fresh probe of the content no longer matches
+    assert(minhashHits(
+      Dedup.minhashOpenIndex(spark, currentPath(spark, mhRoot)),
+      docs(Seq(999L), _ => "core7")).isEmpty)
+    // gone from bm25: search ≡ survivor rebuild
+    val queries = docs(Seq(0L, 1L), i => s"core$i")
+    val got = Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(spark, currentPath(spark, bmRoot)),
+        queries, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val rebuiltDir = tmp("graft_ctd_rebuild")
+    val (rp, rs) = Lexical.bm25BuildIndex(
+      corpus.filter(!col("doc_id").isin(7L, 17L)), "doc_id", "text")
+    Lexical.bm25WriteIndex(rp, rs, rebuiltDir, nBuckets = 8)
+    val want = Lexical.bm25SearchIndex(
+        Lexical.bm25OpenIndex(spark, rebuiltDir), queries, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == want)
+    // denylisted for re-ingest
+    assert(Denylist.read(spark, mhRoot).get
+      .collect().map(_.getLong(0)).toSet == Set(7L, 17L))
+    // idempotent on delId: a replay resolves (the ids are gone, so the
+    // probe matches nothing) and the committed delId refuses re-landing
+    val again = IndexMaintenance.takedownByContent(spark,
+      probes, "doc_id", "text", mhRoot, "notice_1", bm25Root = Some(bmRoot))
+    assert(again.collect().isEmpty)
+  }
+
+  test("streaming takedown in CONTENT mode: notice stream resolves to near-dup " +
+      "corpus ids per epoch and tombstones them through the managed loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mhRoot = tmp("graft_ctds_mh")
+    val corpus = docs(0L until 16L, i => s"core$i")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(corpus, "doc_id", "text"), genPath(mhRoot, 0))
+    IndexMaintenance.commitGeneration(spark, mhRoot, 0)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingTakedownPipelineManaged(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", mhRoot,
+      takedownTag = "ctds",
+      policy = Policy(maxDeleteFraction = 0.0),
+      denyFuture = true,
+      contentTextCol = Some("text"))
+      .start()
+    try {
+      // epoch 1: notice names doc 5's content under a foreign id
+      stream.addData((800L, doc("core5")))
+      q.processAllAvailable()
+      // epoch 2: doc 9's content
+      stream.addData((801L, doc("core9")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = Dedup.minhashOpenIndex(spark, currentPath(spark, mhRoot))
+    for (d <- Seq(5L, 9L))
+      assert(minhashHits(idx, docs(Seq(999L), _ => s"core$d")).isEmpty,
+        s"content-taken-down doc $d still matches")
+    assert(minhashHits(idx, docs(Seq(999L), _ => "core3")) == Set(3L))
+    // resolved ids (not notice ids) were denylisted
+    assert(Denylist.read(spark, mhRoot).get
+      .collect().map(_.getLong(0)).toSet == Set(5L, 9L))
+    // both epochs compacted (deleteFraction policy)
+    assert(currentPath(spark, mhRoot) == genPath(mhRoot, 2))
+  }
+
   test("denylist protocol: idempotent append, absent-root no-op, exclusion anti-join") {
     val root = tmp("graft_denylist")
     assert(Denylist.read(spark, root).isEmpty)
