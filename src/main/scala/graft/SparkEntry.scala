@@ -596,9 +596,15 @@ object SparkEntry {
           .withColumn("gen", lit(g))
       }
       // always-fire policies: every epoch's single append trips both
-      // cadence signals, so the generation trace is deterministic (1,2,3)
+      // cadence signals, so the generation trace is deterministic (1,2,3).
+      // pruneKeepLatest = 2 (r13): the loop also prunes superseded
+      // generations as it goes — the capstone proves ingest + maintenance
+      // + PRUNE + serving compose live (the sessions re-resolve each epoch,
+      // so the keep-2 margin covers them; a prune that raced a session
+      // would surface as a failed search or a census mismatch here)
       val policy = IndexMaintenance.Policy(
-        minhashMaxFanIn = 1, bm25MaxAppendFraction = 0.0)
+        minhashMaxFanIn = 1, bm25MaxAppendFraction = 0.0,
+        pruneKeepLatest = 2)
       val stream = MemoryStream[(Long, String)]
       val query = graft.streaming.StreamOps.streamingIngestPipelineManaged(
         stream.toDF().toDF("doc_id", "text"), "doc_id", "text", mhRoot,
