@@ -313,6 +313,63 @@ object IndexMaintenance {
     else spark.read.schema(schema).parquet(committed: _*)
   }
 
+  /** Replicate the CURRENT committed generation of `srcRoot` onto
+    * `dstRoot` (r13) — blue-green serving roots, cross-cluster DR, read
+    * replicas. The generation directory is copied in full (index layout,
+    * committed append batches, tombstones, ledgers, ingest manifests — a
+    * generation is self-contained by construction), then made visible with
+    * the SAME protocol every writer here uses, hardened for the copy case:
+    * the bytes land under `gen-N.tmp` (invisible — the generation regex
+    * doesn't match it, and the source's copied `_GEN_COMMITTED` marker is
+    * deleted inside the tmp dir before anything can see it), the tmp dir is
+    * RENAMED into place (atomic on HDFS/posix), and only then does a fresh
+    * marker create commit it. A crashed replication leaves an invisible
+    * partial; the retry overwrites it.
+    *
+    * Generation numbers are PRESERVED — a replica follows the source's
+    * monotonic history, so a [[ServingSession]] opened on the replica root
+    * swaps exactly as if maintenance ran locally, and replicating onto a
+    * replica that is already at (or past) the source generation is refused
+    * rather than rewound. Root-level state (the maintenance log, the ingest
+    * denylist) is deliberately NOT copied: those belong to the root that
+    * ingests/maintains, not to a serving replica — replicate them with this
+    * call per generation if the replica also ingests.
+    *
+    * Scale: `FileUtil.copy` streams driver-side here; on an object store
+    * use the store's bulk/server-side copy for the bytes and keep this
+    * call's PROTOCOL (tmp-invisible copy → rename → fresh marker). Returns
+    * the replicated generation number.
+    */
+  def replicateGeneration(spark: SparkSession,
+      srcRoot: String, dstRoot: String): Int = {
+    val gen = currentGeneration(spark, srcRoot)
+    require(gen >= 0, s"no committed generation under $srcRoot")
+    val dstCur = currentGeneration(spark, dstRoot)
+    require(gen > dstCur,
+      s"replica $dstRoot is at gen-$dstCur, not behind source gen-$gen — " +
+        "replicas never go backwards")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fsOf(spark, srcRoot)
+    val dstFs = fsOf(spark, dstRoot)
+    val tmp = new Path(dstRoot, s"gen-$gen.tmp")
+    if (dstFs.exists(tmp)) dstFs.delete(tmp, true) // crashed attempt
+    val dstDir = new Path(genPath(dstRoot, gen))
+    if (dstFs.exists(dstDir)) {
+      // uncommitted leftover only (the committed case was refused above)
+      require(!dstFs.exists(new Path(dstDir, GenMarker)),
+        s"$dstDir committed concurrently")
+      dstFs.delete(dstDir, true)
+    }
+    FileUtil.copy(srcFs, new Path(genPath(srcRoot, gen)), dstFs, tmp, false, conf)
+    // the source's marker rode along inside the tmp dir — drop it so the
+    // rename lands an UNCOMMITTED generation and the fresh create below is
+    // the single commit point
+    dstFs.delete(new Path(tmp, GenMarker), false)
+    require(dstFs.rename(tmp, dstDir), s"rename $tmp -> $dstDir failed")
+    commitGeneration(spark, dstRoot, gen)
+    gen
+  }
+
   /** Content-based takedown (r13): real takedown notices (DMCA, GDPR
     * erasure, license revocations) name CONTENT, not corpus ids. Resolve
     * the probe documents to corpus ids through the minhash index's banded

@@ -637,4 +637,40 @@ object Denylist {
         df.join(dl, df(idCol).cast("long") === dl("id"), "left_anti")
       case None => df
     }
+
+  /** Fold every committed denylist entry into ONE compacted dir — the
+    * file-count hygiene lever (a year of hourly takedowns is ~10k small
+    * dirs re-listed and re-read once per ingest epoch; compact when the
+    * listing grows past taste, e.g. from the same cadence that runs
+    * [[graft.operators.IndexMaintenance.maintainIndexes]]). The distinct
+    * union lands under a fresh `compacted-<k>` entry with the usual
+    * atomic marker; the folded dirs are deleted only AFTER it commits. A
+    * crash between leaves both visible — [[read]] unions DISTINCT, so
+    * overlap is harmless and the next compact folds the remainder. Same
+    * argument covers a late replay of a folded takedown epoch: its delId
+    * dir is gone, so the epoch re-appends ids already present in the
+    * compacted set — a distinct-union no-op in effect. Returns the number
+    * of dirs folded (0 when ≤ 1 committed entry exists).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dlRoot = new Path(root, Dir)
+    val fs = dlRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dlRoot)) return 0
+    val committed = fs.listStatus(dlRoot).toSeq
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, Marker)))
+      .map(_.getPath)
+    if (committed.size <= 1) return 0
+    val all = committed.map(p => spark.read.parquet(s"$p/ids"))
+      .reduce(_.unionByName(_)).distinct()
+      .localCheckpoint(true) // pin: the write below must not re-read dirs mid-delete
+    var k = 0
+    while (fs.exists(new Path(new Path(dlRoot, s"compacted-$k"), Marker))) k += 1
+    val dir = new Path(dlRoot, s"compacted-$k")
+    if (fs.exists(dir)) fs.delete(dir, true) // uncommitted leftover
+    all.coalesce(1).write.mode("overwrite").parquet(new Path(dir, "ids").toString)
+    fs.create(new Path(dir, Marker), false).close()
+    committed.foreach(p => fs.delete(p, true))
+    committed.size
+  }
 }

@@ -290,6 +290,52 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       docs(Seq(101L), _ => "fresh_s1"), "doc_id", "text", "ingest_0"))
   }
 
+  test("replicateGeneration: replica serves identical results, follows the " +
+      "source's history through a ServingSession, never rewinds, crash-safe (r13)") {
+    val src = tmp("graft_repl_src")
+    val dst = tmp("graft_repl_dst")
+    val base = docs(0L until 8L, i => s"base$i")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(base, "doc_id", "text"), genPath(src, 0))
+    IndexMaintenance.commitGeneration(spark, src, 0)
+    // a crashed earlier attempt left a tmp dir and an uncommitted partial
+    new java.io.File(s"$dst/gen-0.tmp/junk").mkdirs()
+    new java.io.File(s"$dst/gen-0/partial").mkdirs()
+    assert(IndexMaintenance.currentGeneration(spark, dst) == -1,
+      "partials must be invisible")
+    assert(IndexMaintenance.replicateGeneration(spark, src, dst) == 0)
+    def hits(root: String, tag: String): Set[Long] =
+      Dedup.minhashSearchIndex(
+          Dedup.minhashOpenIndex(spark, currentPath(spark, root)),
+          docs(Seq(999L), _ => tag), "doc_id", "text", 0.5)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits(dst, "base3") == hits(src, "base3"))
+    // not behind → refused
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.replicateGeneration(spark, src, dst)
+    }
+    // a session serves the REPLICA; source work arrives via replication
+    val sess = graft.operators.ServingSession.minhash(spark, dst)
+    try {
+      assert(sess.generation == 0)
+      // source: append + compact to gen-1, then replicate
+      assert(Dedup.minhashAppendIndex(spark, currentPath(spark, src),
+        docs(Seq(50L), _ => "replnew"), "doc_id", "text", "b1"))
+      IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(src),
+        policy = Policy(minhashMaxFanIn = 1))
+      assert(IndexMaintenance.replicateGeneration(spark, src, dst) == 1)
+      val (g, idx) = sess.resolved
+      assert(g == 1, "session on the replica must follow the replication")
+      assert(Dedup.minhashSearchIndex(idx,
+          docs(Seq(999L), _ => "replnew"), "doc_id", "text", 0.5)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet == Set(50L))
+    } finally sess.close()
+    // the replica carried the source's batch ledger: a replayed append of
+    // the absorbed batch id refuses on the REPLICA too
+    assert(!Dedup.minhashAppendIndex(spark, currentPath(spark, dst),
+      docs(Seq(50L), _ => "replnew"), "doc_id", "text", "b1"))
+  }
+
   test("Policy(pruneKeepLatest): the maintenance pass bounds the root's disk; " +
       "prune events logged; lagging session margin respected (r13)") {
     val root = tmp("graft_maint_prune")

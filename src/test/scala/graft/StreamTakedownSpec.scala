@@ -336,5 +336,25 @@ class StreamTakedownSpec extends AnyFunSuite {
     assert(Denylist.read(spark, root).get.collect().map(_.getLong(0)).toSet == Set(1L))
     assert(Denylist.exclude(d, "doc_id", root)
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+
+    // compact: fold many per-epoch dirs into one; same read-back set
+    assert(Denylist.append(spark, root, docs(Seq(5L, 6L), i => s"t$i"), "doc_id", "del_b"))
+    assert(Denylist.append(spark, root, docs(Seq(6L, 7L), i => s"t$i"), "doc_id", "del_c"))
+    assert(Denylist.compact(spark, root) == 3)
+    assert(Denylist.read(spark, root).get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L, 6L, 7L))
+    assert(new java.io.File(s"$root/denylist").listFiles().count(_.isDirectory) == 1,
+      "folded dirs must be gone")
+    // nothing more to fold; a later epoch + recompact folds the remainder
+    assert(Denylist.compact(spark, root) == 0)
+    assert(Denylist.append(spark, root, docs(Seq(9L), i => s"t$i"), "doc_id", "del_d"))
+    assert(Denylist.compact(spark, root) == 2)
+    assert(Denylist.read(spark, root).get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L, 6L, 7L, 9L))
+    // a replayed epoch whose delId was folded re-appends; the distinct
+    // union keeps the set stable
+    assert(Denylist.append(spark, root, docs(Seq(5L, 6L), i => s"t$i"), "doc_id", "del_b"))
+    assert(Denylist.read(spark, root).get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L, 6L, 7L, 9L))
   }
 }
