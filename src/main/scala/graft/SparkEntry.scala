@@ -3276,6 +3276,39 @@ object SparkEntry {
         .orderBy(col("leg"), col("a"), col("b"))
     }),
 
+    // Generation replication under the oracle gate (r13): the takedown
+    // fixture's minhash root (post-takedown, gen-1) replicates to a fresh
+    // replica root; searches through the replica must be ROW-IDENTICAL to
+    // the source (emptiness legs) and the replica's generation must equal
+    // the source's (VALUES census) — the blue-green protocol end to end on
+    // real data, idempotent across bench attempts (an already-current
+    // replica skips the copy).
+    "q_replica_serving" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.IndexMaintenance
+      val f = steadyStreamTakedown(s, dir) // mhRoot exists, final gen = 1
+      val dst = s"${perProcessTmpDir("graft_repl_serve")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val srcGen = IndexMaintenance.currentGeneration(s, f.mhRoot)
+      val gen =
+        if (IndexMaintenance.currentGeneration(s, dst) < srcGen)
+          IndexMaintenance.replicateGeneration(s, f.mhRoot, dst)
+        else IndexMaintenance.currentGeneration(s, dst)
+      val probe = ld(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 3).select("doc_id", "text")
+      def search(root: String) = Dedup.minhashSearchIndex(
+        Dedup.minhashOpenIndex(s, IndexMaintenance.currentPath(s, root)),
+        probe, "doc_id", "text", jaccardThreshold = 0.8)
+      val a = search(f.mhRoot)
+      val b = search(dst)
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+        .select(lit("diff").as("leg"), col("corpus_id").cast("long").as("a"),
+          col("batch_id").cast("long").as("b"), col("jaccard").cast("double").as("v"))
+        .unionByName(Seq(("replica_gen", gen.toLong, srcGen.toLong, 0.0))
+          .toDF("leg", "a", "b", "v"))
+        .orderBy(col("leg"), col("a"), col("b"))
+    }),
+
     // Content-based takedown (r13): the notice names CONTENT (copies of the
     // doc_id % 10 == 6 documents under offset ids), takedownByContent
     // resolves it through the banded near-dup search and tombstones both
@@ -5220,6 +5253,15 @@ object SparkEntry {
         |  ('census_minhash', 1, 1, 0.0, 1), ('census_minhash', 2, 2, 0.0, 2),
         |  ('census_minhash', 3, 3, 0.0, 3)
         |) AS t(leg, a, b, v, g)
+        |ORDER BY leg, a, b""".stripMargin,
+
+    // generation replication (r13): replica search ≡ source search
+    // (emptiness diff legs) and the replica landed at the source's
+    // generation — the takedown fixture ends at gen-1
+    "q_replica_serving" ->
+      """SELECT leg, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(v AS DOUBLE) AS v
+        |FROM (VALUES ('replica_gen', 1, 1, 0.0)) AS t(leg, a, b, v)
         |ORDER BY leg, a, b""".stripMargin,
 
     // content-based takedown (r13): the oracle derives the resolved set
