@@ -753,11 +753,17 @@ object Dedup extends Logging {
     // serving fast path (see [[Serving]]): when the meta's postings row
     // count fits the single-stage budget AND the batch is small enough to
     // collect bounded, the whole search runs as one single-partition stage
-    // pinned-ness BEFORE the allow-set check: allowedServingSet's first
-    // evaluation is a bounded collect job an unpinned view must not pay
+    // allow-set gating for views: consult allowedServingSet (whose first
+    // evaluation is a bounded collect job) ONLY when the RESIDENT tier
+    // could actually use it — a pinned view between the resident bound and
+    // the single-stage budget otherwise paid the collect just to have the
+    // 1-job plan branch return None anyway (review r13); pinned-ness first
+    // keeps unpinned views free of the job entirely
     if (Serving.pinned(index.postings, index.shingles) && index.nRows.exists(_ <=
         Serving.singleStageRows(index.postings.sparkSession)) &&
-        (index.allowed.isEmpty || index.allowedServingSet.isDefined)) {
+        (index.allowed.isEmpty ||
+          (Resident.eligible(index.postings.sparkSession, index.nRows,
+            index.postings, index.shingles) && index.allowedServingSet.isDefined))) {
       minhashSearchSingleStage(index, b, jaccardThreshold) match {
         case Some(fast) => return fast
         case None => // batch blew the bound — parallel plan below

@@ -406,19 +406,22 @@ object IndexMaintenance {
         .cast("long").as("doc_id"))
       .distinct()
       .localCheckpoint(true)
-    // denylist BEFORE the deletes: resolution reads the LIVE index, so a
-    // crash between a committed delete and the denylist append would make
-    // the replay resolve nothing and lose the ids forever — in this order a
-    // replay either finds the denylist committed (no-op) or re-resolves the
-    // still-present ids correctly
+    // Crash-replay ordering: resolution reads the LIVE minhash index, so
+    // every durable effect whose replay depends on re-resolving must land
+    // BEFORE the minhash tombstone — once that commits, a replay resolves
+    // an empty set and every remaining step would silently no-op with no
+    // ids (a compliance takedown half-applied forever). Hence: denylist
+    // first, then bm25/ann deletes, the minhash delete LAST. A crash at
+    // any point replays correctly — either the step's delId is committed
+    // (no-op) or the ids re-resolve because minhash is still live.
     if (denyFuture)
       graft.streaming.Denylist.append(spark, minhashRoot, resolved, "doc_id", delId)
-    Dedup.minhashDeleteFromIndex(spark,
-      currentPath(spark, minhashRoot), resolved, "doc_id", delId)
     bm25Root.foreach(r => Lexical.bm25DeleteFromIndex(spark,
       currentPath(spark, r), resolved, "doc_id", delId))
     annRoot.foreach(r => Ann.annDeleteFromIndex(spark,
       currentPath(spark, r), resolved, "doc_id", delId))
+    Dedup.minhashDeleteFromIndex(spark,
+      currentPath(spark, minhashRoot), resolved, "doc_id", delId)
     resolved
   }
 

@@ -100,7 +100,9 @@ object Serving {
     if (rows.length > bound) None
     else {
       val s = new java.util.HashSet[java.lang.Long](rows.length * 2)
-      rows.foreach(r => s.add(r.getLong(0)))
+      // a null id (outer-join output, a failed string cast) matches nothing
+      // in the distributed semi-join — skip it here too, same semantics
+      rows.foreach(r => if (!r.isNullAt(0)) s.add(r.getLong(0)))
       Some(s)
     }
   }

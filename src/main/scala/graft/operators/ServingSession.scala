@@ -188,6 +188,10 @@ final class ServingSession[I] private[operators] (
     else {
       val d = derive(idx)
       derivedCache = (g, key, d)
+      // an evicted view (different key, same generation) held its own
+      // reference on the shared mirror slot — release it; a concurrent
+      // search still using it simply rebuilds/re-acquires (benign)
+      if (c != null && c._1 == g) holder(c._3).drop()
       (g, d)
     }
   }
@@ -200,6 +204,16 @@ final class ServingSession[I] private[operators] (
     if (closed) 0L else holder(cur._2).peek.map(_.bytes).getOrElse(0L)
 
   private def release(gen: Int, idx: I): Unit = {
+    // a derived view of the released generation holds its OWN reference on
+    // the shared mirror slot (its holder acquired independently) — drop it
+    // here or a server cycling generations leaks one slot ref per swap
+    // (review r13: the refcount never reached zero, so superseded mirrors
+    // and their census entries survived until GC)
+    val dc = derivedCache
+    if (dc != null && dc._1 == gen) {
+      derivedCache = null
+      holder(dc._3).drop()
+    }
     // mirror first (per-session reference; shared slots refcount their
     // own), then the frames — but ONLY when this session was the LAST
     // pinner of this generation: Spark's CacheManager is PLAN-keyed, so a

@@ -625,7 +625,11 @@ object Denylist {
       .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, Marker)))
       .map(st => new Path(st.getPath, "ids").toString)
     if (dirs.isEmpty) None
-    else Some(dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct())
+    // ONE multi-path read (the committed-batch idiom), not a per-dir
+    // read + left-deep union fold: at the documented ~10k-entry scale the
+    // fold cost 10k footer round-trips and a 10k-node plan per ingest
+    // epoch (review r13); identical schemas make this safe
+    else Some(spark.read.parquet(dirs: _*).distinct())
   }
 
   /** Drop denylisted rows from `df` — a distributed anti-join; no-op
@@ -661,8 +665,7 @@ object Denylist {
       .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, Marker)))
       .map(_.getPath)
     if (committed.size <= 1) return 0
-    val all = committed.map(p => spark.read.parquet(s"$p/ids"))
-      .reduce(_.unionByName(_)).distinct()
+    val all = spark.read.parquet(committed.map(p => s"$p/ids"): _*).distinct()
       .localCheckpoint(true) // pin: the write below must not re-read dirs mid-delete
     var k = 0
     while (fs.exists(new Path(new Path(dlRoot, s"compacted-$k"), Marker))) k += 1

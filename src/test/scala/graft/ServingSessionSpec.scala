@@ -472,6 +472,9 @@ class ServingSessionSpec extends AnyFunSuite {
       val r0 = bits(graft.operators.Lexical
         .bm25SearchIndex(v0, q, "id", "text", k = 4))
       assert(r0.nonEmpty)
+      // the view's resident search acquired a reference on the SHARED
+      // mirror slot (same shareKey as the base open) — one census entry
+      val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
       // filtered results contain only allowed (even) docs
       assert(graft.operators.Lexical.bm25SearchIndex(v0, q, "id", "text", k = 4)
         .collect().forall(_.getLong(2) % 2 == 0))
@@ -493,12 +496,18 @@ class ServingSessionSpec extends AnyFunSuite {
         q, "id", "text", k = 4))
       assert(viaSession == viaFresh,
         "derived view after swap diverged from a fresh filtered open")
+      // swap released the old derived view's mirror reference too: the
+      // superseded generation's slot died, only the new one lives (the
+      // review-r13 leak grew one slot per swap here)
+      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
+        "derived view's mirror reference must be released on swap")
       // a different key evicts the slot (single-slot contract)
       val otherAllow = docs(150).filter(col("id") % 3 === 0).select("id")
       val (_, v2) = sess.derived(otherAllow)(i =>
         graft.operators.Lexical.bm25FilteredView(i, otherAllow, "id"))
       assert(!(v2 eq v1))
     } finally sess.close()
+    assert(sess.residentBytes == 0L)
   }
 
   test("randomized swap atomicity: N searchers × M maintenance commits — every (gen, result) pair internally consistent, generations monotone per thread (judge r12 #8)") {
