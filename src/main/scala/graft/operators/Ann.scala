@@ -529,8 +529,12 @@ object Ann {
     * distributed semi-join plan.
     */
   def annFilteredView(index: AnnIndex, allowed: DataFrame, idCol: String): AnnIndex = {
+    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
+    // view-of-a-view INTERSECTS (advisor r13): chaining filters means
+    // "both" — the new allow set semi-joins against the existing one
     val v = index.copy(allowed = Some(
-      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+      index.allowed.fold(ids)(prev =>
+        ids.join(prev, Seq("__allow_id"), "left_semi"))))
     // inherit the mirror identity: the view's resident mirror IS the base
     // index's (unfiltered — the allow set applies at search time), so two
     // opens + a view share one census entry

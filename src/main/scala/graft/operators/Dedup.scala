@@ -737,8 +737,12 @@ object Dedup extends Logging {
     */
   def minhashFilteredView(
       index: MinHashIndex, allowed: DataFrame, idCol: String): MinHashIndex = {
+    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
+    // view-of-a-view INTERSECTS (advisor r13): chaining filters means
+    // "both" — the new allow set semi-joins against the existing one
     val v = index.copy(allowed = Some(
-      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+      index.allowed.fold(ids)(prev =>
+        ids.join(prev, Seq("__allow_id"), "left_semi"))))
     // inherit the mirror identity (see [[graft.operators.Lexical
     // .bm25FilteredView]]) — the mirror is the unfiltered index, shared
     v.residentHolder.shareKey = index.residentHolder.shareKey
@@ -770,10 +774,16 @@ object Dedup extends Logging {
       }
     }
     // distributed plan: a view's allow semi-join sits on the postings scan,
-    // before band candidates form (see [[minhashFilteredView]])
+    // before band candidates form (see [[minhashFilteredView]]). The ALLOW
+    // side is cast into the id domain, not the ids into long (advisor r13):
+    // long→string never fails, while string-id postings under ANSI mode
+    // would throw on the first non-numeric id — a non-numeric id must be
+    // EXCLUDED by a long-keyed filter, not crash the search
     val posts = index.allowed match {
       case Some(ids) => index.postings
-        .join(ids, index.postings("id").cast("long") === col("__allow_id"), "left_semi")
+        .join(ids.select(col("__allow_id")
+            .cast(index.postings.schema("id").dataType).as("__allow_id")),
+          index.postings("id") === col("__allow_id"), "left_semi")
       case None => index.postings
     }
     val candidates = bandJoin(

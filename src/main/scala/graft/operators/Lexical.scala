@@ -236,8 +236,13 @@ object Lexical {
     * compact take the index PATH and are unaffected by views.
     */
   def bm25FilteredView(index: Bm25Index, allowed: DataFrame, idCol: String): Bm25Index = {
+    val ids = allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()
+    // view-of-a-view INTERSECTS (advisor r13): a second filter must never
+    // widen the first — chaining tenant → license filters means "both",
+    // so the new allow set semi-joins against the view's existing one
     val v = index.copy(allowed = Some(
-      allowed.select(col(idCol).cast("long").as("__allow_id")).distinct()))
+      index.allowed.fold(ids)(prev =>
+        ids.join(prev, Seq("__allow_id"), "left_semi"))))
     // inherit the mirror identity: the view's resident mirror IS the base
     // index's (unfiltered — the allow set applies at search time), so a
     // view never duplicates a mirror the plain open already holds

@@ -504,6 +504,23 @@ object Resident {
       numBands: Int, rowsPerBand: Int, jaccardThreshold: Double,
       allowed: java.util.HashSet[java.lang.Long] = null): Seq[Row] = {
     residentSearches.incrementAndGet()
+    // Allow-set membership by corpus-id TYPE (advisor r13): minhash corpus
+    // ids are generic — a string-id corpus crashed here on the old
+    // `asInstanceOf[Number]` while the distributed plan's cast semi-join
+    // returned rows. Match the plan's semantics instead: the long allow ids
+    // are rendered INTO the id domain (one pass per search, bounded by
+    // [[Serving.maxDriverAllowIds]]), so a non-numeric corpus id simply
+    // never matches — excluded, not crashed.
+    val allowContains: Any => Boolean =
+      if (allowed == null) _ => true
+      else if (res.corpusIdType == org.apache.spark.sql.types.StringType) {
+        val s = new java.util.HashSet[String](allowed.size() * 2)
+        allowed.forEach(l => { s.add(l.toString); () })
+        id => id != null && s.contains(id.toString)
+      } else {
+        case n: Number => allowed.contains(java.lang.Long.valueOf(n.longValue()))
+        case _ => false
+      }
     val seen = new java.util.HashSet[(Any, Any)]
     val out = Seq.newBuilder[Row]
     batchRows.foreach { row =>
@@ -517,9 +534,7 @@ object Resident {
         if (cands != null) cands.foreach { corpusId =>
           // allow-list filters candidates before Jaccard verification —
           // Jaccard has no corpus stats, so this is the semi-join, verbatim
-          if ((allowed == null ||
-              allowed.contains(corpusId.asInstanceOf[Number].longValue())) &&
-              seen.add((corpusId, batchId))) {
+          if (allowContains(corpusId) && seen.add((corpusId, batchId))) {
             val cs = res.shingles.get(corpusId)
             if (cs != null) {
               // size(array_intersect) / size(array_union) on distinct arrays

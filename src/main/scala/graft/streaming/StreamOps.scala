@@ -633,11 +633,22 @@ object Denylist {
   }
 
   /** Drop denylisted rows from `df` — a distributed anti-join; no-op
-    * without a committed denylist.
+    * without a committed denylist. The denylist side is EAGERLY pinned
+    * (advisor r13): [[read]]'s multi-path frame is planned from a dir
+    * listing, and a concurrent [[compact]] deletes the folded dirs after
+    * committing its union — an ingest epoch that planned its exclusion
+    * before the compact and executed after would hit FileNotFoundException
+    * mid-job. The checkpoint narrows that window from "whole epoch" to the
+    * listing-to-materialize instant; a loss there still fails CLEANLY at
+    * exclusion time, before any durable ingest effect, and the epoch retry
+    * re-lists and sees the compacted dir. (Never `ignoreMissingFiles` here:
+    * silently under-reading a denylist would let taken-down docs re-enter.)
+    * Denylists are takedown-sized, so the pin is one small job per epoch.
     */
   def exclude(df: DataFrame, idCol: String, root: String): DataFrame =
     read(df.sparkSession, root) match {
-      case Some(dl) =>
+      case Some(dl0) =>
+        val dl = dl0.localCheckpoint(true)
         df.join(dl, df(idCol).cast("long") === dl("id"), "left_anti")
       case None => df
     }

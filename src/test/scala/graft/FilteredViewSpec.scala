@@ -268,4 +268,94 @@ class FilteredViewSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must produce allowed matches")
     assert(all.exists(_._1 % 3 != 0), "fixture must produce disallowed matches")
   }
+
+  test("filtered views CHAIN by intersection in all three families " +
+      "(view-of-a-view must never widen the first filter)") {
+    import spark.implicits._
+    import graft.operators.Ann
+    def allowSet(allowed: Option[DataFrame]): Set[Long] =
+      allowed.get.collect().map(_.getLong(0)).toSet
+
+    // bm25: end-to-end — chained %2 then %3 must behave as %6
+    val d = docs(0 until 120)
+    val dir = tmp("graft_chain_bm")
+    val (p, s) = Lexical.bm25BuildIndex(d, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, s, dir, nBuckets = 8)
+    val idx = Lexical.bm25OpenIndex(spark, dir)
+    val even = d.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val byThree = d.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val v2 = Lexical.bm25FilteredView(
+      Lexical.bm25FilteredView(idx, even, "doc_id"), byThree, "doc_id")
+    assert(allowSet(v2.allowed) == (0L until 120L).filter(_ % 6 == 0).toSet)
+    val q = d.filter(col("doc_id") < 6)
+    val all = bm25Rows(Lexical.bm25SearchIndex(idx, q, "doc_id", "text", k = 120))
+    val got = bm25Rows(Lexical.bm25SearchIndex(v2, q, "doc_id", "text", k = 5))
+    assert(got == expectedFiltered(all, _ % 6 == 0, k = 5))
+    assert(got.nonEmpty)
+    // order-of-application must not matter (intersection commutes)
+    val v2r = Lexical.bm25FilteredView(
+      Lexical.bm25FilteredView(idx, byThree, "doc_id"), even, "doc_id")
+    assert(allowSet(v2r.allowed) == allowSet(v2.allowed))
+
+    // minhash + ann: the constructor-level intersection (the search-side
+    // restriction plumbing is covered by the single-view tests above)
+    val mhDir = tmp("graft_chain_mh")
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(d, "doc_id", "text"), mhDir)
+    val mh2 = Dedup.minhashFilteredView(
+      Dedup.minhashFilteredView(Dedup.minhashOpenIndex(spark, mhDir),
+        even, "doc_id"), byThree, "doc_id")
+    assert(allowSet(mh2.allowed) == (0L until 120L).filter(_ % 6 == 0).toSet)
+
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val annDir = tmp("graft_chain_ann")
+    val (cells, cents) = Ann.annBuildIndex(emb, "vec_id", "embedding", nCentroids = 4)
+    Ann.annWriteIndex(cells, cents, annDir)
+    val ann2 = Ann.annFilteredView(
+      Ann.annFilteredView(Ann.annOpenIndex(spark, annDir),
+        emb.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id"),
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+    assert(allowSet(ann2.allowed) == (0L until 60L).filter(_ % 6 == 0).toSet)
+  }
+
+  test("minhash filtered view over a STRING-id corpus: resident path matches " +
+      "the distributed plan instead of crashing on non-Number ids") {
+    import spark.implicits._
+    // numeric-string ids plus a non-numeric one ("x1") that collides into
+    // the same near-dup buckets — the r13 resident path crashed on ANY
+    // string candidate (asInstanceOf[Number]); the allow semantics are the
+    // distributed cast's: allow ids rendered into the id domain, so "x1"
+    // is excluded, "1"/"11"/… match their numeric allow ids
+    val corpus = ((0 until 40).map(i => (i.toString, s"duplicate corpus text block ${i % 10} lorem ipsum body")) :+
+      (("x1", "duplicate corpus text block 1 lorem ipsum body")))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft_mhflt_str")
+    Dedup.minhashWriteIndex(Dedup.minhashBuildIndex(corpus, "doc_id", "text"), dir)
+    val idx = Dedup.minhashOpenIndex(spark, dir)
+    idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY).count()
+    idx.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY).count()
+    try {
+      val batch = Seq(("q0", "duplicate corpus text block 1 lorem ipsum body"),
+        ("q1", "duplicate corpus text block 4 lorem ipsum body")).toDF("doc_id", "text")
+      val allowDf = Seq(1L, 11L, 21L, 31L, 4L).toDF("doc_id")
+      def pairs(df: DataFrame): Set[(String, String)] =
+        df.select(col("corpus_id").cast("string"), col("batch_id").cast("string"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val view = Dedup.minhashFilteredView(idx, allowDf, "doc_id")
+      val resident = pairs(Dedup.minhashSearchIndex(view, batch, "doc_id", "text", 0.8))
+      spark.conf.set(graft.operators.Serving.MaxDriverAllowIdsKey, "0")
+      val distributed =
+        try pairs(Dedup.minhashSearchIndex(
+          Dedup.minhashFilteredView(idx, allowDf, "doc_id"), batch, "doc_id", "text", 0.8))
+        finally spark.conf.unset(graft.operators.Serving.MaxDriverAllowIdsKey)
+      assert(resident == distributed)
+      assert(resident == Set(("1", "q0"), ("11", "q0"), ("21", "q0"), ("31", "q0"), ("4", "q1")),
+        s"got $resident")
+      // the unfiltered search DOES see the non-numeric near-dup — proves
+      // "x1" was a live candidate the allow filter had to skip, not absent
+      val unfiltered = pairs(Dedup.minhashSearchIndex(idx, batch, "doc_id", "text", 0.8))
+      assert(unfiltered.contains(("x1", "q0")))
+    } finally { idx.postings.unpersist(); idx.shingles.unpersist() }
+  }
 }
