@@ -501,11 +501,140 @@ class ServingSessionSpec extends AnyFunSuite {
       // review-r13 leak grew one slot per swap here)
       assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
         "derived view's mirror reference must be released on swap")
-      // a different key evicts the slot (single-slot contract)
+      // a different key derives its own view — and (r14) no longer evicts
+      // the first: both tenants stay warm side by side
       val otherAllow = docs(150).filter(col("id") % 3 === 0).select("id")
       val (_, v2) = sess.derived(otherAllow)(i =>
         graft.operators.Lexical.bm25FilteredView(i, otherAllow, "id"))
       assert(!(v2 eq v1))
+      assert(sess.derived(allowDf)(view)._2 eq v1,
+        "a second tenant must not evict the first's cached view")
+    } finally sess.close()
+    assert(sess.residentBytes == 0L)
+  }
+
+  test("multi-tenant derived views (r14, judge r13 #2): tenants interleaved " +
+      "across a swap — zero re-derives after warm, mirror census flat, " +
+      "LRU bound evicts least-recent") {
+    import org.apache.spark.sql.functions.col
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      val q = docs(5, from = 300)
+      val allowA = docs(150).filter(col("id") % 2 === 0).select("id")
+      val allowB = docs(150).filter(col("id") % 3 === 0).select("id")
+      def viewOf(allow: org.apache.spark.sql.DataFrame)(
+          i: graft.operators.Lexical.Bm25Index) =
+        graft.operators.Lexical.bm25FilteredView(i, allow, "id")
+      val (gA, vA) = sess.derived(allowA)(viewOf(allowA))
+      val (gB, vB) = sess.derived(allowB)(viewOf(allowB))
+      assert(gA == 0 && gB == 0)
+      val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
+      val warm = sess.deriveCount.get()
+      // interleave the tenants: every call must hit the keyed cache
+      (1 to 5).foreach { _ =>
+        val a = sess.derived(allowA)(viewOf(allowA))._2
+        assert(a eq vA)
+        assert(bits(graft.operators.Lexical
+          .bm25SearchIndex(a, q, "id", "text", k = 4)).nonEmpty)
+        val b = sess.derived(allowB)(viewOf(allowB))._2
+        assert(b eq vB)
+        assert(bits(graft.operators.Lexical
+          .bm25SearchIndex(b, q, "id", "text", k = 4)).nonEmpty)
+      }
+      assert(sess.deriveCount.get() == warm,
+        "tenant interleaving must not re-derive (the r13 single-slot bug)")
+      // both tenants' views share the BASE generation's mirror: flat census
+      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
+        "per-tenant views must not add mirrors (shareKey inheritance)")
+
+      // a swap re-derives each tenant ONCE, then interleaving is warm again
+      graft.operators.Lexical.bm25AppendIndex(spark,
+        IndexMaintenance.currentPath(spark, root),
+        docs(30, from = 1000), "id", "text", "b1")
+      IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root), policy = anyAppend)
+      val (gA1, vA1) = sess.derived(allowA)(viewOf(allowA))
+      val (gB1, vB1) = sess.derived(allowB)(viewOf(allowB))
+      assert(gA1 == 1 && gB1 == 1 && !(vA1 eq vA) && !(vB1 eq vB))
+      val warm1 = sess.deriveCount.get()
+      assert(warm1 == warm + 2)
+      (1 to 3).foreach { _ =>
+        assert(sess.derived(allowA)(viewOf(allowA))._2 eq vA1)
+        assert(sess.derived(allowB)(viewOf(allowB))._2 eq vB1)
+      }
+      assert(sess.deriveCount.get() == warm1)
+      // post-swap per-tenant results ≡ fresh filtered opens of gen-1
+      val fresh = graft.operators.Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root))
+      Seq((allowA, vA1), (allowB, vB1)).foreach { case (allow, v) =>
+        assert(bits(graft.operators.Lexical.bm25SearchIndex(v, q, "id", "text", k = 4))
+          == bits(graft.operators.Lexical.bm25SearchIndex(
+            graft.operators.Lexical.bm25FilteredView(fresh, allow, "id"),
+            q, "id", "text", k = 4)))
+      }
+    } finally sess.close()
+    assert(sess.residentBytes == 0L)
+
+    // LRU bound: a 2-view budget with three alternating tenants evicts the
+    // least-recently-used and re-derives it on return
+    spark.conf.set(ServingSession.MaxDerivedViewsKey, "2")
+    val sess2 = try ServingSession.bm25(spark, root)
+    finally spark.conf.unset(ServingSession.MaxDerivedViewsKey)
+    try {
+      val keys = Seq("t1", "t2", "t3")
+      val allows = keys.zipWithIndex.map { case (_, i) =>
+        docs(150).filter(col("id") % 3 === i).select("id")
+      }
+      def derive(i: Int) =
+        sess2.derived(keys(i))(idx =>
+          graft.operators.Lexical.bm25FilteredView(idx, allows(i), "id"))._2
+      val v1 = derive(0); val v2 = derive(1)
+      val c0 = sess2.deriveCount.get()
+      assert((derive(0) eq v1) && (derive(1) eq v2) && sess2.deriveCount.get() == c0)
+      // access order after the asserts is t1 then t2, so inserting t3 over
+      // the 2-view budget evicts t1 (the least-recently-used)
+      derive(2)
+      val c1 = sess2.deriveCount.get()
+      assert(c1 == c0 + 1)
+      assert(!(derive(0) eq v1), "evicted tenant must re-derive")
+      assert(sess2.deriveCount.get() == c1 + 1)
+    } finally sess2.close()
+  }
+
+  test("derive straddling a concurrent swap never caches a released " +
+      "generation's view (advisor r13): the write re-checks and retries") {
+    import org.apache.spark.sql.functions.col
+    val root = seedBm25Root()
+    val sess = ServingSession.bm25(spark, root)
+    try {
+      val q = docs(5, from = 300)
+      val allowDf = docs(150).filter(col("id") % 2 === 0).select("id")
+      var first = true
+      val (g, v) = sess.derived(allowDf) { i =>
+        if (first) {
+          first = false
+          // commit gen-1 and force the swap MID-DERIVE — the exact window
+          // where the r13 code cached (and leaked) a released-gen view
+          graft.operators.Lexical.bm25AppendIndex(spark,
+            IndexMaintenance.currentPath(spark, root),
+            docs(30, from = 1000), "id", "text", "b1")
+          IndexMaintenance.maintainIndexes(spark, bm25Root = Some(root),
+            policy = anyAppend)
+          sess.resolved // performs the sync swap; releases gen-0
+        }
+        graft.operators.Lexical.bm25FilteredView(i, allowDf, "id")
+      }
+      assert(g == 1, "straddled derive must land on the NEW generation")
+      assert(sess.deriveCount.get() == 2, "one discarded attempt + one retry")
+      // the retried view serves gen-1 rows, cached under the new generation
+      assert(sess.derived(allowDf)(
+        graft.operators.Lexical.bm25FilteredView(_, allowDf, "id"))._2 eq v)
+      val fresh = graft.operators.Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root))
+      assert(bits(graft.operators.Lexical.bm25SearchIndex(v, q, "id", "text", k = 4))
+        == bits(graft.operators.Lexical.bm25SearchIndex(
+          graft.operators.Lexical.bm25FilteredView(fresh, allowDf, "id"),
+          q, "id", "text", k = 4)))
     } finally sess.close()
     assert(sess.residentBytes == 0L)
   }
