@@ -336,6 +336,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       docs(Seq(50L), _ => "replnew"), "doc_id", "text", "b1"))
   }
 
+  test("ReplicaFollower: tracks source commits, catches up after downtime " +
+      "in order, skips source-pruned generations, honors the TTL (r14)") {
+    val src = tmp("graft_follow_src")
+    val dst = tmp("graft_follow_dst")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"),
+        "doc_id", "text"), genPath(src, 0))
+    IndexMaintenance.commitGeneration(spark, src, 0)
+    def hits(root: String, tag: String): Set[Long] =
+      Dedup.minhashSearchIndex(
+          Dedup.minhashOpenIndex(spark, currentPath(spark, root)),
+          docs(Seq(999L), _ => tag), "doc_id", "text", 0.5)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    val follower = new IndexMaintenance.ReplicaFollower(spark, src, dst)
+    assert(follower.watermark == -1)
+    assert(follower.poll() == Seq(0) && follower.watermark == 0)
+    assert(follower.poll() == Seq.empty, "caught up — poll must be a no-op")
+    assert(hits(dst, "base3") == hits(src, "base3"))
+    // the source advances TWO generations while the follower is down
+    def advance(id: Long, tag: String): Unit = {
+      assert(Dedup.minhashAppendIndex(spark, currentPath(spark, src),
+        docs(Seq(id), _ => tag), "doc_id", "text", s"b$id"))
+      IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(src),
+        policy = Policy(minhashMaxFanIn = 1))
+    }
+    advance(50L, "follow_a")
+    advance(60L, "follow_b")
+    assert(IndexMaintenance.currentGeneration(spark, src) == 2)
+    assert(follower.poll() == Seq(1, 2), "downtime catch-up, ascending")
+    assert(follower.watermark == 2)
+    Seq("base3", "follow_a", "follow_b").foreach { tag =>
+      assert(hits(dst, tag) == hits(src, tag), s"replica diverged on $tag")
+    }
+    // a fresh standby against a PRUNED source replicates only what exists
+    IndexMaintenance.pruneGenerations(spark, src, keepLatest = 1)
+    val dst2 = tmp("graft_follow_dst2")
+    val f2 = new IndexMaintenance.ReplicaFollower(spark, src, dst2)
+    assert(f2.poll() == Seq(2), "pruned generations are skipped, not faulted")
+    assert(hits(dst2, "follow_b") == hits(src, "follow_b"))
+    // TTL cadence: a behind follower inside its TTL window stays quiet;
+    // the first poll is always primed
+    val dst3 = tmp("graft_follow_dst3")
+    val f3 = new IndexMaintenance.ReplicaFollower(spark, src, dst3,
+      checkIntervalMs = 600000L)
+    assert(f3.poll() == Seq(2))
+    advance(70L, "follow_c")
+    assert(f3.poll() == Seq.empty, "within the TTL the follower must not LIST")
+    assert(new IndexMaintenance.ReplicaFollower(spark, src, dst3).poll() == Seq(3))
+    assert(hits(dst3, "follow_c") == hits(src, "follow_c"))
+  }
+
   test("Policy(pruneKeepLatest): the maintenance pass bounds the root's disk; " +
       "prune events logged; lagging session margin respected (r13)") {
     val root = tmp("graft_maint_prune")
