@@ -473,8 +473,9 @@ class ServingSessionSpec extends AnyFunSuite {
         .bm25SearchIndex(v0, q, "id", "text", k = 4))
       assert(r0.nonEmpty)
       // the view's resident search acquired a reference on the SHARED
-      // mirror slot (same shareKey as the base open) — one census entry
-      val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
+      // mirror slot (same shareKey as the base open) — one census entry.
+      // Scoped to THIS root: the global kind-count races parallel suites
+      val mirrors0 = Resident.sharedCensus.count(_._1.contains(root))
       // filtered results contain only allowed (even) docs
       assert(graft.operators.Lexical.bm25SearchIndex(v0, q, "id", "text", k = 4)
         .collect().forall(_.getLong(2) % 2 == 0))
@@ -499,7 +500,7 @@ class ServingSessionSpec extends AnyFunSuite {
       // swap released the old derived view's mirror reference too: the
       // superseded generation's slot died, only the new one lives (the
       // review-r13 leak grew one slot per swap here)
-      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
+      assert(Resident.sharedCensus.count(_._1.contains(root)) == mirrors0,
         "derived view's mirror reference must be released on swap")
       // a different key derives its own view — and (r14) no longer evicts
       // the first: both tenants stay warm side by side
@@ -529,7 +530,8 @@ class ServingSessionSpec extends AnyFunSuite {
       val (gA, vA) = sess.derived(allowA)(viewOf(allowA))
       val (gB, vB) = sess.derived(allowB)(viewOf(allowB))
       assert(gA == 0 && gB == 0)
-      val mirrors0 = Resident.residentCensus.count(_._1 == "bm25")
+      // root-scoped slot count: the global kind-count races parallel suites
+      val mirrors0 = Resident.sharedCensus.count(_._1.contains(root))
       val warm = sess.deriveCount.get()
       // interleave the tenants: every call must hit the keyed cache
       (1 to 5).foreach { _ =>
@@ -545,7 +547,7 @@ class ServingSessionSpec extends AnyFunSuite {
       assert(sess.deriveCount.get() == warm,
         "tenant interleaving must not re-derive (the r13 single-slot bug)")
       // both tenants' views share the BASE generation's mirror: flat census
-      assert(Resident.residentCensus.count(_._1 == "bm25") == mirrors0,
+      assert(Resident.sharedCensus.count(_._1.contains(root)) == mirrors0,
         "per-tenant views must not add mirrors (shareKey inheritance)")
 
       // a swap re-derives each tenant ONCE, then interleaving is warm again
