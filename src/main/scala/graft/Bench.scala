@@ -153,7 +153,7 @@ object Bench {
     // round ends, so the first bench invocation of round N+1 captures round
     // N's final graded walls and every later invocation (including the
     // graded one) compares against THAT.
-    val priorStats: Map[String, (Double, Option[Double], Option[Double], Option[Double])] = try {
+    val priorStats: Map[String, (Double, Option[Double], Option[Double])] = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val repoDir = Option(new java.io.File(detailPath).getParentFile)
         .getOrElse(new java.io.File("."))
@@ -192,7 +192,11 @@ object Bench {
         .map { e =>
           val v = e.getValue
           def opt(f: String) = Option(v.get(f)).map(_.asDouble())
-          (e.getKey, (v.get("wall").asDouble(), opt("task_sec"), opt("proc_cpu"), pf))
+          // compare min-to-min when the prior recorded mins (r14 artifacts
+          // on); a pre-min prior falls back to its selected wall/task —
+          // CONSERVATIVE for flagging, since selected >= min
+          (e.getKey, (opt("wall_min").getOrElse(v.get("wall").asDouble()),
+            opt("task_min").orElse(opt("task_sec")), pf))
         }.toMap
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior-baseline read skipped: $e"); Map.empty
@@ -265,7 +269,7 @@ object Bench {
       !sentinelOn || s <= sentinelFloor * sentinelDrift + 0.05
 
     def measureQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (String, Run, Int, Boolean) = {
+        : (String, Run, Int, Boolean, Double, Double) = {
         (1 to warmups).foreach { _ =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -329,12 +333,20 @@ object Bench {
             f"${if (runs.size > chosen.size) s", ${runs.size - chosen.size} dirty dropped" else ""}) " +
             f"rows=${medRun.rows} cpu=${medRun.cpuSec}%.1fs task=${medRun.taskMs / 1000.0}%.1fs " +
             f"other=${medRun.otherCpuSec}%.2fs${if (flagged) " CONTENDED" else ""}")
-        (name, medRun, runs.size, flagged)
+        // minimum wall/task across the quiet-box attempts: the DRIFT
+        // comparison's statistic (r14) — wall and task noise are additive
+        // (GC, scheduling, retry contamination), so the min sits nearest
+        // true cost and is far more stable run-to-run than the median the
+        // headline reports (medians measure what a user sees; mins measure
+        // what the CODE costs — regressions move both, noise only the first)
+        val minBase = if (nonContended.nonEmpty) nonContended else runs
+        (name, medRun, runs.size, flagged,
+          minBase.map(_.wall).min, minBase.map(_.taskMs).min / 1000.0)
     }
 
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results: Seq[(String, Run, Int, Boolean)] =
+    val results: Seq[(String, Run, Int, Boolean, Double, Double)] =
       queryList.grouped(sentinelWindow).toSeq.flatMap { window =>
         var take = window.map { case (name, fn) => measureQuery(name, fn) }
         var post = if (sentinelOn) sentinelRead() else 0.0
@@ -349,8 +361,13 @@ object Bench {
             s"[${window.head._1}..${window.last._1}] (take ${retakes + 1})")
           retakenWindows += window.head._1
           val retaken = window.map { case (name, fn) => measureQuery(name, fn) }
-          // per query keep the cleaner (lower-median) take — noise is additive
-          take = take.zip(retaken).map { case (a, b) => if (b._2.wall < a._2.wall) b else a }
+          // per query keep the cleaner (lower-median) take — noise is
+          // additive; the min statistics pool across BOTH takes
+          take = take.zip(retaken).map { case (a, b) =>
+            val keep = if (b._2.wall < a._2.wall) b else a
+            (keep._1, keep._2, keep._3, keep._4,
+              math.min(a._5, b._5), math.min(a._6, b._6))
+          }
           post = sentinelRead()
         }
         take
@@ -541,10 +558,11 @@ object Bench {
     // queries x 6 fields would blow the parseable stdout budget); the stdout
     // line carries the contract fields plus the aggregate contention verdict
     try {
-      val detail = (results.map { case (name, r, attempts, flagged) =>
+      val detail = (results.map { case (name, r, attempts, flagged, wallMin, taskMin) =>
         s""""$name":{"wall":${fmt(r.wall)},"proc_cpu":${fmt(r.cpuSec)},""" +
           s""""task_sec":${fmt(r.taskMs / 1000.0)},"gc_ms":${r.gcMs},""" +
           s""""other_cpu":${fmt(r.otherCpuSec)},"rows":${r.rows},""" +
+          s""""wall_min":${fmt(wallMin)},"task_min":${fmt(taskMin)},""" +
           s""""attempts":$attempts,"contended":$flagged}"""
       } ++ serving.map { case (name, perSearch, total, jobsPer, stagesPer, minW) =>
         s""""serving_$name":{"per_search":${fmt(perSearch)},""" +
@@ -579,35 +597,37 @@ object Bench {
     // task-up regression still fires). Still advisory — read with the
     // sentinel numbers.
     val floorRatio: Double = (for {
-      (_, (_, _, _, pfOpt)) <- priorStats.headOption
+      (_, (_, _, pfOpt)) <- priorStats.headOption
       pf <- pfOpt
       if sentinelOn && sentinelFloor > 0
     } yield math.max(1.0, sentinelFloor / pf)).getOrElse(1.0)
+    // the comparison statistic is the MIN across quiet-box attempts on both
+    // sides (selected-median per-query walls/tasks redistribute run-to-run
+    // even on a clean box — a first min-rule validation run measured total
+    // task_sec FLAT at 732→725 s while six per-query medians moved past
+    // 1.25x): a real regression is slower in its BEST run too, noise is not
     val driftFlags: Seq[(String, Double, Double, Option[Double], Double)] =
-      results.flatMap { case (name, r, _, _) =>
+      results.flatMap { case (name, _, _, _, wallMin, taskMin) =>
         priorStats.get(name).collect {
-          case (pw, pTask, pCpu, _) if {
+          case (pw, pTask, _) if {
             val norm = pw * floorRatio
-            val wallFlag = r.wall > norm * 1.4 && r.wall - norm > 0.25
-            val task = r.taskMs / 1000.0
-            val workKnown = pTask.isDefined || pCpu.isDefined
+            val wallFlag = wallMin > norm * 1.4 && wallMin - norm > 0.25
             val workFlag =
-              pTask.exists(pt => task > pt * 1.25 && task - pt > 0.1) ||
-                pCpu.exists(pc => r.cpuSec > pc * 1.25 && r.cpuSec - pc > 0.25)
-            wallFlag && (!workKnown || workFlag)
-          } => (name, pw, r.wall, pTask, r.taskMs / 1000.0)
+              pTask.exists(pt => taskMin > pt * 1.25 && taskMin - pt > 0.1)
+            wallFlag && (pTask.isEmpty || workFlag)
+          } => (name, pw, wallMin, pTask, taskMin)
         }
       }
     driftFlags.foreach { case (name, p, now, pt, ct) =>
-      System.err.println(f"[bench] DRIFT $name: ${p}%.3fs -> ${now}%.3fs " +
+      System.err.println(f"[bench] DRIFT $name: min ${p}%.3fs -> ${now}%.3fs " +
         f"(${now / p}%.2fx raw, ${now / (p * floorRatio)}%.2fx normalized; " +
-        f"task ${pt.getOrElse(Double.NaN)}%.3f -> $ct%.3f)")
+        f"task_min ${pt.getOrElse(Double.NaN)}%.3f -> $ct%.3f)")
     }
     val driftJson = driftFlags.map { case (name, p, now, pt, ct) =>
       s""""$name":{"prev":${fmt(p)},"now":${fmt(now)}""" +
         pt.map(v => s""","prev_task":${fmt(v)},"now_task":${fmt(ct)}""").getOrElse("") +
         "}" }.mkString("{", ",", "}")
-    val qs = results.map { case (k, r, _, _) => s""""$k":${fmt(r.wall)}""" }
+    val qs = results.map { case (k, r, _, _, _, _) => s""""$k":${fmt(r.wall)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
     val contendedNames = results.filter(_._4).map(r => s""""${r._1}"""").mkString("[", ",", "]")

@@ -46,6 +46,12 @@ def queries(detail):
 
 
 def drift_flags(prior, cur):
+    """Min-statistic rule (matches graft.Bench r14): compare wall_min /
+    task_min when recorded — the min across quiet-box attempts is stable
+    where selected-median per-query values redistribute even on a clean box
+    (a validation run measured total task_sec FLAT at 732→725 s while six
+    medians moved past 1.25x). A pre-min artifact falls back to its
+    selected wall/task, which is >= its min — conservative for flagging."""
     pf = (prior.get("__sentinel") or {}).get("floor") or 0.0
     cf = (cur.get("__sentinel") or {}).get("floor") or 0.0
     ratio = max(1.0, cf / pf) if pf > 0 and cf > 0 else 1.0
@@ -55,21 +61,19 @@ def drift_flags(prior, cur):
         prev = pq.get(name)
         if prev is None:
             continue
-        norm = prev["wall"] * ratio
-        wall_flag = now["wall"] > norm * WALL_FACTOR and now["wall"] - norm > WALL_ABS
+        pw = prev.get("wall_min", prev["wall"])
+        nw = now.get("wall_min", now["wall"])
+        norm = pw * ratio
+        wall_flag = nw > norm * WALL_FACTOR and nw - norm > WALL_ABS
         if not wall_flag:
             continue
-        pt, ct = prev.get("task_sec"), now.get("task_sec")
-        pc, cc = prev.get("proc_cpu"), now.get("proc_cpu")
-        if pt is None and pc is None:
-            flags.append((name, prev["wall"], now["wall"], ratio, pt, ct))
+        pt = prev.get("task_min", prev.get("task_sec"))
+        ct = now.get("task_min", now.get("task_sec"))
+        if pt is None:
+            flags.append((name, pw, nw, ratio, pt, ct))
             continue
-        work_flag = ((pt is not None and ct is not None
-                      and ct > pt * WORK_FACTOR and ct - pt > TASK_ABS)
-                     or (pc is not None and cc is not None
-                         and cc > pc * WORK_FACTOR and cc - pc > CPU_ABS))
-        if work_flag:
-            flags.append((name, prev["wall"], now["wall"], ratio, pt, ct))
+        if ct is not None and ct > pt * WORK_FACTOR and ct - pt > TASK_ABS:
+            flags.append((name, pw, nw, ratio, pt, ct))
     return ratio, flags
 
 
@@ -85,7 +89,7 @@ def main():
     if len(args) == 5:
         name, factor = args[3], float(args[4])
         q = dict(cur[name])
-        for field in ("wall", "task_sec", "proc_cpu"):
+        for field in ("wall", "task_sec", "proc_cpu", "wall_min", "task_min"):
             if field in q:
                 q[field] = q[field] * factor
         cur = dict(cur)
