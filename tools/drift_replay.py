@@ -46,12 +46,15 @@ def queries(detail):
 
 
 def drift_flags(prior, cur):
-    """Min-statistic rule (matches graft.Bench r14): compare wall_min /
-    task_min when recorded — the min across quiet-box attempts is stable
-    where selected-median per-query values redistribute even on a clean box
-    (a validation run measured total task_sec FLAT at 732→725 s while six
-    medians moved past 1.25x). A pre-min artifact falls back to its
-    selected wall/task, which is >= its min — conservative for flagging."""
+    """Min-statistic rule (matches graft.Bench r15): compare wall_min /
+    task_min / cpu_min when recorded — the min across quiet-box attempts is
+    stable where selected-median per-query values redistribute even on a
+    clean box (a validation run measured total task_sec FLAT at 732→725 s
+    while six medians moved past 1.25x). A pre-min artifact falls back to
+    its selected wall/task/cpu, which is >= its min — conservative for
+    flagging. Work corroboration is task OR proc_cpu (advisor r14): a real
+    wall regression with flat TASK time — driver-side work, e.g. per-search
+    collects — still moves the driver process's cpu-seconds."""
     pf = (prior.get("__sentinel") or {}).get("floor") or 0.0
     cf = (cur.get("__sentinel") or {}).get("floor") or 0.0
     ratio = max(1.0, cf / pf) if pf > 0 and cf > 0 else 1.0
@@ -69,11 +72,15 @@ def drift_flags(prior, cur):
             continue
         pt = prev.get("task_min", prev.get("task_sec"))
         ct = now.get("task_min", now.get("task_sec"))
-        if pt is None:
-            flags.append((name, pw, nw, ratio, pt, ct))
-            continue
-        if ct is not None and ct > pt * WORK_FACTOR and ct - pt > TASK_ABS:
-            flags.append((name, pw, nw, ratio, pt, ct))
+        pc = prev.get("cpu_min", prev.get("proc_cpu"))
+        cc = now.get("cpu_min", now.get("proc_cpu"))
+        task_leg = (pt is not None and ct is not None
+                    and ct > pt * WORK_FACTOR and ct - pt > TASK_ABS)
+        cpu_leg = (pc is not None and cc is not None
+                   and cc > pc * WORK_FACTOR and cc - pc > CPU_ABS)
+        # wall-only fallback when the prior has NO work fields at all
+        if (pt is None and pc is None) or task_leg or cpu_leg:
+            flags.append((name, pw, nw, ratio, pt, ct, pc, cc))
     return ratio, flags
 
 
@@ -89,7 +96,8 @@ def main():
     if len(args) == 5:
         name, factor = args[3], float(args[4])
         q = dict(cur[name])
-        for field in ("wall", "task_sec", "proc_cpu", "wall_min", "task_min"):
+        for field in ("wall", "task_sec", "proc_cpu",
+                      "wall_min", "task_min", "cpu_min"):
             if field in q:
                 q[field] = q[field] * factor
         cur = dict(cur)
@@ -99,9 +107,10 @@ def main():
     print(f"floor_ratio={ratio:.3f} "
           f"(prior={((prior.get('__sentinel') or {}).get('floor') or 0):.3f} "
           f"cur={((cur.get('__sentinel') or {}).get('floor') or 0):.3f})")
-    for name, p, n, r, pt, ct in flags:
+    for name, p, n, r, pt, ct, pc, cc in flags:
         print(f"DRIFT {name}: wall {p:.3f}->{n:.3f} ({n / p:.2f}x raw, "
-              f"{n / (p * r):.2f}x floor-normalized) task {pt}->{ct}")
+              f"{n / (p * r):.2f}x floor-normalized) task {pt}->{ct} "
+              f"cpu {pc}->{cc}")
     print(f"{len(flags)} flag(s)")
     return min(len(flags), 120)
 
