@@ -153,7 +153,7 @@ object Bench {
     // round ends, so the first bench invocation of round N+1 captures round
     // N's final graded walls and every later invocation (including the
     // graded one) compares against THAT.
-    val priorStats: Map[String, (Double, Option[Double], Option[Double])] = try {
+    val priorStats: Map[String, (Double, Option[Double], Option[Double], Option[Double])] = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val repoDir = Option(new java.io.File(detailPath).getParentFile)
         .getOrElse(new java.io.File("."))
@@ -193,10 +193,11 @@ object Bench {
           val v = e.getValue
           def opt(f: String) = Option(v.get(f)).map(_.asDouble())
           // compare min-to-min when the prior recorded mins (r14 artifacts
-          // on); a pre-min prior falls back to its selected wall/task —
+          // on); a pre-min prior falls back to its selected wall/task/cpu —
           // CONSERVATIVE for flagging, since selected >= min
           (e.getKey, (opt("wall_min").getOrElse(v.get("wall").asDouble()),
-            opt("task_min").orElse(opt("task_sec")), pf))
+            opt("task_min").orElse(opt("task_sec")),
+            opt("cpu_min").orElse(opt("proc_cpu")), pf))
         }.toMap
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior-baseline read skipped: $e"); Map.empty
@@ -269,7 +270,7 @@ object Bench {
       !sentinelOn || s <= sentinelFloor * sentinelDrift + 0.05
 
     def measureQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (String, Run, Int, Boolean, Double, Double) = {
+        : (String, Run, Int, Boolean, Double, Double, Double) = {
         (1 to warmups).foreach { _ =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -333,20 +334,22 @@ object Bench {
             f"${if (runs.size > chosen.size) s", ${runs.size - chosen.size} dirty dropped" else ""}) " +
             f"rows=${medRun.rows} cpu=${medRun.cpuSec}%.1fs task=${medRun.taskMs / 1000.0}%.1fs " +
             f"other=${medRun.otherCpuSec}%.2fs${if (flagged) " CONTENDED" else ""}")
-        // minimum wall/task across the quiet-box attempts: the DRIFT
-        // comparison's statistic (r14) — wall and task noise are additive
-        // (GC, scheduling, retry contamination), so the min sits nearest
-        // true cost and is far more stable run-to-run than the median the
-        // headline reports (medians measure what a user sees; mins measure
-        // what the CODE costs — regressions move both, noise only the first)
+        // minimum wall/task/cpu across the quiet-box attempts: the DRIFT
+        // comparison's statistic (r14; cpu added r15) — wall, task, and
+        // driver-cpu noise are additive (GC, scheduling, retry
+        // contamination), so the min sits nearest true cost and is far more
+        // stable run-to-run than the median the headline reports (medians
+        // measure what a user sees; mins measure what the CODE costs —
+        // regressions move both, noise only the first)
         val minBase = if (nonContended.nonEmpty) nonContended else runs
         (name, medRun, runs.size, flagged,
-          minBase.map(_.wall).min, minBase.map(_.taskMs).min / 1000.0)
+          minBase.map(_.wall).min, minBase.map(_.taskMs).min / 1000.0,
+          minBase.map(_.cpuSec).min)
     }
 
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results: Seq[(String, Run, Int, Boolean, Double, Double)] =
+    val results: Seq[(String, Run, Int, Boolean, Double, Double, Double)] =
       queryList.grouped(sentinelWindow).toSeq.flatMap { window =>
         var take = window.map { case (name, fn) => measureQuery(name, fn) }
         var post = if (sentinelOn) sentinelRead() else 0.0
@@ -366,7 +369,7 @@ object Bench {
           take = take.zip(retaken).map { case (a, b) =>
             val keep = if (b._2.wall < a._2.wall) b else a
             (keep._1, keep._2, keep._3, keep._4,
-              math.min(a._5, b._5), math.min(a._6, b._6))
+              math.min(a._5, b._5), math.min(a._6, b._6), math.min(a._7, b._7))
           }
           post = sentinelRead()
         }
@@ -558,11 +561,12 @@ object Bench {
     // queries x 6 fields would blow the parseable stdout budget); the stdout
     // line carries the contract fields plus the aggregate contention verdict
     try {
-      val detail = (results.map { case (name, r, attempts, flagged, wallMin, taskMin) =>
+      val detail = (results.map { case (name, r, attempts, flagged, wallMin, taskMin, cpuMin) =>
         s""""$name":{"wall":${fmt(r.wall)},"proc_cpu":${fmt(r.cpuSec)},""" +
           s""""task_sec":${fmt(r.taskMs / 1000.0)},"gc_ms":${r.gcMs},""" +
           s""""other_cpu":${fmt(r.otherCpuSec)},"rows":${r.rows},""" +
           s""""wall_min":${fmt(wallMin)},"task_min":${fmt(taskMin)},""" +
+          s""""cpu_min":${fmt(cpuMin)},""" +
           s""""attempts":$attempts,"contended":$flagged}"""
       } ++ serving.map { case (name, perSearch, total, jobsPer, stagesPer, minW) =>
         s""""serving_$name":{"per_search":${fmt(perSearch)},""" +
@@ -588,16 +592,20 @@ object Bench {
     //   (1) NORMALIZE the prior wall by the sentinel-floor ratio — the
     //       fixed probe both artifacts record moves with the box, not the
     //       code, so its ratio is the ambient scale factor;
-    //   (2) CORROBORATE with work: flag only when task_sec or proc_cpu
+    //   (2) CORROBORATE with work: flag only when task_sec OR proc_cpu
     //       moved with the wall (1.25x + absolute floor) — a real
     //       regression does more work; a slow window does the same work
-    //       slowly. Wall-only fallback when the prior lacks work fields.
+    //       slowly. The cpu leg (r15, advisor r14) catches DRIVER-side
+    //       regressions the task leg is blind to — per-search collects,
+    //       resident-path arithmetic — exactly the serving hot path this
+    //       repo optimizes. Wall-only fallback when the prior lacks BOTH
+    //       work fields.
     // tools/drift_replay.py replays the same rule over two artifacts
     // (r13 graded replays clean incl. a 2.1x wall-only entry; a synthetic
     // task-up regression still fires). Still advisory — read with the
     // sentinel numbers.
     val floorRatio: Double = (for {
-      (_, (_, _, pfOpt)) <- priorStats.headOption
+      (_, (_, _, _, pfOpt)) <- priorStats.headOption
       pf <- pfOpt
       if sentinelOn && sentinelFloor > 0
     } yield math.max(1.0, sentinelFloor / pf)).getOrElse(1.0)
@@ -606,28 +614,33 @@ object Bench {
     // even on a clean box — a first min-rule validation run measured total
     // task_sec FLAT at 732→725 s while six per-query medians moved past
     // 1.25x): a real regression is slower in its BEST run too, noise is not
-    val driftFlags: Seq[(String, Double, Double, Option[Double], Double)] =
-      results.flatMap { case (name, _, _, _, wallMin, taskMin) =>
+    val driftFlags: Seq[(String, Double, Double, Option[Double], Double, Option[Double], Double)] =
+      results.flatMap { case (name, _, _, _, wallMin, taskMin, cpuMin) =>
         priorStats.get(name).collect {
-          case (pw, pTask, _) if {
+          case (pw, pTask, pCpu, _) if {
             val norm = pw * floorRatio
             val wallFlag = wallMin > norm * 1.4 && wallMin - norm > 0.25
-            val workFlag =
+            val taskFlag =
               pTask.exists(pt => taskMin > pt * 1.25 && taskMin - pt > 0.1)
-            wallFlag && (pTask.isEmpty || workFlag)
-          } => (name, pw, wallMin, pTask, taskMin)
+            val cpuFlag =
+              pCpu.exists(pc => cpuMin > pc * 1.25 && cpuMin - pc > 0.25)
+            wallFlag &&
+              ((pTask.isEmpty && pCpu.isEmpty) || taskFlag || cpuFlag)
+          } => (name, pw, wallMin, pTask, taskMin, pCpu, cpuMin)
         }
       }
-    driftFlags.foreach { case (name, p, now, pt, ct) =>
+    driftFlags.foreach { case (name, p, now, pt, ct, pc, cc) =>
       System.err.println(f"[bench] DRIFT $name: min ${p}%.3fs -> ${now}%.3fs " +
         f"(${now / p}%.2fx raw, ${now / (p * floorRatio)}%.2fx normalized; " +
-        f"task_min ${pt.getOrElse(Double.NaN)}%.3f -> $ct%.3f)")
+        f"task_min ${pt.getOrElse(Double.NaN)}%.3f -> $ct%.3f; " +
+        f"cpu_min ${pc.getOrElse(Double.NaN)}%.3f -> $cc%.3f)")
     }
-    val driftJson = driftFlags.map { case (name, p, now, pt, ct) =>
+    val driftJson = driftFlags.map { case (name, p, now, pt, ct, pc, cc) =>
       s""""$name":{"prev":${fmt(p)},"now":${fmt(now)}""" +
         pt.map(v => s""","prev_task":${fmt(v)},"now_task":${fmt(ct)}""").getOrElse("") +
+        pc.map(v => s""","prev_cpu":${fmt(v)},"now_cpu":${fmt(cc)}""").getOrElse("") +
         "}" }.mkString("{", ",", "}")
-    val qs = results.map { case (k, r, _, _, _, _) => s""""$k":${fmt(r.wall)}""" }
+    val qs = results.map { case (k, r, _, _, _, _, _) => s""""$k":${fmt(r.wall)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
     val contendedNames = results.filter(_._4).map(r => s""""${r._1}"""").mkString("[", ",", "]")

@@ -387,6 +387,63 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(hits(dst3, "follow_c") == hits(src, "follow_c"))
   }
 
+  test("ReplicaFollower x source prune (r15, judge r14 #5): a prune between " +
+      "polls skips the pruned backlog; a prune inside the list-to-copy " +
+      "window fails the poll cleanly (nothing visible) and the next poll " +
+      "recovers; the watermark never moves backwards") {
+    val src = tmp("graft_fprune_src")
+    val dst = tmp("graft_fprune_dst")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"base$i"),
+        "doc_id", "text"), genPath(src, 0))
+    IndexMaintenance.commitGeneration(spark, src, 0)
+    def hits(root: String, tag: String): Set[Long] =
+      Dedup.minhashSearchIndex(
+          Dedup.minhashOpenIndex(spark, currentPath(spark, root)),
+          docs(Seq(999L), _ => tag), "doc_id", "text", 0.5)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    def advance(id: Long, tag: String): Unit = {
+      assert(Dedup.minhashAppendIndex(spark, currentPath(spark, src),
+        docs(Seq(id), _ => tag), "doc_id", "text", s"b$id"))
+      IndexMaintenance.maintainIndexes(spark, minhashRoot = Some(src),
+        policy = Policy(minhashMaxFanIn = 1))
+    }
+    val follower = new IndexMaintenance.ReplicaFollower(spark, src, dst)
+    assert(follower.poll() == Seq(0) && follower.watermark == 0)
+    // the source commits gens 1..3 during follower downtime, then prunes
+    // to latest-2 BETWEEN the follower's polls: the backlog the next poll
+    // lists is {2, 3} — gen-1 is gone and must be skipped, not faulted
+    advance(50L, "prune_a"); advance(60L, "prune_b"); advance(70L, "prune_c")
+    assert(IndexMaintenance.currentGeneration(spark, src) == 3)
+    IndexMaintenance.pruneGenerations(spark, src, keepLatest = 2)
+    assert(follower.poll() == Seq(2, 3), "pruned gen-1 skipped, ascending")
+    assert(follower.watermark == 3, "watermark monotone 0 -> 3")
+    Seq("base4", "prune_b", "prune_c").foreach { tag =>
+      assert(hits(dst, tag) == hits(src, tag), s"standby diverged on $tag")
+    }
+    // a prune landing INSIDE the poll (after its listing, before its copy
+    // of gen-4 — the deterministic form of "prune lands mid-copy"): the
+    // poll fails cleanly, nothing becomes visible on the standby, the
+    // watermark holds, and the next poll re-lists and recovers
+    advance(80L, "prune_d"); advance(90L, "prune_e") // gens {2,3,4,5}
+    IndexMaintenance.replicaCopyHook = g =>
+      if (g == 4) {
+        IndexMaintenance.replicaCopyHook = _ => () // fire once
+        IndexMaintenance.pruneGenerations(spark, src, keepLatest = 1)
+      }
+    try intercept[Exception](follower.poll())
+    finally IndexMaintenance.replicaCopyHook = _ => ()
+    assert(follower.watermark == 3, "a failed poll must not move the watermark")
+    assert(!new java.io.File(s"$dst/gen-4/_GEN_COMMITTED").exists() &&
+      !new java.io.File(s"$dst/gen-5/_GEN_COMMITTED").exists(),
+      "the failed poll must not publish a partial generation")
+    assert(follower.poll() == Seq(5), "recovery poll replicates what survives")
+    assert(follower.watermark == 5)
+    Seq("base4", "prune_e").foreach { tag =>
+      assert(hits(dst, tag) == hits(src, tag), s"standby diverged on $tag post-recovery")
+    }
+  }
+
   test("Policy(pruneKeepLatest): the maintenance pass bounds the root's disk; " +
       "prune events logged; lagging session margin respected (r13)") {
     val root = tmp("graft_maint_prune")
