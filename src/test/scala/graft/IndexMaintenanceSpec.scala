@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Dedup, IndexMaintenance, Lexical}
+import graft.operators.{Ann, Dedup, IndexMaintenance, Lexical, Tombstones}
 import graft.operators.IndexMaintenance.{Policy, currentPath, genPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -442,6 +442,63 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     Seq("base4", "prune_e").foreach { tag =>
       assert(hits(dst, tag) == hits(src, tag), s"standby diverged on $tag post-recovery")
     }
+  }
+
+  test("replication x consolidation crash window (r15): a generation copied " +
+      "with absorbed-but-present delete leftovers serves identically on the " +
+      "replica, audits one fold row, and the replica's own consolidate " +
+      "finishes the sweep") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = tmp("graft_replfold_src")
+    val dst = tmp("graft_replfold_dst")
+    val corpus = docs(0L until 12L, i => s"rf$i")
+    val (p, st) = Lexical.bm25BuildIndex(corpus, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, st, genPath(src, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, src, 0)
+    val cur = currentPath(spark, src)
+    def idsDf(ids: Seq[Long]) = { import spark.implicits._; ids.toDF("id") }
+    assert(Lexical.bm25DeleteFromIndex(spark, cur, idsDf(Seq(3L)), "id", "d1"))
+    assert(Lexical.bm25DeleteFromIndex(spark, cur, idsDf(Seq(5L)), "id", "d2"))
+    def search(root: String): Set[String] =
+      Lexical.bm25SearchIndex(
+          Lexical.bm25OpenIndex(spark, currentPath(spark, root)),
+          docs(Seq(900L, 901L), i => s"rf${i - 897L}"), "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3))).toString).toSet
+    // consolidate, then simulate the crash window on the SOURCE: the
+    // absorbed dirs restored next to their committed fold (markers and all)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(cur).getFileSystem(conf)
+    val side = tmp("graft_replfold_side")
+    Seq("d1", "d2").foreach(d => assert(FileUtil.copy(
+      fs, new Path(s"$cur/deletes/$d"), fs, new Path(s"$side/$d"), false, conf)))
+    assert(Tombstones.consolidate(spark, cur) == 2)
+    Seq("d1", "d2").foreach(d => assert(FileUtil.copy(
+      fs, new Path(s"$side/$d"), fs, new Path(s"$cur/deletes/$d"), false, conf)))
+    val before = search(src)
+    // replication copies the generation dir WHOLESALE — leftovers included.
+    // The fold invariants must hold on the copied tree: readers skip the
+    // absorbed dirs (no double-counted deltas), searches exclude exactly
+    // the folded union, and the replica's own maintenance finishes the
+    // sweep without folding anything new.
+    assert(IndexMaintenance.replicateGeneration(spark, src, dst) == 0)
+    val dstCur = currentPath(spark, dst)
+    assert(search(dst) == before, "replica must serve the source's exclusion exactly")
+    assert(Tombstones.deleteDirCount(spark, dstCur) == 1)
+    val audit = Tombstones.deletesDf(spark, dstCur).collect()
+    assert(audit.length == 1 && audit(0).getString(0) == "fold-0")
+    assert(audit(0).getLong(1) == 2L, "fold deltas must not double-count leftovers")
+    assert(Tombstones.consolidate(spark, dstCur) == 0, "sweep only — nothing to fold")
+    assert(!new java.io.File(s"$dstCur/deletes/d1").exists() &&
+      !new java.io.File(s"$dstCur/deletes/d2").exists(), "replica sweep completes")
+    assert(search(dst) == before)
+    // and a fresh replica takedown advances the fold sequence past the
+    // carried ledger instead of reusing a name
+    assert(Lexical.bm25DeleteFromIndex(spark, dstCur, idsDf(Seq(7L)), "id", "d3"))
+    assert(Lexical.bm25DeleteFromIndex(spark, dstCur, idsDf(Seq(9L)), "id", "d4"))
+    assert(Tombstones.consolidate(spark, dstCur) == 3)
+    val names = Tombstones.deletesDf(spark, dstCur).collect().map(_.getString(0)).toSet
+    assert(names == Set("fold-1"), s"fold name must advance, got $names")
   }
 
   test("Policy(pruneKeepLatest): the maintenance pass bounds the root's disk; " +
