@@ -1350,6 +1350,87 @@ object SparkEntry {
   private def steadyAnnDeletedDir(s: SparkSession, dir: String): String =
     steadyAnnDeletedPair(s, dir)._3
 
+  /** Removal-audit fixture (r15): four generation roots sharing ONE
+    * takedown promise — ids `% 10 == 3` denylisted at the minhash root.
+    * MinHash and BM25 are tombstoned (compliant); one ANN root is
+    * deliberately NOT tombstoned (the violation
+    * [[graft.operators.IndexMaintenance.auditRemovals]] must surface —
+    * e.g. an index family someone added to serving after the takedown ran);
+    * a second ANN root IS tombstoned (the re-audit-after-fix leg, so the
+    * query stays idempotent across bench attempts).
+    */
+  private val steadyAuditCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]
+  private def steadyAuditRoots(s: SparkSession, dir: String)
+      : (String, String, String, String) =
+    steadyAuditCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Ann, Dedup, IndexMaintenance => IM}
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val mh = s"${perProcessTmpDir("graft_audit_mh")}/$tag"
+      val bm = s"${perProcessTmpDir("graft_audit_bm")}/$tag"
+      val av = s"${perProcessTmpDir("graft_audit_annv")}/$tag"
+      val ac = s"${perProcessTmpDir("graft_audit_annc")}/$tag"
+      val docs = ld(s, dir, "documents")
+      val emb = ld(s, dir, "embeddings")
+      val slice = docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
+      if (!new java.io.File(s"${IM.genPath(mh, 0)}/minhash_meta.json").exists()) {
+        Dedup.minhashWriteIndex(
+          Dedup.minhashBuildIndex(docs, "doc_id", "text"), IM.genPath(mh, 0))
+        IM.commitGeneration(s, mh, 0)
+      }
+      if (!new java.io.File(s"${IM.genPath(bm, 0)}/bm25_meta.json").exists()) {
+        val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(p, st, IM.genPath(bm, 0), nBuckets = 16)
+        IM.commitGeneration(s, bm, 0)
+      }
+      Seq(av, ac).foreach { root =>
+        if (!new java.io.File(s"${IM.genPath(root, 0)}/ann_meta.json").exists()) {
+          val (cells, cents) = Ann.annBuildIndex(emb, "vec_id", "embedding", nCentroids = 16)
+          Ann.annWriteIndex(cells, cents, IM.genPath(root, 0))
+          IM.commitGeneration(s, root, 0)
+        }
+      }
+      // each durable effect idempotent on its delId — safe across attempts
+      Dedup.minhashDeleteFromIndex(s, IM.currentPath(s, mh), slice, "doc_id", "takedown")
+      Lexical.bm25DeleteFromIndex(s, IM.currentPath(s, bm), slice, "doc_id", "takedown")
+      Ann.annDeleteFromIndex(s, IM.currentPath(s, ac),
+        emb.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"),
+        "vec_id", "takedown")
+      graft.streaming.Denylist.append(s, mh, slice, "doc_id", "takedown")
+      (mh, bm, av, ac)
+    })
+
+  /** As-of fixture (r15): three committed minhash generations with wall
+    * timestamps captured between the commits, then pruned to latest-2 —
+    * so `q_gen_asof` can pin each timestamp to the exact generation that
+    * was serving then (or the honest miss for the pruned window)
+    * deterministically. The corpus is tiny: the commit-marker protocol is
+    * the point, not the index.
+    */
+  private val steadyAsOfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long, Long)]
+  private def steadyAsOfFixture(s: SparkSession, dir: String)
+      : (String, Long, Long, Long, Long) =
+    steadyAsOfCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{Dedup, IndexMaintenance => IM}
+      val root = s"${perProcessTmpDir("graft_asof")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = ld(s, dir, "documents").filter(col("doc_id") < 64)
+      val tPre = System.currentTimeMillis(); Thread.sleep(10)
+      Dedup.minhashWriteIndex(
+        Dedup.minhashBuildIndex(docs, "doc_id", "text"), IM.genPath(root, 0))
+      IM.commitGeneration(s, root, 0)
+      Thread.sleep(10); val t0 = System.currentTimeMillis(); Thread.sleep(10)
+      Dedup.minhashCompactIndex(s, IM.genPath(root, 0), IM.genPath(root, 1))
+      IM.commitGeneration(s, root, 1)
+      Thread.sleep(10); val t1 = System.currentTimeMillis(); Thread.sleep(10)
+      Dedup.minhashCompactIndex(s, IM.genPath(root, 1), IM.genPath(root, 2))
+      IM.commitGeneration(s, root, 2)
+      Thread.sleep(10); val t2 = System.currentTimeMillis()
+      IM.pruneGenerations(s, root, keepLatest = 2)
+      (root, tPre, t0, t1, t2)
+    })
+
   /** Per-process LinearModel artifact with the md5 featurizer and an
     * integer-formula weight matrix `w(i,j) = ((7i + 3j) mod 11 − 5) / 10`
     * (8 x 16): every number the artifact produces is recomputable in SQL,
@@ -3482,6 +3563,58 @@ object SparkEntry {
            |ORDER BY left_id, rnk""".stripMargin)
     }),
 
+    // Removal-coverage audit (r15): the composed compliance invariant —
+    // "is anything the denylist promises to keep out still servable
+    // anywhere?" — checked across families from the directories alone.
+    // The fixture denylists ids % 10 == 3 and tombstones minhash + bm25
+    // but deliberately NOT one ANN root: the 'pre' phase must surface
+    // exactly that family's violations (the oracle recomputes them from
+    // the embeddings table) and nothing from the compliant families; the
+    // 'post' phase audits the tombstoned ANN sibling and must be empty.
+    "q_removal_audit" -> ((s, dir) => {
+      val (mh, bm, av, ac) = steadyAuditRoots(s, dir)
+      val pre = IndexMaintenance.auditRemovals(s, mh,
+          minhashRoot = Some(mh), bm25Root = Some(bm), annRoot = Some(av))
+        .withColumn("phase", lit("pre"))
+      val post = IndexMaintenance.auditRemovals(s, mh, annRoot = Some(ac))
+        .withColumn("phase", lit("post"))
+      pre.unionByName(post).select(col("phase"), col("family"), col("id"))
+        .orderBy("phase", "family", "id")
+    }),
+
+    // Generation-as-of (r15): reproducibility's resolver — a training
+    // run's wall timestamp pins the exact immutable generation its
+    // sessions searched, from the commit markers alone. The fixture
+    // commits three generations with captured timestamps and prunes to
+    // latest-2: the pre-commit and pruned windows answer the honest miss
+    // (-1), never a surviving neighbor (a silent remap would replay a
+    // different corpus).
+    "q_gen_asof" -> ((s, dir) => {
+      import s.implicits._
+      val (root, tPre, t0, t1, t2) = steadyAsOfFixture(s, dir)
+      def g(t: Long): Int =
+        IndexMaintenance.generationAsOf(s, root, t).getOrElse(-1)
+      Seq(("at_pre", g(tPre)), ("at_g0_pruned", g(t0)),
+          ("at_g1", g(t1)), ("at_g2", g(t2)))
+        .toDF("label", "gen").orderBy("label")
+    }),
+
+    // The audit's SQL twin (r15): graft_removal_audit drives the same
+    // composed invariant through the TVF surface — same fixture, same
+    // independent oracle ('' skips a family).
+    "q_removal_audit_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val (mh, bm, av, ac) = steadyAuditRoots(s, dir)
+      s.sql(
+        s"""SELECT * FROM (
+           |  SELECT 'pre' AS phase, family, id
+           |  FROM graft_removal_audit('$mh', '$mh', '$bm', '$av')
+           |  UNION ALL
+           |  SELECT 'post' AS phase, family, id
+           |  FROM graft_removal_audit('$mh', '', '', '$ac')
+           |) ORDER BY phase, family, id""".stripMargin)
+    }),
+
     // Filtered lexical search (r13 — the BM25 leg of the metadata-filtered
     // retrieval surface, completing q_ann_filtered's vector leg): top-5
     // over ONLY the allowed docs (doc_id % 3 == 0) through a filtered view
@@ -4339,6 +4472,16 @@ object SparkEntry {
       |FROM bmranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val Bm25DeleteOracleSql: String = Bm25DeleteCtes("")
+
+  /** The removal audit's violations, recomputed from the embeddings table
+    * (every embedding id is also a denylisted doc id under the shared
+    * `% 10 == 3` slice; the compliant families and the fixed ANN sibling
+    * contribute nothing) — shared by the DataFrame and TVF forms.
+    */
+  private val RemovalAuditOracleSql: String =
+    """SELECT 'pre' AS phase, 'ann' AS family, CAST(vec_id AS BIGINT) AS id
+      |FROM embeddings WHERE vec_id % 10 = 3
+      |ORDER BY phase, family, id""".stripMargin
 
   /** Brute-force cosine top-5 over the SURVIVOR vectors (`vec_id % 10 <>
     * 3` removed) — the independent oracle shared by the tombstoned-ANN TVF
@@ -6129,6 +6272,22 @@ object SparkEntry {
     "q_minhash_filtered" -> MinhashFilteredOracleSql,
     "q_minhash_search_sql" -> MinhashFilteredOracleSql,
     "q_hybrid_filtered" -> HybridFilteredOracleSql,
+
+    // removal-coverage audit (r15): the only servable denylisted ids are
+    // the deliberately-untombstoned ANN root's — recomputed from the
+    // embeddings table (every embedding id is also a denylisted doc id
+    // under the shared % 10 == 3 slice); the compliant families and the
+    // fixed ANN sibling contribute nothing
+    "q_removal_audit" -> RemovalAuditOracleSql,
+    "q_removal_audit_sql" -> RemovalAuditOracleSql,
+
+    // generation-as-of (r15): the fixture's timestamp → generation
+    // resolution is fully determined by its build script — pre-commit and
+    // pruned windows miss honestly, surviving windows pin exactly
+    "q_gen_asof" ->
+      """SELECT * FROM (VALUES
+        |  ('at_pre', -1), ('at_g0_pruned', -1), ('at_g1', 1), ('at_g2', 2))
+        |AS t(label, gen) ORDER BY label""".stripMargin,
 
     // denylist audit TVF (r13): the recorded never-re-enter ids are exactly
     // the takedown fixture's id slice, recomputed from the documents table

@@ -136,6 +136,46 @@ object IndexMaintenance {
     if (!fs.exists(marker)) fs.create(marker, false).close()
   }
 
+  /** The generation that was CURRENT at wall time `atMillis` (r15) —
+    * reproducibility's question: "which exact index did the run that
+    * started at T search?" A training run records one timestamp; this
+    * resolves it to the immutable generation directory the run's sessions
+    * opened, from the commit markers alone — each generation's
+    * `_GEN_COMMITTED` create time IS its visibility instant (the marker is
+    * the single commit point and is never rewritten), so no sidecar
+    * metadata can desync. Returns the highest generation committed at or
+    * before `atMillis`, `None` when none was (or when that generation has
+    * since been PRUNED — an honest miss beats silently serving a different
+    * corpus; keep `pruneGenerations`' `keepLatest` horizon at least as
+    * long as the reproducibility window you promise). On a replica the
+    * markers are created fresh per copy, so `atMillis` resolves against
+    * when the REPLICA began serving each generation — the right answer for
+    * runs that read the replica.
+    */
+  def generationAsOf(spark: SparkSession, root: String, atMillis: Long): Option[Int] = {
+    val fs = fsOf(spark, root)
+    val committed = committedGenerations(spark, root)
+    val times = committed.map(n =>
+      n -> fs.getFileStatus(new Path(genPath(root, n), GenMarker)).getModificationTime)
+    // the as-of generation is the newest SURVIVING one committed at or
+    // before T. Exactness check against pruning: if the next surviving
+    // generation above the answer is not answer+1, the generations in the
+    // gap were pruned and committed somewhere between the two surviving
+    // markers — possibly at or before T, in which case one of THEM was
+    // current. Unknowable from the markers alone → None (prunes strictly
+    // below the answer are irrelevant: the answer was already newer).
+    val visible = times.filter(_._2 <= atMillis).map(_._1)
+    visible.maxOption.filter { g =>
+      committed.filter(_ > g).headOption.forall(_ == g + 1)
+    }
+  }
+
+  /** [[generationAsOf]] resolved to its directory — the path to open for
+    * an exact replay; `None` when no generation was visible at `atMillis`.
+    */
+  def pathAsOf(spark: SparkSession, root: String, atMillis: Long): Option[String] =
+    generationAsOf(spark, root, atMillis).map(genPath(root, _))
+
   /** Delete committed generations superseded by at least `keepLatest`
     * newer ones — the caller's own-cadence cleanup (never automatic). The
     * reader contract: a [[ServingSession]] that RE-RESOLVED keeps serving
@@ -523,6 +563,59 @@ object IndexMaintenance {
     Dedup.minhashDeleteFromIndex(spark,
       currentPath(spark, minhashRoot), resolved, "doc_id", delId)
     resolved
+  }
+
+  /** Removal-coverage audit (r15): compliance's closing question — after
+    * takedowns, folds, compactions, and replications, is anything the
+    * denylist promises to keep out still SERVABLE anywhere? Every removal
+    * mechanism in this file is individually exact and individually
+    * oracled; this verb checks the COMPOSED invariant across families from
+    * the directories alone, exactly as serving would see them: each
+    * managed root's current generation is opened (tombstone exclusion
+    * applied, like any search) and its servable id set is semi-joined
+    * against the root-level [[graft.streaming.Denylist]]. Returns a
+    * `(family, id)` violations frame — empty means compliant. A violation
+    * is actionable as-is: feed the ids back through the family's delete
+    * verb under a fresh delId and re-audit.
+    *
+    * Scale: the denylist side is takedown-sized and BROADCASTs (eagerly
+    * pinned, the Denylist.exclude idiom); each family's side is a
+    * column-pruned id scan of its current generation (no payloads), one
+    * distributed semi-join per family, `distinct` applied only to the
+    * violation rows the semi-join survived (bounded by the denylist, not
+    * the corpus). Nothing corpus-sized touches the driver.
+    */
+  def auditRemovals(
+      spark: SparkSession,
+      denylistRoot: String,
+      minhashRoot: Option[String] = None,
+      bm25Root: Option[String] = None,
+      annRoot: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("family", StringType),
+        StructField("id", LongType, nullable = false))))
+    graft.streaming.Denylist.read(spark, denylistRoot) match {
+      case None => empty
+      case Some(deny0) =>
+        val deny = deny0.select(col("id").as("__deny_id")).localCheckpoint(true)
+        def leg(family: String,
+            ids: org.apache.spark.sql.DataFrame, idCol: String) =
+          ids.select(col(idCol).cast("long").as("id"))
+            .join(broadcast(deny), col("id") === col("__deny_id"), "left_semi")
+            .distinct()
+            .select(lit(family).as("family"), col("id"))
+        val legs =
+          minhashRoot.map(r => leg("minhash",
+            Dedup.minhashOpenIndex(spark, currentPath(spark, r)).shingles, "id")).toSeq ++
+          bm25Root.map(r => leg("bm25",
+            Lexical.bm25OpenIndex(spark, currentPath(spark, r)).postings, "doc_id")) ++
+          annRoot.map(r => leg("ann",
+            Ann.annOpenIndex(spark, currentPath(spark, r)).cells, "corpus_id"))
+        legs.foldLeft(empty)(_.unionByName(_))
+    }
   }
 
   private val RefitMetaFile = "refit_meta.json"

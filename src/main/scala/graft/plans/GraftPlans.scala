@@ -439,6 +439,25 @@ object GraftPlans {
     ColumnBridge.analyzedPlan(df)
   }
 
+  /** `graft_removal_audit('denyRoot', 'minhashRoot', 'bm25Root',
+    * 'annRoot')` — the composed compliance invariant from SQL
+    * ([[graft.operators.IndexMaintenance.auditRemovals]]): one
+    * `(family, id)` row per denylisted id still SERVABLE in a managed
+    * root's current generation; the empty relation means compliant. Pass
+    * `''` to skip a family. Closes the SQL audit triad: `graft_denylist`
+    * says what must stay out, `graft_index_deletes` says what each index
+    * removed, this says whether the two agree everywhere.
+    */
+  private def removalAuditBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graft_removal_audit(denylistRoot, minhashRoot, bm25Root, annRoot) — '' skips a family")
+    def opt(i: Int, n: String): Option[String] =
+      Option(str(args(i), n)).filter(_.nonEmpty)
+    ColumnBridge.analyzedPlan(graft.operators.IndexMaintenance.auditRemovals(
+      SparkSession.active, str(args(0), "denylistRoot"),
+      opt(1, "minhashRoot"), opt(2, "bm25Root"), opt(3, "annRoot")))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -486,7 +505,10 @@ object GraftPlans {
         minhashSearchBuilder _),
       (FunctionIdentifier("graft_denylist"),
         new ExpressionInfo("graft", "graft_denylist"),
-        denylistBuilder _))
+        denylistBuilder _),
+      (FunctionIdentifier("graft_removal_audit"),
+        new ExpressionInfo("graft", "graft_removal_audit"),
+        removalAuditBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -444,6 +444,89 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("generationAsOf (r15): a wall timestamp resolves to the exact " +
+      "generation serving then; pruned windows answer None, never a " +
+      "different corpus") {
+    val root = tmp("graft_asof")
+    val tPre = System.currentTimeMillis()
+    Thread.sleep(10)
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs(0L until 8L, i => s"asof$i"), "doc_id", "text"),
+      genPath(root, 0))
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    Thread.sleep(10); val t0 = System.currentTimeMillis(); Thread.sleep(10)
+    def advance(gen: Int): Unit = {
+      Dedup.minhashCompactIndex(spark, genPath(root, gen - 1), genPath(root, gen))
+      IndexMaintenance.commitGeneration(spark, root, gen)
+    }
+    advance(1)
+    Thread.sleep(10); val t1 = System.currentTimeMillis(); Thread.sleep(10)
+    advance(2)
+    Thread.sleep(10); val t2 = System.currentTimeMillis()
+    assert(IndexMaintenance.generationAsOf(spark, root, tPre).isEmpty,
+      "before the first commit nothing was serving")
+    assert(IndexMaintenance.generationAsOf(spark, root, t0).contains(0))
+    assert(IndexMaintenance.generationAsOf(spark, root, t1).contains(1))
+    assert(IndexMaintenance.generationAsOf(spark, root, t2).contains(2))
+    assert(IndexMaintenance.pathAsOf(spark, root, t1).contains(genPath(root, 1)))
+    // the resolved path opens — an exact replay of what t1's run searched
+    Dedup.minhashOpenIndex(spark, IndexMaintenance.pathAsOf(spark, root, t1).get)
+    // prune to latest-2: t0's window is gone — the honest answer is None
+    // (silently resolving to a surviving NEIGHBOR would replay a different
+    // corpus); t1/t2 stay exact
+    IndexMaintenance.pruneGenerations(spark, root, keepLatest = 2)
+    assert(IndexMaintenance.generationAsOf(spark, root, t0).isEmpty,
+      "a pruned window must miss, not remap")
+    assert(IndexMaintenance.generationAsOf(spark, root, t1).contains(1))
+    assert(IndexMaintenance.generationAsOf(spark, root, t2).contains(2))
+    // prune to latest-1: the numbering gap above gen-0's slot is irrelevant
+    // (prunes below the answer don't matter), t2 still exact
+    IndexMaintenance.pruneGenerations(spark, root, keepLatest = 1)
+    assert(IndexMaintenance.generationAsOf(spark, root, t1).isEmpty)
+    assert(IndexMaintenance.generationAsOf(spark, root, t2).contains(2))
+  }
+
+  test("auditRemovals (r15): surfaces denylisted-but-servable ids per family; " +
+      "violations fed back through the delete verb re-audit clean; folds " +
+      "stay transparent; no denylist = no violations") {
+    val mh = tmp("graft_audit_mh")
+    val bm = tmp("graft_audit_bm")
+    val corpus = docs(0L until 20L, i => s"au$i")
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(corpus, "doc_id", "text"), genPath(mh, 0))
+    IndexMaintenance.commitGeneration(spark, mh, 0)
+    val (p, st) = Lexical.bm25BuildIndex(corpus, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, st, genPath(bm, 0), nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, bm, 0)
+    def audit() = IndexMaintenance.auditRemovals(spark, mh,
+        minhashRoot = Some(mh), bm25Root = Some(bm))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // no denylist yet: compliant by definition
+    assert(audit().isEmpty)
+    def idsDf(ids: Seq[Long]) = { import spark.implicits._; ids.toDF("doc_id") }
+    // the takedown promise lands (denylist) but only minhash is tombstoned:
+    // the audit must surface exactly bm25's servable denylisted ids
+    graft.streaming.Denylist.append(spark, mh, idsDf(Seq(3L, 7L)), "doc_id", "t0")
+    assert(Dedup.minhashDeleteFromIndex(spark, currentPath(spark, mh),
+      idsDf(Seq(3L, 7L)), "doc_id", "t0"))
+    assert(audit() == Set(("bm25", 3L), ("bm25", 7L)))
+    // a violation is actionable as-is: feed the ids back through the
+    // family's delete verb and the re-audit is clean
+    assert(Lexical.bm25DeleteFromIndex(spark, currentPath(spark, bm),
+      idsDf(Seq(3L, 7L)), "doc_id", "t0_fix"))
+    assert(audit().isEmpty)
+    // folds stay transparent: a second takedown + consolidation on both
+    // roots must not resurrect anything the audit can see
+    graft.streaming.Denylist.append(spark, mh, idsDf(Seq(11L)), "doc_id", "t1")
+    assert(Dedup.minhashDeleteFromIndex(spark, currentPath(spark, mh),
+      idsDf(Seq(11L)), "doc_id", "t1"))
+    assert(Lexical.bm25DeleteFromIndex(spark, currentPath(spark, bm),
+      idsDf(Seq(11L)), "doc_id", "t1"))
+    assert(Tombstones.consolidate(spark, currentPath(spark, mh)) == 2)
+    assert(Tombstones.consolidate(spark, currentPath(spark, bm)) == 2)
+    assert(audit().isEmpty)
+  }
+
   test("replication x consolidation crash window (r15): a generation copied " +
       "with absorbed-but-present delete leftovers serves identically on the " +
       "replica, audits one fold row, and the replica's own consolidate " +
