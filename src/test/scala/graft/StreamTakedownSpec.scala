@@ -560,5 +560,12 @@ class StreamTakedownSpec extends AnyFunSuite {
     // the denylist holds every requested takedown id exactly once
     assert(Denylist.read(spark, mhRoot).get.collect().map(_.getLong(0)).toSet
       == appliedDels.flatMap(_._2).toSet)
+    // and the COMPOSED compliance invariant closes the property (r15):
+    // after the whole interleaved history — ingest, takedowns, folds,
+    // compactions, the mid-window delete — nothing the denylist promises
+    // to keep out is servable in either family
+    assert(IndexMaintenance.auditRemovals(spark, mhRoot,
+      minhashRoot = Some(mhRoot), bm25Root = Some(bmRoot)).isEmpty,
+      s"removal audit must be clean at the end (seed $seed)")
   }
 }
