@@ -3599,6 +3599,24 @@ object SparkEntry {
         .toDF("label", "gen").orderBy("label")
     }),
 
+    // The resolver's SQL twin (r15): graft_gen_asof pins each captured
+    // timestamp through the TVF — same fixture, same VALUES oracle (the
+    // miss rows COALESCE the TVF's honest nulls to -1).
+    "q_gen_asof_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val (root, tPre, t0, t1, t2) = steadyAsOfFixture(s, dir)
+      s.sql(
+        s"""SELECT label, COALESCE(gen, -1) AS gen FROM (
+           |  SELECT 'at_pre' AS label, gen FROM graft_gen_asof('$root', ${tPre}L)
+           |  UNION ALL
+           |  SELECT 'at_g0_pruned', gen FROM graft_gen_asof('$root', ${t0}L)
+           |  UNION ALL
+           |  SELECT 'at_g1', gen FROM graft_gen_asof('$root', ${t1}L)
+           |  UNION ALL
+           |  SELECT 'at_g2', gen FROM graft_gen_asof('$root', ${t2}L)
+           |) ORDER BY label""".stripMargin)
+    }),
+
     // The audit's SQL twin (r15): graft_removal_audit drives the same
     // composed invariant through the TVF surface — same fixture, same
     // independent oracle ('' skips a family).
@@ -4478,6 +4496,14 @@ object SparkEntry {
     * `% 10 == 3` slice; the compliant families and the fixed ANN sibling
     * contribute nothing) — shared by the DataFrame and TVF forms.
     */
+  /** The as-of fixture's fully-determined resolution trace — shared by
+    * the DataFrame and TVF forms.
+    */
+  private val GenAsOfOracleSql: String =
+    """SELECT * FROM (VALUES
+      |  ('at_pre', -1), ('at_g0_pruned', -1), ('at_g1', 1), ('at_g2', 2))
+      |AS t(label, gen) ORDER BY label""".stripMargin
+
   private val RemovalAuditOracleSql: String =
     """SELECT 'pre' AS phase, 'ann' AS family, CAST(vec_id AS BIGINT) AS id
       |FROM embeddings WHERE vec_id % 10 = 3
@@ -6284,10 +6310,9 @@ object SparkEntry {
     // generation-as-of (r15): the fixture's timestamp → generation
     // resolution is fully determined by its build script — pre-commit and
     // pruned windows miss honestly, surviving windows pin exactly
-    "q_gen_asof" ->
-      """SELECT * FROM (VALUES
-        |  ('at_pre', -1), ('at_g0_pruned', -1), ('at_g1', 1), ('at_g2', 2))
-        |AS t(label, gen) ORDER BY label""".stripMargin,
+    // (DataFrame and graft_gen_asof TVF forms share the oracle)
+    "q_gen_asof" -> GenAsOfOracleSql,
+    "q_gen_asof_sql" -> GenAsOfOracleSql,
 
     // denylist audit TVF (r13): the recorded never-re-enter ids are exactly
     // the takedown fixture's id slice, recomputed from the documents table

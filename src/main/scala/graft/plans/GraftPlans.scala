@@ -60,6 +60,13 @@ object GraftPlans {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
+  // SQL integer literals past 2^31 (e.g. epoch-millis timestamps) parse as
+  // BIGINT — accept both integral widths
+  private def lng(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be an integral literal, got $other")
+  }
   private def bool(e: Expression, what: String): Boolean = e match {
     case Literal(b: Boolean, _) => b
     case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
@@ -458,6 +465,29 @@ object GraftPlans {
       opt(1, "minhashRoot"), opt(2, "bm25Root"), opt(3, "annRoot")))
   }
 
+  /** `graft_gen_asof('root', atMillis)` —
+    * [[graft.operators.IndexMaintenance.generationAsOf]] from SQL: ONE row
+    * `(gen, path)` — the generation that was serving at the wall time and
+    * its immutable directory (open it for an exact replay), or nulls when
+    * nothing was (pre-commit, or that window's generation has since been
+    * pruned — the honest miss, never a surviving neighbor).
+    */
+  private def genAsOfBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "graft_gen_asof(root, atMillis)")
+    val root = str(args(0), "root")
+    val at = lng(args(1), "atMillis")
+    val spark = SparkSession.active
+    val g = graft.operators.IndexMaintenance.generationAsOf(spark, root, at)
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("gen", IntegerType), StructField("path", StringType)))
+    val row = org.apache.spark.sql.Row(
+      g.map(Int.box).orNull,
+      g.map(graft.operators.IndexMaintenance.genPath(root, _)).orNull)
+    ColumnBridge.analyzedPlan(
+      spark.createDataFrame(java.util.Arrays.asList(row), schema))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -508,7 +538,10 @@ object GraftPlans {
         denylistBuilder _),
       (FunctionIdentifier("graft_removal_audit"),
         new ExpressionInfo("graft", "graft_removal_audit"),
-        removalAuditBuilder _))
+        removalAuditBuilder _),
+      (FunctionIdentifier("graft_gen_asof"),
+        new ExpressionInfo("graft", "graft_gen_asof"),
+        genAsOfBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

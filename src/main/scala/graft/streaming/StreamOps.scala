@@ -666,6 +666,15 @@ object Denylist {
     * dir is gone, so the epoch re-appends ids already present in the
     * compacted set — a distinct-union no-op in effect. Returns the number
     * of dirs folded (0 when ≤ 1 committed entry exists).
+    *
+    * Name reuse is BENIGN here, unlike [[graft.operators.Tombstones
+    * .consolidate]] (whose r14 fold-name reuse self-absorbed and erased
+    * the exclusion set): the denylist keeps NO ledger that names a
+    * compacted dir — [[read]] is a stateless distinct-union over whatever
+    * committed dirs exist — so a `compacted-k` slot freed by a later
+    * compaction can be reused without any reader mistaking the new dir
+    * for an absorbed one. The contrast is the rule: name reuse is only
+    * safe when no surviving metadata can refer to the old name.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String): Int = {
     import org.apache.hadoop.fs.Path
