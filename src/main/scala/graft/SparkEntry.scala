@@ -270,6 +270,120 @@ object SparkEntry {
       sub
     })
 
+  /** Snapshot fixture (r15): a managed BM25 root whose capture-time state
+    * is EXACTLY the tombstone oracle's corpus (full minus `doc_id % 10 ==
+    * 3`) assembled the composed way — base `% 7 != 3`, held-out slice as
+    * committed append batch `b0`, takedown tombstone — then snapshotted as
+    * `s0` and mutated past recognition: two more takedowns (`% 10 ∈ {7,
+    * 9}`), a consolidation (which folds the post-capture pair and must
+    * preserve pinned `takedown`), a compaction into gen-1, and a prune
+    * that would collect gen-0 were it not pinned. `q_snapshot_search`
+    * opens `s0` and must still score bit-for-bit as DuckDB's survivor
+    * BM25 from scratch — the frozen point-in-time view across every
+    * mutation class the engine has.
+    */
+  private val steadySnapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def steadySnapshotRoot(s: SparkSession, dir: String): String =
+    steadySnapshotCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IndexMaintenance, Snapshots, Tombstones}
+      val root = s"${perProcessTmpDir("graft_snap_bm")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val g0 = IndexMaintenance.genPath(root, 0)
+      if (!new java.io.File(s"$root/gen-1/_GEN_COMMITTED").exists()) {
+        val docs = ld(s, dir, "documents")
+        if (!new java.io.File(s"$g0/bm25_meta.json").exists()) {
+          val (postings, stats) = Lexical.bm25BuildIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) =!= 3), "doc_id", "text")
+          Lexical.bm25WriteIndex(postings, stats, g0, nBuckets = 16)
+          Lexical.bm25AppendIndex(s, g0,
+            docs.filter(pmod(col("doc_id"), lit(7)) === 3), "doc_id", "text", "b0")
+        }
+        Lexical.bm25DeleteFromIndex(s, g0,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+          "doc_id", "takedown")
+        IndexMaintenance.commitGeneration(s, root, 0)
+        if (Snapshots.get(s, root, "s0").isEmpty) Snapshots.create(s, root, "s0")
+        Lexical.bm25DeleteFromIndex(s, g0,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
+          "doc_id", "d2")
+        Lexical.bm25DeleteFromIndex(s, g0,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 9).select("doc_id"),
+          "doc_id", "d3")
+        Tombstones.consolidate(s, g0) // folds d2+d3, preserves pinned takedown
+        val g1 = IndexMaintenance.genPath(root, 1)
+        Lexical.bm25CompactIndex(s, g0, g1)
+        IndexMaintenance.commitGeneration(s, root, 1)
+        IndexMaintenance.pruneGenerations(s, root, keepLatest = 1) // pinned: no-op
+      }
+      root
+    })
+
+  /** The snapshot lifecycle's observable-census trace (r15) — every number
+    * structural (dir/generation/fold counts), so one VALUES oracle covers
+    * both scales. Runs on its OWN tiny root because the tail DROPS the
+    * snapshot to prove both collectors reclaim the freed components —
+    * [[steadySnapshotRoot]]'s pin must stay live for `q_snapshot_search`.
+    */
+  private val steadySnapshotTraceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]
+  private def steadySnapshotTrace(s: SparkSession, dir: String): Seq[(String, Int)] =
+    steadySnapshotTraceCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IndexMaintenance, Snapshots, Tombstones}
+      graft.plans.GraftPlans.install(s)
+      val root = s"${perProcessTmpDir("graft_snap_tr")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fsRoot = new java.io.File(root)
+      if (fsRoot.exists()) { // re-runs in one process replay the whole story
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+        }
+        rm(fsRoot)
+      }
+      val docs = ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+      val g0 = IndexMaintenance.genPath(root, 0)
+      val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+      Lexical.bm25WriteIndex(postings, stats, g0, nBuckets = 8)
+      Lexical.bm25DeleteFromIndex(s, g0,
+        docs.filter(pmod(col("doc_id"), lit(30)) === 0).select("doc_id"),
+        "doc_id", "takedown")
+      IndexMaintenance.commitGeneration(s, root, 0)
+      Snapshots.create(s, root, "s0")
+      val trace = Seq.newBuilder[(String, Int)]
+      // the TVF catalog row — name/gen/components as SQL sees them
+      val tvf = s.sql(s"SELECT * FROM graft_snapshots('$root')").collect()
+      trace += (("tvf_rows", tvf.length))
+      trace += (("tvf_gen", tvf.head.getInt(1)))
+      trace += (("tvf_batches", tvf.head.getInt(2)))
+      trace += (("tvf_deletes", tvf.head.getInt(3)))
+      // post-capture trickle + fold: the pinned dir folds AROUND
+      Lexical.bm25DeleteFromIndex(s, g0,
+        docs.filter(pmod(col("doc_id"), lit(30)) === 6).select("doc_id"),
+        "doc_id", "d2")
+      Lexical.bm25DeleteFromIndex(s, g0,
+        docs.filter(pmod(col("doc_id"), lit(30)) === 12).select("doc_id"),
+        "doc_id", "d3")
+      trace += (("fold1_folded", Tombstones.consolidate(s, g0)))
+      trace += (("dirs_after_fold1", Tombstones.deleteDirCount(s, g0)))
+      // compact + prune: the pinned generation survives
+      val g1 = IndexMaintenance.genPath(root, 1)
+      Lexical.bm25CompactIndex(s, g0, g1)
+      IndexMaintenance.commitGeneration(s, root, 1)
+      trace += (("pruned_while_pinned",
+        IndexMaintenance.pruneGenerations(s, root, keepLatest = 1).size))
+      trace += (("gens_while_pinned",
+        IndexMaintenance.committedGenerations(s, root).size))
+      // drop: both collectors reclaim on their next pass
+      trace += (("dropped", if (Snapshots.drop(s, root, "s0")) 1 else 0))
+      trace += (("fold2_folded", Tombstones.consolidate(s, g0)))
+      trace += (("dirs_after_fold2", Tombstones.deleteDirCount(s, g0)))
+      trace += (("pruned_after_drop",
+        IndexMaintenance.pruneGenerations(s, root, keepLatest = 1).size))
+      trace += (("gens_after_drop",
+        IndexMaintenance.committedGenerations(s, root).size))
+      trace.result()
+    })
+
   /** Composed-lifecycle sibling (r14, judge r13 #6): built on `doc_id % 7
     * != 3`, APPENDED with the held-out slice (so df is recomputed in-plan
     * over base+batch at search time), then `doc_id % 10 == 3` tombstoned.
@@ -3563,6 +3677,34 @@ object SparkEntry {
            |ORDER BY left_id, rnk""".stripMargin)
     }),
 
+    // Named snapshots (r15): the frozen point-in-time view. The fixture
+    // pins capture-time state = full corpus minus the takedown set, then
+    // mutates the root through every class the engine has — append batch,
+    // two more tombstones, a consolidation (folding AROUND the pinned
+    // dir), a compaction into gen-1, and a prune that only the pin stops
+    // from collecting gen-0 — and the snapshot open must still score
+    // bit-for-bit as DuckDB's survivor BM25 recomputed from scratch.
+    "q_snapshot_search" -> ((s, dir) => {
+      val root = steadySnapshotRoot(s, dir)
+      val queries = ld(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25SearchIndex(
+          graft.operators.Snapshots.openBm25(s, root, "s0"),
+          queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The snapshot lifecycle census (r15): every observable of the GC
+    // contract as one structural trace — the graft_snapshots TVF catalog
+    // row, a consolidation folding around the pinned tombstone, a prune
+    // refusing the pinned generation, then the drop releasing both to the
+    // very next passes. All counts, scale-invariant → one VALUES oracle.
+    "q_snapshot_census" -> ((s, dir) => {
+      import s.implicits._
+      steadySnapshotTrace(s, dir).toDF("step", "v").orderBy("step")
+    }),
+
     // Removal-coverage audit (r15): the composed compliance invariant —
     // "is anything the denylist promises to keep out still servable
     // anywhere?" — checked across families from the directories alone.
@@ -6033,6 +6175,26 @@ object SparkEntry {
     "q_bm25_index_delete" -> Bm25DeleteOracleSql,
     "q_bm25_delete_sql" -> Bm25DeleteOracleSql,
     "q_bm25_fold_search" -> Bm25DeleteOracleSql,
+    // snapshot open (r15): the capture-time state IS the tombstone
+    // oracle's corpus (full minus % 10 == 3, assembled base + append
+    // batch + takedown) — every post-capture mutation must be invisible
+    "q_snapshot_search" -> Bm25DeleteOracleSql,
+
+    // snapshot lifecycle census (r15): the GC-protection contract as
+    // structural counts — catalog row via the TVF (1 snapshot pinning gen
+    // 0, 0 batches, 1 tombstone), the post-capture pair folding into ONE
+    // dir around the pin (2 folded → takedown + fold-0 visible), the
+    // prune refusing the pinned gen-0 (0 pruned, 2 gens), then the drop
+    // (1) releasing both: the next consolidate folds takedown + fold-0
+    // (2 → 1 dir) and the next prune collects gen-0 (1 pruned, 1 gen)
+    "q_snapshot_census" ->
+      """SELECT * FROM (VALUES
+        |  ('tvf_rows', 1), ('tvf_gen', 0), ('tvf_batches', 0),
+        |  ('tvf_deletes', 1), ('fold1_folded', 2), ('dirs_after_fold1', 2),
+        |  ('pruned_while_pinned', 0), ('gens_while_pinned', 2),
+        |  ('dropped', 1), ('fold2_folded', 2), ('dirs_after_fold2', 1),
+        |  ('pruned_after_drop', 1), ('gens_after_drop', 1))
+        |AS t(step, v) ORDER BY step""".stripMargin,
 
     // consolidation audit (r14; r15: three fold cycles, so the surviving
     // dir is fold-2): one fold row whose deltas are the union of the six

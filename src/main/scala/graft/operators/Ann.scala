@@ -409,7 +409,15 @@ object Ann {
     * row count is topped up with the committed batches' counts so the
     * serving fast-path gate and the staleness signal see the true size.
     */
-  def annOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+  def annOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
+    annOpenIndex(spark, path, None)
+
+  /** `pins` (r15, [[Snapshots]]): restrict the open to exactly the named
+    * committed batches and tombstone dirs — the capture-time view; missing
+    * pinned components REFUSE (see [[Lexical.bm25OpenIndex]]).
+    */
+  def annOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      pins: Option[IndexPins]): AnnIndex = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "ann_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath), s"no ANN index at $path (missing ann_meta.json)")
@@ -420,12 +428,22 @@ object Ann {
     require(Option(node.get("type")).exists(_.asText() == "ann_ivf"),
       s"$path/ann_meta.json is not an ann_ivf index meta file")
     val batchesDir = new org.apache.hadoop.fs.Path(path, "batches")
-    val committed =
+    val committedAll =
       if (!fs.exists(batchesDir)) Seq.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(batchesDir).toSeq
         .filter(st => st.isDirectory &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
         .map(_.getPath).sortBy(_.toString)
+    val committed = pins match {
+      case None => committedAll
+      case Some(p) =>
+        val present = committedAll.filter(b => p.batches.contains(b.getName))
+        val missing = p.batches -- present.map(_.getName)
+        require(missing.isEmpty,
+          s"pinned batch dir(s) ${missing.toSeq.sorted.mkString(", ")} not " +
+            s"committed under $path/batches — the snapshot's pins were violated")
+        present
+    }
     val appendedRows = committed.map { b =>
       val bin = fs.open(new org.apache.hadoop.fs.Path(b, "batch_meta.json"))
       val s = try scala.io.Source.fromInputStream(bin, "UTF-8").mkString finally bin.close()
@@ -436,7 +454,7 @@ object Ann {
     // committed tombstones (r13): exclusion over the merged scan — filters
     // AFTER the `__cell=` partition pruning, so probe-restricted reads keep
     // their pruned shape; surviving vectors' cell assignments are untouched
-    val dels = Tombstones.read(spark, path)
+    val dels = Tombstones.read(spark, path, pins.map(_.deletes))
     val cells = dels.map(_.exclude(raw, "corpus_id")).getOrElse(raw)
     val idx = AnnIndex(
       cells,

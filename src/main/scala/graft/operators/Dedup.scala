@@ -600,7 +600,15 @@ object Dedup extends Logging {
     Tombstones.carryDeleteLedger(fs, srcPath, dstPath)
   }
 
-  def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
+  def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex =
+    minhashOpenIndex(spark, path, None)
+
+  /** `pins` (r15, [[Snapshots]]): restrict the open to exactly the named
+    * committed batches and tombstone dirs — the capture-time view; missing
+    * pinned components REFUSE (see [[Lexical.bm25OpenIndex]]).
+    */
+  def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      pins: Option[IndexPins]): MinHashIndex = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath), s"no MinHash index at $path (missing minhash_meta.json)")
@@ -610,12 +618,23 @@ object Dedup extends Logging {
     require(Option(node.get("type")).exists(_.asText() == "minhash_lsh"),
       s"$path/minhash_meta.json is not a minhash_lsh index meta file")
     val batchesDir = new org.apache.hadoop.fs.Path(path, "batches")
-    val committed =
+    val committedAll =
       if (!fs.exists(batchesDir)) Seq.empty[String]
       else fs.listStatus(batchesDir).toSeq
         .filter(st => st.isDirectory &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
         .map(_.getPath.toString).sorted
+    val committed = pins match {
+      case None => committedAll
+      case Some(p) =>
+        def base(b: String) = new org.apache.hadoop.fs.Path(b).getName
+        val present = committedAll.filter(b => p.batches.contains(base(b)))
+        val missing = p.batches -- present.map(base)
+        require(missing.isEmpty,
+          s"pinned batch dir(s) ${missing.toSeq.sorted.mkString(", ")} not " +
+            s"committed under $path/batches — the snapshot's pins were violated")
+        present
+    }
     // each root is read separately and unioned (a single multi-root read
     // trips partition-structure inference); a band filter still prunes
     // inside EVERY branch's scan — union pushes predicates to each child
@@ -642,7 +661,7 @@ object Dedup extends Logging {
     // committed tombstones (r13): exclusion over both merged layouts —
     // filters AFTER the `band=` partition pruning, so banded probes keep
     // their pruned shape in every union branch
-    val dels = Tombstones.read(spark, path)
+    val dels = Tombstones.read(spark, path, pins.map(_.deletes))
     def excl(df: DataFrame): DataFrame =
       dels.map(_.exclude(df, "id")).getOrElse(df)
     val idx = MinHashIndex(

@@ -186,6 +186,13 @@ object IndexMaintenance {
     * session check TTL × maintenance cadence (e.g. `keepLatest = 2` keeps
     * the generation a TTL-lagged session may still be opening). Returns
     * the deleted generation numbers.
+    *
+    * Generations pinned by a live [[Snapshots]] snapshot are never deleted
+    * (r15) — the retention half of the snapshot contract; dropping the
+    * snapshot releases them to the next prune. A pin surviving past the
+    * `keepLatest` horizon leaves a GAP in the committed sequence, which
+    * [[generationAsOf]] already answers conservatively (a timestamp whose
+    * exactness the gap obscures resolves to None, never a neighbor).
     */
   def pruneGenerations(spark: SparkSession, root: String,
       keepLatest: Int = 1): Seq[Int] = {
@@ -200,7 +207,8 @@ object IndexMaintenance {
       .collect { case GenRe(n) if
         fs.exists(new Path(genPath(root, n.toInt), GenMarker)) => n.toInt }
       .sorted
-    val old = committed.dropRight(keepLatest)
+    val pinned = Snapshots.pinnedGens(spark, root)
+    val old = committed.dropRight(keepLatest).filterNot(pinned)
     old.foreach(n => fs.delete(new Path(genPath(root, n)), true))
     old
   }

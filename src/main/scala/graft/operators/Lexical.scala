@@ -352,8 +352,19 @@ object Lexical {
     * root) and the one-row stats table is rebuilt driver-side from the
     * metas' exact integer-valued sums. Per-branch `__bkt=` partition
     * pruning holds in every root of the union.
+    *
+    * `pins` (r15, [[Snapshots]]): restrict the open to exactly the named
+    * committed batches and tombstone dirs — the capture-time view. Every
+    * pinned batch must still be committed on disk (generations are only
+    * deleted whole, so a missing one means the pin was violated) and every
+    * pinned tombstone must still be visible ([[Tombstones.read]] refuses
+    * otherwise); post-capture batches and deletes are simply not read.
     */
-  def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+  def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+    bm25OpenIndex(spark, path, None)
+
+  def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      pins: Option[IndexPins]): Bm25Index = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "bm25_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath), s"no BM25 index at $path (missing bm25_meta.json)")
@@ -364,16 +375,28 @@ object Lexical {
     require(Option(node.get("type")).exists(_.asText() == "bm25"),
       s"$path/bm25_meta.json is not a bm25 index meta file")
     val batchesDir = new org.apache.hadoop.fs.Path(path, "batches")
-    val committed =
+    val committedAll =
       if (!fs.exists(batchesDir)) Seq.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(batchesDir).toSeq
         .filter(st => st.isDirectory &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
         .map(_.getPath).sortBy(_.toString)
+    val committed = pins match {
+      case None => committedAll
+      case Some(p) =>
+        val present = committedAll.filter(b => p.batches.contains(b.getName))
+        val missing = p.batches -- present.map(_.getName)
+        require(missing.isEmpty,
+          s"pinned batch dir(s) ${missing.toSeq.sorted.mkString(", ")} not " +
+            s"committed under $path/batches — the snapshot's pins were violated")
+        present
+    }
     val baseNRows = Option(node.get("n_rows")).map(_.asLong())
     // committed tombstones (r13): exclusion + exact stat deltas; None in the
-    // common no-deletes case (one directory-exists check)
-    val dels = Tombstones.read(spark, path)
+    // common no-deletes case (one directory-exists check). Pinned opens
+    // (r15) restrict to the capture-time names — both restrictions feed the
+    // shareKey below, so a pinned view never aliases a live mirror.
+    val dels = Tombstones.read(spark, path, pins.map(_.deletes))
     val idx = if (committed.isEmpty && dels.isEmpty) {
       Bm25Index(
         spark.read.parquet(s"$path/postings"),

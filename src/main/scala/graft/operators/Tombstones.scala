@@ -142,6 +142,12 @@ object Tombstones {
     if (folded.isEmpty) all else all.filterNot(d => folded.contains(d.getName))
   }
 
+  /** [[visibleDeleteDirs]] as bare names — what a [[Snapshots]] capture
+    * records.
+    */
+  private[operators] def visibleDeleteNames(fs: FileSystem, path: String): Seq[String] =
+    visibleDeleteDirs(fs, path).map(_.getName)
+
   /** Delete ids already folded into `path`'s base layout by a compaction —
     * a deleter must no-op on these exactly as on a live `_COMMITTED` marker
     * (the absorbed-batches contract, applied to removals).
@@ -251,9 +257,36 @@ object Tombstones {
     * ids this pays ONE small job per open to collect the exclusion set
     * (footer-bounded single-file reads); over it the ids stay distributed.
     */
-  private[operators] def read(spark: SparkSession, path: String): Option[Deletes] = {
+  private[operators] def read(spark: SparkSession, path: String): Option[Deletes] =
+    read(spark, path, None)
+
+  /** [[read]] restricted to a PINNED name set (r15, [[Snapshots]]): a
+    * snapshot open must exclude exactly the tombstones that were visible at
+    * capture — no more (post-capture takedowns belong to the live view,
+    * not the frozen one) and no less. Every pinned name must still be
+    * visible: a missing one means the pin was violated (a consolidate ran
+    * without the snapshot's preserve set, or the dir was hand-deleted) and
+    * the open REFUSES — silently under-excluding would serve docs the
+    * captured state had already removed. `only = Some(empty)` reads as "no
+    * tombstones at capture" → None even when live deletes exist.
+    */
+  private[operators] def read(
+      spark: SparkSession, path: String,
+      only: Option[Set[String]]): Option[Deletes] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = visibleDeleteDirs(fs, path)
+    val visible = visibleDeleteDirs(fs, path)
+    val dirs = only match {
+      case None => visible
+      case Some(names) =>
+        val present = visible.filter(d => names.contains(d.getName))
+        val missing = names -- present.map(_.getName)
+        require(missing.isEmpty,
+          s"pinned tombstone dir(s) ${missing.toSeq.sorted.mkString(", ")} " +
+            s"not visible under $path/$DelDir — the snapshot's pins were " +
+            "violated (consolidated without preserve, or hand-deleted); " +
+            "refusing to open with a partial exclusion set")
+        present
+    }
     if (dirs.isEmpty) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var nIds = 0L; var nRows = 0L; var nDocs = 0.0; var sumDl = 0.0
@@ -325,15 +358,29 @@ object Tombstones {
     * [[foldedDeletes]] additionally drops a dir's own name from its
     * absorbed set, so a fold can never absorb itself.
     * Returns the number of dirs folded (0 when ≤ 1 is visible).
+    *
+    * Snapshot pins (r15): dirs named by a live [[Snapshots]] pin of this
+    * generation are PRESERVED — never folded, never swept — so a pinned
+    * open can keep reconstructing its exact capture-time exclusion set
+    * (a fold's distinct-union destroys the per-dir partition a pin needs).
+    * The no-arg form derives the preserve set from the enclosing root's
+    * `snapshots/` automatically when `path` is a `gen-<n>` directory;
+    * pass `preserve` explicitly to override (empty = fold everything —
+    * only safe when no snapshot pins this index).
     */
-  def consolidate(spark: SparkSession, path: String): Int = {
+  def consolidate(spark: SparkSession, path: String): Int =
+    consolidate(spark, path, Snapshots.pinnedDeleteNamesFor(spark, path))
+
+  def consolidate(spark: SparkSession, path: String, preserve: Set[String]): Int = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val folded = foldedDeletes(fs, path)
     val all = committedDeleteDirs(fs, path)
     // finish a crashed sweep first: committed dirs a committed fold already
-    // absorbed are invisible to readers and safe to drop
+    // absorbed are invisible to readers and safe to drop (a preserved name
+    // can never be in this set — preserve keeps it out of folds' ledgers)
     all.filter(d => folded.contains(d.getName)).foreach(d => fs.delete(d, true))
     val visible = all.filterNot(d => folded.contains(d.getName))
+      .filterNot(d => preserve.contains(d.getName))
     if (visible.size <= 1) return 0
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var nIds = 0L; var nRows = 0L; var nDocs = 0.0; var sumDl = 0.0

@@ -488,6 +488,21 @@ object GraftPlans {
       spark.createDataFrame(java.util.Arrays.asList(row), schema))
   }
 
+  /** `graft_snapshots('root')` — the snapshot catalog of a managed root
+    * from SQL ([[graft.operators.Snapshots.infoDf]]): one row per committed
+    * point-in-time pin `(name, gen, n_batches, n_deletes, at)`. The
+    * retention-audit surface — "what is pinning my disk, since when" — for
+    * the reproducibility pins that [[graft.operators.IndexMaintenance
+    * .pruneGenerations]] and [[graft.operators.Tombstones.consolidate]]
+    * refuse to collect. Empty relation when the root has no snapshots.
+    */
+  private def snapshotsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_snapshots(root)")
+    val root = str(args(0), "root")
+    ColumnBridge.analyzedPlan(
+      graft.operators.Snapshots.infoDf(SparkSession.active, root))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -541,7 +556,10 @@ object GraftPlans {
         removalAuditBuilder _),
       (FunctionIdentifier("graft_gen_asof"),
         new ExpressionInfo("graft", "graft_gen_asof"),
-        genAsOfBuilder _))
+        genAsOfBuilder _),
+      (FunctionIdentifier("graft_snapshots"),
+        new ExpressionInfo("graft", "graft_snapshots"),
+        snapshotsBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.
