@@ -626,6 +626,59 @@ object IndexMaintenance {
     }
   }
 
+  /** [[auditRemovals]]' snapshot phase (r15): snapshots pin REMOVALS too —
+    * a doc tombstoned (and denylisted) after a capture still serves
+    * through the pin, which is exactly what reproducibility means and
+    * exactly what a compliance purge must be able to SEE. One
+    * `(family, snapshot, id)` row per denylisted id still servable
+    * through a committed [[Snapshots]] pin of the given roots; empty =
+    * no frozen view conflicts with the denylist. The remedy is
+    * [[Snapshots.drop]] — a purge retires the frozen view, it never
+    * quietly edits one — after which the freed components fall to the
+    * normal collectors and a re-audit is clean.
+    *
+    * Same plan shape as the current-generation audit: the denylist pinned
+    * once and BROADCAST, each pinned view's id column scanned narrow,
+    * `left_semi` + distinct per leg. Cost scales with snapshot count, not
+    * corpus count — roots without snapshots contribute zero jobs.
+    */
+  def auditSnapshots(
+      spark: SparkSession,
+      denylistRoot: String,
+      minhashRoot: Option[String] = None,
+      bm25Root: Option[String] = None,
+      annRoot: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("family", StringType),
+        StructField("snapshot", StringType),
+        StructField("id", LongType, nullable = false))))
+    graft.streaming.Denylist.read(spark, denylistRoot) match {
+      case None => empty
+      case Some(deny0) =>
+        val deny = deny0.select(col("id").as("__deny_id")).localCheckpoint(true)
+        def leg(family: String, snap: String,
+            ids: org.apache.spark.sql.DataFrame, idCol: String) =
+          ids.select(col(idCol).cast("long").as("id"))
+            .join(broadcast(deny), col("id") === col("__deny_id"), "left_semi")
+            .distinct()
+            .select(lit(family).as("family"), lit(snap).as("snapshot"), col("id"))
+        val legs =
+          minhashRoot.toSeq.flatMap(r => Snapshots.list(spark, r).map(s =>
+            leg("minhash", s.name,
+              Snapshots.openMinhash(spark, r, s.name).shingles, "id"))) ++
+          bm25Root.toSeq.flatMap(r => Snapshots.list(spark, r).map(s =>
+            leg("bm25", s.name,
+              Snapshots.openBm25(spark, r, s.name).postings, "doc_id"))) ++
+          annRoot.toSeq.flatMap(r => Snapshots.list(spark, r).map(s =>
+            leg("ann", s.name,
+              Snapshots.openAnn(spark, r, s.name).cells, "corpus_id")))
+        legs.foldLeft(empty)(_.unionByName(_))
+    }
+  }
+
   private val RefitMetaFile = "refit_meta.json"
 
   /** Corpus rows as of the last centroid refit — carried across compactions

@@ -503,6 +503,24 @@ object GraftPlans {
       graft.operators.Snapshots.infoDf(SparkSession.active, root))
   }
 
+  /** `graft_snapshot_audit('denyRoot', 'minhashRoot', 'bm25Root',
+    * 'annRoot')` — [[graft.operators.IndexMaintenance.auditSnapshots]]
+    * from SQL: one `(family, snapshot, id)` row per denylisted id still
+    * SERVABLE through a committed snapshot pin (snapshots freeze removals
+    * too — that is their point — so a compliance purge must see which
+    * frozen views conflict and retire them with `Snapshots.drop`). Pass
+    * `''` to skip a family; empty relation = no conflicts.
+    */
+  private def snapshotAuditBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graft_snapshot_audit(denylistRoot, minhashRoot, bm25Root, annRoot) — '' skips a family")
+    def opt(i: Int, n: String): Option[String] =
+      Option(str(args(i), n)).filter(_.nonEmpty)
+    ColumnBridge.analyzedPlan(graft.operators.IndexMaintenance.auditSnapshots(
+      SparkSession.active, str(args(0), "denylistRoot"),
+      opt(1, "minhashRoot"), opt(2, "bm25Root"), opt(3, "annRoot")))
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -559,7 +577,10 @@ object GraftPlans {
         genAsOfBuilder _),
       (FunctionIdentifier("graft_snapshots"),
         new ExpressionInfo("graft", "graft_snapshots"),
-        snapshotsBuilder _))
+        snapshotsBuilder _),
+      (FunctionIdentifier("graft_snapshot_audit"),
+        new ExpressionInfo("graft", "graft_snapshot_audit"),
+        snapshotAuditBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -191,6 +191,45 @@ class SnapshotSpec extends AnyFunSuite {
     assert(msearch(Dedup.minhashOpenIndex(spark, mg0)) != matCapture)
   }
 
+  test("auditSnapshots: a pre-takedown pin surfaces its denylist conflicts; drop clears them") {
+    import graft.streaming.Denylist
+    val root = tmp("audit"); val g0 = IndexMaintenance.genPath(root, 0)
+    val (p, st) = Lexical.bm25BuildIndex(docs(60), "id", "text")
+    Lexical.bm25WriteIndex(p, st, g0, nBuckets = 8)
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    Snapshots.create(spark, root, "pre")
+    val doomed = Seq(7L, 23L, 41L)
+    assert(Lexical.bm25DeleteFromIndex(spark, g0, idsDf(doomed), "id", "takedown"))
+    assert(Denylist.append(spark, root, idsDf(doomed), "id", "takedown"))
+    Snapshots.create(spark, root, "post")
+    // the live generation is compliant; only the pre-takedown pin conflicts
+    assert(IndexMaintenance.auditRemovals(spark, root, bm25Root = Some(root)).isEmpty)
+    val rows = IndexMaintenance.auditSnapshots(spark, root, bm25Root = Some(root))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == doomed.map(i => ("bm25", "pre", i)).toSet)
+    // the remedy is drop — a purge retires the frozen view; re-audit clean
+    assert(Snapshots.drop(spark, root, "pre"))
+    assert(IndexMaintenance.auditSnapshots(spark, root, bm25Root = Some(root)).isEmpty)
+    // a root with no denylist (or no snapshots) costs nothing and is clean
+    assert(IndexMaintenance.auditSnapshots(spark, tmp("noaudit"),
+      bm25Root = Some(root)).isEmpty)
+  }
+
+  test("auditSnapshots: ann family leg over a pinned IVF view") {
+    import graft.streaming.Denylist
+    val root = tmp("auditann"); val g0 = IndexMaintenance.genPath(root, 0)
+    val (cells, cents) = Ann.annBuildIndex(emb(120), "vec_id", "embedding", nCentroids = 4)
+    Ann.annWriteIndex(cells, cents, g0)
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    Snapshots.create(spark, root, "pre")
+    val doomed = Seq(11L, 57L)
+    assert(Ann.annDeleteFromIndex(spark, g0, idsDf(doomed), "id", "takedown"))
+    assert(Denylist.append(spark, root, idsDf(doomed), "id", "takedown"))
+    val rows = IndexMaintenance.auditSnapshots(spark, root, annRoot = Some(root))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == doomed.map(i => ("ann", "pre", i)).toSet)
+  }
+
   test("maintainIndexes' consolidation pass preserves pins without being told") {
     val (root, g0) = seedBm25Root("maint")
     Snapshots.create(spark, root, "s0")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, IndexMaintenance, Lexical, ServingSession, Tombstones}
+import graft.operators.{Dedup, IndexMaintenance, Lexical, ServingSession, Snapshots, Tombstones}
 import graft.operators.IndexMaintenance.{Policy, currentPath, genPath}
 import graft.streaming.{Denylist, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -454,8 +454,16 @@ class StreamTakedownSpec extends AnyFunSuite {
       rnd.shuffle((0 until 4).map(k => () => ingestOp(k)) ++
         (0 until 3).map(j => () => takedownOp(j)) ++
         (0 until 2).map(_ => () => consolidateOp()))
+    // the FOURTH maintainer (r15): a snapshot pinned mid-schedule — the
+    // model's present-set at capture is recorded and the pin must still
+    // serve exactly it after every later maintainer has run
+    var capturePresent: Option[Set[Long]] = None
     ops.zipWithIndex.foreach { case (op, i) =>
       op()
+      if (i == 2) {
+        Snapshots.create(spark, bmRoot, "mix_pin")
+        capturePresent = Some(present.toSet)
+      }
       if (i == 3) {
         appliedIngs.headOption.foreach { case (bid, ids) =>
           StreamOps.ingestEpochPipeline(docs(ids, x => s"replay$x"), "doc_id",
@@ -506,7 +514,12 @@ class StreamTakedownSpec extends AnyFunSuite {
       assert(Tombstones.consolidate(spark, currentPath(spark, mhRoot)) >= 2,
         s"tail cycle $c: minhash consolidation must fold the trickle")
     }
-    assert(Tombstones.deleteDirCount(spark, currentPath(spark, bmRoot)) <= 1)
+    // the pin may hold tombstone dirs of the CURRENT generation (when no
+    // compaction advanced it since capture) — those are preserved by
+    // design and released below; everything else must have folded to one
+    val bmPinned =
+      Snapshots.pinnedDeleteNamesFor(spark, currentPath(spark, bmRoot)).size
+    assert(Tombstones.deleteDirCount(spark, currentPath(spark, bmRoot)) <= 1 + bmPinned)
     assert(Tombstones.deleteDirCount(spark, currentPath(spark, mhRoot)) <= 1)
 
     // ---- final state ≡ the model ----
@@ -567,5 +580,32 @@ class StreamTakedownSpec extends AnyFunSuite {
     assert(IndexMaintenance.auditRemovals(spark, mhRoot,
       minhashRoot = Some(mhRoot), bm25Root = Some(bmRoot)).isEmpty,
       s"removal audit must be clean at the end (seed $seed)")
+
+    // ---- the snapshot maintainer's half (r15): the mid-schedule pin must
+    // still serve the model's capture-time state bit-for-bit after every
+    // subsequent maintainer — ingests, takedowns, folds, compactions, the
+    // mid-window delete, and the three-cycle trickle tail
+    val capPresent = capturePresent.get
+    // fresh part restricted to ids >= 100 (the final-recipe rule): a
+    // base-era id present at capture can be denied LATER and re-offered,
+    // landing in freshTagOf — without the bound it would duplicate here
+    val capDocs = docs(capPresent.toSeq.filter(_ < 100L).sorted, tagOf)
+      .unionByName(freshTagOf.toSeq
+        .filter { case (id2, _) => id2 >= 100L && capPresent.contains(id2) }
+        .map { case (id2, t) => (id2, doc(t)) }.toDF("doc_id", "text"))
+    val capRef = tmp("graft_mix_snapref")
+    val (cp, cs) = Lexical.bm25BuildIndex(capDocs, "doc_id", "text")
+    Lexical.bm25WriteIndex(cp, cs, capRef, nBuckets = 8)
+    def bmBitsIdx(idx: Lexical.Bm25Index) = Lexical.bm25SearchIndex(
+        idx, q, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(bmBitsIdx(Snapshots.openBm25(spark, bmRoot, "mix_pin")) == bmBits(capRef),
+      s"the pinned view diverged from the model's capture-time state (seed $seed)")
+    // drop releases the pins: the next consolidation folds whatever the
+    // pin was preserving and the dir count collapses for good
+    assert(Snapshots.drop(spark, bmRoot, "mix_pin"))
+    Tombstones.consolidate(spark, currentPath(spark, bmRoot))
+    assert(Tombstones.deleteDirCount(spark, currentPath(spark, bmRoot)) <= 1)
   }
 }
