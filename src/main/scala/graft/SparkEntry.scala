@@ -3744,6 +3744,18 @@ object SparkEntry {
     // conflicts — the purge's worklist (remedy = Snapshots.drop, never a
     // quiet edit of a frozen view) — and the current-generation audit's
     // emptiness rides along as a zero-row union leg.
+    // Snapshot drift (r15): "how far has the live corpus moved from what
+    // my pinned eval set measured on?" — the id-level diff between the
+    // pin and the current generation. On the snapshot fixture the pin
+    // serves (full − %10==3) while the live gen-1 (compacted after the
+    // post-capture takedowns were folded) serves (full − %10∈{3,7,9}):
+    // added is empty, removed is exactly the post-capture takedowns.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val root = steadySnapshotRoot(s, dir)
+      graft.operators.Snapshots.diffBm25(s, root, "s0")
+        .orderBy(col("change"), col("id"))
+    }),
+
     "q_snapshot_audit" -> ((s, dir) => {
       graft.plans.GraftPlans.install(s)
       val root = steadySnapshotAuditRoot(s, dir)
@@ -6247,6 +6259,13 @@ object SparkEntry {
         |  ('dropped', 1), ('fold2_folded', 2), ('dirs_after_fold2', 1),
         |  ('pruned_after_drop', 1), ('gens_after_drop', 1))
         |AS t(step, v) ORDER BY step""".stripMargin,
+
+    // snapshot drift (r15): nothing added since the pin; removed = the
+    // post-capture takedowns, recomputed from the documents table
+    "q_snapshot_diff" ->
+      """SELECT 'removed' AS change, doc_id AS id FROM documents
+        |WHERE doc_id % 10 = 7 OR doc_id % 10 = 9
+        |ORDER BY change, id""".stripMargin,
 
     // snapshot compliance audit (r15): the 'pre' pin serves every
     // denylisted id (recomputed from the documents table); the 'post' pin

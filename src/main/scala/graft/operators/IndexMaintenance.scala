@@ -495,7 +495,12 @@ object IndexMaintenance {
     */
   final class ReplicaFollower(
       spark: SparkSession, val srcRoot: String, val dstRoot: String,
-      checkIntervalMs: Long = 0L) {
+      checkIntervalMs: Long = 0L,
+      // r15: mirror the source's snapshot catalog after each generation
+      // catch-up ([[Snapshots.replicate]]) — pins whose generation the
+      // replica lacks land on a later poll, source drops propagate, and
+      // the standby keeps every reproducibility guarantee across failover
+      followSnapshots: Boolean = false) {
     // monotonic clock, ServingSession's TTL idiom; primed to fire on the
     // first poll (a fresh follower starts by catching up)
     @volatile private var lastCheck = Long.MinValue
@@ -514,7 +519,9 @@ object IndexMaintenance {
       if (checkIntervalMs > 0 && lastCheck != Long.MinValue &&
           (now - lastCheck) / 1000000L < checkIntervalMs) return Seq.empty
       lastCheck = now
-      replicaCatchUp(spark, srcRoot, dstRoot)
+      val gens = replicaCatchUp(spark, srcRoot, dstRoot)
+      if (followSnapshots) Snapshots.replicate(spark, srcRoot, dstRoot)
+      gens
     }
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The exact component set a snapshot open restricts an index to: the
   * committed append-batch names and the visible tombstone-dir names that
@@ -211,6 +212,96 @@ object Snapshots {
     val info = resolved(spark, root, name)
     Dedup.minhashOpenIndex(spark,
       IndexMaintenance.genPath(root, info.gen), Some(info.pins))
+  }
+
+  /** What drifted since the pin — `('added'|'removed', id)` rows comparing
+    * the ids servable through snapshot `name` against the root's CURRENT
+    * serving view. The operational question a pinned eval/training set
+    * raises later: "how far has the live corpus moved from what I
+    * measured on?" — answered from the two views' id scans alone. `added`
+    * = servable now but not through the pin (post-capture ingest);
+    * `removed` = servable through the pin but not now (post-capture
+    * takedowns/dedup). Plan shape: two column-pruned id scans, one
+    * left-anti join per direction (AQE broadcasts the smaller side),
+    * `distinct` after the anti-join so each leg pays one shuffle on its
+    * RESULT, not its input.
+    */
+  private def diffIds(pinned: DataFrame, current: DataFrame, idCol: String): DataFrame = {
+    val p = pinned.select(col(idCol).cast("long").as("id"))
+    val c = current.select(col(idCol).cast("long").as("id"))
+    val added = c.join(p, Seq("id"), "left_anti").distinct()
+      .select(lit("added").as("change"), col("id"))
+    val removed = p.join(c, Seq("id"), "left_anti").distinct()
+      .select(lit("removed").as("change"), col("id"))
+    added.unionByName(removed)
+  }
+
+  /** [[diffIds]] over the BM25 family: pinned postings vs the current
+    * generation's.
+    */
+  def diffBm25(spark: SparkSession, root: String, name: String): DataFrame =
+    diffIds(openBm25(spark, root, name).postings,
+      Lexical.bm25OpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root)).postings, "doc_id")
+
+  /** [[diffIds]] over the IVF family. */
+  def diffAnn(spark: SparkSession, root: String, name: String): DataFrame =
+    diffIds(openAnn(spark, root, name).cells,
+      Ann.annOpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root)).cells, "corpus_id")
+
+  /** [[diffIds]] over the MinHash family. */
+  def diffMinhash(spark: SparkSession, root: String, name: String): DataFrame =
+    diffIds(openMinhash(spark, root, name).shingles,
+      Dedup.minhashOpenIndex(spark,
+        IndexMaintenance.currentPath(spark, root)).shingles, "id")
+
+  /** Mirror the source's snapshot catalog onto a replica root (r15) — the
+    * pins half of blue-green replication: a standby whose generations
+    * [[IndexMaintenance.replicaCatchUp]] copies but whose PINS it does not
+    * would collect a pinned generation on its next prune, and a failover
+    * would silently lose every reproducibility guarantee the source made.
+    * The source catalog is authoritative both ways: source snapshots
+    * missing on the replica are copied (marker-last, crashed copies
+    * invisible, re-copied next call), and replica snapshots the source no
+    * longer has are DROPPED — a source-side `drop` must propagate or the
+    * replica's GC never frees the pinned components. A same-name snapshot
+    * whose manifest differs (dropped and re-captured between polls) is
+    * replaced. A source pin whose generation the replica has not copied
+    * yet is SKIPPED this call (copying it would dangle — its open must
+    * refuse, not mis-serve) and lands on a later call once the generation
+    * catch-up passes it; run generation catch-up first, as
+    * [[IndexMaintenance.ReplicaFollower]] with `followSnapshots` does.
+    * Returns (copied, dropped) names.
+    */
+  def replicate(spark: SparkSession,
+      srcRoot: String, dstRoot: String): (Seq[String], Seq[String]) = {
+    val srcInfos = list(spark, srcRoot)
+    val srcNames = srcInfos.map(_.name).toSet
+    val dstByName = list(spark, dstRoot).map(i => i.name -> i).toMap
+    val dstGens = IndexMaintenance.committedGenerations(spark, dstRoot).toSet
+    val fs = fsOf(spark, dstRoot)
+    val dropped = dstByName.keys.toSeq.sorted.filterNot(srcNames).filter { n =>
+      drop(spark, dstRoot, n)
+    }
+    val copied = srcInfos.filter { i =>
+      dstGens.contains(i.gen) && !dstByName.get(i.name).contains(i)
+    }.map { i =>
+      if (dstByName.contains(i.name)) drop(spark, dstRoot, i.name)
+      val dir = snapPath(dstRoot, i.name)
+      if (fs.exists(dir)) fs.delete(dir, true) // crashed copy leftover
+      val out = fs.create(new Path(dir, ManifestFile), false)
+      def arr(xs: Seq[String]): String =
+        xs.sorted.map(x => "\"" + x + "\"").mkString("[", ", ", "]")
+      try out.write(
+        (s"""{"name": "${i.name}", "gen": ${i.gen}, "at": ${i.at}, """ +
+          s""""batches": ${arr(i.batches)}, "deletes": ${arr(i.deletes)}}""")
+          .getBytes("UTF-8"))
+      finally out.close()
+      fs.create(new Path(dir, Marker), false).close()
+      i.name
+    }
+    (copied, dropped)
   }
 
   /** The snapshot catalog as a DataFrame — one row per committed snapshot

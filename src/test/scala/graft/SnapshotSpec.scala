@@ -230,6 +230,42 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows == doomed.map(i => ("ann", "pre", i)).toSet)
   }
 
+  test("replication mirrors the pin catalog: copies, drop propagation, missing-gen skip") {
+    val (src, g0) = seedBm25Root("replsrc")
+    val dst = tmp("repldst")
+    Snapshots.create(spark, src, "s0")
+    val atCapture = bm25Search(Snapshots.openBm25(spark, src, "s0"))
+    Lexical.bm25CompactIndex(spark, g0, IndexMaintenance.genPath(src, 1))
+    IndexMaintenance.commitGeneration(spark, src, 1)
+    val follower = new IndexMaintenance.ReplicaFollower(spark, src, dst,
+      followSnapshots = true)
+    assert(follower.poll() == Seq(0, 1))
+    // the replica serves the pin exactly as the source does, and its own
+    // prune respects the replicated pin
+    assert(Snapshots.list(spark, dst).map(_.name) == Seq("s0"))
+    assert(bm25Search(Snapshots.openBm25(spark, dst, "s0")) == atCapture)
+    assert(IndexMaintenance.pruneGenerations(spark, dst, keepLatest = 1).isEmpty)
+    // a source-side drop + re-capture under a NEW name propagates both ways
+    assert(Snapshots.drop(spark, src, "s0"))
+    Snapshots.create(spark, src, "s1")
+    val (copied, dropped) = Snapshots.replicate(spark, src, dst)
+    assert(copied == Seq("s1") && dropped == Seq("s0"))
+    assert(IndexMaintenance.pruneGenerations(spark, dst, keepLatest = 1) == Seq(0),
+      "the propagated drop releases gen-0 on the replica")
+    // a pin whose generation the replica lacks is skipped, then lands once
+    // the generation catch-up passes it
+    Lexical.bm25CompactIndex(spark, IndexMaintenance.genPath(src, 1),
+      IndexMaintenance.genPath(src, 2))
+    IndexMaintenance.commitGeneration(spark, src, 2)
+    assert(Snapshots.drop(spark, src, "s1"))
+    Snapshots.create(spark, src, "s2") // pins gen 2 — not yet on the replica
+    val (copied2, dropped2) = Snapshots.replicate(spark, src, dst)
+    assert(copied2.isEmpty && dropped2 == Seq("s1"),
+      "a dangling pin must be skipped, never half-copied")
+    assert(follower.poll() == Seq(2))
+    assert(Snapshots.list(spark, dst).map(_.name) == Seq("s2"))
+  }
+
   test("maintainIndexes' consolidation pass preserves pins without being told") {
     val (root, g0) = seedBm25Root("maint")
     Snapshots.create(spark, root, "s0")

@@ -602,6 +602,14 @@ class StreamTakedownSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
     assert(bmBitsIdx(Snapshots.openBm25(spark, bmRoot, "mix_pin")) == bmBits(capRef),
       s"the pinned view diverged from the model's capture-time state (seed $seed)")
+    // the compliance seam the pin opens is exactly the model's: ids denied
+    // AFTER capture that were present AT capture are servable through the
+    // pin and nowhere else — auditSnapshots must name precisely those
+    val pinConflicts = IndexMaintenance.auditSnapshots(spark, mhRoot,
+        bm25Root = Some(bmRoot))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(pinConflicts == (capPresent & denied.toSet).map(("mix_pin", _)),
+      s"snapshot audit diverged from the model (seed $seed)")
     // drop releases the pins: the next consolidation folds whatever the
     // pin was preserving and the dir count collapses for good
     assert(Snapshots.drop(spark, bmRoot, "mix_pin"))
