@@ -384,6 +384,41 @@ object SparkEntry {
       trace.result()
     })
 
+  /** Time-travel fixture (r15): a managed BM25 root over the FULL corpus
+    * with two takedowns and two wall timestamps captured between the
+    * commits — t0 after the generation commit (nothing deleted yet), t1
+    * after the `% 10 == 3` takedown (before the `% 10 == 7` one). NO
+    * consolidation, so both windows stay reconstructible from marker
+    * mtimes alone. `q_asof_t0` opens the t0 view (≡ the full-corpus BM25
+    * oracle), `q_asof_t1` the t1 view (≡ the survivor oracle) — two
+    * different moments of ONE mutating index, each bit-equal to its own
+    * from-scratch recomputation, zero new oracle SQL.
+    */
+  private val steadyAsOfOpenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]
+  private def steadyAsOfOpenFixture(s: SparkSession, dir: String): (String, Long, Long) =
+    steadyAsOfOpenCache.computeIfAbsent(dir, _ => {
+      import graft.operators.IndexMaintenance
+      val root = s"${perProcessTmpDir("graft_asof_open")}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val g0 = IndexMaintenance.genPath(root, 0)
+      val docs = ld(s, dir, "documents")
+      if (!new java.io.File(s"$g0/bm25_meta.json").exists()) {
+        val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+        Lexical.bm25WriteIndex(postings, stats, g0, nBuckets = 16)
+      }
+      IndexMaintenance.commitGeneration(s, root, 0)
+      val t0 = System.currentTimeMillis()
+      Lexical.bm25DeleteFromIndex(s, g0,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+        "doc_id", "takedown")
+      val t1 = System.currentTimeMillis()
+      Lexical.bm25DeleteFromIndex(s, g0,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
+        "doc_id", "d2")
+      (root, t0, t1)
+    })
+
   /** Snapshot-compliance fixture (r15): a managed BM25 root whose
     * snapshot `pre` was captured BEFORE the `doc_id % 10 == 3` takedown
     * (tombstone + denylist) and whose snapshot `post` was captured after.
@@ -3756,6 +3791,47 @@ object SparkEntry {
         .orderBy(col("change"), col("id"))
     }),
 
+    // The drift diff's SQL twin (r15): graft_snapshot_diff over the same
+    // pinned root — same oracle.
+    "q_snapshot_diff_sql" -> ((s, dir) => {
+      graft.plans.GraftPlans.install(s)
+      val root = steadySnapshotRoot(s, dir)
+      s.sql(
+        s"""SELECT change, id FROM graft_snapshot_diff('$root', 's0', 'bm25')
+           |ORDER BY change, id""".stripMargin)
+    }),
+
+    // Time-travel opens (r15): Snapshots.asOf derives the pin a snapshot
+    // WOULD have recorded at a wall timestamp, from commit-marker mtimes
+    // alone — the best-effort form for moments nobody thought to pin
+    // (refusing honestly when a later consolidation destroyed the
+    // window). Two moments of ONE mutating index: t0 (pre-takedown) must
+    // equal the full-corpus BM25 oracle even though the live index has
+    // two tombstones...
+    "q_asof_t0" -> ((s, dir) => {
+      val (root, t0, _) = steadyAsOfOpenFixture(s, dir)
+      val queries = ld(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25SearchIndex(
+          graft.operators.Snapshots.openBm25AsOf(s, root, t0).get,
+          queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ...and t1 (between the takedowns) must equal the survivor oracle —
+    // first tombstone applied, second invisible.
+    "q_asof_t1" -> ((s, dir) => {
+      val (root, _, t1) = steadyAsOfOpenFixture(s, dir)
+      val queries = ld(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      Lexical.bm25SearchIndex(
+          graft.operators.Snapshots.openBm25AsOf(s, root, t1).get,
+          queries, "qid", "text", k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_snapshot_audit" -> ((s, dir) => {
       graft.plans.GraftPlans.install(s)
       val root = steadySnapshotAuditRoot(s, dir)
@@ -6260,9 +6336,19 @@ object SparkEntry {
         |  ('pruned_after_drop', 1), ('gens_after_drop', 1))
         |AS t(step, v) ORDER BY step""".stripMargin,
 
+    // time-travel opens (r15): the t0 view of the twice-tombstoned index
+    // ≡ the full-corpus oracle, the t1 view ≡ the survivor oracle — each
+    // moment bit-equal to its own from-scratch recomputation
+    "q_asof_t0" -> Bm25OracleSql,
+    "q_asof_t1" -> Bm25DeleteOracleSql,
+
     // snapshot drift (r15): nothing added since the pin; removed = the
     // post-capture takedowns, recomputed from the documents table
     "q_snapshot_diff" ->
+      """SELECT 'removed' AS change, doc_id AS id FROM documents
+        |WHERE doc_id % 10 = 7 OR doc_id % 10 = 9
+        |ORDER BY change, id""".stripMargin,
+    "q_snapshot_diff_sql" ->
       """SELECT 'removed' AS change, doc_id AS id FROM documents
         |WHERE doc_id % 10 = 7 OR doc_id % 10 = 9
         |ORDER BY change, id""".stripMargin,

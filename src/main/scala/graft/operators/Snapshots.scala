@@ -214,6 +214,51 @@ object Snapshots {
       IndexMaintenance.genPath(root, info.gen), Some(info.pins))
   }
 
+  /** Time-travel resolution (r15): the [[Info]] a snapshot WOULD have
+    * recorded had one been captured at wall time `atMillis` — derived
+    * entirely from commit-marker mtimes, the same single-commit-point
+    * argument as [[IndexMaintenance.generationAsOf]] (which resolves the
+    * generation half): each batch / tombstone marker is created once at
+    * its visibility instant and never rewritten. `None` when no
+    * generation was serving then (pre-commit, or pruned since — the
+    * honest miss). REFUSES (with the remedy in the message) when a
+    * post-timestamp consolidation has swept tombstone dirs the window
+    * needs — GC destroys history; a named [[create]]d snapshot is the
+    * guaranteed form, this is the best-effort one for timestamps nobody
+    * thought to pin.
+    */
+  def asOf(spark: SparkSession, root: String, atMillis: Long): Option[Info] =
+    IndexMaintenance.generationAsOf(spark, root, atMillis).map { g =>
+      val p = IndexMaintenance.genPath(root, g)
+      val fs = fsOf(spark, root)
+      val batches = IndexMaintenance.committedBatchIds(fs, p).filter { b =>
+        fs.getFileStatus(
+          new Path(s"$p/batches/$b/_COMMITTED")).getModificationTime <= atMillis
+      }
+      val deletes = Tombstones.deleteNamesAsOf(fs, p, atMillis)
+      Info(s"asof-$atMillis", g, batches, deletes, atMillis)
+    }
+
+  /** Open the BM25 view serving at wall time `atMillis` — [[asOf]] pins
+    * applied through the family opener; None on the honest miss.
+    */
+  def openBm25AsOf(spark: SparkSession, root: String,
+      atMillis: Long): Option[Lexical.Bm25Index] =
+    asOf(spark, root, atMillis).map(i => Lexical.bm25OpenIndex(spark,
+      IndexMaintenance.genPath(root, i.gen), Some(i.pins)))
+
+  /** [[openBm25AsOf]]'s IVF sibling. */
+  def openAnnAsOf(spark: SparkSession, root: String,
+      atMillis: Long): Option[Ann.AnnIndex] =
+    asOf(spark, root, atMillis).map(i => Ann.annOpenIndex(spark,
+      IndexMaintenance.genPath(root, i.gen), Some(i.pins)))
+
+  /** [[openBm25AsOf]]'s MinHash sibling. */
+  def openMinhashAsOf(spark: SparkSession, root: String,
+      atMillis: Long): Option[Dedup.MinHashIndex] =
+    asOf(spark, root, atMillis).map(i => Dedup.minhashOpenIndex(spark,
+      IndexMaintenance.genPath(root, i.gen), Some(i.pins)))
+
   /** What drifted since the pin — `('added'|'removed', id)` rows comparing
     * the ids servable through snapshot `name` against the root's CURRENT
     * serving view. The operational question a pinned eval/training set

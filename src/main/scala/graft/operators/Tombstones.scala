@@ -148,6 +148,79 @@ object Tombstones {
   private[operators] def visibleDeleteNames(fs: FileSystem, path: String): Seq[String] =
     visibleDeleteDirs(fs, path).map(_.getName)
 
+  /** The tombstone-dir names a reader at wall time `atMillis` would have
+    * summed (r15, the [[Snapshots.asOf]] resolver): committed dirs whose
+    * marker mtime is ≤ the timestamp — each marker is the dir's single
+    * commit point and is never rewritten, so its mtime IS the visibility
+    * instant (the `generationAsOf` argument) — minus dirs absorbed by an
+    * included fold (the double-count guard).
+    *
+    * Folds committed AFTER the timestamp normally swept their absorbed
+    * dirs, but [[consolidate]] records every absorbed name's commit
+    * instant in its `folded_ats` meta (transitively), so the window
+    * question stays decidable after the sweep:
+    *  - every absorbed commit AFTER `atMillis` → the fold is irrelevant;
+    *  - every absorbed commit AT-OR-BEFORE `atMillis` → the fold's
+    *    distinct-union IS exactly the window's exclusion set — include
+    *    the fold itself;
+    *  - a MIX → the window is genuinely destroyed: the per-dir id
+    *    partition a partial window needs is what the union erased. REFUSE
+    *    — consolidation is GC, GC destroys history, and silently
+    *    under-excluding would serve taken-down docs into a replay. Same
+    *    answer for a pre-r15 fold without `folded_ats`. The documented
+    *    remedy is a named [[Snapshots]] pin, whose preserve set keeps
+    *    exactly the dirs a guaranteed as-of read needs.
+    */
+  private[operators] def deleteNamesAsOf(
+      fs: FileSystem, path: String, atMillis: Long): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    case class D(name: String, mtime: Long, folds: Seq[String],
+        foldedAts: Map[String, Long])
+    val ds = committedDeleteDirs(fs, path).map { d =>
+      val in = fs.open(new Path(d, MetaFile))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val node = mapper.readTree(s)
+      val f = node.get("folds")
+      val folds =
+        if (f == null) Seq.empty[String]
+        else (0 until f.size()).map(f.get(_).asText()).filterNot(_ == d.getName)
+      val fa = node.get("folded_ats")
+      val ats =
+        if (fa == null) Map.empty[String, Long]
+        else fa.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      D(d.getName, fs.getFileStatus(new Path(d, Marker)).getModificationTime,
+        folds, ats)
+    }
+    val byName = ds.map(d => d.name -> d).toMap
+    val include = Seq.newBuilder[String]
+    ds.filter(_.mtime <= atMillis).foreach(d => include += d.name)
+    ds.filter(d => d.mtime > atMillis && d.folds.nonEmpty).foreach { f =>
+      // a name still on disk answers with its live marker; a swept one
+      // with its recorded instant
+      val ats = f.folds.map(n =>
+        n -> byName.get(n).map(_.mtime).orElse(f.foldedAts.get(n)))
+      val unknown = ats.collect { case (n, None) => n }
+      def refuse(what: String) = require(requirement = false,
+        s"cannot reconstruct the tombstone set of $path at $atMillis: " +
+          s"consolidation '${f.name}' committed after that instant and $what" +
+          " (consolidation is GC — the per-dir partition its union erased " +
+          "is gone). Use a named snapshot to guarantee as-of reads across " +
+          "folds.")
+      if (unknown.nonEmpty)
+        refuse(s"predates the folded_ats record for ${unknown.sorted.mkString(", ")}")
+      val known = ats.map(_._2.get)
+      if (known.forall(_ <= atMillis)) include += f.name
+      else if (!known.forall(_ > atMillis))
+        refuse("straddles it — some absorbed tombstones were committed " +
+          "before, some after")
+    }
+    val included = include.result().distinct
+    // an included fold REPRESENTS its absorbed names — drop them even when
+    // individually in-window (the crash-window / all-before-window cases)
+    val covered = included.flatMap(n => byName(n).folds).toSet
+    included.filterNot(covered).sorted
+  }
+
   /** Delete ids already folded into `path`'s base layout by a compaction —
     * a deleter must no-op on these exactly as on a live `_COMMITTED` marker
     * (the absorbed-batches contract, applied to removals).
@@ -385,6 +458,13 @@ object Tombstones {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var nIds = 0L; var nRows = 0L; var nDocs = 0.0; var sumDl = 0.0
     val transitive = Seq.newBuilder[String]
+    // each absorbed name's COMMIT INSTANT rides along (r15): the sweep
+    // destroys the marker whose mtime is the only record of when that
+    // tombstone became visible, and [[deleteNamesAsOf]] needs it to decide
+    // whether a historical window intersects this fold — directly-absorbed
+    // dirs contribute their live marker mtime, inner names their entry in
+    // the absorbed fold's own folded_ats (transitively complete)
+    val foldedAts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     visible.foreach { d =>
       val in = fs.open(new Path(d, MetaFile))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -394,8 +474,14 @@ object Tombstones {
       nDocs += node.get("n_docs").asDouble()
       sumDl += node.get("sum_dl").asDouble()
       transitive += d.getName
+      foldedAts(d.getName) =
+        fs.getFileStatus(new Path(d, Marker)).getModificationTime
       val f = node.get("folds")
       if (f != null) (0 until f.size()).foreach(i => transitive += f.get(i).asText())
+      val fa = node.get("folded_ats")
+      if (fa != null) fa.properties().asScala.foreach { e =>
+        foldedAts.getOrElseUpdate(e.getKey, e.getValue.asLong()); ()
+      }
     }
     // Fold names are NEVER reused — a ledgered name is reserved forever.
     // The r14 bug probed for the first fold-k with no on-disk marker, but
@@ -423,7 +509,9 @@ object Tombstones {
         s""""n_docs": $nDocs, "sum_dl": $sumDl, """ +
         s""""at": ${System.currentTimeMillis()}, """ +
         transitive.result().sorted.map(id => "\"" + id + "\"")
-          .mkString(""""folds": [""", ", ", "]}")).getBytes("UTF-8"))
+          .mkString(""""folds": [""", ", ", "], ") +
+        foldedAts.toSeq.sortBy(_._1).map { case (n, t) => s""""$n": $t""" }
+          .mkString(""""folded_ats": {""", ", ", "}}")).getBytes("UTF-8"))
     finally meta.close()
     fs.create(new Path(dir, Marker), false).close()
     // sweep AFTER the commit: a crash leaves absorbed-but-present dirs that

@@ -521,6 +521,27 @@ object GraftPlans {
       opt(1, "minhashRoot"), opt(2, "bm25Root"), opt(3, "annRoot")))
   }
 
+  /** `graft_snapshot_diff('root', 'name', 'family')` — what drifted since
+    * the pin, from SQL ([[graft.operators.Snapshots.diffBm25]] and
+    * siblings): `('added'|'removed', id)` rows comparing the ids servable
+    * through the named snapshot against the root's current generation.
+    * `family` ∈ bm25 | ann | minhash.
+    */
+  private def snapshotDiffBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, "graft_snapshot_diff(root, name, family)")
+    val root = str(args(0), "root")
+    val name = str(args(1), "name")
+    val spark = SparkSession.active
+    val df = str(args(2), "family") match {
+      case "bm25" => graft.operators.Snapshots.diffBm25(spark, root, name)
+      case "ann" => graft.operators.Snapshots.diffAnn(spark, root, name)
+      case "minhash" => graft.operators.Snapshots.diffMinhash(spark, root, name)
+      case other => throw new IllegalArgumentException(
+        s"graft_snapshot_diff family must be bm25|ann|minhash, got '$other'")
+    }
+    ColumnBridge.analyzedPlan(df)
+  }
+
   /** (name, info, builder) for every exposed table function. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
@@ -580,7 +601,10 @@ object GraftPlans {
         snapshotsBuilder _),
       (FunctionIdentifier("graft_snapshot_audit"),
         new ExpressionInfo("graft", "graft_snapshot_audit"),
-        snapshotAuditBuilder _))
+        snapshotAuditBuilder _),
+      (FunctionIdentifier("graft_snapshot_diff"),
+        new ExpressionInfo("graft", "graft_snapshot_diff"),
+        snapshotDiffBuilder _))
 
   /** Install strategy, pushdown rule, and table functions on a live session.
     * Idempotent — safe to call per query.

@@ -230,6 +230,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows == doomed.map(i => ("ann", "pre", i)).toSet)
   }
 
+  test("asOf: marker mtimes reconstruct past views; folds destroy windows honestly") {
+    val root = tmp("asof"); val g0 = IndexMaintenance.genPath(root, 0)
+    val (p, st) = Lexical.bm25BuildIndex(docs(80), "id", "text")
+    Lexical.bm25WriteIndex(p, st, g0, nBuckets = 8)
+    // pre-commit: the honest miss
+    assert(Snapshots.asOf(spark, root, System.currentTimeMillis()).isEmpty)
+    IndexMaintenance.commitGeneration(spark, root, 0)
+    val t0 = System.currentTimeMillis()
+    val at0 = bm25Search(Lexical.bm25OpenIndex(spark, g0))
+    assert(Lexical.bm25DeleteFromIndex(spark, g0, idsDf(Seq(7L, 11L)), "id", "d0"))
+    val t1 = System.currentTimeMillis()
+    val at1 = bm25Search(Lexical.bm25OpenIndex(spark, g0))
+    assert(Lexical.bm25AppendIndex(spark, g0, docs(20, from = 80), "id", "text", "b1"))
+    assert(Lexical.bm25DeleteFromIndex(spark, g0, idsDf(Seq(3L)), "id", "d1"))
+    // each moment reconstructs bit-for-bat from the mutated index: t0 has
+    // no deletes and no batches, t1 has d0 only — b1 and d1 are invisible
+    val i0 = Snapshots.asOf(spark, root, t0).get
+    assert(i0.batches.isEmpty && i0.deletes.isEmpty)
+    assert(bm25Search(Snapshots.openBm25AsOf(spark, root, t0).get) == at0)
+    val i1 = Snapshots.asOf(spark, root, t1).get
+    assert(i1.batches.isEmpty && i1.deletes == Seq("d0"))
+    assert(bm25Search(Snapshots.openBm25AsOf(spark, root, t1).get) == at1)
+    // a fold committed AFTER t1 sweeps d0/d1 — the t1 window is gone and
+    // the resolver must say so, not under-exclude
+    assert(Tombstones.consolidate(spark, g0) == 2)
+    val ex = intercept[IllegalArgumentException](Snapshots.asOf(spark, root, t1))
+    assert(ex.getMessage.contains("consolidation"))
+    // ...but a moment AFTER the fold resolves through the fold itself
+    val t2 = System.currentTimeMillis()
+    val i2 = Snapshots.asOf(spark, root, t2).get
+    assert(i2.deletes == Seq("fold-0") && i2.batches == Seq("b1"))
+    assert(bm25Search(Snapshots.openBm25AsOf(spark, root, t2).get) ==
+      bm25Search(Lexical.bm25OpenIndex(spark, g0)))
+    // and t0 still resolves: the empty window needs nothing the fold swept
+    assert(bm25Search(Snapshots.openBm25AsOf(spark, root, t0).get) == at0)
+  }
+
   test("replication mirrors the pin catalog: copies, drop propagation, missing-gen skip") {
     val (src, g0) = seedBm25Root("replsrc")
     val dst = tmp("repldst")
