@@ -523,6 +523,30 @@ object Bench {
             docSlices.map(q => () =>
               graft.operators.Lexical.bm25SearchIndex(view, q, "doc_id", "text", k = 5)
                 .collect().length.toLong)
+          }),
+          // the r15 snapshot leg: a point-in-time pin served through the
+          // same resident machinery — the pin restricts the OPEN
+          // (capture-time tombstones resolved once, untimed; a
+          // post-capture takedown is invisible), so steady-state
+          // per-search must sit WITH bm25_index, not above it: a frozen
+          // view costs nothing per search. Runs after bm25_session's
+          // timing, so mutating the root here cannot touch that leg.
+          timeServing("bm25_snapshot", {
+            import org.apache.spark.sql.functions.{col, lit, pmod}
+            val g0 = graft.operators.IndexMaintenance.genPath(sessRoot, 0)
+            graft.operators.Lexical.bm25DeleteFromIndex(spark, g0,
+              docsDf.filter(pmod(col("doc_id"), lit(10)) === 3)
+                .select("doc_id"), "doc_id", "bench_takedown")
+            graft.operators.Snapshots.create(spark, sessRoot, "bench_pin")
+            graft.operators.Lexical.bm25DeleteFromIndex(spark, g0,
+              docsDf.filter(pmod(col("doc_id"), lit(10)) === 7)
+                .select("doc_id"), "doc_id", "bench_d2")
+            val snap0 = graft.operators.Snapshots.openBm25(spark, sessRoot, "bench_pin")
+            val snap = snap0.copy(postings = snap0.postings.coalesce(1))
+            snap.postings.persist(); snap.postings.count()
+            docSlices.map(q => () =>
+              graft.operators.Lexical.bm25SearchIndex(snap, q, "doc_id", "text", k = 5)
+                .collect().length.toLong)
           }))
         sess.close()
         // resident-footprint census (r12): what the zero-job tier holds in
