@@ -49,7 +49,10 @@ object Profile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val jid = stageToJob.getOrDefault(e.stageInfo.stageId, -1)
         val r = jobs.get(jid)
-        if (r != null) { r.stages += 1; r.tasks += e.stageInfo.numTasks }
+        if (r != null) {
+          r.stages += 1; r.tasks += e.stageInfo.numTasks
+          if (e.stageInfo.numTasks > 1 || r.desc.isEmpty) r.desc = e.stageInfo.name
+        }
       }
     })
 

@@ -82,10 +82,20 @@ object Dsir {
       s"buckets must be <= ${1 << 20} (two driver collects of ~100 bytes/bucket " +
         s"each — ~200 MB at the cap), got $buckets")
     val spark = raw.sparkSession
-    val tMap = bucketCounts(target, targetTextCol, buckets, seed)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rRows = bucketCounts(raw, textCol, buckets, seed)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE collect for both model sides (was two): a side-tagged union makes
+    // the two B-bounded aggregates a single Spark job, so their scans run
+    // CONCURRENTLY and the driver pays one scheduler round-trip instead of
+    // two sequential ones (guide §2.6 — overlap independent work). Counts
+    // are exact longs either way; the double math below is unchanged.
+    val both = bucketCounts(raw, textCol, buckets, seed)
+      .select(col("bucket"), col("cnt"), lit(0).as("__side"))
+      .unionByName(bucketCounts(target, targetTextCol, buckets, seed)
+        .select(col("bucket"), col("cnt"), lit(1).as("__side")))
+      .collect()
+    val tMap = both.iterator.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rRows = both.iterator.filter(_.getInt(2) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toArray
     val tt = tMap.values.sum
     val rt = rRows.map(_._2).sum
     val alphaB = alpha * buckets

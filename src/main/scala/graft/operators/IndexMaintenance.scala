@@ -622,6 +622,14 @@ object IndexMaintenance {
             .join(broadcast(deny), col("id") === col("__deny_id"), "left_semi")
             .distinct()
             .select(lit(family).as("family"), col("id"))
+        // NOTE (r15): the three family opens must stay SEQUENTIAL. The
+        // graft_removal_audit SQL TVF invokes this builder from INSIDE the
+        // Catalyst analyzer, and concurrent Dataset construction (each open
+        // runs its own analysis for the tombstone exclusion filter) from
+        // worker threads while the calling thread is mid-analysis livelocks
+        // the rule executor — observed as a wedged Verify sweep. The ~0.3 s
+        // of serialized open jobs is not worth a thread-safety caveat on an
+        // analyzer-reachable path.
         val legs =
           minhashRoot.map(r => leg("minhash",
             Dedup.minhashOpenIndex(spark, currentPath(spark, r)).shingles, "id")).toSeq ++

@@ -742,16 +742,22 @@ object Lexical {
         }
         out.toArray
       } else {
-        // coalesce(1) before the limit: CollectLimitExec otherwise probes
-        // partitions incrementally (1, then x4, ...) — THREE scheduler
-        // round-trips for a 10-query serving batch (judge r9: bm25
-        // serving's extra jobs were exactly these). One partition → one
-        // job, and the limit still stops the single task at boundQt+1
-        // produced rows, so the over-bound regime's discarded probe stays
-        // bounded
-        qtPlan.coalesce(1).limit(boundQt + 1).collect()
+        // PARALLEL probe (r15; replaces a coalesce(1).limit(boundQt+1)
+        // probe that tokenized up to boundQt+1 query texts in ONE task —
+        // 0.85 s single-threaded on the guard legs): a partial-agg count
+        // decides the regime in one parallel job (same decision rule —
+        // total (query, term) rows vs the bound), then the under-bound
+        // branch collects the ≤ boundQt rows in a second parallel job.
+        // Two scheduler round-trips instead of one, but both scale with
+        // the cores; the serving regime (LocalRelation batch, the branch
+        // above) still pays zero jobs, so the r9 lesson is preserved. An
+        // over-bound probe is one extra parallel pass over a query side
+        // the over-bound search's eager checkpoint re-scans anyway.
+        if (qtPlan.count() > boundQt) null else qtPlan.collect()
       }
-    if (qtRows.length > boundQt) {
+    // null = the probe branch saw > boundQt rows; length = the LocalRelation
+    // branch's append loop stopped past the bound
+    if (qtRows == null || qtRows.length > boundQt) {
       joinRestrictionSearches.incrementAndGet()
       // over-bound: distributed pairs (pinned — bucket restriction and the
       // scoring join both consume them), bucket semi-join via the SAME

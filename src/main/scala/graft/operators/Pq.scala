@@ -88,12 +88,21 @@ object Pq {
     val k = math.min(ks, sample.length)
     val flat = new Array[Double](m * k * dsub)
     val rnd = new java.util.Random(seed)
-    var j = 0
-    while (j < m) {
-      // seeded Fisher-Yates pick of k initial centroids for this subspace
+    // the seeded Fisher-Yates shuffles are drawn SEQUENTIALLY up front (the
+    // single Random's stream is the determinism contract — subspace j's
+    // shuffle depends on every earlier draw), then the flop-heavy Lloyd
+    // loops run in PARALLEL across subspaces (r15): they are independent,
+    // write disjoint `flat` regions, and keep their per-subspace arithmetic
+    // order — the codebook stays bit-identical to the sequential fit
+    val initIdx: Array[Array[Int]] = Array.fill(m) {
       val idx = Array.tabulate(sample.length)(identity)
       var i = idx.length - 1
       while (i > 0) { val r = rnd.nextInt(i + 1); val t = idx(i); idx(i) = idx(r); idx(r) = t; i -= 1 }
+      idx
+    }
+    val subspaces = (0 until m).toVector
+    val fitOne = (j: Int) => {
+      val idx = initIdx(j)
       val cents = Array.tabulate(k, dsub)((c, d) => sample(idx(c))(j * dsub + d))
       // Lloyd: assign sample to nearest centroid (L2), recompute means; an
       // empty cluster keeps its previous centroid (the refineCentroids rule)
@@ -138,7 +147,17 @@ object Pq {
         while (d < dsub) { flat((j * k + c) * dsub + d) = cents(c)(d); d += 1 }
         c += 1
       }
-      j += 1
+    }
+    if (m == 1) fitOne(0)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, Runtime.getRuntime.availableProcessors()))
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = pool.invokeAll(
+          subspaces.map(j => (() => { fitOne(j); null }): java.util.concurrent.Callable[Null]).asJava)
+        futures.asScala.foreach(_.get()) // propagate any fit failure
+      } finally pool.shutdown()
     }
     PqCodebook(m, k, dsub, flat)
   }
