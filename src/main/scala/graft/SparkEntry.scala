@@ -2948,9 +2948,9 @@ object SparkEntry {
     }),
 
     "q_bm25" -> ((s, dir) => {
-      // spread the corpus side: ad-hoc BM25 tokenizes it in the postings
-      // aggregate's map stage — single-task above the raw 1-row-group scan
-      val docs = spread(ld(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r15): measured flat wall with ~2x cpu — the tokenize
+      // above the scan is not this query's bottleneck
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
       val queries = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text"))
       Lexical.bm25TopK(docs, "doc_id", "text", queries, "qid", "text", k = 5)
@@ -2964,9 +2964,10 @@ object SparkEntry {
     // equal to q_bm25's ad-hoc output (same oracle SQL), which proves the
     // "pay the vocabulary aggregate once" path returns identical scores.
     "q_bm25_index" -> ((s, dir) => {
-      // spread before the in-window build: tokenize otherwise runs in the
-      // single scan task (the steady fixtures build untimed and skip this)
-      val docs = spread(ld(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r15): the write's multi-branch plan re-runs the spread
+      // exchange per branch — measured 1.68 -> 2.69 s with 3x cpu; the
+      // 1-task tokenize is cheaper than the repeated shuffles
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
       val queries = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text"))
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
@@ -2989,7 +2990,7 @@ object SparkEntry {
     // the parquet roundtrip (bucketing, partition columns, double encoding),
     // not just the in-memory aggregate.
     "q_bm25_index_build" -> ((s, dir) => {
-      val docs = spread(ld(s, dir, "documents").select("doc_id", "text"))
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
       val idxDir = perProcessTmpDir("graft_bm25_build")
       Lexical.bm25WriteIndex(postings, stats, idxDir, nBuckets = 16)
@@ -3212,10 +3213,9 @@ object SparkEntry {
     // names differ only in digit positions — exactly the shared-prefix regime
     // where q-gram blocking degenerates and deletion variants stay exact
     "q_fuzzy_pairs" -> ((s, dir) => {
-      // spread: the deletion-variant explode runs in the scan task on both
-      // self-join sides, single-threaded above the 1-row-group file
-      Fuzzy.fuzzyPairs(spread(ld(s, dir, "customer")
-          .select("c_custkey", "c_name")), "c_custkey", "c_name", maxDist = 1)
+      // NOT spread (r15): flat wall, ~2x cpu — the variant explode is not
+      // the bottleneck (the vkey join dominates and is already parallel)
+      Fuzzy.fuzzyPairs(ld(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -3225,7 +3225,7 @@ object SparkEntry {
     // identical blocking + banded verify as the DataFrame API.
     "q_fuzzy_sql" -> ((s, dir) => {
       graft.plans.GraftPlans.install(s)
-      spread(ld(s, dir, "customer").select("c_custkey", "c_name"))
+      ld(s, dir, "customer").select("c_custkey", "c_name")
         .createOrReplaceTempView("graft_fuzzy_sql_customer")
       s.sql(
         """SELECT left_id AS i, right_id AS j, dist
@@ -3260,7 +3260,7 @@ object SparkEntry {
     // the blocking scheme can't index), value-parity with DuckDB's
     // jaro_winkler_similarity on every surviving pair
     "q_fuzzy_rescore" -> ((s, dir) => {
-      val c = spread(ld(s, dir, "customer").select("c_custkey", "c_name"))
+      val c = ld(s, dir, "customer")
       Fuzzy.fuzzyPairs(c, "c_custkey", "c_name", maxDist = 1)
         .join(c.select(col("c_custkey").as("i"), col("c_name").as("__a")), "i")
         .join(c.select(col("c_custkey").as("j"), col("c_name").as("__b")), "j")

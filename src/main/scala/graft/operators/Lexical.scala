@@ -742,22 +742,19 @@ object Lexical {
         }
         out.toArray
       } else {
-        // PARALLEL probe (r15; replaces a coalesce(1).limit(boundQt+1)
-        // probe that tokenized up to boundQt+1 query texts in ONE task —
-        // 0.85 s single-threaded on the guard legs): a partial-agg count
-        // decides the regime in one parallel job (same decision rule —
-        // total (query, term) rows vs the bound), then the under-bound
-        // branch collects the ≤ boundQt rows in a second parallel job.
-        // Two scheduler round-trips instead of one, but both scale with
-        // the cores; the serving regime (LocalRelation batch, the branch
-        // above) still pays zero jobs, so the r9 lesson is preserved. An
-        // over-bound probe is one extra parallel pass over a query side
-        // the over-bound search's eager checkpoint re-scans anyway.
-        if (qtPlan.count() > boundQt) null else qtPlan.collect()
+        // Plain CollectLimit, NO coalesce(1) (r15). The r9 coalesce avoided
+        // CollectLimitExec's incremental partition probing for small
+        // serving batches — but those batches are LocalRelations served by
+        // the zero-job branch above, and every remaining caller's query
+        // side is either a 1-partition scan (probing degenerates to the
+        // same single job the coalesce gave) or a BIG multi-partition frame
+        // (the guard legs), where coalesce(1) serialized up to boundQt+1
+        // tokenizes into ONE 0.85 s task. Incremental probing runs those
+        // partitions in parallel rounds with per-partition LocalLimit
+        // early-stops, and a huge partition still stops at boundQt+1 rows.
+        qtPlan.limit(boundQt + 1).collect()
       }
-    // null = the probe branch saw > boundQt rows; length = the LocalRelation
-    // branch's append loop stopped past the bound
-    if (qtRows == null || qtRows.length > boundQt) {
+    if (qtRows.length > boundQt) {
       joinRestrictionSearches.incrementAndGet()
       // over-bound: distributed pairs (pinned — bucket restriction and the
       // scoring join both consume them), bucket semi-join via the SAME
