@@ -2203,10 +2203,14 @@ object SparkEntry {
     // DuckDB oracle recomputes every output from the closed form — any
     // decode/resample/feature bug breaks the hash.
     "q_image_decode" -> ((s, dir) => {
-      // NOT spread (r15): javax.imageio's decode path takes a shared
+      // LIMITED spread (r15): javax.imageio's decode path takes a shared
       // provider-registry lock per call, so 32-way parallel decode measured
       // SLOWER than the single scan task (1.94s vs 1.09s on the audio twin)
+      // — but the lock only guards reader LOOKUP, not the PNG decode
+      // itself, so a few-way split still scales. Bounded at 4 regardless
+      // of core count: the lock, not the cores, is the ceiling.
       val ids = ld(s, dir, "documents").select("doc_id")
+        .repartition(math.min(4, s.sparkContext.defaultParallelism))
       val imgs = Multimodal.encodeTestCard(ids, "doc_id", w = 16, h = 12)
       val dec = Multimodal.decodeImage(imgs, "img", "meta")
       val small = Multimodal.resizeImageNearest(dec, "img", 8, 6, "small")
@@ -2236,8 +2240,10 @@ object SparkEntry {
     // from the closed form — any header/endianness/sample-decode bug breaks
     // the hash.
     "q_audio_decode" -> ((s, dir) => {
-      // NOT spread (r15): see q_image_decode — javax.sound's provider
-      // registry serializes concurrent getAudioInputStream calls
+      // NOT spread (r15): unlike imageio (whose registry lock guards only
+      // reader LOOKUP — see q_image_decode's bounded split), javax.sound's
+      // getAudioInputStream serializes effectively the whole decode: even a
+      // 4-way split measured 1.9s vs 1.0s single-task
       val ids = ld(s, dir, "documents").select("doc_id")
       val wavs = Multimodal.encodeTestTone(ids, "doc_id", sampleRate = 8000, nSamples = 256)
       val dec = Multimodal.decodeAudio(wavs, "wav", "meta")
