@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw child stdout/stderr, no "[info] " / "[error] " logger prefixes: the
+// bench driver parses the final JSON line from the last ~2KB of stdout, and
+// sbt's default LoggedOutput prefixed every line with "[info] " — which is
+// why BENCH_r01..r15 all have parsed:null even when the line fit the tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
