@@ -75,11 +75,26 @@ object Profile {
       import scala.jdk.CollectionConverters._
       val recs = order.asScala.flatMap(id => Option(jobs.get(id))).toVector
       val jobWall = recs.map(r => (r.end - r.start).max(0L)).sum / 1e9
-      // gaps: time between t1 and first job, between consecutive jobs, and
-      // after the last job — driver-side planning/collect/merge work
-      val gapTotal = wall - build - jobWall
+      // gaps: wall minus the MERGED union of job [start,end] intervals
+      // (advisor r15: queries that submit jobs concurrently — e.g.
+      // q_resident_parity's four plan legs — make the naive sum exceed
+      // wall and print negative gaps), minus DataFrame construction
+      val covered = {
+        val iv = recs.map(r => (r.start, r.end.max(r.start))).sortBy(_._1)
+        var tot = 0L
+        var curS = 0L
+        var curE = -1L
+        iv.foreach { case (s, e) =>
+          if (curE < 0) { curS = s; curE = e }
+          else if (s > curE) { tot += curE - curS; curS = s; curE = e }
+          else curE = curE.max(e)
+        }
+        (tot + (if (curE < 0) 0L else curE - curS)) / 1e9
+      }
+      val gapTotal = wall - build - covered
       println(f"[$name rep$rep] wall=$wall%.3f build=$build%.3f " +
-        f"jobs=${recs.size} jobWall=$jobWall%.3f gaps=$gapTotal%.3f rows=$n")
+        f"jobs=${recs.size} jobWall=$jobWall%.3f covered=$covered%.3f " +
+        f"gaps=$gapTotal%.3f rows=$n")
       if (rep == reps - 1 || sys.env.contains("PROFILE_ALL_REPS")) {
         recs.foreach { r =>
           println(f"  job ${r.id}%4d ${(r.end - r.start) / 1e6}%8.1fms " +

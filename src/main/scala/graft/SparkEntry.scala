@@ -27,14 +27,26 @@ object SparkEntry {
     * + resolved schema, no rows, no results — so every action still
     * computes from the parquet files; it is the same session-level metadata
     * reuse Spark's own FileStatusCache does for listings, extended to the
-    * schema job. Keyed by sessionUUID: a DataFrame is owned by its session
-    * (test suites create many).
+    * schema job. Keyed by the session OBJECT (a DataFrame is owned by its
+    * session) and BOUNDED as an access-order LRU (advisor r15: test suites
+    * create many sessions, and an unbounded map pins every stopped
+    * session's plans and schemas forever — a weak-keyed map would not help
+    * because the cached DataFrame itself strongly references its session).
+    * 64 entries ≈ a handful of live sessions × ~10 tables; eviction just
+    * re-pays one schema job. Assumes immutable table files (true for the
+    * fixture dirs; a path rewritten mid-session must not use ld()).
     */
-  private val ldCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val ldCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 64
+    })
   private def ld(spark: SparkSession, dir: String, table: String): DataFrame =
-    ldCache.computeIfAbsent((spark, s"$dir/$table.parquet"),
-      k => k._1.read.parquet(k._2))
+    ldCache.synchronized {
+      ldCache.computeIfAbsent((spark, s"$dir/$table.parquet"),
+        k => k._1.read.parquet(k._2))
+    }
 
   /** Round-robin repartition to the session's default parallelism — the
     * optimization guide's §2.5 fix ("one huge unsplittable file …
@@ -49,7 +61,33 @@ object SparkEntry {
     * declarations, not in the operators.
     */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(math.min(
+      df.sparkSession.sparkContext.defaultParallelism,
+      sys.env.getOrElse("SPARK_GRAFT_SPREAD_CAP",
+        sys.props.getOrElse("graft.spread.cap",
+          String.valueOf(Int.MaxValue))).toInt))
+
+  /** Build + eagerly pin several independent frames CONCURRENTLY (guide
+    * §2.6 — the q_resident_parity pattern: each localCheckpoint is a
+    * multi-stage job whose tail leaves cores idle, so overlapping them
+    * backfills the box; Dataset construction from worker threads is safe
+    * when the calling thread is not mid-analysis). Used by the
+    * parity/diff queries whose `a.exceptAll(b) ∪ b.exceptAll(a)` shape
+    * would otherwise evaluate every search subtree TWICE inside one huge
+    * union plan (verdict r15 #3): pinning each search once makes the diff
+    * legs read the materialized rows.
+    */
+  private def pinConcurrently(fns: (() => DataFrame)*): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fns.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try {
+      val fs = fns.map(f => Future(f().localCheckpoint(true)))
+      fs.map(Await.result(_, Duration(10, "min")))
+    } finally pool.shutdown()
+  }
 
   /** Events table with `ts` normalized to TIMESTAMP regardless of how the
     * generator wrote it: epoch-nanos INT64 (read via nanosAsLong — Spark's
@@ -2398,20 +2436,24 @@ object SparkEntry {
         d.select(lit(leg).as("leg"), col(a).cast("long").as("a"),
           col(b).cast("long").as("b"), col(v).cast("double").as("v"))
       val q = steadyQueries(s, dir)
-      val bm = diff(
-        Lexical.bm25SearchIndex(f.maintBm, q, "qid", "text", k = 5),
-        Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5))
       val probe = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val mh = diff(
-        Dedup.minhashSearchIndex(f.maintMh, probe, "doc_id", "text", 0.8),
-        Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8))
       val qv = md5Embedder.embed(
           docs.filter(col("doc_id") < 25).select(col("doc_id"), col("text")),
           "text", "__vec")
         .select("doc_id", "__vec")
-      val an = diff(
-        Ann.annSearchIndexInt8(f.maintAnn, qv, "doc_id", "__vec", k = 5, nProbe = 8),
-        Ann.annSearchIndexInt8(f.refAnn, qv, "doc_id", "__vec", k = 5, nProbe = 8))
+      // ONE search pass per (index, family), pinned and reused across both
+      // exceptAll sides, all six built concurrently (r16, verdict r15 #4 —
+      // the sequential small-job chain was the query's wall)
+      val Seq(maintBm, refBm, maintMh, refMh, maintAn, refAn) = pinConcurrently(
+        () => Lexical.bm25SearchIndex(f.maintBm, q, "qid", "text", k = 5),
+        () => Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5),
+        () => Dedup.minhashSearchIndex(f.maintMh, probe, "doc_id", "text", 0.8),
+        () => Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8),
+        () => Ann.annSearchIndexInt8(f.maintAnn, qv, "doc_id", "__vec", k = 5, nProbe = 8),
+        () => Ann.annSearchIndexInt8(f.refAnn, qv, "doc_id", "__vec", k = 5, nProbe = 8))
+      val bm = diff(maintBm, refBm)
+      val mh = diff(maintMh, refMh)
+      val an = diff(maintAn, refAn)
       norm(bm, "bm25", "query_id", "doc_id", "score")
         .unionByName(norm(mh, "minhash", "corpus_id", "batch_id", "jaccard"))
         .unionByName(norm(an, "ann", "left_id", "right_id", "score"))
@@ -2554,7 +2596,10 @@ object SparkEntry {
               k = 5, nProbe = 8).localCheckpoint(true)),
             Future(Ann.annSearchIndexPq(pqP, qv, "vec_id", "embedding",
               k = 5, nProbe = 8).localCheckpoint(true)))
-          val r = fs.map(Await.result(_, Duration.Inf))
+          // finite await (advisor r15): a wedged leg must fail the query
+          // with a clear error, not hang the harness forever on a
+          // non-daemon pool
+          val r = fs.map(Await.result(_, Duration(10, "min")))
           (r(0), r(1), r(2), r(3))
         } finally pool.shutdown()
       }
@@ -2582,13 +2627,18 @@ object SparkEntry {
       def fromRows(rows: Seq[org.apache.spark.sql.Row],
           schema: org.apache.spark.sql.types.StructType) =
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val refBm = Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5)
-        .withColumn("gen", lit(f.finalGens("bm25")))
-      val refMh = Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8)
-        .withColumn("gen", lit(f.finalGens("minhash")))
-      val refAnn = Ann.annSearchIndexInt8(f.refAnn, qv, "doc_id", "__vec",
-          k = 5, nProbe = 8)
-        .withColumn("gen", lit(f.finalGens("ann")))
+      // ONE search pass per reference family, pinned and reused across the
+      // swap AND pruned diff legs (r16, verdict r15 #3): each ref subtree
+      // previously appeared in four exceptAll sides of the union plan, so
+      // the 33-task search stages ran repeatedly inside the single count
+      val Seq(refBm, refMh, refAnn) = pinConcurrently(
+        () => Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5)
+          .withColumn("gen", lit(f.finalGens("bm25"))),
+        () => Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8)
+          .withColumn("gen", lit(f.finalGens("minhash"))),
+        () => Ann.annSearchIndexInt8(f.refAnn, qv, "doc_id", "__vec",
+            k = 5, nProbe = 8)
+          .withColumn("gen", lit(f.finalGens("ann"))))
       def diff(a: DataFrame, b: DataFrame) =
         a.exceptAll(b).unionByName(b.exceptAll(a))
       def norm(d: DataFrame, leg: String, a: String, b: String, v: String) =
@@ -2639,10 +2689,14 @@ object SparkEntry {
       def fromRows(rows: Seq[org.apache.spark.sql.Row],
           schema: org.apache.spark.sql.types.StructType) =
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val refBm = Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5)
-        .withColumn("gen", lit(f.finalGens("bm25")))
-      val refMh = Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8)
-        .withColumn("gen", lit(f.finalGens("minhash")))
+      // ONE pinned search pass per reference family (r16 — the
+      // q_serving_session treatment: each ref subtree sat in two exceptAll
+      // sides of the union plan)
+      val Seq(refBm, refMh) = pinConcurrently(
+        () => Lexical.bm25SearchIndex(f.refBm, q, "qid", "text", k = 5)
+          .withColumn("gen", lit(f.finalGens("bm25"))),
+        () => Dedup.minhashSearchIndex(f.refMh, probe, "doc_id", "text", 0.8)
+          .withColumn("gen", lit(f.finalGens("minhash"))))
       def diff(a: DataFrame, b: DataFrame) =
         a.exceptAll(b).unionByName(b.exceptAll(a))
       def norm(d: DataFrame, leg: String, a: String, b: String, v: String) =
@@ -2970,11 +3024,14 @@ object SparkEntry {
     // equal to q_bm25's ad-hoc output (same oracle SQL), which proves the
     // "pay the vocabulary aggregate once" path returns identical scores.
     "q_bm25_index" -> ((s, dir) => {
-      // NOT spread (r15): the write's multi-branch plan re-runs the spread
-      // exchange per branch — measured 1.68 -> 2.69 s with 3x cpu; the
-      // 1-task tokenize is cheaper than the repeated shuffles
-      val docs = ld(s, dir, "documents").select("doc_id", "text")
-      val queries = docs.filter(col("doc_id") < 10)
+      // spread RESTORED (r16): r15's revert was about the write's
+      // multi-branch plan re-running the spread exchange per branch
+      // (1.68 -> 2.69 s, 3x cpu); bm25WriteIndex now pins the postings
+      // once (localCheckpoint), so every branch reads the materialized
+      // rows and the spread exchange runs exactly once — parallelizing
+      // the tokenize above the unsplittable scan (guide §2.5)
+      val docs = spread(ld(s, dir, "documents").select("doc_id", "text"))
+      val queries = ld(s, dir, "documents").filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text"))
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
       val idxDir = perProcessTmpDir("graft_bm25_index")
@@ -2996,7 +3053,9 @@ object SparkEntry {
     // the parquet roundtrip (bucketing, partition columns, double encoding),
     // not just the in-memory aggregate.
     "q_bm25_index_build" -> ((s, dir) => {
-      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      // spread (r16): safe now that bm25WriteIndex pins the postings —
+      // see q_bm25_index above
+      val docs = spread(ld(s, dir, "documents").select("doc_id", "text"))
       val (postings, stats) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
       val idxDir = perProcessTmpDir("graft_bm25_build")
       Lexical.bm25WriteIndex(postings, stats, idxDir, nBuckets = 16)
@@ -3951,11 +4010,26 @@ object SparkEntry {
     // 'post' phase audits the tombstoned ANN sibling and must be empty.
     "q_removal_audit" -> ((s, dir) => {
       val (mh, bm, av, ac) = steadyAuditRoots(s, dir)
-      val pre = IndexMaintenance.auditRemovals(s, mh,
-          minhashRoot = Some(mh), bm25Root = Some(bm), annRoot = Some(av))
-        .withColumn("phase", lit("pre"))
-      val post = IndexMaintenance.auditRemovals(s, mh, annRoot = Some(ac))
-        .withColumn("phase", lit("post"))
+      // the two audit phases are independent chains of small open jobs
+      // (denylist pin + per-family tombstone collects); build them
+      // CONCURRENTLY from the query layer (guide §2.6 — the
+      // q_resident_parity pattern: Dataset construction from worker
+      // threads is safe when the calling thread is not mid-analysis; the
+      // analyzer-livelock constraint only binds the TVF twin, which stays
+      // sequential inside auditRemovals)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val (pre, post) = try {
+        val pf = Future(IndexMaintenance.auditRemovals(s, mh,
+            minhashRoot = Some(mh), bm25Root = Some(bm), annRoot = Some(av))
+          .withColumn("phase", lit("pre")))
+        val qf = Future(IndexMaintenance.auditRemovals(s, mh, annRoot = Some(ac))
+          .withColumn("phase", lit("post")))
+        (Await.result(pf, Duration(10, "min")), Await.result(qf, Duration(10, "min")))
+      } finally pool.shutdown()
       pre.unionByName(post).select(col("phase"), col("family"), col("id"))
         .orderBy("phase", "family", "id")
     }),

@@ -409,6 +409,33 @@ object Ann {
     * row count is topped up with the committed batches' counts so the
     * serving fast-path gate and the staleness signal see the true size.
     */
+  /** Exact schemas of the persisted cell/centroid layouts, as
+    * [[writeLayout]] / [[annAppendIndex]] write them (r16): a known schema
+    * skips the footer/schema-inference job per `spark.read` — see
+    * [[Lexical.postingsReadSchema]] for the rationale. The IVF_PQ layout
+    * carries two extra baked columns, keyed off the codebook file the open
+    * already checks. Spec-pinned equal to inference (EngineSpec).
+    */
+  private[graft] def cellsReadSchema(pq: Boolean): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("corpus_id", LongType),
+      StructField("cv", ArrayType(DoubleType)),
+      StructField("qscale", DoubleType),
+      StructField("codes", ArrayType(ByteType)),
+      StructField("cn2", LongType))
+    val pqCols = if (pq) Seq(
+      StructField("pq", ArrayType(ByteType)),
+      StructField("cn", DoubleType)) else Nil
+    StructType(base ++ pqCols :+ StructField("__cell", IntegerType))
+  }
+  private[graft] val centroidsReadSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("centroid_id", LongType),
+      StructField("centroid_vec", ArrayType(DoubleType))))
+  }
+
   def annOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
     annOpenIndex(spark, path, None)
 
@@ -449,8 +476,10 @@ object Ann {
       val s = try scala.io.Source.fromInputStream(bin, "UTF-8").mkString finally bin.close()
       mapper.readTree(s).get("n_rows").asLong()
     }.sum
+    val hasPq = fs.exists(new org.apache.hadoop.fs.Path(path, "pq_codebook.json"))
     val raw = (s"$path/cells" +: committed.map(b => s"$b/cells"))
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .map(spark.read.schema(cellsReadSchema(hasPq)).parquet(_))
+      .reduce(_.unionByName(_))
     // committed tombstones (r13): exclusion over the merged scan — filters
     // AFTER the `__cell=` partition pruning, so probe-restricted reads keep
     // their pruned shape; surviving vectors' cell assignments are untouched
@@ -458,7 +487,7 @@ object Ann {
     val cells = dels.map(_.exclude(raw, "corpus_id")).getOrElse(raw)
     val idx = AnnIndex(
       cells,
-      spark.read.parquet(s"$path/centroids"),
+      spark.read.schema(centroidsReadSchema).parquet(s"$path/centroids"),
       node.get("n_centroids").asInt(),
       // absent in pre-r8 layouts: searches simply skip the size-gated fast
       // path; tombstoned rows are still SCANNED, so the estimate keeps them

@@ -481,13 +481,18 @@ object Dedup extends Logging {
     // postings row count for the serving fast-path gate (see
     // [[minhashSearchIndex]]) — counted from the written parquet (footer
     // metadata only), same convention as the BM25/ANN index metas
-    val nRows = spark.read.parquet(s"$path/postings").count()
+    val nRows = spark.read.schema(minhashCountReadSchema)
+      .parquet(s"$path/postings").count()
     val metaPath = new org.apache.hadoop.fs.Path(path, "minhash_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     try out.write(
       (s"""{"type": "minhash_lsh", "shingle_size": ${index.shingleSize}, """ +
         s""""num_bands": ${index.numBands}, "rows_per_band": ${index.rowsPerBand}, """ +
+        // the id column keeps the CORPUS id type (string keys are
+        // first-class here, unlike bm25's integral contract), so open()
+        // needs it recorded to skip schema inference (r16)
+        s""""id_type": "${index.postings.schema("id").dataType.typeName}", """ +
         s""""hash_family": "${index.hashFamily}", "n_rows": $nRows}""").getBytes("UTF-8"))
     finally out.close()
   }
@@ -558,7 +563,8 @@ object Dedup extends Logging {
     // written BEFORE the marker, so the `_COMMITTED` create stays the single
     // atomic visibility event (content written into the marker itself would
     // be visible empty between create and close)
-    val nRows = spark.read.parquet(s"$batchDir/postings").count()
+    val nRows = spark.read.schema(minhashCountReadSchema)
+      .parquet(s"$batchDir/postings").count()
     val bm = fs.create(new org.apache.hadoop.fs.Path(batchDir, "batch_meta.json"), true)
     try bm.write(s"""{"n_rows": $nRows}""".getBytes("UTF-8")) finally bm.close()
     fs.create(marker, false).close()
@@ -600,6 +606,39 @@ object Dedup extends Logging {
     Tombstones.carryDeleteLedger(fs, srcPath, dstPath)
   }
 
+  /** Exact schemas of the persisted layout components, as
+    * [[minhashWriteIndex]] / [[minhashAppendIndex]] write them (r16): a
+    * known schema skips the footer/schema-inference job per `spark.read` —
+    * see [[Lexical.postingsReadSchema]] for the rationale. The id column
+    * keeps the CORPUS id type, so it is parameterised from the meta's
+    * `id_type` record; pre-r16 metas without it fall back to inference.
+    * Spec-pinned equal to inference (EngineSpec), incl. a string-id index.
+    */
+  private[graft] def minhashPostingsReadSchema(
+      idType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", idType),
+      StructField("bucket", ArrayType(LongType)),
+      StructField("bkey", LongType),
+      StructField("band", IntegerType)))
+  }
+  private[graft] def shinglesReadSchema(
+      idType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", idType),
+      StructField("sh", ArrayType(StringType))))
+  }
+  /** One always-fixed-type column is enough for a row COUNT over the
+    * postings (by-name parquet resolution reads just it), independent of
+    * the corpus id type.
+    */
+  private[graft] val minhashCountReadSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("bkey", LongType)))
+  }
+
   def minhashOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex =
     minhashOpenIndex(spark, path, None)
 
@@ -637,10 +676,24 @@ object Dedup extends Logging {
     }
     // each root is read separately and unioned (a single multi-root read
     // trips partition-structure inference); a band filter still prunes
-    // inside EVERY branch's scan — union pushes predicates to each child
-    def layout(sub: String): DataFrame =
+    // inside EVERY branch's scan — union pushes predicates to each child.
+    // Known schemas (r16): skip the footer/schema-inference job per branch
+    // — see Lexical.postingsReadSchema for the rationale. The id type comes
+    // from the meta (the corpus id type); pre-r16 metas lack the record and
+    // keep the inference path.
+    val idType = Option(node.get("id_type")).map(t =>
+      org.apache.spark.sql.types.DataType.fromDDL(t.asText()))
+    def layout(sub: String): DataFrame = {
+      def rd(p: String): DataFrame = idType match {
+        case Some(t) =>
+          val schema = if (sub == "postings") minhashPostingsReadSchema(t)
+            else shinglesReadSchema(t)
+          spark.read.schema(schema).parquet(p)
+        case None => spark.read.parquet(p)
+      }
       (s"$path/$sub" +: committed.map(b => s"$b/$sub"))
-        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .map(rd).reduce(_.unionByName(_))
+    }
     // total postings row count = base meta + every committed batch's own
     // count file; any component written before the counts existed (pre-r10
     // index) yields None and the search keeps its parallel plan

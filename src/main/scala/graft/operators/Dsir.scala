@@ -79,8 +79,8 @@ object Dsir {
     // already generous; the old 2^24 row cap allowed multi-GB collects. The
     // paper's regime is B ≈ 10^4; anything near the cap is misuse.
     require(buckets <= (1 << 20),
-      s"buckets must be <= ${1 << 20} (two driver collects of ~100 bytes/bucket " +
-        s"each — ~200 MB at the cap), got $buckets")
+      s"buckets must be <= ${1 << 20} (one side-tagged collect of ~100 bytes/bucket " +
+        s"across both sides — ~200 MB at the cap), got $buckets")
     val spark = raw.sparkSession
     // ONE collect for both model sides (was two): a side-tagged union makes
     // the two B-bounded aggregates a single Spark job, so their scans run

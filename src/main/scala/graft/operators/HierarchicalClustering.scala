@@ -527,6 +527,32 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
       r0
     }
     val mstBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // 3a. Kruskal fast path (r16): when the CANDIDATE edge table itself fits
+    // the existing driver bound (the same maxDriverMstEdges the MST collect
+    // and the CC union-find fast path already accept — the exact path has
+    // n(n-1)/2 edges, known without a job), collect it ONCE and run Kruskal
+    // under the identical strict total order (w, a, b). A strict total order
+    // on edges makes the minimum spanning forest UNIQUE, so Kruskal selects
+    // exactly the edge set the Borůvka rounds would (spec-pinned:
+    // HierarchicalClusteringSpec "kruskal fast path ≡ forced Borůvka
+    // rounds") — and ~⌈log n⌉ sequential agg+collect round-trip jobs become
+    // one collect (q_hdbscan_parity spent its wall on the round chain, not
+    // on compute: 39 jobs, task_min 0.6 s, wall 1.4-1.6 s).
+    val exactPairCount = if (exact) n * (n - 1) / 2 else -1L
+    val kruskalBound = sys.props.getOrElse(
+      "graft.hdbscan.kruskalEdgeBound", maxDriverMstEdges.toString).toLong
+    if (exactPairCount >= 0 && exactPairCount <= kruskalBound) {
+      val arr = edges.select(col("a"), col("b"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(e => (e._3, e._1, e._2))
+      arr.foreach { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          mstBuf += ((a, b, w))
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    } else {
     var done = false
     var round = 0
     while (!done && round < 64) {
@@ -570,6 +596,7 @@ object HierarchicalClustering extends org.apache.spark.internal.Logging {
         }
         if (!merged) done = true
       }
+    }
     }
 
     // shared by bridging and the driver tail

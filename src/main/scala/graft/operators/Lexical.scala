@@ -283,6 +283,16 @@ object Lexical {
   def bm25WriteIndex(
       postings: DataFrame, stats: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // ONE materialization of the postings feeds all three consumers below
+    // (r16): the dfc aggregate, the n/sum_dl meta count, and the bucketed
+    // write each re-ran the caller's tokenize+aggregate lineage — three
+    // full corpus passes at any scale, three SINGLE-TASK passes above an
+    // unsplittable scan at bench scale (profiled: 3 × ~220 ms in
+    // q_bm25_index). A build pays one pin and frees it after the write;
+    // values are unchanged (the pin materializes the identical rows the
+    // lineage would recompute).
+    val pinned = postings.localCheckpoint(true)
+    try {
     // bake per-term document frequency into the persisted postings (what a
     // real inverted index stores): df is a corpus stat, so paying one
     // term-keyed aggregate+join at BUILD time deletes the df aggregate, its
@@ -291,7 +301,7 @@ object Lexical {
     // computation it replaces (every doc containing a term is present in the
     // full postings). AQE picks the join: dfc is vocabulary-sized, broadcast
     // at bench scale, shuffle join on a 100 TB corpus.
-    val dfc = postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dfc = pinned.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     // posting row count + exact doc-length sum into the meta, ONE job: the
     // row count buys every later search a free scan-size estimate (the
     // single-stage fast-path gate; the df join is inner on term over the
@@ -301,7 +311,7 @@ object Lexical {
     // docs have no postings and contribute 0 either way. dl values are
     // integral token counts, so the double sum is exact (< 2^53) in any
     // accumulation order — merged avgdl ≡ rebuilt avgdl bit-for-bit.
-    val cRow = postings.groupBy("doc_id")
+    val cRow = pinned.groupBy("doc_id")
       .agg(first(col("dl")).as("__dl"), count(lit(1)).as("__np"))
       .agg(coalesce(sum(col("__np")), lit(0L)).as("n"),
         coalesce(sum(col("__dl")), lit(0.0)).as("s"))
@@ -317,7 +327,7 @@ object Lexical {
     // (k1, b) searches recompute from tf/dl/df as before
     val sr = stats.select(col("n_docs"), col("avgdl")).head()
     val (bakeK1, bakeB) = (1.2, 0.75)
-    postings.join(dfc, Seq("term"))
+    pinned.join(dfc, Seq("term"))
       .withColumn("contrib0", contribCol(sr.getDouble(0), sr.getDouble(1), bakeK1, bakeB))
       .withColumn("__bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       // cluster rows by bucket before the partitioned write: without this,
@@ -339,6 +349,7 @@ object Lexical {
         // through Jackson's asDouble bit-exactly
         s""""n_docs": ${sr.getDouble(0)}, "sum_dl": $sumDl}""").getBytes("UTF-8"))
     finally out.close()
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** Open a [[bm25WriteIndex]] directory: the base bucket layout unioned
@@ -360,6 +371,33 @@ object Lexical {
     * pinned tombstone must still be visible ([[Tombstones.read]] refuses
     * otherwise); post-capture batches and deletes are simply not read.
     */
+  /** Exact schemas of the persisted layout components, as [[bm25WriteIndex]]
+    * / [[bm25AppendIndex]] write them (r16, guide §1/§2 job-shape): passing
+    * the known schema to `spark.read` skips the footer/schema-inference JOB
+    * each open otherwise pays per component (~20-50 ms of scheduler
+    * round-trip each — the dominant cost of lifecycle queries whose indexes
+    * are takedown-sized). File sources force nullability themselves, so
+    * only names/types/order matter; a spec pins these equal to inference
+    * (EngineSpec "open-side read schemas match parquet inference").
+    */
+  private[graft] val postingsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("contrib0", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("__bkt", org.apache.spark.sql.types.IntegerType)))
+  private[graft] val batchPostingsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("__bkt", org.apache.spark.sql.types.IntegerType)))
+  private[graft] val statsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("avgdl", org.apache.spark.sql.types.DoubleType)))
+
   def bm25OpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
     bm25OpenIndex(spark, path, None)
 
@@ -399,8 +437,8 @@ object Lexical {
     val dels = Tombstones.read(spark, path, pins.map(_.deletes))
     val idx = if (committed.isEmpty && dels.isEmpty) {
       Bm25Index(
-        spark.read.parquet(s"$path/postings"),
-        spark.read.parquet(s"$path/stats"),
+        spark.read.schema(postingsReadSchema).parquet(s"$path/postings"),
+        spark.read.schema(statsReadSchema).parquet(s"$path/stats"),
         node.get("n_buckets").asInt(),
         // absent in pre-r8 layouts: searches simply skip the fast path
         baseNRows,
@@ -422,13 +460,15 @@ object Lexical {
         mapper.readTree(s)
       }
       val core = Seq("doc_id", "term", "tf", "dl", "__bkt").map(col)
-      val raw = (spark.read.parquet(s"$path/postings").select(core: _*) +:
+      val raw = (spark.read.schema(postingsReadSchema)
+        .parquet(s"$path/postings").select(core: _*) +:
         committed.zip(batchMetas).collect {
           // zero-posting batches (all-blank docs) have stats but no postings
           // dir — an empty partitioned parquet dir has no footers and would
           // corrupt this very open (the minhash/ann append lesson)
           case (b, bm) if bm.get("n_rows").asLong() > 0L =>
-            spark.read.parquet(s"$b/postings").select(core: _*)
+            spark.read.schema(batchPostingsReadSchema)
+              .parquet(s"$b/postings").select(core: _*)
         }).reduce(_.unionByName(_))
       // tombstone exclusion over the merged scan: df recomputes in-plan over
       // the FILTERED postings (the same mechanism that makes appends exact),

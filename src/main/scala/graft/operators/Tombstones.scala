@@ -47,6 +47,13 @@ import scala.jdk.CollectionConverters._
   */
 object Tombstones {
 
+  /** The ids parquet written by [[writeDelete]]/[[consolidate]] is a single
+    * long column (r16: the known schema skips the footer/schema-inference
+    * job per read — see Lexical.postingsReadSchema for the rationale).
+    */
+  private[graft] val idsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+
   private val DelDir = "deletes"
   private val Marker = "_COMMITTED"
   private val LedgerFile = "applied_deletes.json"
@@ -377,7 +384,10 @@ object Tombstones {
     // caveat that justifies the index openers' per-root folds does not
     // apply, and the per-dir read + left-deep union fold cost N footer
     // round-trips and an N-node plan per open
-    val idsDf = spark.read.parquet(dirs.map(d => new Path(d, "ids").toString): _*)
+    // known one-column schema (r16): skips the footer/schema-inference job
+    // the read otherwise pays across every tombstone dir per open
+    val idsDf = spark.read.schema(idsReadSchema)
+      .parquet(dirs.map(d => new Path(d, "ids").toString): _*)
     val exclusion =
       if (nIds <= maxDriverDeleteIds(spark))
         Left(idsDf.collect().map(_.getLong(0)))
@@ -500,7 +510,8 @@ object Tombstones {
       .foldLeft(-1L)(math.max) + 1
     val dir = dirOf(path, s"fold-$k")
     if (fs.exists(dir)) fs.delete(dir, true) // uncommitted leftover
-    spark.read.parquet(visible.map(d => new Path(d, "ids").toString): _*)
+    spark.read.schema(idsReadSchema)
+      .parquet(visible.map(d => new Path(d, "ids").toString): _*)
       .distinct()
       .coalesce(1).write.parquet(new Path(dir, "ids").toString)
     val meta = fs.create(new Path(dir, MetaFile), false)

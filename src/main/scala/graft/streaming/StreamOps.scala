@@ -594,6 +594,12 @@ object Denylist {
 
   private val Dir = "denylist"
   private val Marker = "_COMMITTED"
+  /** The ids parquet written by [[append]]/[[compact]] is a single long
+    * column (r16: the known schema skips the footer/schema-inference job
+    * per read — see Lexical.postingsReadSchema for the rationale).
+    */
+  private val idsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
 
   /** Record `ids` under `delId`; idempotent (a committed `delId` returns
     * false and writes nothing — the takedown replay contract).
@@ -629,7 +635,7 @@ object Denylist {
     // read + left-deep union fold: at the documented ~10k-entry scale the
     // fold cost 10k footer round-trips and a 10k-node plan per ingest
     // epoch (review r13); identical schemas make this safe
-    else Some(spark.read.parquet(dirs: _*).distinct())
+    else Some(spark.read.schema(idsReadSchema).parquet(dirs: _*).distinct())
   }
 
   /** Drop denylisted rows from `df` — a distributed anti-join; no-op
@@ -685,7 +691,8 @@ object Denylist {
       .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, Marker)))
       .map(_.getPath)
     if (committed.size <= 1) return 0
-    val all = spark.read.parquet(committed.map(p => s"$p/ids"): _*).distinct()
+    val all = spark.read.schema(idsReadSchema)
+      .parquet(committed.map(p => s"$p/ids"): _*).distinct()
       .localCheckpoint(true) // pin: the write below must not re-read dirs mid-delete
     var k = 0
     while (fs.exists(new Path(new Path(dlRoot, s"compacted-$k"), Marker))) k += 1

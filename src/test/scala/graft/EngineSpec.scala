@@ -2249,6 +2249,93 @@ class EngineSpec extends AnyFunSuite {
       s"labels differ for ${diff.size} ids, e.g. ${diff.take(5).map(k => (k, driver(k), dist(k)))}")
   }
 
+  test("open-side read schemas match parquet inference") {
+    // r16: the openers pass the writers' known schemas to spark.read so no
+    // footer/schema-inference job runs per component. This pins every
+    // constant equal to what inference would have produced — names, types,
+    // order, partition columns — so a writer-side schema change fails HERE,
+    // not as silent nulls in an open.
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta gamma doc$i word${i % 7} tail${i % 3}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_pin").toString
+    def pin(path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      val inferred = spark.read.parquet(path).schema
+      val specified = spark.read.schema(schema).parquet(path).schema
+      assert(inferred == specified,
+        s"$path: inferred $inferred != specified $specified")
+    }
+    val (p, st) = Lexical.bm25BuildIndex(docs, "doc_id", "text")
+    Lexical.bm25WriteIndex(p, st, s"$dir/bm", nBuckets = 4)
+    Lexical.bm25AppendIndex(spark, s"$dir/bm",
+      docs.select((col("doc_id") + 100).as("doc_id"), col("text")),
+      "doc_id", "text", "b1")
+    Lexical.bm25DeleteFromIndex(spark, s"$dir/bm",
+      docs.filter(col("doc_id") < 3).select("doc_id"), "doc_id", "d1")
+    pin(s"$dir/bm/postings", Lexical.postingsReadSchema)
+    pin(s"$dir/bm/stats", Lexical.statsReadSchema)
+    pin(s"$dir/bm/batches/b1/postings", Lexical.batchPostingsReadSchema)
+    pin(s"$dir/bm/deletes/d1/ids", Tombstones.idsReadSchema)
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(docs, "doc_id", "text"), s"$dir/mh")
+    Dedup.minhashAppendIndex(spark, s"$dir/mh",
+      docs.select((col("doc_id") + 200).as("doc_id"), col("text")),
+      "doc_id", "text", "b1")
+    val lt = org.apache.spark.sql.types.LongType
+    pin(s"$dir/mh/postings", Dedup.minhashPostingsReadSchema(lt))
+    pin(s"$dir/mh/shingles", Dedup.shinglesReadSchema(lt))
+    pin(s"$dir/mh/batches/b1/postings", Dedup.minhashPostingsReadSchema(lt))
+    pin(s"$dir/mh/batches/b1/shingles", Dedup.shinglesReadSchema(lt))
+    // string-id corpus: the minhash id column keeps the corpus type — the
+    // meta's id_type record must round-trip it (the open would otherwise
+    // crash on PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+    val sdocs = docs.select(concat(lit("k"), col("doc_id")).as("doc_id"), col("text"))
+    Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(sdocs, "doc_id", "text"), s"$dir/mhs")
+    val strT = org.apache.spark.sql.types.StringType
+    pin(s"$dir/mhs/postings", Dedup.minhashPostingsReadSchema(strT))
+    pin(s"$dir/mhs/shingles", Dedup.shinglesReadSchema(strT))
+    assert(Dedup.minhashOpenIndex(spark, s"$dir/mhs")
+      .postings.schema("id").dataType == strT)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d) % 5).toDouble / 4.0)))
+      .toDF("vec_id", "v")
+    val (cells, cents) = Ann.annBuildIndex(vecs, "vec_id", "v", nCentroids = 4)
+    Ann.annWriteIndex(cells, cents, s"$dir/ann")
+    pin(s"$dir/ann/cells", Ann.cellsReadSchema(pq = false))
+    pin(s"$dir/ann/centroids", Ann.centroidsReadSchema)
+    Ann.annAppendIndex(spark, s"$dir/ann",
+      vecs.select((col("vec_id") + 100).as("vec_id"), col("v")),
+      "vec_id", "v", "b1")
+    pin(s"$dir/ann/batches/b1/cells", Ann.cellsReadSchema(pq = false))
+    Ann.annWriteIndex(cells, cents, s"$dir/annpq", pqM = 4)
+    pin(s"$dir/annpq/cells", Ann.cellsReadSchema(pq = true))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+  }
+
+  test("hdbscanDistributed kruskal fast path ≡ forced Borůvka rounds") {
+    // the r16 fast path collects the candidate edges and runs Kruskal under
+    // the same strict (w, a, b) total order the Borůvka rounds select by; a
+    // strict total order makes the MST unique, so the labels must be
+    // IDENTICAL. Forcing the bound to 0 re-runs the round-chain path.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kruskal = asMap(HierarchicalClustering.hdbscanDistributed(
+      e, "vec_id", "embedding", minClusterSize = 4))
+    sys.props("graft.hdbscan.kruskalEdgeBound") = "0"
+    val boruvka = try asMap(HierarchicalClustering.hdbscanDistributed(
+      e, "vec_id", "embedding", minClusterSize = 4))
+    finally sys.props.remove("graft.hdbscan.kruskalEdgeBound")
+    assert(kruskal.keySet == boruvka.keySet)
+    val diff = kruskal.keySet.filter(k => kruskal(k) != boruvka(k))
+    assert(diff.isEmpty,
+      s"labels differ for ${diff.size} ids, e.g. " +
+        diff.take(5).map(k => (k, boruvka(k), kruskal(k))))
+  }
+
   test("hdbscanDistributed LSH escalation path: full coverage, plausible clusters") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
